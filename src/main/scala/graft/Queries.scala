@@ -1,0 +1,339 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.operators._
+
+/** The declared-query registry: every implemented operator from
+  * SURVEY.md §2 (plus the training-data-pipeline operators) instantiated
+  * on the driver testdata, each paired with equivalent DuckDB SQL for the
+  * oracle hash-check. Parameterizations follow FIXTURES.md §5 (events
+  * plays the access-log table: ts→datetime, user_id→ip,
+  * event_type→path/group, value→generation_time).
+  */
+object Queries {
+  type QFn = (SparkSession, String) => DataFrame
+  final case class Decl(fn: QFn, oracle: Option[String])
+
+  private def ev(s: SparkSession, dir: String) = Tables.read(s, dir, "events")
+  private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
+
+  // ---------------------------------------------------------------- parity
+  // O8-O18 (SURVEY §2.0) on `events`.
+
+  private val parity: Seq[(String, Decl)] = Seq(
+    "o08_select_range" -> Decl(
+      (s, d) => Reports.selectRange(ev(s, d), "ts",
+        Some("2024-01-05"), Some("2024-01-10"), 100, Seq("event_id")),
+      Some("SELECT * FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10' ORDER BY ts, event_id LIMIT 100")),
+
+    "o09_date_eq" -> Decl(
+      (s, d) => ev(s, d).filter(
+        DateRange.pred(org.apache.spark.sql.functions.col("ts"),
+          Some("2024-01-07"), Some("2024-01-07"))),
+      Some("SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-07'")),
+
+    "o09_date_ge" -> Decl(
+      (s, d) => ev(s, d).filter(
+        DateRange.pred(org.apache.spark.sql.functions.col("ts"),
+          Some("2024-01-25"), None)),
+      Some("SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-25'")),
+
+    "o09_date_le" -> Decl(
+      (s, d) => ev(s, d).filter(
+        DateRange.pred(org.apache.spark.sql.functions.col("ts"),
+          None, Some("2024-01-03"))),
+      Some("SELECT * FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-03'")),
+
+    "o10_daily_average" -> Decl(
+      (s, d) => Reports.dailyAverage(ev(s, d), "ts", "value"),
+      Some("SELECT CAST(ts AS DATE) AS d, AVG(\"value\") AS avg_value, SUM(\"value\") AS sum_value, COUNT(\"value\") AS cnt_value FROM events GROUP BY d ORDER BY d")),
+
+    "o10_daily_average_ranged" -> Decl(
+      (s, d) => Reports.dailyAverage(ev(s, d), "ts", "value",
+        Some("2024-01-05"), Some("2024-01-15")),
+      Some("SELECT CAST(ts AS DATE) AS d, AVG(\"value\") AS avg_value, SUM(\"value\") AS sum_value, COUNT(\"value\") AS cnt_value FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-15' GROUP BY d ORDER BY d")),
+
+    "o11_daily_visits" -> Decl(
+      (s, d) => Reports.dailyCount(ev(s, d), "ts"),
+      Some("SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d ORDER BY d")),
+
+    "o11_daily_unique" -> Decl(
+      (s, d) => Reports.dailyCount(ev(s, d), "ts", Some("user_id")),
+      Some("SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d ORDER BY d")),
+
+    "o12_group_count_desc" -> Decl(
+      (s, d) => Reports.dailyGroupCount(ev(s, d), "ts", "user_id", "event_type",
+        distinct = true, ascending = false),
+      Some("SELECT CAST(ts AS DATE) AS d, event_type AS grp, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d, grp ORDER BY d, cnt DESC, grp")),
+
+    "o12_group_count_asc" -> Decl(
+      (s, d) => Reports.dailyGroupCount(ev(s, d), "ts", "user_id", "event_type",
+        distinct = true, ascending = true),
+      Some("SELECT CAST(ts AS DATE) AS d, event_type AS grp, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d, grp ORDER BY d, cnt ASC, grp")),
+
+    "o13_top3_per_day" -> Decl(
+      (s, d) => Reports.topNPerDay(ev(s, d), "ts", "user_id", "event_type",
+        distinct = true, ascending = false, n = 3),
+      Some("""SELECT d, grp, cnt FROM (
+             |  SELECT q.*, ROW_NUMBER() OVER (PARTITION BY d ORDER BY cnt DESC, grp) AS rn
+             |  FROM (SELECT CAST(ts AS DATE) AS d, event_type AS grp, COUNT(DISTINCT user_id) AS cnt
+             |        FROM events GROUP BY d, grp) q)
+             |WHERE rn <= 3 ORDER BY d, cnt DESC, grp""".stripMargin)),
+
+    "o13_top1_per_day_asc" -> Decl(
+      (s, d) => Reports.topNPerDay(ev(s, d), "ts", "user_id", "event_type",
+        distinct = true, ascending = true, n = 1),
+      Some("""SELECT d, grp, cnt FROM (
+             |  SELECT q.*, ROW_NUMBER() OVER (PARTITION BY d ORDER BY cnt ASC, grp) AS rn
+             |  FROM (SELECT CAST(ts AS DATE) AS d, event_type AS grp, COUNT(DISTINCT user_id) AS cnt
+             |        FROM events GROUP BY d, grp) q)
+             |WHERE rn <= 1 ORDER BY d, cnt ASC, grp""".stripMargin)),
+
+    "o17_align_by_date" -> Decl(
+      (s, d) => Reports.alignByDate(
+        Reports.dailyCount(ev(s, d), "ts"),
+        Reports.dailyCount(ev(s, d), "ts", Some("user_id"))),
+      Some("""SELECT d, v.cnt AS visits, u.cnt AS uniq FROM
+             |  (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d) v
+             |  FULL OUTER JOIN
+             |  (SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d) u
+             |  USING (d) ORDER BY d""".stripMargin)),
+
+    "o18_dashboard" -> Decl(
+      (s, d) => Reports.dashboard(ev(s, d), "ts", "event_type", "user_id",
+        "2024-01-15"),
+      Some("SELECT event_type AS service, COUNT(DISTINCT user_id) AS cnt FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' GROUP BY service ORDER BY cnt DESC, service")),
+  )
+
+  // ------------------------------------------------------------- relational
+  // Tier-B surface exercised as standing queries (SURVEY §2.11).
+
+  private val relational: Seq[(String, Decl)] = Seq(
+    "tpch_q1_pricing" -> Decl(
+      (s, d) => Relational.pricingSummary(
+        Tables.read(s, d, "lineitem"), "1998-09-02"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | SUM(l_quantity) AS sum_qty, SUM(l_extendedprice) AS sum_base_price,
+             | SUM(l_extendedprice*(1.0-l_discount)) AS sum_disc_price,
+             | SUM(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)) AS sum_charge,
+             | AVG(l_quantity) AS avg_qty, AVG(l_extendedprice) AS avg_price,
+             | AVG(l_discount) AS avg_disc, COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "tpch_q3_shipping" -> Decl(
+      (s, d) => Relational.shippingPriority(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
+        Tables.read(s, d, "lineitem"), "BUILDING", "1999-01-01"),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             | SUM(l_extendedprice*(1.0-l_discount)) AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND o_orderkey = l_orderkey
+             |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    "tpch_q5_local_supplier" -> Decl(
+      (s, d) => Relational.localSupplierRevenue(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "supplier"),
+        Tables.read(s, d, "nation"), Tables.read(s, d, "region")),
+      Some("""SELECT n_name, SUM(l_extendedprice*(1.0-l_discount)) AS revenue
+             |FROM lineitem, orders, customer, supplier, nation, region
+             |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    "rel_top_customers" -> Decl(
+      (s, d) => Relational.topCustomers(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders"), 10),
+      Some("""SELECT c_custkey, c_name, SUM(o_totalprice) AS total_spent,
+             | COUNT(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin)),
+  )
+
+  // ------------------------------------------------------------------ text
+
+  private val text: Seq[(String, Decl)] = Seq(
+    "text_stats" -> Decl(
+      (s, d) => TextAnalysis.textStats(docs(s, d)),
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq_tokens, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens FROM documents")),
+
+    "text_lang_id" -> Decl(
+      (s, d) => TextAnalysis.langId(docs(s, d)),
+      Some("""WITH s AS (SELECT doc_id,
+             |  CAST((length(p) - length(replace(p, '的', ''))) / 1 AS BIGINT) AS s_zh,
+             |  CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+             |  CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+             |  CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
+             |  CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT) AS s_es
+             | FROM (SELECT doc_id, ' '||text||' ' AS p FROM documents))
+             |SELECT doc_id, s_zh, s_en, s_de, s_fr, s_es,
+             | CASE WHEN s_zh > 0 THEN 'zh'
+             |      WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+             |      WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+             |      WHEN s_fr >= s_es THEN 'fr'
+             |      ELSE 'es' END AS lang_pred
+             |FROM s""".stripMargin)),
+
+    "text_quality" -> Decl(
+      (s, d) => TextAnalysis.qualityScore(docs(s, d)),
+      Some("""SELECT doc_id, n_tokens,
+             | CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS ttr,
+             | CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+             | CASE WHEN n_tokens BETWEEN 20 AND 2000
+             |       AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.2
+             |      THEN 'keep' ELSE 'drop' END AS verdict
+             |FROM (SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+             |  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS BIGINT) AS stops
+             | FROM documents)""".stripMargin)),
+
+    "text_fingerprint" -> Decl(
+      (s, d) => TextAnalysis.fingerprint(docs(s, d)),
+      Some("SELECT doc_id, md5(lower(text)) AS fp, CAST('0x'||substr(md5(lower(text)),1,15) AS BIGINT) AS fp60 FROM documents")),
+  )
+
+  // ----------------------------------------------------------------- dedup
+
+  private val minhashConstsCte: String = {
+    val ha = Dedup.hashA.mkString("[", ", ", "]")
+    val hb = Dedup.hashB.mkString("[", ", ", "]")
+    s"consts AS (SELECT $ha AS ha, $hb AS hb)"
+  }
+
+  private val shinglesCte: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) AS sh
+      |       FROM toks WHERE len(w) >= 3)""".stripMargin
+
+  private val dedup: Seq[(String, Decl)] = Seq(
+    "dedup_exact" -> Decl(
+      (s, d) => Dedup.exact(docs(s, d)),
+      Some("SELECT md5(lower(text)) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keeper FROM documents GROUP BY h")),
+
+    "dedup_ngram_jaccard" -> Decl(
+      (s, d) => Dedup.ngramJaccard(docs(s, d), 3, 0.5),
+      Some(s"""WITH $shinglesCte,
+              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
+              |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2, 3, 4)
+              |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) AS jaccard
+              |FROM p WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5""".stripMargin)),
+
+    "dedup_minhash_lsh" -> Decl(
+      (s, d) => Dedup.minhashLsh(docs(s, d), 3, 0.5),
+      Some(s"""WITH $minhashConstsCte,
+              |$shinglesCte,
+              |sigs AS (
+              |  SELECT doc_id, sh,
+              |    [ list_min([ (ha[i+1] * (CAST('0x'||substr(md5(s),1,15) AS BIGINT) % ${Dedup.MinhashPrime})
+              |                  + hb[i+1]) % ${Dedup.MinhashPrime} for s in sh ]) for i in range(${Dedup.NumHashes}) ] AS sig
+              |  FROM sh, consts),
+              |bands AS (
+              |  SELECT doc_id, sh, j AS band,
+              |    md5(sig[4*j+1]::VARCHAR||','||sig[4*j+2]::VARCHAR||','||sig[4*j+3]::VARCHAR||','||sig[4*j+4]::VARCHAR) AS bkey
+              |  FROM sigs, range(${Dedup.NumBands}) t(j)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |jac AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
+              |    len(sh_a) AS na, len(sh_b) AS nb
+              |  FROM cands)
+              |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
+              |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
+
+    "dedup_simhash" -> Decl(
+      (s, d) => Dedup.simhash(docs(s, d)),
+      Some(s"""SELECT doc_id,
+              | CAST(list_sum([ CASE WHEN
+              |   list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in toks ]) > 0
+              |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
+              |FROM (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents)""".stripMargin)),
+  )
+
+  // ------------------------------------------------------------ similarity
+
+  /** DuckDB double-precision cosine between two 64-dim list columns,
+    * matching VectorFunctions.cosine's sequential fold exactly.
+    */
+  private def duckCosine(a: String, b: String): String =
+    s"list_sum([$a[i+1]*$b[i+1] for i in range(64)]) / " +
+      s"(sqrt(list_sum([$a[i+1]*$a[i+1] for i in range(64)])) * " +
+      s"sqrt(list_sum([$b[i+1]*$b[i+1] for i in range(64)])))"
+
+  private val similarity: Seq[(String, Decl)] = Seq(
+    "sim_topk_bruteforce" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |s AS (SELECT q_id, vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |      FROM c, q WHERE vec_id <> q_id)
+              |SELECT q_id, vec_id, cos_sim, rn FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+              |WHERE rn <= 10""".stripMargin)),
+
+    "sim_neardup_cosine" -> Decl(
+      (s, d) => Similarity.nearDupPairs(emb(s, d), 0.35),
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosine("a.v", "b.v")} AS cos_sim
+              |FROM c a JOIN c b ON a.vec_id < b.vec_id
+              |WHERE ${duckCosine("a.v", "b.v")} >= 0.35""".stripMargin)),
+
+    "sim_topk_lsh" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 6), 6, 10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |an AS (SELECT vec_id AS a_id, v AS av FROM c WHERE vec_id < 6),
+              |cbk AS (SELECT c.vec_id,
+              |   CAST(SUM(CASE WHEN list_sum([v[i+1]*av[i+1] for i in range(64)]) > 0
+              |            THEN (CAST(1 AS BIGINT) << CAST(a_id AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM c, an GROUP BY c.vec_id),
+              |cb AS (SELECT c.vec_id, c.v, cbk.bucket FROM c JOIN cbk USING (vec_id)),
+              |qb AS (SELECT vec_id AS q_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
+              |s AS (SELECT q_id, cb.vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |      FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> q_id)
+              |SELECT q_id, vec_id, cos_sim, rn FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+              |WHERE rn <= 10""".stripMargin)),
+  )
+
+  // -------------------------------------------------------------- registry
+
+  val all: Seq[(String, Decl)] =
+    parity ++ relational ++ text ++ dedup ++ similarity
+
+  def queries: Map[String, QFn] =
+    all.map { case (n, decl) => n -> decl.fn }.toMap
+
+  def oracles: Map[String, String] =
+    all.collect { case (n, Decl(_, Some(sql))) => n -> sql }.toMap
+
+  /** Headline queries timed by Bench (one per operator family). */
+  val headline: Seq[String] = Seq(
+    "o08_select_range", "o10_daily_average", "o11_daily_unique",
+    "o12_group_count_desc", "o13_top3_per_day", "o17_align_by_date",
+    "o18_dashboard", "tpch_q1_pricing", "tpch_q3_shipping",
+    "tpch_q5_local_supplier", "text_stats", "text_lang_id",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_topk_bruteforce", "sim_topk_lsh")
+}

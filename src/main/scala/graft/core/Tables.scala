@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * At cluster scale these would be catalog tables (partitioned parquet /
+  * Delta); `read` is the single seam where that swap happens — every
+  * operator takes a DataFrame, never a path.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver's events table carries TIMESTAMP(NANOS) parquet columns,
+    // which Spark's reader rejects. Read nanos as raw longs and truncate
+    // to microsecond timestamps — exactly what DuckDB's reader does —
+    // so both engines see identical values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view — the raw-SQL console surface
+    * (reference: ballcone/dao.py:344-352 forwards any SQL to the engine).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => read(spark, dir, n).createOrReplaceTempView(n))
+}
