@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ingest pipeline O1-O3 as pure DataFrame transforms: syslog frame
+  * → JSON wire record → validated, enriched Entry rows (reference:
+  * ballcone/syslog_protocol.py:32-90).
+  *
+  * Pure transforms mean the exact same code serves the batch path, the
+  * streaming path (readStream.text → [[pipeline]] → foreachBatch), and
+  * tests. Malformed input is dropped, mirroring the reference's
+  * at-most-once UDP semantics (syslog_protocol.py:34-49).
+  */
+object Ingest {
+
+  /** Syslog frame: `<PRI>…: payload` (syslog_protocol.py:20). */
+  val SyslogRegex = "^<[0-9]{1,3}>.*?: (.+)$"
+
+  /** The 11-field nginx JSON wire schema (demo/nginx.conf:1-13);
+    * `status` and `date` arrive as strings.
+    */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("service", StringType),
+    StructField("ip", StringType),
+    StructField("host", StringType),
+    StructField("path", StringType),
+    StructField("status", StringType),
+    StructField("referrer", StringType),
+    StructField("user_agent", StringType),
+    StructField("length", LongType),
+    StructField("generation_time_milli", DoubleType),
+    StructField("date", StringType)))
+
+  /** O1: datagram text → JSON payload. Non-matching frames drop. */
+  def parseFrame(lines: DataFrame, column: String = "value"): DataFrame =
+    lines
+      .withColumn("__payload", nullif(regexp_extract(col(column), SyslogRegex, 1), lit("")))
+      .filter(col("__payload").isNotNull)
+
+  /** O1/O2: payload → wire struct; malformed JSON or missing/invalid
+    * service drops (service normalized lower+trim, `^\w+$` —
+    * core.py:15,53-58).
+    */
+  def parseWire(framed: DataFrame): DataFrame =
+    framed
+      .withColumn("__wire", from_json(col("__payload"), wireSchema))
+      .filter(col("__wire").isNotNull)
+      .withColumn("service", lower(trim(col("__wire.service"))))
+      .filter(col("service").rlike("^\\w+$"))
+
+  /** O3: enrichment projection → (service, Entry columns...).
+    *
+    * - ISO-8601 (with offset) → UTC timestamp via string→timestamp cast
+    * - URL percent-decode of path; '+' is pre-escaped so the semantics
+    *   are percent-decoding ONLY (Python `unquote`, not form-decoding);
+    *   undecodable paths pass through unchanged
+    * - empty referrer → NULL (dao.py:102-105)
+    * - user_agent exploded into 5 columns; GeoIP country via broadcast
+    *   range join
+    */
+  def enrich(wired: DataFrame, geoRanges: DataFrame): DataFrame = {
+    val ua = col("__wire.user_agent")
+    val projected = wired.select(
+      col("service"),
+      col("__wire.date").cast("timestamp").as("datetime"),
+      col("__wire.host").as("host"),
+      coalesce(
+        try_url_decode(replace(col("__wire.path"), lit("+"), lit("%2B"))),
+        col("__wire.path")).as("path"),
+      col("__wire.status").cast("short").as("status"),
+      col("__wire.length").cast("int").as("length"),
+      col("__wire.generation_time_milli").as("generation_time"),
+      nullif(col("__wire.referrer"), lit("")).as("referer"),
+      col("__wire.ip").as("ip"),
+      UserAgent.parse(ua).as("__ua"))
+      .filter(col("datetime").isNotNull && col("ip").isNotNull)
+      .select(col("service"), col("datetime"), col("host"), col("path"),
+        col("status"), col("length"), col("generation_time"), col("referer"),
+        col("ip"), col("__ua.platform_name"), col("__ua.platform_version"),
+        col("__ua.browser_name"), col("__ua.browser_version"),
+        col("__ua.is_robot"))
+    GeoIp.enrich(projected, "ip", geoRanges)
+      .select("service", "datetime", "host", "path", "status", "length",
+        "generation_time", "referer", "ip", "country_iso_code",
+        "platform_name", "platform_version", "browser_name",
+        "browser_version", "is_robot")
+  }
+
+  /** Full O1→O3 pipeline: raw syslog lines → enriched entries. */
+  def pipeline(lines: DataFrame, geoRanges: DataFrame,
+               column: String = "value"): DataFrame =
+    enrich(parseWire(parseFrame(lines, column)), geoRanges)
+}

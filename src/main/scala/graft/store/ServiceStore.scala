@@ -1,0 +1,74 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-service storage O4-O7 + O14.
+  *
+  * The reference creates one DuckDB table per service on first sight
+  * (ballcone/dao.py:174-185). Here the idiomatic-at-scale equivalent is
+  * ONE parquet dataset partitioned by `service` (SURVEY §1.3, §7.4.3):
+  * dynamic partition overwrite gives atomic per-batch appends, new
+  * services materialize as new partition directories with no DDL race,
+  * and partition pruning turns every per-service query into a scan of
+  * just that service's files. The per-table API surface of the
+  * reference (create/drop/list/exists/size) maps to partition ops.
+  */
+final class ServiceStore(spark: SparkSession, warehouse: String) {
+
+  val ServicePattern = "^\\w+$"
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def servicePath(service: String) =
+    new Path(warehouse, s"service=$service")
+
+  def checkService(service: String): Boolean = service.matches(ServicePattern)
+
+  /** O5: append a batch of entries. `df` must carry a `service` column
+    * plus the Entry columns; the write is partitioned so each service
+    * lands in its own directory (first sight creates it — the
+    * reference's dynamic CREATE TABLE, syslog_protocol.py:61-65).
+    */
+  def append(df: DataFrame): Unit =
+    df.write.mode("append").partitionBy("service").parquet(warehouse)
+
+  /** O7: list services — partition-directory scan, sorted by name
+    * (dao.py:150-160).
+    */
+  def list(): Seq[String] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("service="))
+      .map(_.stripPrefix("service="))
+      .sorted
+  }
+
+  /** O7: existence test (dao.py:162-172). */
+  def exists(service: String): Boolean =
+    checkService(service) && fs.exists(servicePath(service))
+
+  /** O4: drop a service's data (dao.py:187-193). */
+  def drop(service: String): Unit =
+    if (exists(service)) { fs.delete(servicePath(service), true); () }
+
+  /** O8 input: one service's entries (partition-pruned scan). */
+  def read(service: String): DataFrame =
+    spark.read.parquet(warehouse).filter(col("service") === service)
+      .drop("service")
+
+  /** All services (for dashboard fan-out as one grouped aggregate). */
+  def readAll(): DataFrame = spark.read.parquet(warehouse)
+
+  /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */
+  def sizeBytes(): Long = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) 0L
+    else fs.getContentSummary(root).getLength
+  }
+}

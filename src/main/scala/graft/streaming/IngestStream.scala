@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sources.Ingest
+import graft.store.ServiceStore
+
+/** O6 — the micro-batch persist loop as Structured Streaming.
+  *
+  * The reference buffers entries per service in an in-memory deque and
+  * flushes every `persist_period` seconds (default 5) on an asyncio
+  * timer (ballcone/core.py:36-51, __main__.py:36). Here the buffer, the
+  * timer, and the transactional drain are all the streaming engine's
+  * job: `Trigger.ProcessingTime("5 seconds")` + `foreachBatch` append.
+  * Checkpointing upgrades the reference's lossy at-most-once (UDP +
+  * volatile deque) to at-least-once — a documented, strictly-better
+  * divergence (SURVEY §2.10).
+  */
+object IngestStream {
+
+  /** File-based line source (each file = a batch of syslog datagrams) →
+    * parse/enrich → per-service partitioned append. The same
+    * [[Ingest.pipeline]] transforms serve batch and streaming — only
+    * the source differs (a DSv2 UDP source would slot in here).
+    */
+  def start(spark: SparkSession, inputDir: String, store: ServiceStore,
+            geoRanges: DataFrame, checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    spark.readStream
+      .schema("value STRING")
+      .text(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val entries = Ingest.pipeline(batch, geoRanges)
+        if (!entries.isEmpty) store.append(entries)
+      }
+      .start()
+}

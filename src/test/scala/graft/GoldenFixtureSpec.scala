@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import graft.core.Entry
+import graft.operators.{DateRange, Reports}
+import org.apache.spark.sql.functions.col
+
+/** Port of the reference's golden DAO unit tests — same 4-row fixture,
+  * same expected values (reference: ballcone/test_dao.py:13-41 fixture,
+  * :107-286 expectations; see FIXTURES.md §2).
+  */
+class GoldenFixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  lazy val fixture: DataFrame = Seq(
+    Entry(ts("2020-01-01 12:00:00"), "example.com", "/", 200, 1024, 0.1,
+      None, "192.168.1.1", Some("UNKNOWN"), Some("Mac OS"), Some("X 10.15"),
+      Some("Firefox"), Some("75.0"), Some(false)),
+    Entry(ts("2020-01-01 12:15:00"), "example.com", "/robots.txt", 404, 0, 0.01,
+      None, "192.168.1.1", Some("UNKNOWN"), Some("Linux"), None,
+      None, None, Some(true)),
+    Entry(ts("2020-01-02 23:59:00"), "example.com", "/", 200, 256, 0.01,
+      Some("https://github.com/dustalov"), "192.168.1.2", Some("UNKNOWN"),
+      Some("iOS"), Some("13.3.1"), Some("Safari"), Some("13.0.5"), Some(false)),
+    Entry(ts("2020-01-02 23:59:59"), "example.com", "/post", 200, 512, 1.0,
+      None, "192.168.1.2", Some("UNKNOWN"), Some("iOS"), Some("13.3.1"),
+      Some("Safari"), Some("13.0.5"), Some(false))
+  ).toDF()
+
+  // --- O9/O8: date-range select semantics incl. inclusive boundaries
+  // (test_dao.py:107-125)
+
+  test("date range: stop before data -> empty") {
+    assert(fixture.filter(
+      DateRange.pred(col("datetime"), None, Some("2019-12-31"))).count() === 0)
+  }
+
+  test("date range: stop on first day -> first two rows") {
+    val rows = Reports.selectRange(fixture, "datetime", None,
+      Some("2020-01-01"), 10).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Short]("status")).toSeq === Seq(200, 404))
+  }
+
+  test("date range: start == stop collapses to equality") {
+    assert(fixture.filter(DateRange.pred(col("datetime"),
+      Some("2020-01-01"), Some("2020-01-01"))).count() === 2)
+  }
+
+  test("date range: start on first day -> all rows") {
+    assert(fixture.filter(DateRange.pred(col("datetime"),
+      Some("2020-01-01"), None)).count() === 4)
+  }
+
+  test("date range: start on second day -> last two (23:59:59 inclusive)") {
+    assert(fixture.filter(DateRange.pred(col("datetime"),
+      Some("2020-01-02"), None)).count() === 2)
+  }
+
+  // --- O10: daily average goldens (test_dao.py:127-170)
+
+  test("daily average of generation_time: avg 0.055 / 0.505") {
+    val rows = Reports.dailyAverage(fixture, "datetime", "generation_time")
+      .collect()
+    assert(rows.length === 2)
+    assert(math.abs(rows(0).getAs[Double]("avg_generation_time") - 0.055) < 1e-12)
+    assert(math.abs(rows(0).getAs[Double]("sum_generation_time") - 0.11) < 1e-12)
+    assert(rows(0).getAs[Long]("cnt_generation_time") === 2L)
+    assert(math.abs(rows(1).getAs[Double]("avg_generation_time") - 0.505) < 1e-12)
+    assert(rows(1).getAs[Long]("cnt_generation_time") === 2L)
+  }
+
+  // --- O11: daily counts (test_dao.py:172-225)
+
+  test("daily visits: 2 per day; daily unique ip: 1 per day") {
+    val visits = Reports.dailyCount(fixture, "datetime").collect()
+    assert(visits.map(_.getAs[Long]("cnt")).toSeq === Seq(2L, 2L))
+    val uniq = Reports.dailyCount(fixture, "datetime", Some("ip")).collect()
+    assert(uniq.map(_.getAs[Long]("cnt")).toSeq === Seq(1L, 1L))
+  }
+
+  // --- O12: grouped counts (test_dao.py:227-286)
+
+  test("grouped count by platform: (Linux,1),(Mac OS,1) then (iOS,2)") {
+    val rows = Reports.dailyGroupCount(fixture, "datetime", "ip",
+      "platform_name", distinct = false, ascending = true).collect()
+    val got = rows.map(r => (r.getAs[String]("grp"), r.getAs[Long]("cnt"))).toSeq
+    assert(got === Seq(("Linux", 1L), ("Mac OS", 1L), ("iOS", 2L)))
+  }
+
+  // --- O13: top-N with group tiebreaker (dao.py:326)
+
+  test("top-1 per day: tie broken by group name ascending") {
+    val rows = Reports.topNPerDay(fixture, "datetime", "ip", "platform_name",
+      distinct = false, ascending = false, n = 1).collect()
+    val got = rows.map(r => (r.getAs[String]("grp"), r.getAs[Long]("cnt"))).toSeq
+    // day 1: Linux and Mac OS tie at 1 -> Linux wins by group order
+    assert(got === Seq(("Linux", 1L), ("iOS", 2L)))
+  }
+
+  // --- O17: align-by-date merge (web_ballcone.py:66-73)
+
+  test("align visits and unique series on day") {
+    val merged = Reports.alignByDate(
+      Reports.dailyCount(fixture, "datetime"),
+      Reports.dailyCount(fixture, "datetime", Some("ip"))).collect()
+    assert(merged.length === 2)
+    assert(merged.map(r => (r.getAs[Long]("visits"), r.getAs[Long]("uniq"))).toSeq
+      === Seq((2L, 1L), (2L, 1L)))
+  }
+
+  // --- O18: dashboard ordering (-count, name) (web_ballcone.py:36)
+
+  test("dashboard: sorted by count desc then service name") {
+    val rows = Reports.dashboard(fixture, "datetime", "platform_name", "ip",
+      "2020-01-01").collect()
+    val got = rows.map(r => (r.getAs[String]("service"), r.getAs[Long]("cnt"))).toSeq
+    assert(got === Seq(("Linux", 1L), ("Mac OS", 1L)))
+  }
+}

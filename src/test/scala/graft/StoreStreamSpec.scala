@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.query.Console
+import graft.sources.{GeoIp, Ingest}
+import graft.store.ServiceStore
+import graft.streaming.IngestStream
+
+/** Store O4-O7/O14, streaming O6, console O15. */
+class StoreStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def lines(n: Int, service: String): Seq[String] =
+    (0 until n).map { i =>
+      s"""<190>x: {"service": "$service", "ip": "10.0.0.$i", "host": "h", """ +
+        s""""path": "/p$i", "status": "200", "referrer": "", "user_agent": "curl/8.0", """ +
+        s""""length": $i, "generation_time_milli": 0.1, "date": "2020-01-0${i % 3 + 1}T00:00:0$i+00:00"}"""
+    }
+
+  test("store: append partitions by service; list/exists/read/drop/size") {
+    val store = new ServiceStore(spark, tmp("graft-wh"))
+    val parsed = Ingest.pipeline(
+      (lines(3, "alpha") ++ lines(2, "beta")).toDF("value"),
+      GeoIp.demoRanges(spark))
+    store.append(parsed)
+    assert(store.list() === Seq("alpha", "beta"))
+    assert(store.exists("alpha") && !store.exists("gamma"))
+    assert(store.read("alpha").count() === 3)
+    assert(store.read("beta").count() === 2)
+    assert(store.sizeBytes() > 0)
+    store.drop("beta")
+    assert(store.list() === Seq("alpha"))
+    // second append = first sight of a new service, no DDL needed
+    store.append(parsed.filter($"service" === "beta"))
+    assert(store.exists("beta"))
+  }
+
+  test("streaming micro-batch ingest equals the batch pipeline") {
+    val in = tmp("graft-in")
+    val store = new ServiceStore(spark, tmp("graft-wh-stream"))
+    val all = lines(4, "svca") ++ lines(3, "svcb") :+ "garbage line"
+    Files.write(java.nio.file.Paths.get(in, "batch1.log"),
+      String.join("\n", all: _*).getBytes)
+    val q = IngestStream.start(spark, in, store, GeoIp.demoRanges(spark),
+      tmp("graft-ckpt"), Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val streamed = store.readAll()
+    val batch = Ingest.pipeline(all.toDF("value"), GeoIp.demoRanges(spark))
+    assert(streamed.count() === 7)
+    assert(batch.count() === 7)
+    // same rows, modulo column order from partitioned layout
+    val cols = batch.columns.sorted.toSeq
+    assert(streamed.selectExpr(cols: _*).except(batch.selectExpr(cols: _*)).isEmpty)
+  }
+
+  test("console: runs SQL, renders errors, exposes catalog shims") {
+    val store = new ServiceStore(spark, tmp("graft-wh-sql"))
+    store.append(Ingest.pipeline(lines(2, "svc").toDF("value"),
+      GeoIp.demoRanges(spark)))
+    val console = new Console(spark, store)
+    console.refreshShims()
+    assert(console.run(console.defaultQuery).toOption.get
+      .head().getLong(0) > 0)
+    assert(console.run("SELECT name FROM graft_tables").toOption.get
+      .as[String].collect().toSeq === Seq("svc"))
+    assert(console.run("SELECT count(*) AS n FROM svc").toOption.get
+      .head().getLong(0) === 2)
+    assert(console.run("SELECT definitely not sql !!").isLeft)
+  }
+}
