@@ -77,50 +77,73 @@ object Dedup {
   val hashB: Seq[Long] = (1 to NumHashes).map(i => i * 15485863L % MinhashPrime)
 
   /** MinHash signature per document: sig[i] = min over shingles s of
-    * (a_i * (h(s) mod p) + b_i) mod p. A pure per-row fold — no shuffle.
+    * (a_i * (h(s) mod p) + b_i) mod p.
+    *
+    * Shape: explode shingles → 32 `min(...)` aggregate columns →
+    * re-assemble the signature array. Catalyst's higher-order lambda
+    * functions are interpreted (CodegenFallback), so a per-row
+    * `transform/aggregate` fold is ~10x slower than this fully
+    * codegen'd hash aggregate; the groupBy shuffles only (doc_id,
+    * 32 longs) after map-side partial aggregation collapses each doc's
+    * shingles locally.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val aArr = hashA.mkString("array(", "L, ", "L)")
-    val bArr = hashB.mkString("array(", "L, ", "L)")
     val hx = hash60Sql("s")
-    shingles(docs, n).select(
-      col("doc_id"), col("sh"),
-      expr(
-        s"""transform(sequence(0, ${NumHashes - 1}), i ->
-           |  aggregate(sh, 9223372036854775807L, (acc, s) ->
-           |    least(acc, (element_at($aArr, i+1) * ($hx % $MinhashPrime)
-           |                + element_at($bArr, i+1)) % $MinhashPrime)))
-           |""".stripMargin).as("sig"))
+    val exploded = shingles(docs, n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sh, s -> $hx % $MinhashPrime)")).as("x"))
+    val minCols = (0 until NumHashes).map { i =>
+      min((col("x") * hashA(i) + hashB(i)) % MinhashPrime).as(s"m$i")
+    }
+    exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH band keys: md5 over each 4-row slice of the signature. One row
-    * per (doc, band) — the only exploded/shuffled representation.
+  /** LSH band keys: md5 over each 4-row slice of the signature. One
+    * NARROW row per (doc, band) — just (doc_id, band, bkey), so the
+    * band-bucket shuffle moves ~50 bytes per row, never the shingle
+    * arrays.
     */
   def lshBands(sigs: DataFrame): DataFrame = {
     val slice = (1 to RowsPerBand)
       .map(k => s"cast(element_at(sig, $RowsPerBand*j+$k) as string)")
       .mkString("concat_ws(',', ", ", ", ")")
     sigs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       expr(s"explode(transform(sequence(0, ${NumBands - 1}), j -> " +
         s"named_struct('band', j, 'bkey', md5($slice))))").as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
-  /** MinHash+LSH near-dup: candidates collide on ≥1 band; candidates are
-    * then verified with exact Jaccard on the carried shingle arrays.
+  /** MinHash+LSH near-dup: candidates collide on ≥1 band; candidate
+    * PAIRS are generated by collecting each bucket's doc list and
+    * expanding in-bucket combinations — ONE pass over the bands (a
+    * self-join would recompute the whole signature pipeline for each
+    * side). The shingle arrays are joined back only for surviving
+    * pairs and verified with exact Jaccard. At 100 TB the candidate
+    * set is the tiny fraction banding lets through; a pathological hot
+    * bucket (mass-identical docs) is the skew case to watch — cap or
+    * salt it if observed.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3,
                  minJaccard: Double = 0.2): DataFrame = {
+    val sh = shingles(docs, n)
     val bands = lshBands(minhashSignatures(docs, n))
-    val cands = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = buckets
+      .select(explode(expr(
+        """filter(flatten(transform(ids, a -> transform(ids, b ->
+          |  struct(a as doc_a, b as doc_b)))), p -> p.doc_a < p.doc_b)"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
@@ -136,17 +159,18 @@ object Dedup {
     * Entirely a per-row fold — zero shuffles, linear scale-out.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val hx = hash60Sql("t")
-    docs
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      .select(
-        col("doc_id"),
-        expr(
-          s"""aggregate(sequence(0, ${SimhashBits - 1}), 0L, (acc, j) ->
-             |  acc + CASE WHEN
-             |    aggregate(toks, 0L, (a2, t) ->
-             |      a2 + CASE WHEN (shiftright($hx, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-             |  THEN shiftleft(1L, j) ELSE 0L END)
-             |""".stripMargin).as("simhash"))
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("t"))
+      .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("t")).as("x"))
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(when(expr(s"(shiftright(x, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(j =>
+          when(col(s"b$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+          .as("simhash"))
   }
 }
