@@ -105,6 +105,110 @@ object Queries {
       (s, d) => Reports.dashboard(ev(s, d), "ts", "event_type", "user_id",
         "2024-01-15"),
       Some("SELECT event_type AS service, COUNT(DISTINCT user_id) AS cnt FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' GROUP BY service ORDER BY cnt DESC, service")),
+
+    // O19 — group-adjacent presentation rows: per-day ordered
+    // "grp:cnt" row list (templates/service.html rowspan rendering).
+    "o19_group_adjacent" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Reports.dailyGroupCount(ev(s, d), "ts", "user_id", "event_type",
+            distinct = true, ascending = false)
+          .groupBy(col("d"))
+          .agg(expr(
+            "concat_ws(',', transform(array_sort(collect_list(struct(-cnt, grp, cnt))), x -> concat(x.grp, ':', x.cnt)))")
+            .as("adjacent"))
+          .orderBy("d")
+      },
+      Some("""SELECT d, string_agg(grp||':'||cnt, ',' ORDER BY cnt DESC, grp) AS adjacent
+             |FROM (SELECT CAST(ts AS DATE) AS d, event_type AS grp,
+             |      COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d, grp)
+             |GROUP BY d ORDER BY d""".stripMargin)),
+
+    // O20 — JSON encoding of results for the HTTP API (core.py:18-26):
+    // dates to ISO strings, counts embedded.
+    "o20_json_encode" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Reports.dailyCount(ev(s, d), "ts")
+          .select(col("d"), concat(
+            lit("{\"date\":\""), date_format(col("d"), "yyyy-MM-dd"),
+            lit("\",\"count\":"), col("cnt"), lit("}")).as("json"))
+      },
+      Some("""SELECT d, '{"date":"'||strftime(d, '%Y-%m-%d')||'","count":'||cnt||'}' AS json
+             |FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d)""".stripMargin)),
+  )
+
+  // ---------------------------------------------------------------- ingest
+  // O1-O3 under the oracle gate: events are encoded into syslog/nginx
+  // wire lines with Spark SQL functions, pushed through the REAL ingest
+  // pipeline (frame regex → from_json → validate → enrich incl. UA
+  // parse + GeoIP range join), and the oracle computes the expected
+  // output directly from events — an independent end-to-end check of
+  // the parser.
+
+  private val UaChrome = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+  private val UaFirefox = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7; rv:109.0) Gecko/20100101 Firefox/115.0"
+  private val UaBot = "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
+
+  private val ingest: Seq[(String, Decl)] = Seq(
+    "ingest_parse_roundtrip" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val wire = ev(s, d).select(concat(
+          lit("<190>Aug 12 00:00:00 gw nginx: "),
+          to_json(struct(
+            col("event_type").as("service"),
+            expr("concat('10.0.', user_id div 256, '.', user_id % 256)").as("ip"),
+            expr("concat('h', event_id % 10, '.example.com')").as("host"),
+            expr("concat('/p/', event_id, '%2Fx')").as("path"),
+            expr("cast(200 + event_id % 5 as string)").as("status"),
+            expr("case when event_id % 3 = 0 then '' else concat('https://ref.example/', event_id) end").as("referrer"),
+            expr(s"case event_id % 3 when 0 then '$UaChrome' when 1 then '$UaFirefox' else '$UaBot' end").as("user_agent"),
+            expr("cast(floor(value * 10) as long)").as("length"),
+            col("value").as("generation_time_milli"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("date")
+          ))).as("value"))
+        graft.sources.Ingest.pipeline(wire, graft.sources.GeoIp.demoRanges(s))
+      },
+      Some("""SELECT event_type AS service, ts AS datetime,
+             | 'h'||(event_id % 10)||'.example.com' AS host,
+             | '/p/'||event_id||'/x' AS path,
+             | CAST(200 + event_id % 5 AS SMALLINT) AS status,
+             | CAST(FLOOR("value" * 10) AS INTEGER) AS length,
+             | "value" AS generation_time,
+             | CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'https://ref.example/'||event_id END AS referer,
+             | '10.0.'||(user_id // 256)||'.'||(user_id % 256) AS ip,
+             | 'US' AS country_iso_code,
+             | CASE event_id % 3 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS' END AS platform_name,
+             | CASE event_id % 3 WHEN 0 THEN '10.0' WHEN 1 THEN '10.15.7' END AS platform_version,
+             | CASE event_id % 3 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Firefox' ELSE 'Googlebot' END AS browser_name,
+             | CASE event_id % 3 WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '115.0' ELSE '2.1' END AS browser_version,
+             | (event_id % 3 = 2) AS is_robot
+             |FROM events""".stripMargin)),
+  )
+
+  // ------------------------------------------------------------ multimodal
+
+  private val multimodal: Seq[(String, Decl)] = Seq(
+    "mm_decode_features" -> Decl(
+      (s, d) => Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(docs(s, d))).toDF(),
+      Some("""SELECT doc_id AS media_id,
+             | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             | CAST(strlen(text) AS BIGINT) AS n_bytes,
+             | CAST(('0x'||substr(md5(text),1,2)) AS INTEGER) / 255.0 AS f0,
+             | CAST(('0x'||substr(md5(text),3,2)) AS INTEGER) / 255.0 AS f1,
+             | CAST(('0x'||substr(md5(text),5,2)) AS INTEGER) / 255.0 AS f2,
+             | CAST(('0x'||substr(md5(text),7,2)) AS INTEGER) / 255.0 AS f3
+             |FROM documents""".stripMargin)),
+
+    "mm_frame_sample" -> Decl(
+      (s, d) => Multimodal.frameSample(
+        Multimodal.fromDocuments(docs(s, d)), 10),
+      Some("""SELECT doc_id AS media_id,
+             | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             | CAST(unnest(range(0, (n_chars % 100) + 1, 10)) AS INTEGER) AS frame_idx
+             |FROM documents""".stripMargin)),
   )
 
   // ------------------------------------------------------------- relational
@@ -320,7 +424,7 @@ object Queries {
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Decl)] =
-    parity ++ relational ++ text ++ dedup ++ similarity
+    parity ++ ingest ++ relational ++ text ++ dedup ++ similarity ++ multimodal
 
   def queries: Map[String, QFn] =
     all.map { case (n, decl) => n -> decl.fn }.toMap
@@ -332,8 +436,8 @@ object Queries {
   val headline: Seq[String] = Seq(
     "o08_select_range", "o10_daily_average", "o11_daily_unique",
     "o12_group_count_desc", "o13_top3_per_day", "o17_align_by_date",
-    "o18_dashboard", "tpch_q1_pricing", "tpch_q3_shipping",
-    "tpch_q5_local_supplier", "text_stats", "text_lang_id",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk_bruteforce", "sim_topk_lsh")
+    "o18_dashboard", "ingest_parse_roundtrip", "tpch_q1_pricing",
+    "tpch_q3_shipping", "tpch_q5_local_supplier", "text_stats",
+    "text_lang_id", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_topk_bruteforce", "sim_topk_lsh", "mm_decode_features")
 }

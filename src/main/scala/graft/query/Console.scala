@@ -21,6 +21,21 @@ final class Console(spark: SparkSession, store: ServiceStore) {
   /** Default console query, mirroring web_ballcone.py:134. */
   val defaultQuery = "SELECT * FROM graft_database_size"
 
+  // O21 — TTL-cached DB-size scalar (web_ballcone.py:194-200 memoizes
+  // the pragma for 300 s).
+  private var sizeCache: Option[(Long, Long)] = None
+
+  def cachedSizeBytes(ttlMillis: Long = 300000L): Long = synchronized {
+    val now = System.currentTimeMillis()
+    sizeCache match {
+      case Some((v, at)) if now - at < ttlMillis => v
+      case _ =>
+        val v = store.sizeBytes()
+        sizeCache = Some((v, now))
+        v
+    }
+  }
+
   /** (Re)build the catalog shim views from current store state. */
   def refreshShims(): Unit = {
     import spark.implicits._

@@ -65,6 +65,26 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
   /** All services (for dashboard fan-out as one grouped aggregate). */
   def readAll(): DataFrame = spark.read.parquet(warehouse)
 
+  /** O22 — bulk migration (tools/monet2duck.py): ingest an external
+    * table wholesale and verify row counts. The reference pages with
+    * LIMIT/OFFSET in 3072-row batches; Spark's reader already splits
+    * and parallelizes the scan, so migration is one distributed
+    * write with a count check, not a driver-side loop.
+    * Returns (rows in source, rows landed for those services).
+    */
+  def migrate(source: DataFrame, serviceCol: String): (Long, Long) = {
+    val renamed =
+      if (serviceCol == "service") source
+      else source.withColumnRenamed(serviceCol, "service")
+    val expected = renamed.count()
+    val services = renamed.select("service").distinct()
+      .collect().map(_.getString(0)).toSet
+    append(renamed)
+    val landed = readAll()
+      .filter(col("service").isin(services.toSeq: _*)).count()
+    (expected, landed)
+  }
+
   /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */
   def sizeBytes(): Long = {
     val root = new Path(warehouse)

@@ -72,4 +72,27 @@ class StoreStreamSpec extends SparkSpec {
       .head().getLong(0) === 2)
     assert(console.run("SELECT definitely not sql !!").isLeft)
   }
+
+  test("console: db-size scalar is TTL-cached (O21)") {
+    val store = new ServiceStore(spark, tmp("graft-wh-ttl"))
+    store.append(Ingest.pipeline(lines(2, "svc").toDF("value"),
+      GeoIp.demoRanges(spark)))
+    val console = new Console(spark, store)
+    val first = console.cachedSizeBytes()
+    store.append(Ingest.pipeline(lines(3, "other").toDF("value"),
+      GeoIp.demoRanges(spark)))
+    assert(console.cachedSizeBytes() === first)  // stale within TTL
+    assert(console.cachedSizeBytes(0) > first)   // expired -> refreshed
+  }
+
+  test("bulk migration lands every source row (O22)") {
+    val src = new ServiceStore(spark, tmp("graft-wh-src"))
+    src.append(Ingest.pipeline((lines(5, "alpha") ++ lines(4, "beta"))
+      .toDF("value"), GeoIp.demoRanges(spark)))
+    val dst = new ServiceStore(spark, tmp("graft-wh-dst"))
+    val (expected, landed) = dst.migrate(src.readAll(), "service")
+    assert(expected === 9L)
+    assert(landed === 9L)
+    assert(dst.list() === Seq("alpha", "beta"))
+  }
 }
