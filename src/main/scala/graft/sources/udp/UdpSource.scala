@@ -1,0 +1,139 @@
+package graft.sources.udp
+
+import java.net.{DatagramPacket, DatagramSocket}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 micro-batch UDP source — the engine's O1 (the reference ingests
+  * nginx access logs as JSON-over-syslog UDP datagrams on port 65140,
+  * ballcone/syslog_protocol.py:23-49, README.md:32).
+  *
+  * `spark.readStream.format("graft-udp").option("port", 65140)` yields
+  * `value: string` rows, one per datagram, feeding the same
+  * [[graft.sources.Ingest.pipeline]] as every other source.
+  *
+  * Design: datagrams are received on the DRIVER by a daemon thread into
+  * an offset-indexed buffer; each micro-batch plans one input partition
+  * carrying its slice, and `commit` trims delivered rows. This mirrors
+  * Spark's own TextSocketMicroBatchStream — the right shape for a
+  * low-rate control stream. Once buffered, delivery is at-least-once
+  * (checkpointed offsets); the wire hop stays at-most-once because UDP
+  * is (SURVEY §2.10).
+  */
+class UdpSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-udp"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    UdpSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new UdpTable(properties.getOrDefault("port", "65140").toInt)
+}
+
+object UdpSource {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Last bound port (for tests binding port 0 = ephemeral). */
+  @volatile var lastBoundPort: Int = -1
+}
+
+private[udp] class UdpTable(port: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft-udp:$port"
+  override def schema(): StructType = UdpSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = UdpSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new UdpMicroBatchStream(port)
+      }
+    }
+}
+
+private[udp] case class UdpOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[udp] class UdpMicroBatchStream(port: Int) extends MicroBatchStream {
+
+  // offset-indexed buffer: element i holds datagram (base + i)
+  private val buffer = ArrayBuffer.empty[String]
+  private var base = 0L
+
+  private val socket = new DatagramSocket(port)
+  UdpSource.lastBoundPort = socket.getLocalPort
+
+  private val listener = new Thread(s"graft-udp-$port") {
+    override def run(): Unit = {
+      val packet = new DatagramPacket(new Array[Byte](65536), 65536)
+      try {
+        while (!socket.isClosed) {
+          socket.receive(packet)
+          val line = new String(packet.getData, packet.getOffset,
+            packet.getLength, StandardCharsets.UTF_8)
+          UdpMicroBatchStream.this.synchronized { buffer += line }
+        }
+      } catch { case _: java.net.SocketException => () /* closed */ }
+    }
+  }
+  listener.setDaemon(true)
+  listener.start()
+
+  override def initialOffset(): Offset = UdpOffset(0L)
+
+  override def latestOffset(): Offset = synchronized {
+    UdpOffset(base + buffer.length)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    UdpOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[UdpOffset].n, end.asInstanceOf[UdpOffset].n)
+    val slice = synchronized {
+      buffer.slice((s - base).toInt, (e - base).toInt).toArray
+    }
+    if (slice.isEmpty) Array.empty
+    else Array(UdpInputPartition(slice))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val rows = partition.asInstanceOf[UdpInputPartition].lines
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            InternalRow(UTF8String.fromString(rows(i)))
+          override def close(): Unit = ()
+        }
+    }
+
+  override def commit(end: Offset): Unit = synchronized {
+    val upTo = end.asInstanceOf[UdpOffset].n
+    val drop = (upTo - base).toInt
+    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.length)); base = upTo }
+  }
+
+  override def stop(): Unit = socket.close()
+}
+
+private[udp] case class UdpInputPartition(lines: Array[String])
+  extends InputPartition

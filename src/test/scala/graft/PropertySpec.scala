@@ -1,0 +1,64 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core.Dates
+import graft.operators.Reports
+import graft.sources.Ingest
+
+/** Property tests (SURVEY §5.3): frame-parse roundtrip, date-window
+  * arithmetic, top-N containment in the grouped counts. Generators are
+  * sampled with a fixed seed (deterministic CI).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("syslog frame roundtrip: any colon-space-free payload survives") {
+    val gen = for {
+      p <- Gen.choose(0, 999)
+      body <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (p, body)
+    val cases = samples(gen, 25)
+    assert(cases.nonEmpty)
+    val framed = cases.map { case (p, body) => s"<$p>host nginx: $body" }
+      .toDF("value")
+    val got = Ingest.parseFrame(framed).select("__payload").as[String]
+      .collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("date window: width and bounds (core.py:66-72)") {
+    val gen = for {
+      epochDay <- Gen.choose(0L, 20000L)
+      n <- Gen.choose(1, 400)
+    } yield (LocalDate.ofEpochDay(epochDay), n)
+    for ((stop, n) <- samples(gen, 50)) {
+      val (a, b) = Dates.window(stop, n)
+      assert(b === stop)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) === n - 1L)
+      assert(!a.isAfter(b))
+    }
+    assert(Dates.window(LocalDate.parse("2020-03-05"), 7)._1
+      === LocalDate.parse("2020-02-28"))
+  }
+
+  test("top-N per day is contained in the grouped counts, <= n per day") {
+    val events =
+      graft.core.Tables.read(spark, "/root/testdata/sf0.001", "events")
+    for (n <- Seq(1, 2, 7); asc <- Seq(true, false)) {
+      val top = Reports.topNPerDay(events, "ts", "user_id", "event_type",
+        distinct = true, ascending = asc, n = n)
+      val all = Reports.dailyGroupCount(events, "ts", "user_id", "event_type",
+        distinct = true, ascending = asc)
+      assert(top.except(all).isEmpty, s"n=$n asc=$asc not a subset")
+      val perDay = top.groupBy("d").count().select("count").as[Long].collect()
+      assert(perDay.forall(_ <= n), s"n=$n asc=$asc exceeded")
+    }
+  }
+}
