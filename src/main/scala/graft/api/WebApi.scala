@@ -1,0 +1,166 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Dates
+import graft.operators.Reports
+import graft.query.Console
+import graft.store.ServiceStore
+
+/** The HTTP surface of the reference (ballcone/__main__.py:72-80 routes;
+  * handlers web_ballcone.py) on the JDK's built-in server — no
+  * dependencies beyond Spark.
+  *
+  *   GET  /                                  dashboard (O18)
+  *   GET  /api/services                      catalog list (O7)
+  *   GET  /api/{s}/count[?field=&start=&stop=]          O11
+  *   GET  /api/{s}/average/{field}[?start=&stop=]       O10
+  *   GET  /api/{s}/count-group/{field}/{group}
+  *         [?distinct=&ascending=&limit=&start=&stop=]  O12+O13
+  *   GET  /api/{s}/report[?date=]            visits⟗unique merge (O17)
+  *   POST /sql                               raw SQL console (O15)
+  *   GET  /nginx?service={s}                 nginx config generator
+  *
+  * Results are encoded with Spark's row-to-JSON (dates → ISO strings,
+  * O20). Query knobs mirror web_ballcone.py:117-120 (`distinct`'s value
+  * doubles as the count field there; here `field` is explicit).
+  */
+final class WebApi(spark: SparkSession, store: ServiceStore,
+                   topLimit: Int = 5, days: Int = 7) {
+
+  private val console = new Console(spark, store)
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", handler(dashboard))
+    server.createContext("/api/services", handler(_ => listServices()))
+    server.createContext("/api", handler(api))
+    server.createContext("/sql", handler(sql))
+    server.createContext("/nginx", handler(nginx))
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------------- handlers
+
+  private def dashboard(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestURI.getPath != "/") return (404, """{"error":"not found"}""")
+    val day = param(ex, "date").getOrElse(Dates.todayUtc().toString)
+    val rows = store.list().map { s =>
+      val cnt = Reports.dashboard(store.read(s).withColumn(
+          "service", org.apache.spark.sql.functions.lit(s)),
+          "datetime", "service", "ip", day)
+        .collect().headOption.map(_.getAs[Long]("cnt")).getOrElse(0L)
+      s -> cnt
+    }.sortBy { case (s, c) => (-c, s) }
+    (200, rows.map { case (s, c) => s"""{"service":"$s","unique":$c}""" }
+      .mkString("[", ",", "]"))
+  }
+
+  private def listServices(): (Int, String) =
+    (200, store.list().map("\"" + _ + "\"").mkString("[", ",", "]"))
+
+  private def api(ex: HttpExchange): (Int, String) = {
+    val parts = ex.getRequestURI.getPath.stripPrefix("/api/").split("/")
+    if (parts.length < 2) return (404, """{"error":"not found"}""")
+    val service = parts(0)
+    if (!store.exists(service)) return (404, s"""{"error":"unknown service $service"}""")
+    val df = store.read(service)
+    val start = param(ex, "start")
+    val stop = param(ex, "stop")
+    val result: Either[String, DataFrame] = parts(1) match {
+      case "count" =>
+        Right(Reports.dailyCount(df, "datetime", param(ex, "field"), start, stop))
+      case "average" if parts.length == 3 =>
+        Right(Reports.dailyAverage(df, "datetime", parts(2), start, stop))
+      case "count-group" if parts.length == 4 =>
+        Right(Reports.topNPerDay(df, "datetime", parts(2), parts(3),
+          distinct = param(ex, "distinct").forall(_.toBoolean),
+          ascending = param(ex, "ascending").exists(_.toBoolean),
+          n = param(ex, "limit").map(_.toInt).getOrElse(topLimit),
+          start, stop))
+      case "report" =>
+        Right(Reports.alignByDate(
+          Reports.dailyCount(df, "datetime", None, start, stop),
+          Reports.dailyCount(df, "datetime", Some("ip"), start, stop)))
+      case _ => Left(s"unknown endpoint ${parts(1)}")
+    }
+    result match {
+      case Right(r) => (200, toJsonArray(r))
+      case Left(err) => (404, s"""{"error":"$err"}""")
+    }
+  }
+
+  private def sql(ex: HttpExchange): (Int, String) = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val text = if (body.trim.isEmpty) console.defaultQuery else body
+    console.refreshShims()
+    console.run(text) match {
+      case Right(df) => (200, toJsonArray(df))
+      case Left(err) => (400, s"""{"error":${jsonString(err)}}""")
+    }
+  }
+
+  /** nginx config generator (web_ballcone.py renders the log_format +
+    * access_log stanza users paste into their server block).
+    */
+  private def nginx(ex: HttpExchange): (Int, String) = {
+    val service = param(ex, "service").getOrElse("example")
+    if (!store.checkService(service))
+      return (400, s"""{"error":"invalid service name"}""")
+    val conf =
+      s"""log_format graft_$service escape=json
+         |  '{"service": "$service", "ip": "$$remote_addr", '
+         |  '"host": "$$host", "path": "$$request_uri", '
+         |  '"status": "$$status", "referrer": "$$http_referer", '
+         |  '"user_agent": "$$http_user_agent", "length": $$bytes_sent, '
+         |  '"generation_time_milli": $$request_time, '
+         |  '"date": "$$time_iso8601"}';
+         |access_log syslog:server=127.0.0.1:65140 graft_$service;
+         |""".stripMargin
+    (200, conf)
+  }
+
+  // -------------------------------------------------------------- helpers
+
+  private def handler(f: HttpExchange => (Int, String)):
+      com.sun.net.httpserver.HttpHandler = { ex =>
+    val (code, body) =
+      try f(ex)
+      catch { case e: Throwable => (500, s"""{"error":${jsonString(e.getMessage)}}""") }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      if (body.startsWith("{") || body.startsWith("[")) "application/json"
+      else "text/plain")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def param(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).flatMap(
+      _.split("&").map(_.split("=", 2)).collectFirst {
+        case Array(k, v) if k == name && v.nonEmpty => v
+      })
+
+  private def toJsonArray(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def jsonString(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
