@@ -154,7 +154,11 @@ object Queries {
     "ingest_parse_roundtrip" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions._
-        val wire = ev(s, d).select(concat(
+        // the driver parquet has ONE row group => a single scan split;
+        // spread rows BEFORE the codegen-fallback json encode/parse so
+        // the whole chain parallelizes (real ingest input is pre-split)
+        val wire = ev(s, d).repartition(s.sparkContext.defaultParallelism)
+          .select(concat(
           lit("<190>Aug 12 00:00:00 gw nginx: "),
           to_json(struct(
             col("event_type").as("service"),
@@ -168,7 +172,14 @@ object Queries {
             col("value").as("generation_time_milli"),
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("date")
           ))).as("value"))
-        graft.sources.Ingest.pipeline(wire, graft.sources.GeoIp.demoRanges(s))
+        // RDD fence: predicate pushdown would otherwise inline the
+        // whole codegen-fallback to_json chain into every downstream
+        // filter (one full re-encode per predicate evaluation). The
+        // optimizer cannot cross an RDD boundary, so the lines are
+        // encoded exactly once — like real ingest input, which arrives
+        // already materialized.
+        val lines = s.createDataFrame(wire.rdd, wire.schema)
+        graft.sources.Ingest.pipeline(lines, graft.sources.GeoIp.demoRanges(s))
       },
       Some("""SELECT event_type AS service, ts AS datetime,
              | 'h'||(event_id % 10)||'.example.com' AS host,
@@ -367,6 +378,56 @@ object Queries {
               |FROM (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents)""".stripMargin)),
   )
 
+  // ------------------------------------------------- scale-path variants
+
+  /** Dialect-neutral SQL run VERBATIM in both engines — the raw-SQL
+    * console surface (O15) under the oracle gate: CTEs, set ops,
+    * window frames, INTERSECT.
+    */
+  private def sqlParity(sql: String): Decl =
+    Decl((s, d) => { Tables.registerAll(s, d); s.sql(sql) }, Some(sql))
+
+  private val scalePath: Seq[(String, Decl)] = Seq(
+    "skew_salted_agg" -> Decl(
+      (s, d) => Skew.saltedAgg(ev(s, d), "event_type", "value"),
+      Some("""SELECT event_type, COUNT(*) AS cnt, CAST(SUM("value") AS DOUBLE) AS sum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // HLL relaxation of exact distinct (SURVEY §2.4) — no SQL oracle
+    // (engine-specific sketch), driver records the weaker rows check.
+    "o11_daily_unique_approx" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        ev(s, d).groupBy(to_date(col("ts")).as("d"))
+          .agg(approx_count_distinct(col("user_id")).as("approx_cnt"))
+          .orderBy("d")
+      },
+      None),
+
+    "sql_cte_union" -> sqlParity(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type AS grp, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'total' AS kind, grp, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |FROM daily GROUP BY grp
+        |UNION ALL
+        |SELECT 'max_day' AS kind, grp, CAST(MAX(cnt) AS BIGINT) AS cnt
+        |FROM daily GROUP BY grp""".stripMargin),
+
+    "sql_window_frame" -> sqlParity(
+      """SELECT d, cnt,
+        |  CAST(SUM(cnt) OVER (ORDER BY d
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running
+        |FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        |      FROM events GROUP BY 1)""".stripMargin),
+
+    "sql_intersect" -> sqlParity(
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin),
+  )
+
   // ------------------------------------------------------------ similarity
 
   /** DuckDB double-precision cosine between two 64-dim list columns,
@@ -424,7 +485,8 @@ object Queries {
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Decl)] =
-    parity ++ ingest ++ relational ++ text ++ dedup ++ similarity ++ multimodal
+    parity ++ ingest ++ relational ++ text ++ dedup ++ similarity ++
+      multimodal ++ scalePath
 
   def queries: Map[String, QFn] =
     all.map { case (n, decl) => n -> decl.fn }.toMap

@@ -23,17 +23,24 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Exact cosine top-k: `queries` (small) broadcast-crossed with
-    * `corpus`, ranked per query by (cosine desc, vec_id).
+    * `corpus`, ranked per query by (cosine desc, vec_id). Norms are
+    * precomputed per vector (one pass) so each pair costs ONE dot
+    * product, not three — at N corpus x Q queries that's 3x fewer
+    * array folds in the hot loop; the arithmetic stays bit-identical
+    * (same sqrt-of-sequential-sum values, same division).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
                            asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
     val c = corpus.select(col("vec_id"),
                           asDouble(col("embedding")).as("c_vec"))
+      .withColumn("c_nrm", norm(col("c_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-              cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+              (dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+                .as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -47,10 +54,13 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("id_a"),
                           asDouble(col("embedding")).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = corpus.select(col("vec_id").as("id_b"),
                           asDouble(col("embedding")).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 
@@ -76,12 +86,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
               nBits: Int, k: Int): DataFrame = {
     val cb = signBuckets(corpus, anchors, nBits)
+      .withColumn("c_nrm", norm(col("v")))
     val qb = signBuckets(queries, anchors, nBits)
       .select(col("vec_id").as("q_id"), col("v").as("q_vec"), col("bucket"))
+      .withColumn("q_nrm", norm(col("q_vec")))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-              cosine(col("q_vec"), col("v")).as("cos_sim"))
+              (dot(col("q_vec"), col("v")) / (col("q_nrm") * col("c_nrm")))
+                .as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))

@@ -58,6 +58,34 @@ class StoreStreamSpec extends SparkSpec {
     assert(streamed.selectExpr(cols: _*).except(batch.selectExpr(cols: _*)).isEmpty)
   }
 
+  test("watermarked daily aggregate stream finalizes closed windows") {
+    val in = tmp("graft-agg-in")
+    val out = tmp("graft-agg-out")
+    // one file per day -> one micro-batch per file, so the watermark
+    // advances between batches and earlier windows can finalize
+    for (day <- 1 to 5) {
+      val dayLines = (0 until 4).map { i =>
+        s"""<190>x: {"service": "agg", "ip": "10.0.$day.${i % 2}", "host": "h", """ +
+          s""""path": "/", "status": "200", "referrer": "", "user_agent": "curl/8.0", """ +
+          s""""length": 1, "generation_time_milli": 0.1, "date": "2020-01-0${day}T12:00:0$i+00:00"}"""
+      }
+      Files.write(java.nio.file.Paths.get(in, s"day$day.log"),
+        String.join("\n", dayLines: _*).getBytes)
+    }
+    val q = graft.streaming.DailyAggStream.start(spark, in,
+      GeoIp.demoRanges(spark), out, tmp("graft-agg-ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .select("d", "visits", "approx_unique").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    // watermark = max event time - 1 day; at least the first few days close
+    assert(got.nonEmpty, "no windows finalized")
+    assert(got.forall { case (_, visits, uniq) => visits === 4L && uniq === 2L },
+      got.toString)
+    assert(got.map(_._1).forall(d => d.startsWith("2020-01-0")))
+  }
+
   test("console: runs SQL, renders errors, exposes catalog shims") {
     val store = new ServiceStore(spark, tmp("graft-wh-sql"))
     store.append(Ingest.pipeline(lines(2, "svc").toDF("value"),
