@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the dense-vector dot product.
+  *
+  * The declarative form — `aggregate(zip_with(a, b, *), 0d, +)` — is
+  * correct but interpreted: higher-order functions are CodegenFallback,
+  * costing a closure call per element. This expression generates a
+  * tight primitive loop inside whole-stage codegen (~10x on the
+  * pairwise-scoring hot path), while keeping EXACTLY the same
+  * left-to-right double summation, so results are bit-identical to the
+  * declarative form and the DuckDB oracle.
+  *
+  * Element nulls are not expected (embeddings are dense); a null array
+  * yields null, matching the declarative form. Divergence: on arrays
+  * of UNEQUAL length this truncates to the shorter (sum of the common
+  * prefix) where `zip_with` null-pads and yields NULL — irrelevant for
+  * fixed-dimension embedding columns, but don't use this for ragged
+  * arrays.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  /** Registry entry for SQL users (`SELECT graft_dot(a, b)`), injected
+    * by [[graft.plans.GraftExtensions]] or registered on a live
+    * session via [[register]].
+    */
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[DotProductExpr].getName, "graft_dot")
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      info,
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1)))
+}

@@ -20,8 +20,20 @@ object VectorFunctions {
   def arraySum(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
+  /** Declarative dot product (interpreted; kept as the reference
+    * semantics the codegen expression must match).
+    */
+  def dotDeclarative(a: Column, b: Column): Column =
     arraySum(zip_with(a, b, (x, y) => x * y))
+
+  /** Dot product via the native codegen'd [[DotProductExpr]] — same
+    * left-to-right summation, ~10x faster in pairwise scoring.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

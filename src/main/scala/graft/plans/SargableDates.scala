@@ -73,6 +73,12 @@ object SargableDates extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SargableDates)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      graft.functions.DotProductExpr.info,
+      (children: Seq[Expression]) =>
+        graft.functions.DotProductExpr(children(0), children(1))))
+  }
 }
