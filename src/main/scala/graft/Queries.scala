@@ -460,6 +460,31 @@ object Queries {
               |FROM c a JOIN c b ON a.vec_id < b.vec_id
               |WHERE ${duckCosine("a.v", "b.v")} >= 0.35""".stripMargin)),
 
+    "sim_topk_ivf" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 8), nProbe = 2, k = 10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+              |scored AS (SELECT c.vec_id, c.v, c_id,
+              |   ${"list_sum([v[i+1]*cv[i+1] for i in range(64)])"} AS cd FROM c, cent),
+              |assign AS (SELECT vec_id, v, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM scored)
+              |   WHERE rn = 1),
+              |qprobe AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn
+              |   FROM scored WHERE vec_id < 10)
+              |   WHERE rn <= 2),
+              |s AS (SELECT q_id, vec_id, ${duckCosine("qv", "av")} AS cos_sim FROM (
+              |      SELECT q.q_id, a.vec_id, q.qv, a.v AS av
+              |      FROM qprobe q JOIN assign a USING (cell) WHERE a.vec_id <> q.q_id))
+              |SELECT q_id, vec_id, cos_sim, rn FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+              |WHERE rn <= 10""".stripMargin)),
+
     "sim_topk_lsh" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions.col
@@ -501,5 +526,6 @@ object Queries {
     "o18_dashboard", "ingest_parse_roundtrip", "tpch_q1_pricing",
     "tpch_q3_shipping", "tpch_q5_local_supplier", "text_stats",
     "text_lang_id", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk_bruteforce", "sim_topk_lsh", "mm_decode_features")
+    "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
+    "mm_decode_features")
 }

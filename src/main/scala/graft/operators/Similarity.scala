@@ -82,6 +82,50 @@ object Similarity {
       .agg(first(col("v")).as("v"), sum(col("bit")).as("bucket"))
   }
 
+  /** IVF-style ANN: assign every corpus vector to its best centroid
+    * "cell" (argmax dot, deterministic tie-break by centroid id), then
+    * answer queries by scoring only the `nProbe` most promising cells.
+    *
+    * This is the inverted-file layout at 100 TB: the corpus is
+    * PARTITIONED BY CELL at rest, a query touches nProbe partitions
+    * instead of the whole corpus, and the probe-cell join is a hash
+    * join on the cell id — no cross product anywhere. Centroids are
+    * data-derived (first k vectors) for engine-reproducible assignment;
+    * a k-means refinement would drop in without changing the query
+    * shape.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              nProbe: Int, k: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("c_id"),
+                                asDouble(col("embedding")).as("cv"))
+    def scoredCells(df: DataFrame) =
+      df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("c_id"),
+                dot(col("v"), col("cv")).as("cd"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd").desc, col("c_id"))
+    val assigned = scoredCells(corpus)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+      .withColumn("c_nrm", norm(col("v")))
+    val probes = scoredCells(queries)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
+              col("c_id").as("cell"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              (dot(col("q_vec"), col("v")) / (col("q_nrm") * col("c_nrm")))
+                .as("cos_sim"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** Approximate top-k: score only same-bucket (query, corpus) pairs. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
               nBits: Int, k: Int): DataFrame = {
