@@ -369,13 +369,29 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    "dedup_simhash_neardup" -> Decl(
+      (s, d) => Dedup.simhashNearDup(docs(s, d), 6),
+      Some(s"""WITH $shinglesCte,
+              |sg AS (
+              | SELECT doc_id,
+              |  CAST(list_sum([ CASE WHEN
+              |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
+              |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
+              | FROM sh),
+              |b AS (SELECT doc_id, simhash, simhash >> ${Dedup.SimhashBits / 2} AS bucket FROM sg)
+              |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.simhash, bb.simhash)) AS BIGINT) AS hamming
+              |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+              |WHERE bit_count(xor(a.simhash, bb.simhash)) <= 6""".stripMargin)),
+
     "dedup_simhash" -> Decl(
       (s, d) => Dedup.simhash(docs(s, d)),
-      Some(s"""SELECT doc_id,
+      Some(s"""WITH $shinglesCte
+              |SELECT doc_id,
               | CAST(list_sum([ CASE WHEN
-              |   list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in toks ]) > 0
+              |   list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
               |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
-              |FROM (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents)""".stripMargin)),
+              |FROM sh""".stripMargin)),
   )
 
   // ------------------------------------------------- scale-path variants

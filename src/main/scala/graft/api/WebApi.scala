@@ -81,11 +81,15 @@ final class WebApi(spark: SparkSession, store: ServiceStore,
       case "average" if parts.length == 3 =>
         Right(Reports.dailyAverage(df, "datetime", parts(2), start, stop))
       case "count-group" if parts.length == 4 =>
+        val limit = param(ex, "limit") match {
+          case Some(v) => v.toIntOption.filter(_ > 0).getOrElse(
+            return (400, s"""{"error":"limit must be a positive integer, got '$v'"}"""))
+          case None => topLimit
+        }
         Right(Reports.topNPerDay(df, "datetime", parts(2), parts(3),
           distinct = param(ex, "distinct").forall(_.toBoolean),
           ascending = param(ex, "ascending").exists(_.toBoolean),
-          n = param(ex, "limit").map(_.toInt).getOrElse(topLimit),
-          start, stop))
+          n = limit, start, stop))
       case "report" =>
         Right(Reports.alignByDate(
           Reports.dailyCount(df, "datetime", None, start, stop),

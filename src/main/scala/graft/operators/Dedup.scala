@@ -154,14 +154,37 @@ object Dedup {
 
   val SimhashBits = 32
 
+  /** SimHash near-dup pairs: candidates share the top half of the
+    * signature (a 16-bit bucket — one equi-join, no n² pair space),
+    * verified by Hamming distance ≤ `maxHamming` on the full 32 bits.
+    * The bucket prefilter trades recall for scale exactly like LSH
+    * banding; multiple rotated buckets would raise recall.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(docs)
+      .withColumn("bucket", expr(s"shiftright(simhash, ${SimhashBits / 2})"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 32-bit SimHash per document: for each bit j, sum +1/−1 over distinct
     * tokens by bit j of the token hash; bit set iff the sum is positive.
     * Entirely a per-row fold — zero shuffles, linear scale-out.
     */
+  /** 32-bit SimHash over distinct word 3-gram SHINGLES (not bare
+    * tokens): shingles encode local order, so documents sharing a
+    * vocabulary but not phrasing still hash apart — over a small
+    * vocabulary a token-set simhash is degenerate (most docs contain
+    * every token and collide at Hamming 0).
+    */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("t"))
+    val tok = shingles(docs, 3)
+      .select(col("doc_id"), explode(col("sh")).as("t"))
       .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("t")).as("x"))
     val bitSums = (0 until SimhashBits).map { j =>
       sum(when(expr(s"(shiftright(x, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j")
