@@ -44,7 +44,12 @@ object Bench {
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
 
-    once(Queries.headline.head) // global warm-up: scan/shuffle/noop paths
+    // global warm-up covering the distinct infrastructure paths:
+    // parquet scan + sort (o08), broadcast-join machinery (q5), and
+    // the documents/md5 pipeline — broadcast thread pools and codegen
+    // for these dominate first-run noise otherwise
+    Seq("o08_select_range", "tpch_q5_local_supplier", "text_stats")
+      .foreach(once)
     val results = Queries.headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -16,8 +16,15 @@ object Queries {
   final case class Decl(fn: QFn, oracle: Option[String])
 
   private def ev(s: SparkSession, dir: String) = Tables.read(s, dir, "events")
-  private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
+
+  // documents/embeddings ship as single-row-group parquet (one scan
+  // split), which would serialize the md5/shingle/vector map work onto
+  // one core; spread them once up front — at real scale the inputs
+  // arrive in many splits and this is a no-op by construction
+  private def docs(s: SparkSession, dir: String) =
+    Tables.read(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+  private def emb(s: SparkSession, dir: String) =
+    Tables.read(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   // ---------------------------------------------------------------- parity
   // O8-O18 (SURVEY §2.0) on `events`.

@@ -45,14 +45,35 @@ object Dedup {
           .as("sh"))
   }
 
+  /** Distinct (doc_id, shingle) ROWS without interpreted lambdas:
+    * explode the codegen'd offset range and assemble each shingle once
+    * per output row. (Exploding an array built by a CodegenFallback
+    * `transform` re-evaluates the whole array once PER ELEMENT —
+    * measured ~17x slower at sf0.1.) Pass `distinct = false` when the
+    * consumer is duplicate-insensitive (e.g. a min-aggregation) to
+    * skip the dedup exchange.
+    */
+  def shingleRows(docs: DataFrame, n: Int = 3,
+                  distinct: Boolean = true): DataFrame = {
+    val parts = (0 until n).map(k => element_at(col("w"), col("i") + k + 1))
+    val rows = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - n)).as("i"))
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+    if (distinct) rows.distinct() else rows
+  }
+
   /** All-pairs n-gram Jaccard ≥ `minJaccard` via a shingle equi-join:
-    * explode distinct shingles, self-join on shingle, count common,
+    * distinct shingle rows, self-join on shingle, count common,
     * |A∪B| = |A|+|B|−common.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3,
                    minJaccard: Double = 0.2): DataFrame = {
-    val sh = shingles(docs, n)
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
+    val rows = shingleRows(docs, n)
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val sh = rows.join(sizes, "doc_id")
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -88,10 +109,11 @@ object Dedup {
     * shingles locally.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val hx = hash60Sql("s")
-    val exploded = shingles(docs, n)
+    // duplicate shingles cannot change a min, so skip the distinct
+    val exploded = shingleRows(docs, n, distinct = false)
       .select(col("doc_id"),
-        explode(expr(s"transform(sh, s -> $hx % $MinhashPrime)")).as("x"))
+        (graft.functions.TextFunctions.hash60(col("shingle"))
+          % MinhashPrime).as("x"))
     val minCols = (0 until NumHashes).map { i =>
       min((col("x") * hashA(i) + hashB(i)) % MinhashPrime).as(s"m$i")
     }
@@ -183,9 +205,8 @@ object Dedup {
     * every token and collide at Hamming 0).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = shingles(docs, 3)
-      .select(col("doc_id"), explode(col("sh")).as("t"))
-      .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("t")).as("x"))
+    val tok = shingleRows(docs, 3)
+      .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("shingle")).as("x"))
     val bitSums = (0 until SimhashBits).map { j =>
       sum(when(expr(s"(shiftright(x, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j")
     }

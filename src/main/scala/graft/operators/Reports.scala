@@ -105,6 +105,9 @@ object Reports {
     * dict merge.
     */
   def alignByDate(visits: DataFrame, unique: DataFrame): DataFrame =
+    // full-outer joins cannot broadcast in Spark; the sort-merge here
+    // is over two day-keyed aggregate series (≤ the day count rows
+    // even at 100 TB), so the shuffle is bounded and tiny
     visits.withColumnRenamed("cnt", "visits")
       .join(unique.withColumnRenamed("cnt", "uniq"), Seq("d"), "full_outer")
       .orderBy("d")

@@ -64,22 +64,33 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Collect a small anchor/centroid table to driver literals.
+    * These sets are tiny BY CONSTRUCTION (k ≤ a few hundred even at
+    * 100 TB), so inlining them turns per-vector bucketing into a pure
+    * projection — the corpus is never shuffled just to be labeled.
+    */
+  private def collectVectors(df: DataFrame): Seq[(Int, Array[Double])] = {
+    val rows = df.select(col("vec_id").cast("int"),
+        asDouble(col("embedding"))).collect()
+    require(rows.length <= 4096, s"anchor set too large: ${rows.length}")
+    rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+  }
+
   /** Sign-LSH bucket signature: bit j = 1 iff dot(v, anchor_j) > 0.
     * Anchors are taken deterministically from the dataset itself
     * (`vec_id < nBits`), making the "random" hyperplanes reproducible in
-    * any engine without a shared RNG.
+    * any engine without a shared RNG. Anchors are inlined as literals,
+    * so bucketing is map-side only — zero shuffles.
     */
   def signBuckets(corpus: DataFrame, anchors: DataFrame, nBits: Int): DataFrame = {
-    val anch = anchors.select(col("vec_id").as("a_id"),
-                              asDouble(col("embedding")).as("a_vec"))
+    val anch = collectVectors(anchors)
+    val bucket = anch.map { case (id, av) =>
+      when(dot(col("v"), lit(av)) > 0, lit(1L << id)).otherwise(0L)
+    }.reduce(_ + _)
     corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .crossJoin(broadcast(anch))
-      .select(col("vec_id"), col("v"),
-        when(dot(col("v"), col("a_vec")) > 0,
-             expr("shiftleft(1L, cast(a_id as int))")).otherwise(0L).as("bit"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), sum(col("bit")).as("bucket"))
+      .withColumn("bucket", bucket)
   }
 
   /** IVF-style ANN: assign every corpus vector to its best centroid
@@ -96,23 +107,26 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               nProbe: Int, k: Int): DataFrame = {
-    val cent = centroids.select(col("vec_id").as("c_id"),
-                                asDouble(col("embedding")).as("cv"))
-    def scoredCells(df: DataFrame) =
+    val cent = collectVectors(centroids)
+    // per-row cell ranking as a pure projection: sort the (−dot, c_id)
+    // struct array and take the first nProbe cells — argmax with the
+    // same deterministic tie-break as ROW_NUMBER(ORDER BY cd DESC, c_id),
+    // and the corpus is never shuffled just to be assigned
+    def withScores(df: DataFrame) = {
+      val scores = array(cent.map { case (id, cv) =>
+        struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+      }: _*)
       df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("c_id"),
-                dot(col("v"), col("cv")).as("cd"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cd").desc, col("c_id"))
-    val assigned = scoredCells(corpus)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+        .withColumn("scores_arr", scores)
+        .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
+        .drop("scores_arr")
+    }
+    val assigned = withScores(corpus)
+      .select(col("vec_id"), col("v"), col("cells").getItem(0).as("cell"))
       .withColumn("c_nrm", norm(col("v")))
-    val probes = scoredCells(queries)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
+    val probes = withScores(queries)
       .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
-              col("c_id").as("cell"))
+        explode(slice(col("cells"), 1, nProbe)).as("cell"))
       .withColumn("q_nrm", norm(col("q_vec")))
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
