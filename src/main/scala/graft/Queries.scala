@@ -449,6 +449,12 @@ object Queries {
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin),
+
+    "sql_grouping_sets" -> sqlParity(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt, SUM(l_quantity) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
   )
 
   // ------------------------------------------------------------ similarity
