@@ -271,6 +271,63 @@ object Queries {
              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // AS-OF join (composed union+window) checked against DuckDB's
+    // NATIVE ASOF JOIN — an independent implementation of the same
+    // semantics: for each purchase, the latest preceding (or equal)
+    // view by the same user.
+    "rel_asof_join" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = ev(s, d)
+        Temporal.asOfJoin(
+          left = e.filter(col("event_type") === "purchase"),
+          right = e.filter(col("event_type") === "view"),
+          key = "user_id", ts = "ts", idCol = "event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts, v.ts AS asof_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
+
+    // Range join: value-band classification from a broadcast dim.
+    "rel_range_join" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val bands = {
+          import s.implicits._
+          Seq((0.0, 50.0, "low"), (50.0, 120.0, "mid"),
+            (120.0, 1e9, "high")).toDF("lo", "hi", "band")
+        }
+        Temporal.rangeJoin(ev(s, d), bands, col("value"))
+          .groupBy(col("band")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("band"))
+      },
+      Some("""SELECT band, COUNT(*) AS cnt
+             |FROM events e JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 120.0, 'mid'),
+             |                           (120.0, 1000000000.0, 'high')) t(lo, hi, band)
+             |  ON e."value" >= t.lo AND e."value" < t.hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // Sessionization: 30-minute-gap sessions per user.
+    "rel_sessionize" -> Decl(
+      (s, d) => Temporal.sessionize(ev(s, d), "user_id", "ts", "event_id", 1800L),
+      Some("""WITH t AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM t)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     "rel_top_customers" -> Decl(
       (s, d) => Relational.topCustomers(
         Tables.read(s, d, "customer"), Tables.read(s, d, "orders"), 10),

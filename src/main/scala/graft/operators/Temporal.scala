@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark lacks as primitives, composed from
+  * built-ins per the preference ladder (SURVEY §7.3: compose before
+  * custom plans): as-of join, range join, sessionization.
+  */
+object Temporal {
+
+  /** AS-OF join: for each left row, the latest right timestamp with
+    * `rts <= lts` within the same key — composed as ONE union + ONE
+    * window (a running max over the interleaved stream), instead of a
+    * non-equi join that would explode into a per-key cross product.
+    * Equal timestamps match (ASOF `>=` semantics): right rows sort
+    * before left rows at the same instant.
+    *
+    * Scale shape: one shuffle on the key, one per-partition sort — the
+    * same cost as a groupBy; no range-join quadratic blowup.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               idCol: String): DataFrame = {
+    val tagged =
+      right.select(col(key), col(ts), lit(0).as("__kind"),
+          lit(null).cast("long").as(idCol))
+        .unionByName(
+          left.select(col(key), col(ts), lit(1).as("__kind"), col(idCol)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__kind"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__asof", max(when(col("__kind") === 0, col(ts))).over(w))
+      .filter(col("__kind") === 1 && col("__asof").isNotNull)
+      .select(col(idCol), col(key), col(ts), col("__asof").as(s"asof_$ts"))
+  }
+
+  /** Range join: classify facts into [lo, hi) bands from a small
+    * broadcast dimension — a BroadcastNestedLoopJoin where the inner
+    * side is tiny by construction, so the fact table streams through
+    * map-side without a shuffle.
+    */
+  def rangeJoin(facts: DataFrame, bands: DataFrame,
+                value: Column): DataFrame =
+    facts.join(broadcast(bands),
+      value >= col("lo") && value < col("hi"), "inner")
+
+  /** Sessionization (gaps-and-islands): a new session starts when the
+    * gap to the previous event of the same user exceeds `gapSeconds`;
+    * session ids are per-user ordinals. One shuffle on the user key,
+    * two window passes.
+    */
+  def sessionize(events: DataFrame, key: String, ts: String,
+                 idCol: String, gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(col(key)).orderBy(col(ts), col(idCol))
+    val running = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col(ts), 1).over(order))
+      .withColumn("__new",
+        // microsecond arithmetic (unix_timestamp would truncate to
+        // seconds and disagree with the oracle's epoch_us)
+        when(col("__prev").isNull ||
+          unix_micros(col(ts)) - unix_micros(col("__prev")) > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(running))
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col(ts)).as("sess_start"), max(col(ts)).as("sess_end"))
+      .orderBy(col(key), col("session_id"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Temporal
+
+/** Golden edges for the composed temporal operators. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join: latest preceding, equal-ts matches, no-prior drops") {
+    val right = Seq(
+      (1L, ts("2020-01-01 10:00:00")),
+      (1L, ts("2020-01-01 10:30:00")),
+      (2L, ts("2020-01-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val left = Seq(
+      (100L, 1L, ts("2020-01-01 10:15:00")), // between -> 10:00
+      (101L, 1L, ts("2020-01-01 10:30:00")), // equal   -> 10:30
+      (102L, 1L, ts("2020-01-01 09:00:00")), // no prior -> dropped
+      (103L, 2L, ts("2020-01-01 12:01:00")), // other key -> 12:00
+      (104L, 3L, ts("2020-01-01 23:00:00"))  // unseen key -> dropped
+    ).toDF("event_id", "user_id", "ts")
+    val got = Temporal.asOfJoin(left, right, "user_id", "ts", "event_id")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Timestamp]("asof_ts").toString)
+      .toMap
+    assert(got === Map(
+      100L -> "2020-01-01 10:00:00.0",
+      101L -> "2020-01-01 10:30:00.0",
+      103L -> "2020-01-01 12:00:00.0"))
+  }
+
+  test("sessionize: gap strictly greater than threshold starts a session") {
+    val events = Seq(
+      (1L, 10L, ts("2020-01-01 10:00:00")),
+      (2L, 10L, ts("2020-01-01 10:30:00")), // gap == 1800s -> SAME session
+      (3L, 10L, ts("2020-01-01 11:00:01")), // gap 1801s   -> new session
+      (4L, 20L, ts("2020-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Temporal.sessionize(events, "user_id", "ts", "event_id", 1800L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+                 r.getAs[Long]("n_events")))
+      .toSeq
+    assert(got === Seq((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("range join: boundary lands in the upper band") {
+    val bands = Seq((0.0, 50.0, "low"), (50.0, 100.0, "high"))
+      .toDF("lo", "hi", "band")
+    val facts = Seq((1L, 49.999), (2L, 50.0), (3L, 0.0)).toDF("id", "v")
+    val got = Temporal.rangeJoin(facts, bands,
+        org.apache.spark.sql.functions.col("v"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("band")).toMap
+    assert(got === Map(1L -> "low", 2L -> "high", 3L -> "low"))
+  }
+}
