@@ -73,6 +73,11 @@ class WebApiSpec extends SparkSpec {
       val (c7, err) = post(port, "/sql", "SELECT nope FROM nowhere")
       assert(c7 === 400 && err.contains("TABLE_OR_VIEW_NOT_FOUND"))
 
+      // empty body falls back to the console's default query
+      // (pragma_database_size parity, web_ballcone.py:134)
+      val (c7b, dflt) = post(port, "/sql", "")
+      assert(c7b === 200 && dflt.contains("database_size"))
+
       val (c8, conf) = get(port, "/nginx?service=blog")
       assert(c8 === 200 && conf.contains("access_log syslog:server="))
 
