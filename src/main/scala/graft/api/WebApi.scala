@@ -29,10 +29,14 @@ import graft.store.ServiceStore
   * doubles as the count field there; here `field` is explicit).
   */
 final class WebApi(spark: SparkSession, store: ServiceStore,
-                   topLimit: Int = 5, days: Int = 7) {
+                   topLimit: Int = 5) {
 
   private val console = new Console(spark, store)
   private var server: HttpServer = _
+  // shim views are rebuilt at most every 30 s (O21 discipline: the
+  // db-size pragma and catalog listing are not per-request work)
+  private val ShimTtlMillis = 30000L
+  @volatile private var shimsRefreshedAt = 0L
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -51,27 +55,35 @@ final class WebApi(spark: SparkSession, store: ServiceStore,
   // ------------------------------------------------------------- handlers
 
   private def dashboard(ex: HttpExchange): (Int, String) = {
-    if (ex.getRequestURI.getPath != "/") return (404, """{"error":"not found"}""")
+    if (ex.getRequestURI.getPath != "/") return (404, notFound)
+    if (store.list().isEmpty) return (200, "[]")
     val day = param(ex, "date").getOrElse(Dates.todayUtc().toString)
-    val rows = store.list().map { s =>
-      val cnt = Reports.dashboard(store.read(s).withColumn(
-          "service", org.apache.spark.sql.functions.lit(s)),
-          "datetime", "service", "ip", day)
-        .collect().headOption.map(_.getAs[Long]("cnt")).getOrElse(0L)
-      s -> cnt
-    }.sortBy { case (s, c) => (-c, s) }
-    (200, rows.map { case (s, c) => s"""{"service":"$s","unique":$c}""" }
-      .mkString("[", ",", "]"))
+    // ONE grouped aggregate over the partitioned store — not one Spark
+    // job per service (Reports.dashboard scaladoc; O18); services with
+    // no events that day still render with 0, like the reference
+    val agg = Reports.dashboard(store.readAll(), "datetime", "service",
+        "ip", day)
+      .collect()
+      .map(r => r.getAs[String]("service") -> r.getAs[Long]("cnt"))
+      .toMap
+    val rows = store.list().map(s => s -> agg.getOrElse(s, 0L))
+      .sortBy { case (s, c) => (-c, s) }
+    (200, rows.map { case (s, c) =>
+      s"""{"service":${jsonString(s)},"unique":$c}"""
+    }.mkString("[", ",", "]"))
   }
+
+  private val notFound = """{"error":"not found"}"""
 
   private def listServices(): (Int, String) =
     (200, store.list().map("\"" + _ + "\"").mkString("[", ",", "]"))
 
   private def api(ex: HttpExchange): (Int, String) = {
     val parts = ex.getRequestURI.getPath.stripPrefix("/api/").split("/")
-    if (parts.length < 2) return (404, """{"error":"not found"}""")
+    if (parts.length < 2) return (404, notFound)
     val service = parts(0)
-    if (!store.exists(service)) return (404, s"""{"error":"unknown service $service"}""")
+    if (!store.exists(service))
+      return (404, s"""{"error":${jsonString(s"unknown service $service")}}""")
     val df = store.read(service)
     val start = param(ex, "start")
     val stop = param(ex, "stop")
@@ -83,13 +95,23 @@ final class WebApi(spark: SparkSession, store: ServiceStore,
       case "count-group" if parts.length == 4 =>
         val limit = param(ex, "limit") match {
           case Some(v) => v.toIntOption.filter(_ > 0).getOrElse(
-            return (400, s"""{"error":"limit must be a positive integer, got '$v'"}"""))
+            return (400, s"""{"error":${jsonString(s"limit must be a positive integer, got '$v'")}}"""))
           case None => topLimit
         }
-        Right(Reports.topNPerDay(df, "datetime", parts(2), parts(3),
-          distinct = param(ex, "distinct").forall(_.toBoolean),
-          ascending = param(ex, "ascending").exists(_.toBoolean),
-          n = limit, start, stop))
+        def boolParam(name: String, default: Boolean): Either[String, Boolean] =
+          param(ex, name) match {
+            case Some(v) => v.toBooleanOption
+              .toRight(s"$name must be true or false, got '$v'")
+            case None => Right(default)
+          }
+        (boolParam("distinct", default = true),
+          boolParam("ascending", default = false)) match {
+          case (Right(d), Right(a)) =>
+            Right(Reports.topNPerDay(df, "datetime", parts(2), parts(3),
+              distinct = d, ascending = a, n = limit, start, stop))
+          case (Left(e), _) => return (400, s"""{"error":${jsonString(e)}}""")
+          case (_, Left(e)) => return (400, s"""{"error":${jsonString(e)}}""")
+        }
       case "report" =>
         Right(Reports.alignByDate(
           Reports.dailyCount(df, "datetime", None, start, stop),
@@ -98,14 +120,18 @@ final class WebApi(spark: SparkSession, store: ServiceStore,
     }
     result match {
       case Right(r) => (200, toJsonArray(r))
-      case Left(err) => (404, s"""{"error":"$err"}""")
+      case Left(err) => (404, s"""{"error":${jsonString(err)}}""")
     }
   }
 
   private def sql(ex: HttpExchange): (Int, String) = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val text = if (body.trim.isEmpty) console.defaultQuery else body
-    console.refreshShims()
+    val now = System.currentTimeMillis()
+    if (now - shimsRefreshedAt > ShimTtlMillis) {
+      console.refreshShims()
+      shimsRefreshedAt = now
+    }
     console.run(text) match {
       case Right(df) => (200, toJsonArray(df))
       case Left(err) => (400, s"""{"error":${jsonString(err)}}""")

@@ -19,10 +19,14 @@ object GeoIp {
     * those simply don't match any v4 range, like the reference's
     * AddressNotFoundError → None path).
     */
-  def ipv4ToLong(ip: Column): Column =
-    when(ip.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"),
+  def ipv4ToLong(ip: Column): Column = {
+    // octets must be 0-255: a lax \d{1,3} would let "9.256.0.0" fold
+    // to the same numeric as "10.0.0.0" and falsely match its range
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)"
+    when(ip.rlike(s"^($octet\\.){3}$octet$$"),
       aggregate(transform(split(ip, "\\."), o => o.cast("long")),
         lit(0L), (acc, o) => acc * 256 + o))
+  }
 
   /** Left-join `country_iso_code` onto `df` by matching `ipCol` into the
     * broadcast `ranges` table (`ip_start`, `ip_end`, `country`).

@@ -29,8 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * carrying its slice, and `commit` trims delivered rows. This mirrors
   * Spark's own TextSocketMicroBatchStream — the right shape for a
   * low-rate control stream. Once buffered, delivery is at-least-once
-  * (checkpointed offsets); the wire hop stays at-most-once because UDP
-  * is (SURVEY §2.10).
+  * WITHIN a process lifetime (checkpointed offsets); the wire hop
+  * stays at-most-once because UDP is, and datagrams arriving while
+  * the process is down are lost (SURVEY §2.10 — the reference's
+  * volatile deque loses strictly more).
   */
 class UdpSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-udp"
@@ -84,6 +86,10 @@ private[udp] class UdpMicroBatchStream(port: Int) extends MicroBatchStream {
       val packet = new DatagramPacket(new Array[Byte](65536), 65536)
       try {
         while (!socket.isClosed) {
+          // receive() shrinks packet.length to the last datagram's
+          // size; without this reset every later datagram would be
+          // truncated to the shortest one seen so far
+          packet.setLength(65536)
           socket.receive(packet)
           val line = new String(packet.getData, packet.getOffset,
             packet.getLength, StandardCharsets.UTF_8)
@@ -101,8 +107,17 @@ private[udp] class UdpMicroBatchStream(port: Int) extends MicroBatchStream {
     UdpOffset(base + buffer.length)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    UdpOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    // Restart-from-checkpoint: the committed offset outlives this
+    // process's volatile buffer. Fast-forward the numbering so new
+    // datagrams count from the restored offset instead of silently
+    // mapping below it (datagrams sent while the process was down are
+    // lost regardless — that's UDP; this prevents ALSO dropping the
+    // first `n` datagrams after the restart).
+    synchronized { if (buffer.isEmpty && n > base) base = n }
+    UdpOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[UdpOffset].n, end.asInstanceOf[UdpOffset].n)

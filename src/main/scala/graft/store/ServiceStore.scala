@@ -78,11 +78,15 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
       else source.withColumnRenamed(serviceCol, "service")
     val expected = renamed.count()
     val services = renamed.select("service").distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getString(0)).toSeq
+    // count the DELTA, not the total: the destination may already hold
+    // rows for these services
+    def countFor(): Long =
+      if (list().isEmpty) 0L
+      else readAll().filter(col("service").isin(services: _*)).count()
+    val before = countFor()
     append(renamed)
-    val landed = readAll()
-      .filter(col("service").isin(services.toSeq: _*)).count()
-    (expected, landed)
+    (expected, countFor() - before)
   }
 
   /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */

@@ -33,8 +33,10 @@ object IngestStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val entries = Ingest.pipeline(batch, geoRanges)
-        if (!entries.isEmpty) store.append(entries)
+        // no isEmpty pre-check: it would run the whole parse/enrich
+        // chain once for the probe and again for the write; appending
+        // an empty frame is harmless
+        store.append(Ingest.pipeline(batch, geoRanges))
       }
       .start()
 }

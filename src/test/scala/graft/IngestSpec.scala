@@ -80,12 +80,15 @@ class IngestSpec extends SparkSpec {
   test("geoip range join: private ranges hit, public misses, ipv6 misses") {
     val rows = parse(
       wire(ip = "10.200.0.9"), wire(ip = "192.168.1.1"),
-      wire(ip = "8.8.8.8"), wire(ip = "2001:db8::1"))
+      wire(ip = "8.8.8.8"), wire(ip = "2001:db8::1"),
+      // octet > 255: numerically aliases 10.0.0.0 if folded naively
+      wire(ip = "9.256.0.0"))
       .select("ip", "country_iso_code").collect()
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(rows("10.200.0.9") === Some("US"))
     assert(rows("192.168.1.1") === Some("DE"))
     assert(rows("8.8.8.8") === None)
     assert(rows("2001:db8::1") === None)
+    assert(rows("9.256.0.0") === None)
   }
 }

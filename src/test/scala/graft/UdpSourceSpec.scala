@@ -27,9 +27,12 @@ class UdpSourceSpec extends SparkSpec {
 
       val sock = new DatagramSocket()
       val addr = InetAddress.getLoopbackAddress
+      // SHORT datagram first: DatagramPacket.receive shrinks the
+      // packet length, so a missing reset would truncate the long
+      // JSON line that follows (regression for the setLength fix)
       val lines = Seq(
+        "short",
         """<190>x: {"service": "udp", "ip": "10.0.0.1", "host": "h", "path": "/", "status": "200", "referrer": "", "user_agent": "curl/8.0", "length": 1, "generation_time_milli": 0.1, "date": "2020-01-01T00:00:00+00:00"}""",
-        "plain garbage datagram",
         "<190>y: {\"k\": 1}")
       lines.foreach { l =>
         val b = l.getBytes(StandardCharsets.UTF_8)
