@@ -24,12 +24,21 @@ object Bench {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.SargableDates
 
+    // a query failure must FAIL the bench (errors listed + nonzero
+    // exit), not silently vanish from the total and make a regression
+    // look like a speedup
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         Queries.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => return -1.0 }
+      } catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -54,7 +63,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String) =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val errJson = errors.map { case (k, v) => s""""$k":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

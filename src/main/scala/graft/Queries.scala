@@ -308,11 +308,14 @@ object Queries {
              |  ON e."value" >= t.lo AND e."value" < t.hi
              |GROUP BY band ORDER BY band""".stripMargin)),
 
-    // Sessionization: 30-minute-gap sessions per user.
+    // Sessionization: 30-minute-gap sessions per user. Both cumulative
+    // windows order by (ts, event_id): with ts alone, tied timestamps
+    // would make the oracle's running sum nondeterministic and diverge
+    // from the Spark side's (ts, idCol) ordering.
     "rel_sessionize" -> Decl(
       (s, d) => Temporal.sessionize(ev(s, d), "user_id", "ts", "event_id", 1800L),
       Some("""WITH t AS (
-             |  SELECT user_id, ts,
+             |  SELECT user_id, event_id, ts,
              |    CASE WHEN lag(ts) OVER w IS NULL
              |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              |         THEN 1 ELSE 0 END AS new_sess
@@ -320,7 +323,7 @@ object Queries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
              |  SELECT user_id, ts,
-             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM t)
              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -389,10 +392,26 @@ object Queries {
     s"consts AS (SELECT $ha AS ha, $hb AS hb)"
   }
 
-  private val shinglesCte: String =
-    """toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-      |sh AS (SELECT doc_id, list_distinct([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) AS sh
-      |       FROM toks WHERE len(w) >= 3)""".stripMargin
+  private def shinglesCteFrom(table: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS w FROM $table),
+       |sh AS (SELECT doc_id, list_distinct([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) AS sh
+       |       FROM toks WHERE len(w) >= 3)""".stripMargin
+
+  private val shinglesCte: String = shinglesCteFrom("documents")
+
+  /** MinHash signature + band-key CTEs over an `sh` CTE (shared by the
+    * LSH oracle queries; mirrors Dedup.minhashSignatures/lshBands).
+    */
+  private val lshBandsCte: String =
+    s"""sigs AS (
+       |  SELECT doc_id, sh,
+       |    [ list_min([ (ha[i+1] * (CAST('0x'||substr(md5(s),1,15) AS BIGINT) % ${Dedup.MinhashPrime})
+       |                  + hb[i+1]) % ${Dedup.MinhashPrime} for s in sh ]) for i in range(${Dedup.NumHashes}) ] AS sig
+       |  FROM sh, consts),
+       |bands AS (
+       |  SELECT doc_id, sh, j AS band,
+       |    md5(sig[4*j+1]::VARCHAR||','||sig[4*j+2]::VARCHAR||','||sig[4*j+3]::VARCHAR||','||sig[4*j+4]::VARCHAR) AS bkey
+       |  FROM sigs, range(${Dedup.NumBands}) t(j))""".stripMargin
 
   private val dedup: Seq[(String, Decl)] = Seq(
     "dedup_exact" -> Decl(
@@ -409,27 +428,62 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) AS jaccard
               |FROM p WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Band buckets are capped at the MaxBucket smallest doc_ids on
+    // BOTH sides (Spark row_number ≤ K, DuckDB QUALIFY ≤ K) — the
+    // deterministic truncation keeps hash parity while bounding the
+    // hot-bucket blowup.
     "dedup_minhash_lsh" -> Decl(
       (s, d) => Dedup.minhashLsh(docs(s, d), 3, 0.5),
       Some(s"""WITH $minhashConstsCte,
               |$shinglesCte,
-              |sigs AS (
-              |  SELECT doc_id, sh,
-              |    [ list_min([ (ha[i+1] * (CAST('0x'||substr(md5(s),1,15) AS BIGINT) % ${Dedup.MinhashPrime})
-              |                  + hb[i+1]) % ${Dedup.MinhashPrime} for s in sh ]) for i in range(${Dedup.NumHashes}) ] AS sig
-              |  FROM sh, consts),
-              |bands AS (
-              |  SELECT doc_id, sh, j AS band,
-              |    md5(sig[4*j+1]::VARCHAR||','||sig[4*j+2]::VARCHAR||','||sig[4*j+3]::VARCHAR||','||sig[4*j+4]::VARCHAR) AS bkey
-              |  FROM sigs, range(${Dedup.NumBands}) t(j)),
+              |$lshBandsCte,
+              |bands_k AS (
+              |  SELECT * FROM bands
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
               |cands AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-              |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |  FROM bands_k a JOIN bands_k b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
               |jac AS (
               |  SELECT doc_a, doc_b,
               |    CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
               |    len(sh_a) AS na, len(sh_b) AS nb
               |  FROM cands)
+              |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
+              |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // The linear-output star variant over a DELIBERATELY skewed corpus:
+    // documents plus 1500 replicas of doc 0 — one mass-duplicate hot
+    // bucket, the case that OOMed the uncapped r1 shape. Both engines
+    // compute identical (keeper = bucket-min, duplicate) edges with
+    // exact-Jaccard verification.
+    "dedup_lsh_star_skew" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val replicas = base.filter(col("doc_id") === 0).select(col("text"))
+          .crossJoin(s.range(1500))
+          .select((col("id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.minhashLshDedup(base.unionByName(replicas), 3, 0.5)
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT 1000000 + j AS doc_id, d.text FROM documents d, range(1500) t(j) WHERE d.doc_id = 0),
+              |$minhashConstsCte,
+              |${shinglesCteFrom("corpus")},
+              |$lshBandsCte,
+              |reps AS (
+              |  SELECT band, bkey, MIN(doc_id) AS rep, COUNT(*) AS cnt
+              |  FROM bands GROUP BY band, bkey),
+              |cand AS (
+              |  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+              |  FROM reps r JOIN bands b USING (band, bkey)
+              |  WHERE r.cnt > 1 AND b.doc_id <> r.rep),
+              |jac AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS common,
+              |    len(a.sh) AS na, len(b.sh) AS nb
+              |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id)
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
 

@@ -86,5 +86,18 @@ object DotProductExpr {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       info,
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1)))
+      (children: Seq[Expression]) => {
+        // arity-check here: children(0)/children(1) on a 1-arg call
+        // would escape as an IndexOutOfBoundsException instead of the
+        // analysis error every built-in raises
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_dot`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        DotProductExpr(children(0), children(1))
+      })
 }

@@ -68,9 +68,21 @@ object Dedup {
   /** All-pairs n-gram Jaccard ≥ `minJaccard` via a shingle equi-join:
     * distinct shingle rows, self-join on shingle, count common,
     * |A∪B| = |A|+|B|−common.
+    *
+    * TEST-TIER: the shingle self-join is O(n²) in the worst case; this
+    * form exists as the exact correctness reference for [[minhashLsh]]
+    * (the scale path) and REFUSES corpora above `maxInputRows` so it
+    * cannot be lifted into a 100 TB job unchanged — pass a larger
+    * bound explicitly to override.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3,
-                   minJaccard: Double = 0.2): DataFrame = {
+                   minJaccard: Double = 0.2,
+                   maxInputRows: Long = 100000L): DataFrame = {
+    val cnt = docs.count()
+    require(cnt <= maxInputRows,
+      s"ngramJaccard is the all-pairs CORRECTNESS reference, not the scale " +
+        s"path ($cnt rows > $maxInputRows): use minhashLsh/minhashLshDedup, " +
+        s"or raise maxInputRows explicitly")
     val rows = shingleRows(docs, n)
     val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val sh = rows.join(sizes, "doc_id")
@@ -139,21 +151,40 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** Per-bucket candidate cap for [[minhashLsh]]. Deterministic (the
+    * `MaxBucket` SMALLEST doc_ids per bucket survive), so the DuckDB
+    * oracle reproduces the exact same truncation; buckets at or under
+    * the cap are unaffected.
+    */
+  val MaxBucket = 64
+
   /** MinHash+LSH near-dup: candidates collide on ≥1 band; candidate
     * PAIRS are generated by collecting each bucket's doc list and
     * expanding in-bucket combinations — ONE pass over the bands (a
     * self-join would recompute the whole signature pipeline for each
     * side). The shingle arrays are joined back only for surviving
     * pairs and verified with exact Jaccard. At 100 TB the candidate
-    * set is the tiny fraction banding lets through; a pathological hot
-    * bucket (mass-identical docs) is the skew case to watch — cap or
-    * salt it if observed.
+    * set is the tiny fraction banding lets through.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3,
-                 minJaccard: Double = 0.2): DataFrame = {
+                 minJaccard: Double = 0.2,
+                 maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, n)
     val bands = lshBands(minhashSignatures(docs, n))
-    val buckets = bands.groupBy(col("band"), col("bkey"))
+    // Hot buckets are BOUNDED: a mass-duplicate corpus (the #1
+    // real-world dedup case) puts every copy in one bucket, and an
+    // uncapped collect_list would build a single giant array row.
+    // Rank-then-truncate keeps the maxBucket smallest doc_ids — the
+    // rank is a sort-based window (spills, never holds a bucket in one
+    // buffer), so collect_list sees ≤ maxBucket rows by construction
+    // and pair expansion is ≤ maxBucket² per bucket. For the complete
+    // answer on a skewed corpus use [[minhashLshDedup]] (linear).
+    val ranked = bands
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
+      .filter(col("__rn") <= maxBucket)
+    val buckets = ranked.groupBy(col("band"), col("bkey"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
     val cands = buckets
@@ -163,6 +194,14 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+    verifyJaccard(cands, sh, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * sets (shared by [[minhashLsh]] and [[minhashLshDedup]]).
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+                            minJaccard: Double): DataFrame =
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -172,6 +211,29 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Dedup-oriented MinHash+LSH with output LINEAR in bucket size: each
+    * colliding bucket links its members to the bucket REPRESENTATIVE
+    * (min doc_id) instead of expanding all in-bucket pairs — a bucket
+    * of b mass-identical docs yields b−1 (keeper, duplicate) edges, not
+    * b(b−1)/2, and the plan is pure aggregates + equi-joins (no
+    * collect_list anywhere, nothing unbounded per row). Every edge is
+    * exact-Jaccard verified, so precision equals [[minhashLsh]]; recall
+    * links every doc that shares a bucket with its representative —
+    * the keep-one-per-group relation a 100 TB dedup job consumes.
+    */
+  def minhashLshDedup(docs: DataFrame, n: Int = 3,
+                      minJaccard: Double = 0.2): DataFrame = {
+    val sh = shingles(docs, n)
+    val bands = lshBands(minhashSignatures(docs, n))
+    val reps = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val cands = bands.join(reps, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sh, minJaccard)
   }
 
   val SimhashBits = 32

@@ -50,8 +50,19 @@ object Similarity {
 
   /** All-pairs near-duplicate detection by cosine ≥ `minCos` over a
     * sampled corpus (the exact reference for LSH-based near-dup).
+    *
+    * TEST-TIER: the self-join is O(n²); this is the correctness oracle
+    * for [[lshTopK]]-style bucketed near-dup and REFUSES corpora above
+    * `maxInputRows` so it cannot be lifted into a 100 TB job unchanged
+    * — pass a larger bound explicitly to override.
     */
-  def nearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
+  def nearDupPairs(corpus: DataFrame, minCos: Double,
+                   maxInputRows: Long = 100000L): DataFrame = {
+    val cnt = corpus.count()
+    require(cnt <= maxInputRows,
+      s"nearDupPairs is the all-pairs CORRECTNESS reference, not the scale " +
+        s"path ($cnt rows > $maxInputRows): bucket with signBuckets/lshTopK, " +
+        s"or raise maxInputRows explicitly")
     val a = corpus.select(col("vec_id").as("id_a"),
                           asDouble(col("embedding")).as("va"))
       .withColumn("na", norm(col("va")))

@@ -48,9 +48,11 @@ final class Console(spark: SparkSession, store: ServiceStore) {
     }
   }
 
-  /** Run arbitrary SQL; Left(error message) on parse/analysis/runtime
-    * failure, rendered like the reference's error pane
-    * (web_ballcone.py:142-143).
+  /** Run arbitrary SQL; Left(error message) on parse/analysis failure,
+    * rendered like the reference's error pane (web_ballcone.py:142-143).
+    * `spark.sql` is lazy, so RUNTIME failures surface later at
+    * materialization — [[graft.api.WebApi]] catches those at its
+    * (bounded) collect and maps them to the same 400 error pane.
     */
   def run(sql: String): Either[String, DataFrame] =
     try Right(spark.sql(sql))

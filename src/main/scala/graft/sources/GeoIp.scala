@@ -28,18 +28,151 @@ object GeoIp {
         lit(0L), (acc, o) => acc * 256 + o))
   }
 
-  /** Left-join `country_iso_code` onto `df` by matching `ipCol` into the
-    * broadcast `ranges` table (`ip_start`, `ip_end`, `country`).
+  /** IPv6 textual form → 64-bit halves (hi, lo), two's-complement raw
+    * bits. Handles the `::` compression (split once, pad the gap with
+    * zero groups) entirely with codegen'd builtins — no lambdas, no
+    * UDF — so the hot ingest path stays inside whole-stage codegen.
+    * Non-IPv6 input (including dotted-quad v4) yields (null, null).
+    * Lenient by design: a string with multiple `::` parses to garbage
+    * halves that match no real range — the reference's
+    * AddressNotFoundError → None path, not an error.
     */
-  def enrich(df: DataFrame, ipCol: String, ranges: DataFrame): DataFrame = {
+  def ipv6ToLongs(ip: Column): (Column, Column) = {
+    val isV6 = ip.rlike("^[0-9a-fA-F]{0,4}(:[0-9a-fA-F]{0,4}){1,7}$")
+    val parts = split(ip, "::", 2)
+    val leftArr = split(element_at(parts, 1), ":")
+    val rightArr = coalesce(
+      split(try_element_at(parts, lit(2)), ":"),
+      array().cast("array<string>"))
+    val nL = size(leftArr)
+    val nR = size(rightArr)
+    def grp(i: Int): Column = {
+      // group i comes from the left run, the right run (right-aligned
+      // at slot 8), or the zero gap the `::` stands for
+      val raw = when(lit(i) < nL,
+          coalesce(try_element_at(leftArr, lit(i + 1)), lit("0")))
+        .when(lit(i) >= lit(8) - nR,
+          coalesce(try_element_at(rightArr, lit(i) - (lit(8) - nR) + 1), lit("0")))
+        .otherwise(lit("0"))
+      coalesce(
+        conv(when(raw === "", lit("0")).otherwise(raw), 16, 10).cast("long"),
+        lit(0L))
+    }
+    def half(g0: Column, g1: Column, g2: Column, g3: Column): Column =
+      shiftleft(g0, 48).bitwiseOR(shiftleft(g1, 32))
+        .bitwiseOR(shiftleft(g2, 16)).bitwiseOR(g3)
+    (when(isV6, half(grp(0), grp(1), grp(2), grp(3))),
+      when(isV6, half(grp(4), grp(5), grp(6), grp(7))))
+  }
+
+  /** Flip the sign bit: maps unsigned 64-bit order onto signed long
+    * order, so range comparisons on flipped keys are plain `<=`/`>=`.
+    */
+  def flipSign(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
+
+  /** Left-join `country_iso_code` onto `df` by matching `ipCol` into the
+    * broadcast `ranges` table (`ip_start`, `ip_end`, `country`); when a
+    * `v6Ranges` table (from [[fromGeoLite2CsvV6]]) is supplied, IPv6
+    * addresses range-match it on sign-flipped (hi, lo) halves — both
+    * joins are broadcast, the fact stream never shuffles.
+    */
+  def enrich(df: DataFrame, ipCol: String, ranges: DataFrame,
+             v6Ranges: Option[DataFrame] = None): DataFrame = {
     val withNum = df.withColumn("__ipnum", ipv4ToLong(col(ipCol)))
-    withNum
+    val v4 = withNum
       .join(broadcast(ranges),
         col("__ipnum") >= col("ip_start") && col("__ipnum") <= col("ip_end"),
         "left_outer")
       .withColumnRenamed("country", "country_iso_code")
       .drop("__ipnum", "ip_start", "ip_end")
+    v6Ranges match {
+      case None => v4
+      case Some(r6) =>
+        val (hi, lo) = ipv6ToLongs(col(ipCol))
+        v4.withColumn("__hi", flipSign(hi)).withColumn("__lo", flipSign(lo))
+          .join(broadcast(r6.withColumnRenamed("country", "__c6")),
+            col("__hi").isNotNull &&
+              (col("__hi") > col("hs") ||
+                (col("__hi") === col("hs") && col("__lo") >= col("ls"))) &&
+              (col("__hi") < col("he") ||
+                (col("__hi") === col("he") && col("__lo") <= col("le"))),
+            "left_outer")
+          .withColumn("country_iso_code",
+            coalesce(col("country_iso_code"), col("__c6")))
+          .drop("__hi", "__lo", "hs", "ls", "he", "le", "__c6")
+    }
   }
+
+  /** GeoLite2-Country CSV loader (the reference reads the same dataset
+    * through the MaxMind binary reader, core.py:11,60-64): the
+    * `...-Blocks-IPv4.csv` CIDRs become (ip_start, ip_end) and the
+    * `...-Locations-<lang>.csv` join supplies `country_iso_code` —
+    * falling back to `registered_country_geoname_id` when a block has
+    * no geolocated id, as the GeoLite2 docs prescribe. One-time load,
+    * broadcast thereafter.
+    */
+  def fromGeoLite2Csv(spark: SparkSession, blocksCsv: String,
+                      locationsCsv: String): DataFrame = {
+    val blocks = spark.read.option("header", "true").csv(blocksCsv)
+    val base = ipv4ToLong(split(col("network"), "/").getItem(0))
+    val prefix = split(col("network"), "/").getItem(1).cast("int")
+    blocks
+      .select(
+        base.as("__base"), prefix.as("__p"),
+        coalesce(col("geoname_id"), col("registered_country_geoname_id"))
+          .as("__gid"))
+      .filter(col("__base").isNotNull && col("__gid").isNotNull)
+      .withColumn("ip_start", col("__base"))
+      .withColumn("ip_end",
+        expr("__base + shiftleft(CAST(1 AS BIGINT), 32 - __p) - 1"))
+      .join(broadcast(locations(spark, locationsCsv)),
+        col("__gid") === col("gid"))
+      .select(col("ip_start"), col("ip_end"), col("country"))
+  }
+
+  /** GeoLite2 `...-Blocks-IPv6.csv` loader: CIDR → sign-flipped
+    * (hs, ls, he, le) 128-bit range bounds + `country`, consumed by
+    * [[enrich]]'s `v6Ranges` side.
+    */
+  def fromGeoLite2CsvV6(spark: SparkSession, blocksCsv: String,
+                        locationsCsv: String): DataFrame = {
+    val blocks = spark.read.option("header", "true").csv(blocksCsv)
+    val (hi, lo) = ipv6ToLongs(split(col("network"), "/").getItem(0))
+    val prefix = split(col("network"), "/").getItem(1).cast("int")
+    blocks
+      .select(hi.as("__hi"), lo.as("__lo"), prefix.as("__p"),
+        coalesce(col("geoname_id"), col("registered_country_geoname_id"))
+          .as("__gid"))
+      .filter(col("__hi").isNotNull && col("__gid").isNotNull)
+      // host-bit masks via unsigned right-shift of all-ones (a
+      // shiftleft(1,k)−1 form would signed-overflow under ANSI at
+      // k=63): for /p ≤ 64 the hi half spans its mask and the lo half
+      // spans everything; for /p > 64 the hi half is fixed. The
+      // boundary prefixes (64, 128) shift by a full word, which Java
+      // shift semantics reduce mod 64 — special-cased to zero masks.
+      .withColumn("__himask", expr(
+        "CASE WHEN __p >= 64 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftrightunsigned(CAST(-1 AS BIGINT), __p) END"))
+      .withColumn("__lomask", expr(
+        "CASE WHEN __p <= 64 THEN CAST(-1 AS BIGINT) " +
+          "WHEN __p = 128 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftrightunsigned(CAST(-1 AS BIGINT), __p - 64) END"))
+      .withColumn("__he", expr("__hi | __himask"))
+      .withColumn("__ls", expr("__lo & ~__lomask"))
+      .withColumn("__le", expr("__lo | __lomask"))
+      .join(broadcast(locations(spark, locationsCsv)),
+        col("__gid") === col("gid"))
+      .select(flipSign(expr("__hi & ~__himask")).as("hs"),
+        flipSign(col("__ls")).as("ls"),
+        flipSign(col("__he")).as("he"), flipSign(col("__le")).as("le"),
+        col("country"))
+  }
+
+  private def locations(spark: SparkSession, locationsCsv: String): DataFrame =
+    spark.read.option("header", "true").csv(locationsCsv)
+      .select(col("geoname_id").as("gid"),
+        col("country_iso_code").as("country"))
+      .filter(col("country").isNotNull)
 
   /** Tiny built-in range table for tests/demos (private + doc ranges). */
   def demoRanges(spark: SparkSession): DataFrame = {

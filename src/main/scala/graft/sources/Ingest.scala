@@ -78,7 +78,8 @@ object Ingest {
     * - user_agent exploded into 5 columns; GeoIP country via broadcast
     *   range join
     */
-  def enrich(wired: DataFrame, geoRanges: DataFrame): DataFrame = {
+  def enrich(wired: DataFrame, geoRanges: DataFrame,
+             geoRangesV6: Option[DataFrame] = None): DataFrame = {
     val projected = wired.select(
       col("service"),
       col("__rawdate").cast("timestamp").as("datetime"),
@@ -98,7 +99,7 @@ object Ingest {
         col("ip"), col("__uainfo.platform_name"), col("__uainfo.platform_version"),
         col("__uainfo.browser_name"), col("__uainfo.browser_version"),
         col("__uainfo.is_robot"))
-    GeoIp.enrich(projected, "ip", geoRanges)
+    GeoIp.enrich(projected, "ip", geoRanges, geoRangesV6)
       .select("service", "datetime", "host", "path", "status", "length",
         "generation_time", "referer", "ip", "country_iso_code",
         "platform_name", "platform_version", "browser_name",
@@ -107,6 +108,7 @@ object Ingest {
 
   /** Full O1→O3 pipeline: raw syslog lines → enriched entries. */
   def pipeline(lines: DataFrame, geoRanges: DataFrame,
-               column: String = "value"): DataFrame =
-    enrich(parseWire(parseFrame(lines, column)), geoRanges)
+               column: String = "value",
+               geoRangesV6: Option[DataFrame] = None): DataFrame =
+    enrich(parseWire(parseFrame(lines, column)), geoRanges, geoRangesV6)
 }

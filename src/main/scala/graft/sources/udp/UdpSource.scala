@@ -42,17 +42,27 @@ class UdpSourceProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new UdpTable(properties.getOrDefault("port", "65140").toInt)
+    new UdpTable(properties.getOrDefault("port", "65140").toInt,
+      properties.getOrDefault("maxBuffer", UdpSource.DefaultMaxBuffer.toString).toInt)
 }
 
 object UdpSource {
   val schema: StructType = StructType(Seq(StructField("value", StringType)))
 
+  /** Buffered-datagram cap before tail-drop (option `maxBuffer`):
+    * a stalled stream must not grow the driver buffer without bound.
+    * At the cap, NEW datagrams are dropped (oldest-kept, so offset
+    * numbering stays contiguous) — the same at-most-once spirit as the
+    * reference's volatile deque, which likewise sheds under pressure.
+    */
+  val DefaultMaxBuffer: Int = 262144
+
   /** Last bound port (for tests binding port 0 = ephemeral). */
   @volatile var lastBoundPort: Int = -1
 }
 
-private[udp] class UdpTable(port: Int) extends Table with SupportsRead {
+private[udp] class UdpTable(port: Int, maxBuffer: Int)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-udp:$port"
   override def schema(): StructType = UdpSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -63,7 +73,7 @@ private[udp] class UdpTable(port: Int) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = UdpSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new UdpMicroBatchStream(port)
+          new UdpMicroBatchStream(port, maxBuffer)
       }
     }
 }
@@ -72,11 +82,18 @@ private[udp] case class UdpOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private[udp] class UdpMicroBatchStream(port: Int) extends MicroBatchStream {
+private[udp] class UdpMicroBatchStream(port: Int,
+    maxBuffer: Int = UdpSource.DefaultMaxBuffer) extends MicroBatchStream {
+
+  /** Datagrams shed at the `maxBuffer` cap (observability for tests
+    * and ops — a nonzero value means the persist loop is behind).
+    */
+  @volatile var droppedCount: Long = 0L
 
   // offset-indexed buffer: element i holds datagram (base + i)
   private val buffer = ArrayBuffer.empty[String]
   private var base = 0L
+  private var restored = false
 
   private val socket = new DatagramSocket(port)
   UdpSource.lastBoundPort = socket.getLocalPort
@@ -93,7 +110,10 @@ private[udp] class UdpMicroBatchStream(port: Int) extends MicroBatchStream {
           socket.receive(packet)
           val line = new String(packet.getData, packet.getOffset,
             packet.getLength, StandardCharsets.UTF_8)
-          UdpMicroBatchStream.this.synchronized { buffer += line }
+          UdpMicroBatchStream.this.synchronized {
+            if (buffer.length < maxBuffer) buffer += line
+            else droppedCount += 1
+          }
         }
       } catch { case _: java.net.SocketException => () /* closed */ }
     }
@@ -114,8 +134,16 @@ private[udp] class UdpMicroBatchStream(port: Int) extends MicroBatchStream {
     // datagrams count from the restored offset instead of silently
     // mapping below it (datagrams sent while the process was down are
     // lost regardless — that's UDP; this prevents ALSO dropping the
-    // first `n` datagrams after the restart).
-    synchronized { if (buffer.isEmpty && n > base) base = n }
+    // first `n` datagrams after the restart). The shift is
+    // UNCONDITIONAL on the first restore: a datagram racing in between
+    // socket bind (constructor) and this call would otherwise leave
+    // base at 0, stalling latestOffset below the checkpoint and then
+    // silently skipping the first `n` post-restart datagrams. Any rows
+    // already buffered arrived after THIS process started, so they are
+    // renumbered to begin at `n` (a replayed pre-crash range then maps
+    // below base and planInputPartitions yields it empty — honest: the
+    // wire data is gone).
+    synchronized { if (!restored) { restored = true; if (n > base) base = n } }
     UdpOffset(n)
   }
 

@@ -77,16 +77,12 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
       if (serviceCol == "service") source
       else source.withColumnRenamed(serviceCol, "service")
     val expected = renamed.count()
-    val services = renamed.select("service").distinct()
-      .collect().map(_.getString(0)).toSeq
-    // count the DELTA, not the total: the destination may already hold
-    // rows for these services
-    def countFor(): Long =
-      if (list().isEmpty) 0L
-      else readAll().filter(col("service").isin(services: _*)).count()
-    val before = countFor()
-    append(renamed)
-    (expected, countFor() - before)
+    // the landed count is OBSERVED on the write pass itself (metrics
+    // piggyback on the job) — counting a before/after destination
+    // delta instead would add two full store scans per migration
+    val obs = org.apache.spark.sql.Observation()
+    append(renamed.observe(obs, count(lit(1)).as("landed")))
+    (expected, obs.get("landed").asInstanceOf[Long])
   }
 
   /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */

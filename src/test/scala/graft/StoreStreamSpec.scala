@@ -86,6 +86,36 @@ class StoreStreamSpec extends SparkSpec {
     assert(got.map(_._1).forall(d => d.startsWith("2020-01-0")))
   }
 
+  test("late events inside the watermark land in their (still-open) day") {
+    val in = tmp("graft-late-in")
+    val out = tmp("graft-late-out")
+    val ckpt = tmp("graft-late-ckpt")
+    def dayLine(day: Int, i: Int) =
+      s"""<190>x: {"service": "late", "ip": "10.0.$day.$i", "host": "h", """ +
+        s""""path": "/", "status": "200", "referrer": "", "user_agent": "curl/8.0", """ +
+        s""""length": 1, "generation_time_milli": 0.1, "date": "2020-01-0${day}T12:00:0$i+00:00"}"""
+    // run 1: days 1-2 -> watermark lands at day1 12:00 (max - 1 day),
+    // so the day-1 window (ends day2 00:00) is NOT yet finalized
+    Files.write(java.nio.file.Paths.get(in, "a.log"),
+      ((0 until 4).map(dayLine(1, _)) ++ (0 until 4).map(dayLine(2, _)))
+        .mkString("\n").getBytes)
+    graft.streaming.DailyAggStream.start(spark, in, GeoIp.demoRanges(spark),
+      out, ckpt, Trigger.AvailableNow()).awaitTermination(120000)
+    // run 2 (same checkpoint — watermark restored): one LATE day-1
+    // event still inside the watermark, plus day-4 rows that push the
+    // watermark past the day-1 window end and finalize it
+    Files.write(java.nio.file.Paths.get(in, "b.log"),
+      (Seq(dayLine(1, 9)) ++ (0 until 4).map(dayLine(4, _)))
+        .mkString("\n").getBytes)
+    graft.streaming.DailyAggStream.start(spark, in, GeoIp.demoRanges(spark),
+      out, ckpt, Trigger.AvailableNow()).awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .select("d", "visits").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // the late event was ACCEPTED: day 1 finalized with 4 + 1 visits
+    assert(got.get("2020-01-01") === Some(5L), got.toString)
+  }
+
   test("console: runs SQL, renders errors, exposes catalog shims") {
     val store = new ServiceStore(spark, tmp("graft-wh-sql"))
     store.append(Ingest.pipeline(lines(2, "svc").toDF("value"),

@@ -49,7 +49,7 @@ class WebApiSpec extends SparkSpec {
       val (c0, services) = get(port, "/api/services")
       assert(c0 === 200 && services === """["blog","shop"]""")
 
-      val (c1, dash) = get(port, "/?date=2020-01-01")
+      val (c1, dash) = get(port, "/api/dashboard?date=2020-01-01")
       assert(c1 === 200)
       assert(dash === """[{"service":"blog","unique":2},{"service":"shop","unique":1}]""")
 
@@ -78,12 +78,69 @@ class WebApiSpec extends SparkSpec {
       val (c7b, dflt) = post(port, "/sql", "")
       assert(c7b === 200 && dflt.contains("database_size"))
 
-      val (c8, conf) = get(port, "/nginx?service=blog")
+      val (c8, conf) = get(port, "/nginx?service=blog&raw=1")
       assert(c8 === 200 && conf.contains("access_log syslog:server="))
 
       // unknowns
       assert(get(port, "/api/ghost/count")._1 === 404)
       assert(get(port, "/api/blog/bogus")._1 === 404)
+    } finally api.stop()
+  }
+
+  test("html ui: dashboard, service page with rowspan grouping, sql console, nginx") {
+    // the fixture's events are dated 2020 — widen the report window so
+    // the service page's last-N-days queries see them
+    val api = new WebApi(spark, seededStore(), days = 5000)
+    val port = api.start()
+    try {
+      // dashboard page: cards per service + store size footer
+      val (c1, root) = get(port, "/?date=2020-01-01")
+      assert(c1 === 200 && root.startsWith("<!DOCTYPE html>"))
+      assert(root.contains("""<a href="/services/blog">blog</a>"""))
+      assert(root.contains("2 unique visits today"))
+      assert(root.contains("byte"))
+
+      // per-service report page: overview rows, avg table, rowspan
+      // date-grouping on the popular-paths table (O19 presentation)
+      val (c2, page) = get(port, "/services/blog")
+      assert(c2 === 200 && page.contains("<h2 class=\"subtitle\">Overview</h2>"))
+      assert(page.contains("rowspan="))
+      assert(page.contains("0.5000"))
+      assert(get(port, "/services/ghost")._1 === 404)
+
+      // sql console: GET renders the form and runs the default query
+      val (c3, form) = get(port, "/sql")
+      assert(c3 === 200 && form.contains("<textarea") &&
+        form.contains("database_size"))
+      // form-encoded POST renders the result table
+      val enc = java.net.URLEncoder.encode("SELECT 41 + 1 AS answer", "UTF-8")
+      val (c4, res) = post(port, "/sql", s"sql=$enc")
+      assert(c4 === 200 && res.contains("<th>answer</th>") && res.contains("<td>42</td>"))
+      // errors render in the page's error pane, not a 500
+      val encBad = java.net.URLEncoder.encode("SELECT nope FROM nowhere", "UTF-8")
+      val (c5, err) = post(port, "/sql", s"sql=$encBad")
+      assert(c5 === 200 && err.contains("Error") && err.contains("TABLE_OR_VIEW_NOT_FOUND"))
+
+      // nginx page wraps the stanza in HTML
+      val (c6, ngx) = get(port, "/nginx?service=blog")
+      assert(c6 === 200 && ngx.startsWith("<!DOCTYPE html>") &&
+        ngx.contains("access_log syslog:server="))
+    } finally api.stop()
+  }
+
+  test("sql console caps driver-side materialization with a truncation marker") {
+    val api = new WebApi(spark, seededStore(), maxRows = 10)
+    val port = api.start()
+    try {
+      // a huge result must come back truncated at maxRows, not
+      // materialize fully on the driver
+      val (code, body) = post(port, "/sql", "SELECT id FROM range(500000)")
+      assert(code === 200)
+      assert(body.startsWith("""{"truncated":true,"limit":10,"rows":["""))
+      assert(body.split("\\{\"id\"").length - 1 === 10)
+      // small results keep the plain-array shape
+      val (c2, small) = post(port, "/sql", "SELECT 1 AS one")
+      assert(c2 === 200 && small === """[{"one":1}]""")
     } finally api.stop()
   }
 }
