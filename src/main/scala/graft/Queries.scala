@@ -26,6 +26,14 @@ object Queries {
   private def emb(s: SparkSession, dir: String) =
     Tables.read(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
+  // The TPC-H fact joins are NOT pre-spread: a round-robin repartition
+  // costs more (sort-before-repartition + exchange) than it saves
+  // there — instead the fact⨝fact joins carry SHUFFLE_HASH hints in
+  // [[Relational]], which parallelize the probe the scale-honest way.
+  // tpch_q1 stays a single sequential aggregate: its full-table double
+  // sums are bit-compared against DuckDB's sequential fold, which any
+  // multi-partition partial-sum order would perturb.
+
   // ---------------------------------------------------------------- parity
   // O8-O18 (SURVEY §2.0) on `events`.
 
@@ -259,12 +267,15 @@ object Queries {
              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // revenue sums as DECIMAL(38,6) on BOTH sides: exact addition is
+    // order-independent, so the hash compare is immune to partial-agg
+    // ordering across shuffle partitions (Relational scaladoc).
     "tpch_q5_local_supplier" -> Decl(
       (s, d) => Relational.localSupplierRevenue(
         Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
         Tables.read(s, d, "lineitem"), Tables.read(s, d, "supplier"),
         Tables.read(s, d, "nation"), Tables.read(s, d, "region")),
-      Some("""SELECT n_name, SUM(l_extendedprice*(1.0-l_discount)) AS revenue
+      Some("""SELECT n_name, SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS revenue
              |FROM lineitem, orders, customer, supplier, nation, region
              |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

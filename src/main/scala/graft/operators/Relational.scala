@@ -40,6 +40,14 @@ object Relational {
     * then fact joins, then a top-k (TakeOrderedAndProject) — the plan
     * shape that survives a 100x scale-up because the filters prune before
     * the shuffles.
+    *
+    * The customer⨝orders intermediate carries a SHUFFLE_HASH hint: its
+    * join with lineitem is fact-sized on both sides (never
+    * broadcastable at scale), and a shuffled hash join building on the
+    * segment-pruned intermediate beats sort-merge — neither side gets
+    * sorted, and the build side is the filtered (smaller) one. Without
+    * the hint the tiny-SF planner broadcasts the intermediate and runs
+    * the whole lineitem probe inside one scan task.
     */
   def shippingPriority(customer: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, segment: String,
@@ -48,6 +56,7 @@ object Relational {
       .filter(col("c_mktsegment") === segment)
       .join(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")),
             col("c_custkey") === col("o_custkey"))
+      .hint("shuffle_hash")
       .join(lineitem.filter(col("l_shipdate") > lit(cutoff).cast("timestamp")),
             col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -58,13 +67,26 @@ object Relational {
 
   /** TPC-H Q5-style local-supplier revenue: fact table joined against a
     * chain of broadcast dimensions; only the orders⨝lineitem join
-    * shuffles.
+    * shuffles — pinned as a shuffled HASH join (build side: orders,
+    * the smaller fact), because that is the only strategy that holds
+    * at 100 TB: orders never fits a broadcast there, and SHJ skips the
+    * per-partition sorts SMJ pays. At tiny SF the hint also stops the
+    * planner broadcasting orders, which would funnel the entire 5-join
+    * probe chain through the lone parquet scan task.
+    *
+    * Revenue accumulates as DECIMAL(38,6): exact, order-independent
+    * addition keeps the result bit-identical however many partial
+    * aggregates the shuffle produces (a reordered double sum drifts in
+    * the 7th decimal, which a 6-dp-rounding oracle compare can see).
+    * The per-row product stays double (deterministic per row, same
+    * bits in both engines) and only the sum is exact.
     */
   def localSupplierRevenue(customer: DataFrame, orders: DataFrame,
                            lineitem: DataFrame, supplier: DataFrame,
                            nation: DataFrame, region: DataFrame): DataFrame =
     lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(orders.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supplier),
             col("l_suppkey") === col("s_suppkey") &&
@@ -72,8 +94,8 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,6)")).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   /** Top spenders: orders⨝customer rollup with a deterministic top-k. */
