@@ -611,6 +611,26 @@ object Queries {
               |FROM c a JOIN c b ON a.vec_id < b.vec_id
               |WHERE ${duckCosine("a.v", "b.v")} >= 0.35""".stripMargin)),
 
+    // Scale path for sim_neardup_cosine: same threshold, but candidate
+    // pairs come from sign-LSH bucket collisions instead of the n²
+    // cross join (Similarity.nearDupLsh scaladoc).
+    "sim_neardup_lsh" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.nearDupLsh(e, e.filter(col("vec_id") < 6), 6, 0.35)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |an AS (SELECT vec_id AS a_id, v AS av FROM c WHERE vec_id < 6),
+              |cbk AS (SELECT c.vec_id,
+              |   CAST(SUM(CASE WHEN list_sum([v[i+1]*av[i+1] for i in range(64)]) > 0
+              |            THEN (CAST(1 AS BIGINT) << CAST(a_id AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM c, an GROUP BY c.vec_id),
+              |cb AS (SELECT c.vec_id, c.v, cbk.bucket FROM c JOIN cbk USING (vec_id))
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosine("a.v", "b.v")} AS cos_sim
+              |FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE ${duckCosine("a.v", "b.v")} >= 0.35""".stripMargin)),
+
     "sim_topk_ivf" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions.col

@@ -117,8 +117,15 @@ object Similarity {
     * shape.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              nProbe: Int, k: Int): DataFrame = {
-    val cent = collectVectors(centroids)
+              nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(corpus, queries, collectVectors(centroids), nProbe, k)
+
+  /** [[ivfTopK]] with pre-materialized centroids (e.g. refined by
+    * [[kmeansCentroids]]) — identical query shape.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  cent: Seq[(Int, Array[Double])],
+                  nProbe: Int, k: Int): DataFrame = {
     // per-row cell ranking as a pure projection: sort the (−dot, c_id)
     // struct array and take the first nProbe cells — argmax with the
     // same deterministic tie-break as ROW_NUMBER(ORDER BY cd DESC, c_id),
@@ -149,6 +156,85 @@ object Similarity {
     scored.withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** Scale path for [[nearDupPairs]]: all-pairs near-dup restricted to
+    * same-LSH-bucket candidates — the self-join is an equi-join on the
+    * bucket key (shuffle on bucket, candidates ≪ n²), so a 100 TB
+    * corpus never cross-products. Recall follows the bucket
+    * granularity (2^nBits cells); precision is exact because every
+    * candidate is cosine-verified.
+    */
+  def nearDupLsh(corpus: DataFrame, anchors: DataFrame, nBits: Int,
+                 minCos: Double): DataFrame = {
+    val cb = signBuckets(corpus, anchors, nBits)
+      .withColumn("nrm", norm(col("v")))
+    cb.as("a")
+      .join(cb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Spherical k-means (Lloyd) refinement of the IVF centroids:
+    * initialize from the first `k` vectors, then iterate
+    * assign-to-max-cosine / recompute-normalized-mean. Each iteration
+    * is ONE distributed pass: cell assignment is a map-side projection
+    * over inlined centroid literals (corpus never shuffles to be
+    * labeled), and the per-cell mean reduces through a codegen'd
+    * (cell, dim) hash aggregate — k×dim rows cross the shuffle, not
+    * vectors. Driver state is k centroids per iteration (bounded by
+    * the same 4096 `require` as [[collectVectors]]).
+    *
+    * Empty cells keep their previous centroid. The spherical objective
+    * (mean max-cosine) is monotonically non-decreasing — spec-checked;
+    * the result feeds [[ivfTopKWith]] unchanged.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int,
+                      iters: Int): Seq[(Int, Array[Double])] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val init = collectVectors(corpus.filter(col("vec_id") < k))
+      .map { case (id, v) => (id, normalize(v)) }
+    (0 until iters).foldLeft(init) { (cent, _) =>
+      val scores = array(cent.map { case (id, cv) =>
+        struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+      }: _*)
+      val sums = corpus
+        .select(asDouble(col("embedding")).as("v"))
+        .withColumn("scores_arr", scores)
+        .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("sx"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      cent.map { case (id, old) =>
+        byCell.get(id) match {
+          case Some(rows) =>
+            val v = new Array[Double](old.length)
+            rows.foreach(r => v(r.getAs[Int]("dim")) = r.getAs[Double]("sx"))
+            (id, normalize(v))
+          case None => (id, old)
+        }
+      }
+    }
+  }
+
+  /** Mean max-cosine of the corpus against a centroid set — the
+    * spherical k-means objective (for convergence checks).
+    */
+  def kmeansObjective(corpus: DataFrame,
+                      cent: Seq[(Int, Array[Double])]): Double = {
+    val best = greatest(cent.map { case (_, cv) =>
+      dot(col("v"), lit(cv)) / norm(col("v"))
+    }: _*)
+    corpus.select(asDouble(col("embedding")).as("v"))
+      .select(avg(best).as("obj")).head().getDouble(0)
   }
 
   /** Approximate top-k: score only same-bucket (query, corpus) pairs. */
