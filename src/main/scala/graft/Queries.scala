@@ -538,6 +538,29 @@ object Queries {
       Some("""SELECT event_type, COUNT(*) AS cnt, CAST(SUM("value") AS DOUBLE) AS sum
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Skew-safe salted JOIN: the fact key is sharded and the dim side
+    // replicated (Skew.saltedJoin) — result provably identical to the
+    // plain join, which IS the oracle. Aggregates are integer-only
+    // (count + bigint sum) so multi-partition combine order cannot
+    // perturb the hash compare.
+    "rel_salted_join" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = ev(s, d)
+        val dim = e.select(col("event_type")).distinct()
+          .withColumn("weight", length(col("event_type")).cast("long"))
+        Skew.saltedJoin(e, dim, "event_type", col("event_id"), 8)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("weight")).as("wsum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dim AS (SELECT DISTINCT event_type,
+             |            CAST(length(event_type) AS BIGINT) AS weight FROM events)
+             |SELECT e.event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(weight) AS BIGINT) AS wsum
+             |FROM events e JOIN dim USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     // HLL relaxation of exact distinct (SURVEY §2.4) — no SQL oracle
     // (engine-specific sketch), driver records the weaker rows check.
     "o11_daily_unique_approx" -> Decl(

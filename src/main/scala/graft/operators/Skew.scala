@@ -34,4 +34,22 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__cnt")).as("cnt"), sum(col("__sum")).as("sum"))
       .orderBy(col(key))
+
+  /** Skew-safe equi-join for a hot fact key when the other side is too
+    * big to broadcast: the fact side salts its key with a deterministic
+    * shard (`hash(saltBy) mod buckets`) and the `dim` side replicates
+    * each row across all `buckets` shards, so one dominant key's rows
+    * spread over `buckets` reducers instead of one. Row-for-row
+    * identical to `facts.join(dim, key)` — salting only reshapes the
+    * shuffle. Cost: dim is sent `buckets`× (use the smallest bucket
+    * count that flattens the skew; AQE's skew-join handles the
+    * moderate cases without any of this).
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+                 saltBy: Column, buckets: Int = 32): DataFrame = {
+    val sf = facts.withColumn("__salt", pmod(hash(saltBy), lit(buckets)))
+    val sd = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    sf.join(sd, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -1,0 +1,65 @@
+package graft.sources.udp
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+import java.nio.charset.StandardCharsets
+
+/** Driver-buffer policies of the UDP source, unit-level (no query):
+  * tail-drop at the maxBuffer cap, and restart offset fast-forward.
+  */
+class UdpBufferSpec extends graft.SparkSpec {
+
+  private def send(port: Int, lines: Seq[String]): Unit = {
+    val sock = new DatagramSocket()
+    try lines.foreach { l =>
+      val b = l.getBytes(StandardCharsets.UTF_8)
+      sock.send(new DatagramPacket(b, b.length,
+        InetAddress.getLoopbackAddress, port))
+    } finally sock.close()
+  }
+
+  private def await(cond: => Boolean, ms: Long = 20000): Boolean = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  private def n(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o.asInstanceOf[UdpOffset].n
+
+  test("buffer tail-drops at the cap and resumes after commit") {
+    val stream = new UdpMicroBatchStream(0, maxBuffer = 3)
+    try {
+      val port = UdpSource.lastBoundPort
+      send(port, (1 to 6).map(i => s"d$i"))
+      // 3 buffered, 3 shed — offsets stay contiguous
+      assert(await(stream.droppedCount === 3L), "drops never registered")
+      assert(n(stream.latestOffset()) === 3L)
+      val parts = stream.planInputPartitions(UdpOffset(0), stream.latestOffset())
+      val rows = parts.flatMap(_.asInstanceOf[UdpInputPartition].lines)
+      assert(rows.length === 3)
+      // delivery drains the buffer: new datagrams are accepted again
+      stream.commit(UdpOffset(3))
+      send(port, Seq("d7"))
+      assert(await(n(stream.latestOffset()) === 4L), "post-drain datagram lost")
+    } finally stream.stop()
+  }
+
+  test("restart fast-forwards numbering even with a raced-in datagram") {
+    val stream = new UdpMicroBatchStream(0, maxBuffer = 100)
+    try {
+      val port = UdpSource.lastBoundPort
+      // a datagram lands BETWEEN bind and checkpoint restore — the r1
+      // race: a non-empty buffer must not pin the numbering at 0
+      send(port, Seq("early"))
+      assert(await(n(stream.latestOffset()) === 1L))
+      stream.deserializeOffset("50")
+      // buffered datagram renumbered to start at the restored offset
+      assert(n(stream.latestOffset()) === 51L)
+      // a replayed pre-crash range is honestly empty (the data is gone)
+      assert(stream.planInputPartitions(UdpOffset(40), UdpOffset(50)).isEmpty)
+      // only the FIRST restore shifts: later deserializes are reads
+      stream.deserializeOffset("99")
+      assert(n(stream.latestOffset()) === 51L)
+    } finally stream.stop()
+  }
+}
