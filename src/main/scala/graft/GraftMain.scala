@@ -37,6 +37,7 @@ object GraftMain {
       geoipBlocks: Option[String] = None,
       geoipBlocksV6: Option[String] = None,
       geoipLocations: Option[String] = None,
+      flushTimeoutSeconds: Int = 15,
       master: String = "local[*]")
 
   /** argparse-equivalent (reference `__main__.py:29-39`). */
@@ -52,6 +53,7 @@ object GraftMain {
       case (c, Array("--geoip-blocks", v)) => c.copy(geoipBlocks = Some(v))
       case (c, Array("--geoip-blocks-v6", v)) => c.copy(geoipBlocksV6 = Some(v))
       case (c, Array("--geoip-locations", v)) => c.copy(geoipLocations = Some(v))
+      case (c, Array("--flush-timeout", v)) => c.copy(flushTimeoutSeconds = v.toInt)
       case (c, Array("--master", v)) => c.copy(master = v)
       case (_, Array(flag, _)) =>
         throw new IllegalArgumentException(s"unknown flag: $flag")
@@ -66,6 +68,12 @@ object GraftMain {
   def start(spark: SparkSession, conf: Config):
       (org.apache.spark.sql.streaming.StreamingQuery, WebApi, Int) = {
     val store = new ServiceStore(spark, conf.warehouse)
+    // a partial GeoIP flag set must fail fast, not silently fall back
+    // to the demo ranges and enrich every real IP to null
+    if ((conf.geoipBlocks.isDefined || conf.geoipBlocksV6.isDefined) !=
+        conf.geoipLocations.isDefined)
+      throw new IllegalArgumentException(
+        "--geoip-blocks/--geoip-blocks-v6 and --geoip-locations must be given together")
     val geo = (conf.geoipBlocks, conf.geoipLocations) match {
       case (Some(b), Some(l)) => GeoIp.fromGeoLite2Csv(spark, b, l)
       case _ => GeoIp.demoRanges(spark)
@@ -115,11 +123,18 @@ object GraftMain {
 
     val shutdown = new Thread(() => {
       // final flush before exit — the reference's `ballcone.persist()`
-      // in its finally block
-      try {
-        stream.processAllAvailable()
-        stream.stop()
-      } catch { case _: Throwable => () }
+      // in its finally block. The drain is BOUNDED: the UDP socket
+      // keeps receiving until stop(), so under sustained load an
+      // unbounded processAllAvailable() would never return and the
+      // supervisor's SIGKILL would skip the flush entirely.
+      val drain = new Thread(() => {
+        try stream.processAllAvailable()
+        catch { case _: Throwable => () }
+      }, "graft-drain")
+      drain.setDaemon(true)
+      drain.start()
+      drain.join(conf.flushTimeoutSeconds * 1000L)
+      try stream.stop() catch { case _: Throwable => () }
       try api.stop() catch { case _: Throwable => () }
       try spark.stop() catch { case _: Throwable => () }
     }, "graft-shutdown")

@@ -649,10 +649,13 @@ object Queries {
               |   CAST(SUM(CASE WHEN list_sum([v[i+1]*av[i+1] for i in range(64)]) > 0
               |            THEN (CAST(1 AS BIGINT) << CAST(a_id AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
               |  FROM c, an GROUP BY c.vec_id),
-              |cb AS (SELECT c.vec_id, c.v, cbk.bucket FROM c JOIN cbk USING (vec_id))
-              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosine("a.v", "b.v")} AS cos_sim
-              |FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-              |WHERE ${duckCosine("a.v", "b.v")} >= 0.35""".stripMargin)),
+              |cb AS (SELECT vec_id, bucket FROM cbk
+              |       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= ${Dedup.MaxBucket}),
+              |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |      FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, ${duckCosine("ca.v", "cbv.v")} AS cos_sim
+              |FROM p JOIN c ca ON p.id_a = ca.vec_id JOIN c cbv ON p.id_b = cbv.vec_id
+              |WHERE ${duckCosine("ca.v", "cbv.v")} >= 0.35""".stripMargin)),
 
     "sim_topk_ivf" -> Decl(
       (s, d) => {

@@ -21,8 +21,19 @@ private[api] object Html {
       case '>' => "&gt;"
       case '&' => "&amp;"
       case '"' => "&quot;"
+      // ingest enforces ^\w+$ on service names, but migrated stores
+      // can carry arbitrary ones — a bare apostrophe would close the
+      // single-quoted JS string literals these pages interpolate into
+      case '\'' => "&#39;"
       case c => c.toString
     }
+
+  /** Percent-encode a path segment (service names inside hrefs and the
+    * Chart.js getJSON URLs — HTML escaping alone is not URL encoding).
+    */
+  def urlSeg(s: String): String =
+    java.net.URLEncoder.encode(Option(s).getOrElse(""), "UTF-8")
+      .replace("+", "%20")
 
   /** layout.html — sidebar (Dashboard / SQL Console / service list /
     * nginx) around `content`, Chart.js callback included at the foot.
@@ -31,7 +42,7 @@ private[api] object Html {
              currentService: Option[String], content: String): String = {
     val serviceItems = services.map { s =>
       val active = if (currentService.contains(s)) """class="is-active" """ else ""
-      s"""<li><a $active href="/services/${escape(s)}">${escape(s)}</a></li>"""
+      s"""<li><a $active href="/services/${urlSeg(s)}">${escape(s)}</a></li>"""
     }.mkString("\n")
     val servicesBlock =
       if (services.isEmpty) ""
@@ -89,15 +100,16 @@ private[api] object Html {
            sizeBytes: Long): String = {
     val cards = dashboard.map { case (s, c) =>
       val se = escape(s)
+      val su = urlSeg(s)
       s"""<div class="column is-one-half"><div class="card"><div class="card-content">
-         |<p class="title"><a href="/services/$se">$se</a></p>
+         |<p class="title"><a href="/services/$su">$se</a></p>
          |<p class="subtitle">$c unique visit${if (c != 1) "s" else ""} today</p>
          |<div class="content">
-         |<canvas id="unique_$se" style="height: 16em; width: 100%; display: block;"></canvas>
+         |<canvas id="unique_$su" style="height: 16em; width: 100%; display: block;"></canvas>
          |<script>
          |$$(document).ready(function() {
-         |  $$.getJSON('/api/$se/count?field=ip',
-         |  makeCallback(new Chart($$('#unique_$se'), {
+         |  $$.getJSON('/api/$su/count?field=ip',
+         |  makeCallback(new Chart(document.getElementById('unique_$su'), {
          |    type: 'bar',
          |    data: { datasets: [{ label: '# of Unique IPs', borderWidth: 1 }] }
          |  }), 'cnt'));
@@ -138,7 +150,7 @@ private[api] object Html {
               time: Seq[(String, String)],
               paths: Seq[(String, Seq[(String, String)])],
               browsers: Seq[(String, Seq[(String, String)])]): String = {
-    val se = escape(current)
+    val su = urlSeg(current)
     val overviewRows = overview.map { case (d, v, u) =>
       s"<tr><td>${escape(d)}</td><td>${escape(v)}</td><td>${escape(u)}</td></tr>"
     }.mkString("\n")
@@ -188,12 +200,12 @@ private[api] object Html {
          |</div>
          |<script>
          |$$(document).ready(function() {
-         |  $$.getJSON('/api/$se/count?field=ip',
+         |  $$.getJSON('/api/$su/count?field=ip',
          |  makeCallback(new Chart($$('#unique'), {
          |    type: 'bar',
          |    data: { datasets: [{ label: '# of Unique IPs', borderWidth: 1 }] }
          |  }), 'cnt'));
-         |  $$.getJSON('/api/$se/average/generation_time',
+         |  $$.getJSON('/api/$su/average/generation_time',
          |  makeCallback(new Chart($$('#time'), {
          |    type: 'line',
          |    data: { datasets: [{ label: 'Average Generation Time', borderWidth: 1 }] }

@@ -207,17 +207,24 @@ final class WebApi(spark: SparkSession, store: ServiceStore,
     */
   private def sql(ex: HttpExchange): (Int, String) = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    val isForm = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+    // the HTML form path is taken only when an actual `sql=` field is
+    // present — a raw-SQL body that merely ARRIVES with a form
+    // Content-Type (curl -d default) must still hit the JSON API, not
+    // have its query silently replaced by the console default
+    val mayBeForm = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .exists(_.startsWith("application/x-www-form-urlencoded")) ||
       body.startsWith("sql=")
+    val formSql = if (mayBeForm) formField(body, "sql") else None
     val now = System.currentTimeMillis()
     if (now - shimsRefreshedAt > ShimTtlMillis) {
       console.refreshShims()
       shimsRefreshedAt = now
     }
-    if (ex.getRequestMethod == "GET" || isForm)
-      sqlHtml(if (isForm) formField(body, "sql") else None)
-    else sqlJson(body)
+    if (ex.getRequestMethod == "GET") sqlHtml(None)
+    else formSql match {
+      case Some(s) => sqlHtml(Some(s))
+      case None => sqlJson(body)
+    }
   }
 
   private def sqlJson(body: String): (Int, String) = {

@@ -78,11 +78,12 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3,
                    minJaccard: Double = 0.2,
                    maxInputRows: Long = 100000L): DataFrame = {
-    val cnt = docs.count()
-    require(cnt <= maxInputRows,
+    // guard scan stops at the threshold (limit pushes down), so the
+    // check costs O(maxInputRows), not a full corpus count
+    require(docs.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
       s"ngramJaccard is the all-pairs CORRECTNESS reference, not the scale " +
-        s"path ($cnt rows > $maxInputRows): use minhashLsh/minhashLshDedup, " +
-        s"or raise maxInputRows explicitly")
+        s"path (input exceeds $maxInputRows rows): use " +
+        s"minhashLsh/minhashLshDedup, or raise maxInputRows explicitly")
     val rows = shingleRows(docs, n)
     val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val sh = rows.join(sizes, "doc_id")

@@ -58,11 +58,12 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, minCos: Double,
                    maxInputRows: Long = 100000L): DataFrame = {
-    val cnt = corpus.count()
-    require(cnt <= maxInputRows,
+    // guard scan stops at the threshold (limit pushes down), so the
+    // check costs O(maxInputRows), not a full corpus count
+    require(corpus.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
       s"nearDupPairs is the all-pairs CORRECTNESS reference, not the scale " +
-        s"path ($cnt rows > $maxInputRows): bucket with signBuckets/lshTopK, " +
-        s"or raise maxInputRows explicitly")
+        s"path (input exceeds $maxInputRows rows): bucket with " +
+        s"signBuckets/nearDupLsh, or raise maxInputRows explicitly")
     val a = corpus.select(col("vec_id").as("id_a"),
                           asDouble(col("embedding")).as("va"))
       .withColumn("na", norm(col("va")))
@@ -159,22 +160,46 @@ object Similarity {
   }
 
   /** Scale path for [[nearDupPairs]]: all-pairs near-dup restricted to
-    * same-LSH-bucket candidates — the self-join is an equi-join on the
-    * bucket key (shuffle on bucket, candidates ≪ n²), so a 100 TB
-    * corpus never cross-products. Recall follows the bucket
-    * granularity (2^nBits cells); precision is exact because every
-    * candidate is cosine-verified.
+    * same-LSH-bucket candidates, so a 100 TB corpus never
+    * cross-products. Recall follows the bucket granularity (2^nBits
+    * cells); precision is exact because every candidate is
+    * cosine-verified.
+    *
+    * Shape notes: the bucket pipeline (nBits anchor dot products per
+    * vector) is evaluated ONCE — candidate pairs come from per-bucket
+    * id-list expansion, not a self-join that would recompute the
+    * bucketing for each side — and buckets are rank-capped at the
+    * `maxBucket` smallest ids exactly like
+    * [[graft.operators.Dedup.minhashLsh]] (a mass-near-dup hot bucket
+    * stays bounded; the cap is mirrored in the DuckDB oracle). The
+    * verify join rejoins the raw embeddings by id, which is a plain
+    * column-pruned scan.
     */
   def nearDupLsh(corpus: DataFrame, anchors: DataFrame, nBits: Int,
-                 minCos: Double): DataFrame = {
-    val cb = signBuckets(corpus, anchors, nBits)
+                 minCos: Double, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val buckets = signBuckets(corpus, anchors, nBits)
+      .select(col("vec_id"), col("bucket"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+      .filter(col("__rn") <= maxBucket)
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // one bucket per vector => each unordered pair appears exactly once
+    val cands = buckets.select(explode(expr(
+        """filter(flatten(transform(ids, a -> transform(ids, b ->
+          |  struct(a as id_a, b as id_b)))), p -> p.id_a < p.id_b)"""
+          .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    cb.as("a")
-      .join(cb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos_sim"))
+    cands
+      .join(c.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(c.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 

@@ -93,7 +93,13 @@ private[udp] class UdpMicroBatchStream(port: Int,
   // offset-indexed buffer: element i holds datagram (base + i)
   private val buffer = ArrayBuffer.empty[String]
   private var base = 0L
-  private var restored = false
+  // recovery phase flag: until the engine starts planning/serving
+  // batches, every deserialized checkpoint offset may fast-forward the
+  // numbering (the recovery pass deserializes BOTH endpoints of a
+  // pending replay batch — keying off only the first call would pin
+  // base at the replay's START and map live datagrams into the dead
+  // pre-crash range, where commit() would discard undelivered rows)
+  private var active = false
 
   private val socket = new DatagramSocket(port)
   UdpSource.lastBoundPort = socket.getLocalPort
@@ -121,35 +127,38 @@ private[udp] class UdpMicroBatchStream(port: Int,
   listener.setDaemon(true)
   listener.start()
 
+  /** Buffered-row probe for tests (does not mark the stream active). */
+  private[udp] def bufferedCount: Int = synchronized(buffer.length)
+
   override def initialOffset(): Offset = UdpOffset(0L)
 
   override def latestOffset(): Offset = synchronized {
+    active = true
     UdpOffset(base + buffer.length)
   }
 
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
     // Restart-from-checkpoint: the committed offset outlives this
-    // process's volatile buffer. Fast-forward the numbering so new
-    // datagrams count from the restored offset instead of silently
-    // mapping below it (datagrams sent while the process was down are
-    // lost regardless — that's UDP; this prevents ALSO dropping the
-    // first `n` datagrams after the restart). The shift is
-    // UNCONDITIONAL on the first restore: a datagram racing in between
-    // socket bind (constructor) and this call would otherwise leave
-    // base at 0, stalling latestOffset below the checkpoint and then
-    // silently skipping the first `n` post-restart datagrams. Any rows
-    // already buffered arrived after THIS process started, so they are
-    // renumbered to begin at `n` (a replayed pre-crash range then maps
-    // below base and planInputPartitions yields it empty — honest: the
-    // wire data is gone).
-    synchronized { if (!restored) { restored = true; if (n > base) base = n } }
+    // process's volatile buffer. While still in recovery (no batch
+    // planned or served yet), fast-forward the numbering to the
+    // LARGEST restored offset so new datagrams count from there
+    // instead of silently mapping below it (datagrams sent while the
+    // process was down are lost regardless — that's UDP; this prevents
+    // ALSO dropping or mis-trimming post-restart datagrams). The shift
+    // ignores buffer contents: anything already buffered arrived after
+    // THIS process's socket bind and is renumbered to begin at `n`. A
+    // replayed pre-crash range then maps entirely below base and
+    // planInputPartitions yields it empty — honest: the wire data is
+    // gone — and its commit trims nothing live.
+    synchronized { if (!active && n > base) base = n }
     UdpOffset(n)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[UdpOffset].n, end.asInstanceOf[UdpOffset].n)
     val slice = synchronized {
+      active = true
       buffer.slice((s - base).toInt, (e - base).toInt).toArray
     }
     if (slice.isEmpty) Array.empty

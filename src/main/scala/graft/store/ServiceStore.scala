@@ -72,17 +72,34 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
     * write with a count check, not a driver-side loop.
     * Returns (rows in source, rows landed for those services).
     */
-  def migrate(source: DataFrame, serviceCol: String): (Long, Long) = {
+  /** `verifyDestination = false` (default): the landed count is
+    * OBSERVED on the write pass itself (metrics piggyback on the job;
+    * no destination scans) — note both numbers then derive from reads
+    * of the SOURCE, so a source mutating mid-migration shows up as a
+    * count mismatch. `verifyDestination = true` restores the
+    * reference tool's before/after destination delta (two extra store
+    * scans) for an end-to-end landed check.
+    */
+  def migrate(source: DataFrame, serviceCol: String,
+              verifyDestination: Boolean = false): (Long, Long) = {
     val renamed =
       if (serviceCol == "service") source
       else source.withColumnRenamed(serviceCol, "service")
     val expected = renamed.count()
-    // the landed count is OBSERVED on the write pass itself (metrics
-    // piggyback on the job) — counting a before/after destination
-    // delta instead would add two full store scans per migration
-    val obs = org.apache.spark.sql.Observation()
-    append(renamed.observe(obs, count(lit(1)).as("landed")))
-    (expected, obs.get("landed").asInstanceOf[Long])
+    if (verifyDestination) {
+      val services = renamed.select("service").distinct()
+        .collect().map(_.getString(0)).toSeq
+      def countFor(): Long =
+        if (list().isEmpty) 0L
+        else readAll().filter(col("service").isin(services: _*)).count()
+      val before = countFor()
+      append(renamed)
+      (expected, countFor() - before)
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      append(renamed.observe(obs, count(lit(1)).as("landed")))
+      (expected, obs.get("landed").asInstanceOf[Long])
+    }
   }
 
   /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */

@@ -51,15 +51,37 @@ class UdpBufferSpec extends graft.SparkSpec {
       // a datagram lands BETWEEN bind and checkpoint restore — the r1
       // race: a non-empty buffer must not pin the numbering at 0
       send(port, Seq("early"))
-      assert(await(n(stream.latestOffset()) === 1L))
+      assert(await(stream.bufferedCount === 1))
+      // recovery deserializes BOTH endpoints of a pending replay
+      // batch; the LARGEST restored offset wins regardless of order
       stream.deserializeOffset("50")
+      stream.deserializeOffset("40")
       // buffered datagram renumbered to start at the restored offset
       assert(n(stream.latestOffset()) === 51L)
       // a replayed pre-crash range is honestly empty (the data is gone)
       assert(stream.planInputPartitions(UdpOffset(40), UdpOffset(50)).isEmpty)
-      // only the FIRST restore shifts: later deserializes are reads
+      // after the first planned batch, deserializes are plain reads
       stream.deserializeOffset("99")
       assert(n(stream.latestOffset()) === 51L)
+    } finally stream.stop()
+  }
+
+  test("uncommitted-batch replay (start deserialized first) trims nothing live") {
+    val stream = new UdpMicroBatchStream(0, maxBuffer = 100)
+    try {
+      val port = UdpSource.lastBoundPort
+      send(port, Seq("fresh"))
+      assert(await(stream.bufferedCount === 1))
+      // runBatch recovery order for a batch that was planned but not
+      // committed: start offset deserialized before end offset
+      stream.deserializeOffset("90")
+      stream.deserializeOffset("100")
+      // base must land on the END (100): the replay [90,100) is empty
+      // and its commit removes no live datagrams
+      assert(stream.planInputPartitions(UdpOffset(90), UdpOffset(100)).isEmpty)
+      stream.commit(UdpOffset(100))
+      assert(stream.bufferedCount === 1, "live datagram was trimmed by the replay commit")
+      assert(n(stream.latestOffset()) === 101L)
     } finally stream.stop()
   }
 }
