@@ -72,4 +72,54 @@ class SessionStreamSpec extends SparkSpec {
         s.sess_end == ts(52) && s.n_events == 1), afterB3.toString)
     } finally q.stop()
   }
+
+  test("streaming sessions equal batch gaps-and-islands on full replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic corpus: 5 users × 30 events, gap pattern crossing
+    // the 30-minute session boundary several times per user
+    val base = Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    val events = for (u <- 1 to 5; i <- 0 until 30) yield {
+      val gaps = (0 until i).map(j =>
+        if (j % 7 == u % 3 + 2) 2400L else 60L + u * 7 + j)
+      Event(u.toLong, new Timestamp(base + gaps.sum * 1000L))
+    }
+
+    // batch reference: the oracle-gated gaps-and-islands operator
+    val batchDf = events.zipWithIndex
+      .map { case (e, i) => (e.user_id, e.ts, i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val expected = graft.operators.Temporal
+      .sessionize(batchDf, "user_id", "ts", "event_id", 1800L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("sess_start"),
+        r.getAs[Timestamp]("sess_end"), r.getAs[Long]("n_events")))
+      .toSet
+
+    val input = MemoryStream[Event]
+    val out = SessionStream.sessions(
+      input.toDS().withWatermark("ts", "0 seconds"), gapSeconds = 1800)
+    val q = out.writeStream
+      .format("memory").queryName("sessions_eq")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sess-eq-ckpt").toString)
+      .start()
+    try {
+      // replay in two chunks (state must carry over), then a far
+      // sentinel event pushes the watermark past every open session
+      val (first, rest) = events.sortBy(_.ts.getTime).splitAt(events.size / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(rest: _*)
+      q.processAllAvailable()
+      input.addData(Event(999L, new Timestamp(base + 365L * 86400 * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("sessions_eq").as[Session].collect()
+        .filter(_.user_id != 999L)
+        .map(s => (s.user_id, s.sess_start, s.sess_end, s.n_events))
+        .toSet
+      assert(got === expected,
+        s"missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
 }
