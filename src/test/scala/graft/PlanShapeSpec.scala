@@ -17,6 +17,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
   }
 
+  test("fact-fact joins are shuffled HASH joins (no sorts, no broadcast)") {
+    // lineitem⨝orders (q5) and (customer⨝orders)⨝lineitem (q3) must
+    // shuffle-hash-join: the only strategy that holds at 100 TB, and
+    // the one that keeps tiny-SF probes off the single scan task
+    val p5 = plan("tpch_q5_local_supplier")
+    assert("ShuffledHashJoin".r.findAllIn(p5).size === 1, p5.take(2000))
+    val p3 = plan("tpch_q3_shipping")
+    assert("ShuffledHashJoin".r.findAllIn(p3).size === 1, p3.take(2000))
+    assert(!p3.contains("SortMergeJoin"), p3.take(2000))
+  }
+
+  test("salted join and LSH near-dup never plan a cross product") {
+    assert(!plan("rel_salted_join").contains("CartesianProduct"))
+    val p = plan("sim_neardup_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("sort+limit plans as distributed top-k (TakeOrderedAndProject)") {
     assert(plan("o08_select_range").contains("TakeOrderedAndProject"))
     assert(plan("tpch_q3_shipping").contains("TakeOrderedAndProject"))
