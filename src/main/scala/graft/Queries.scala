@@ -600,6 +600,22 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS cnt, SUM(l_quantity) AS qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
+
+    // users with no activity on a specific day — nonzero at every SF
+    "sql_except" -> sqlParity(
+      """SELECT DISTINCT user_id FROM events
+        |EXCEPT
+        |SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin),
+
+    "sql_rollup" -> sqlParity(
+      """SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events
+        |GROUP BY ROLLUP (event_type, d)""".stripMargin),
+
+    "sql_exists_subquery" -> sqlParity(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin),
   )
 
   // ------------------------------------------------------------ similarity
