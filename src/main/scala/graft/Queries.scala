@@ -300,6 +300,43 @@ object Queries {
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
              |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
 
+    // Forward as-of: earliest FOLLOWING view per purchase (pandas
+    // merge_asof direction='forward'), vs DuckDB's native ASOF with
+    // the inequality flipped.
+    "rel_asof_forward" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = ev(s, d)
+        Temporal.asOfJoinDir(
+          left = e.filter(col("event_type") === "purchase"),
+          right = e.filter(col("event_type") === "view"),
+          key = "user_id", ts = "ts", idCol = "event_id",
+          forward = true, toleranceSeconds = None)
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts, v.ts AS asof_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin)),
+
+    // Tolerance-bounded as-of (merge_asof tolerance=1h): nearest-match
+    // + bound filter is equivalent to bounding inside the match.
+    "rel_asof_tolerance" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = ev(s, d)
+        Temporal.asOfJoinDir(
+          left = e.filter(col("event_type") === "purchase"),
+          right = e.filter(col("event_type") === "view"),
+          key = "user_id", ts = "ts", idCol = "event_id",
+          forward = false, toleranceSeconds = Some(3600L))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT p.event_id, p.user_id, p.ts, v.ts AS asof_ts
+             |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |    ON p.user_id = v.user_id AND p.ts >= v.ts)
+             |WHERE epoch_us(ts) - epoch_us(asof_ts) <= 3600000000""".stripMargin)),
+
     // Range join: value-band classification from a broadcast dim.
     "rel_range_join" -> Decl(
       (s, d) => {
@@ -497,6 +534,28 @@ object Queries {
               |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id)
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // Cluster formation over the verified near-dup pairs: Spark runs
+    // min-label propagation to fixpoint; DuckDB computes the same
+    // connected components with a recursive CTE — two independent
+    // algorithms agreeing on every (doc, keeper) assignment.
+    "dedup_clusters" -> Decl(
+      (s, d) => Dedup.duplicateClusters(Dedup.ngramJaccard(docs(s, d), 3, 0.5)),
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+              |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
+              |       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2, 3, 4),
+              |p AS (SELECT doc_a, doc_b FROM pp
+              |      WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT src AS doc_id, dst AS r FROM edges
+              |          UNION SELECT rr.doc_id, e2.dst FROM reach rr JOIN edges e2 ON e2.src = rr.r)
+              |SELECT doc_id, MIN(r) AS cluster FROM (
+              |  SELECT src AS doc_id, src AS r FROM edges
+              |  UNION ALL SELECT doc_id, r FROM reach)
+              |GROUP BY doc_id""".stripMargin)),
 
     "dedup_simhash_neardup" -> Decl(
       (s, d) => Dedup.simhashNearDup(docs(s, d), 6),

@@ -237,6 +237,52 @@ object Dedup {
     verifyJaccard(cands, sh, minJaccard)
   }
 
+  /** Duplicate-cluster formation — the step a 100 TB dedup job runs
+    * AFTER candidate pairs: connected components over the near-dup
+    * edge set, labeling every document with the smallest doc_id
+    * reachable through duplicate edges (the cluster keeper).
+    *
+    * Pure DataFrame min-label propagation: each round joins the
+    * symmetrized edges to the current labels, takes the per-node min
+    * of neighbor labels, and stops at fixpoint — O(cluster diameter)
+    * rounds, each one shuffle on the node id; `localCheckpoint`
+    * truncates the lineage so round N does not recompute rounds
+    * 1..N−1 (the standard iterative-DataFrame discipline). Duplicate
+    * clusters have tiny diameters in practice (most are stars around
+    * one original), so the round count stays low; `maxIters` is a
+    * fail-loud bound, not a truncation.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src")).distinct()
+      .select(col("src").as("doc_id"), col("src").as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      iter += 1
+      require(iter <= maxIters,
+        s"duplicateClusters did not converge in $maxIters rounds")
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster").as("nc")),
+          "src")
+        .groupBy(col("dst"))
+        .agg(min(col("nc")).as("nmin"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("cluster")).count()
+      labels = updated.select(col("doc_id"), col("next").as("cluster"))
+    }
+    labels
+  }
+
   val SimhashBits = 32
 
   /** SimHash near-dup pairs: candidates share the top half of the

@@ -21,19 +21,46 @@ object Temporal {
     * same cost as a groupBy; no range-join quadratic blowup.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               idCol: String): DataFrame = {
+               idCol: String): DataFrame =
+    asOfJoinDir(left, right, key, ts, idCol, forward = false, None)
+
+  /** AS-OF with direction and tolerance (the pandas `merge_asof`
+    * surface): `forward = true` matches the EARLIEST right timestamp
+    * with `rts >= lts` (same single union + window, ordered
+    * descending, running min); `toleranceSeconds` drops matches
+    * farther than the bound — correctly equivalent to filtering after
+    * the nearest-match join, because if the nearest right row violates
+    * the tolerance no farther one can satisfy it.
+    */
+  def asOfJoinDir(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  idCol: String, forward: Boolean,
+                  toleranceSeconds: Option[Long]): DataFrame = {
     val tagged =
       right.select(col(key), col(ts), lit(0).as("__kind"),
           lit(null).cast("long").as(idCol))
         .unionByName(
           left.select(col(key), col(ts), lit(1).as("__kind"), col(idCol)))
+    val ordering =
+      if (forward) Seq(col(ts).desc, col("__kind").asc, col(idCol).desc)
+      else Seq(col(ts).asc, col("__kind").asc, col(idCol).asc)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__kind"), col(idCol))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("__asof", max(when(col("__kind") === 0, col(ts))).over(w))
+    val asof =
+      if (forward) min(when(col("__kind") === 0, col(ts))).over(w)
+      else max(when(col("__kind") === 0, col(ts))).over(w)
+    val matched = tagged
+      .withColumn("__asof", asof)
       .filter(col("__kind") === 1 && col("__asof").isNotNull)
-      .select(col(idCol), col(key), col(ts), col("__asof").as(s"asof_$ts"))
+    val bounded = toleranceSeconds match {
+      case Some(tol) =>
+        val gap =
+          if (forward) unix_micros(col("__asof")) - unix_micros(col(ts))
+          else unix_micros(col(ts)) - unix_micros(col("__asof"))
+        matched.filter(gap <= tol * 1000000L)
+      case None => matched
+    }
+    bounded.select(col(idCol), col(key), col(ts), col("__asof").as(s"asof_$ts"))
   }
 
   /** Range join: classify facts into [lo, hi) bands from a small

@@ -40,6 +40,22 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.agg(max("doc_b")).head().getLong(0) === k - 1)
   }
 
+  test("duplicateClusters labels transitive components with the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("duplicateClusters converges on a long chain (multi-round propagation)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 12 && got.values.forall(_ === 1L), got.toString)
+  }
+
   test("collect_list never sees an unbounded bucket in the capped plan") {
     // the rank-filter must sit BELOW the list aggregation in the plan
     val plan = Dedup.minhashLsh(corpus, 3, 0.5)
