@@ -432,6 +432,50 @@ object Queries {
       Some("SELECT doc_id, md5(lower(text)) AS fp, CAST('0x'||substr(md5(lower(text)),1,15) AS BIGINT) AS fp60 FROM documents")),
   )
 
+  // ------------------------------------------------------------- composite
+
+  /** The end-to-end corpus-cleaning pipeline a training-data job runs:
+    * quality gate ∧ language gate ∧ exact-dedup keeper, composed from
+    * the SAME operators the individual queries gate. All three joins
+    * key on doc_id, so the exchange is computed once and reused across
+    * the join chain; the per-row verdicts could be fused into one
+    * projection at 100 TB, but keeping the operator seams costs only
+    * the reused-exchange join.
+    */
+  private val composite: Seq[(String, Decl)] = Seq(
+    "pipeline_clean_corpus" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d)
+        base
+          .join(TextAnalysis.qualityScore(base)
+            .select(col("doc_id"), col("verdict")), "doc_id")
+          .join(TextAnalysis.langId(base)
+            .select(col("doc_id"), col("lang_pred")), "doc_id")
+          .filter(col("verdict") === "keep" && col("lang_pred") === "en")
+          .join(Dedup.exact(base).select(col("keeper").as("doc_id")), "doc_id")
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some("""WITH q AS (SELECT doc_id FROM (
+             |    SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq
+             |    FROM documents)
+             |  WHERE n_tokens BETWEEN 20 AND 2000
+             |    AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.2),
+             |l AS (SELECT doc_id FROM (
+             |    SELECT doc_id,
+             |      CAST((length(p) - length(replace(p, '的', ''))) / 1 AS BIGINT) AS s_zh,
+             |      CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+             |      CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+             |      CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
+             |      CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT) AS s_es
+             |    FROM (SELECT doc_id, ' '||text||' ' AS p FROM documents))
+             |  WHERE NOT s_zh > 0 AND s_en >= greatest(s_de, s_fr, s_es)),
+             |k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
+             |SELECT d.doc_id, d.n_chars FROM documents d
+             |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)""".stripMargin)),
+  )
+
   // ----------------------------------------------------------------- dedup
 
   private val minhashConstsCte: String = {
@@ -783,7 +827,7 @@ object Queries {
 
   val all: Seq[(String, Decl)] =
     parity ++ ingest ++ relational ++ text ++ dedup ++ similarity ++
-      multimodal ++ scalePath
+      multimodal ++ scalePath ++ composite
 
   def queries: Map[String, QFn] =
     all.map { case (n, decl) => n -> decl.fn }.toMap
