@@ -43,4 +43,15 @@ class DotProductSpec extends SparkSpec {
       .head().getDouble(0)
     assert(r > 0.0)
   }
+
+  test("wrong arity raises a proper analysis error, not an index crash") {
+    DotProductExpr.register(spark)
+    emb.createOrReplaceTempView("emb_dot_test")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(v) FROM emb_dot_test").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"), e.getMessage)
+    assert(e.getCondition != null &&
+      e.getCondition.startsWith("WRONG_NUM_ARGS"), e.getCondition)
+  }
 }

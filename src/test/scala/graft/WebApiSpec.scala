@@ -125,6 +125,9 @@ class WebApiSpec extends SparkSpec {
       val (c6, ngx) = get(port, "/nginx?service=blog")
       assert(c6 === 200 && ngx.startsWith("<!DOCTYPE html>") &&
         ngx.contains("access_log syslog:server="))
+
+      // bare /services redirects to the dashboard (reference parity)
+      assert(get(port, "/services")._1 === 302)
     } finally api.stop()
   }
 
