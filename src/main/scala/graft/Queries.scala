@@ -70,6 +70,40 @@ object Queries {
         Some("2024-01-05"), Some("2024-01-15")),
       Some("SELECT CAST(ts AS DATE) AS d, AVG(\"value\") AS avg_value, SUM(\"value\") AS sum_value, COUNT(\"value\") AS cnt_value FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-15' GROUP BY d ORDER BY d")),
 
+    // Percentile report (beyond the reference's avg — the latency view
+    // an ops dashboard actually wants): Spark's exact `percentile` and
+    // DuckDB's quantile_cont both use R-7 linear interpolation, so the
+    // values agree to well past the compare rounding.
+    "o10_daily_percentiles" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        ev(s, d).groupBy(to_date(col("ts")).as("d"))
+          .agg(expr("percentile(value, 0.5)").as("p50"),
+               expr("percentile(value, 0.95)").as("p95"),
+               expr("percentile(value, 0.99)").as("p99"))
+          .orderBy("d")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS d,
+             | quantile_cont("value", 0.5) AS p50,
+             | quantile_cont("value", 0.95) AS p95,
+             | quantile_cont("value", 0.99) AS p99
+             |FROM events GROUP BY d ORDER BY d""".stripMargin)),
+
+    // Coarser-than-daily rollup (month) via date_trunc — the granular
+    // knob the reference's fixed daily grouping lacks.
+    "o11_monthly_visits" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        ev(s, d)
+          .groupBy(date_trunc("month", col("ts")).cast("date").as("m"))
+          .agg(count(lit(1)).as("cnt"),
+               countDistinct(col("user_id")).as("uniq"))
+          .orderBy("m")
+      },
+      Some("""SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+             | COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS uniq
+             |FROM events GROUP BY m ORDER BY m""".stripMargin)),
+
     "o11_daily_visits" -> Decl(
       (s, d) => Reports.dailyCount(ev(s, d), "ts"),
       Some("SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d ORDER BY d")),
