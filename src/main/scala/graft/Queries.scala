@@ -508,6 +508,22 @@ object Queries {
              |k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
              |SELECT d.doc_id, d.n_chars FROM documents d
              |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)""".stripMargin)),
+
+    // Deterministic hash-split sampling: the reproducible train/val
+    // split a training pipeline needs — membership depends only on the
+    // document id (stable across runs, engines, and cluster sizes; a
+    // pure map-side filter at any scale), checked bit-for-bit because
+    // the hash derives from md5.
+    "pipeline_sample_hash" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d)
+          .filter((graft.functions.TextFunctions
+            .hash60(col("doc_id").cast("string")) % 100) < 10)
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 < 10""".stripMargin)),
   )
 
   // ----------------------------------------------------------------- dedup
