@@ -17,14 +17,19 @@ object GeoIp {
 
   /** Dotted-quad IPv4 → numeric (null for anything else, incl. IPv6 —
     * those simply don't match any v4 range, like the reference's
-    * AddressNotFoundError → None path).
+    * AddressNotFoundError → None path). IPv4-MAPPED IPv6 text
+    * (`::ffff:1.2.3.4` — what nginx logs on a dual-stack listener) is
+    * normalized to its embedded v4 address first, so those rows
+    * geolocate through the v4 table like the reference's MaxMind
+    * reader does.
     */
   def ipv4ToLong(ip: Column): Column = {
     // octets must be 0-255: a lax \d{1,3} would let "9.256.0.0" fold
     // to the same numeric as "10.0.0.0" and falsely match its range
     val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)"
-    when(ip.rlike(s"^($octet\\.){3}$octet$$"),
-      aggregate(transform(split(ip, "\\."), o => o.cast("long")),
+    val bare = regexp_replace(ip, "^(?i)::ffff:", "")
+    when(bare.rlike(s"^($octet\\.){3}$octet$$"),
+      aggregate(transform(split(bare, "\\."), o => o.cast("long")),
         lit(0L), (acc, o) => acc * 256 + o))
   }
 

@@ -65,7 +65,8 @@ class GeoIpCsvSpec extends SparkSpec {
 
   test("GeoLite2 v4 CSV: CIDR ranges + registered-country fallback") {
     val ranges = GeoIp.fromGeoLite2Csv(spark, blocksV4Csv, locationsCsv)
-    val got = Seq("1.0.0.42", "5.44.17.200", "8.8.8.8", "9.9.9.9")
+    val got = Seq("1.0.0.42", "5.44.17.200", "8.8.8.8", "9.9.9.9",
+      "::ffff:1.0.0.7", "::FFFF:9.9.9.9")
       .toDF("ip")
     val out = GeoIp.enrich(got, "ip", ranges)
       .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
@@ -73,6 +74,9 @@ class GeoIpCsvSpec extends SparkSpec {
     assert(out("5.44.17.200") === Some("GB")) // /23 spans 16..17
     assert(out("8.8.8.8") === Some("US"))     // geoname_id empty -> registered
     assert(out("9.9.9.9") === None)
+    // IPv4-mapped IPv6 (dual-stack nginx) resolves through the v4 table
+    assert(out("::ffff:1.0.0.7") === Some("AU"))
+    assert(out("::FFFF:9.9.9.9") === None)
   }
 
   test("GeoLite2 v6 CSV: range match incl. /44 and /96 prefixes") {
