@@ -116,6 +116,22 @@ class StoreStreamSpec extends SparkSpec {
     assert(got.get("2020-01-01") === Some(5L), got.toString)
   }
 
+  test("streaming dashboard keeps live per-service counters (complete mode)") {
+    val in = tmp("graft-dash-in")
+    Files.write(java.nio.file.Paths.get(in, "a.log"),
+      (lines(4, "blog") ++ lines(2, "shop")).mkString("\n").getBytes)
+    val q = graft.streaming.DashboardStream.start(spark, in,
+      GeoIp.demoRanges(spark), "dash_live", tmp("graft-dash-ckpt"),
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val got = spark.table("dash_live")
+      .collect().map(r => r.getAs[String]("service") ->
+        (r.getAs[Long]("visits"), r.getAs[Long]("approx_unique"))).toMap
+    // the fixture's ips are distinct per service, so the HLL sketch is
+    // exact at this cardinality
+    assert(got === Map("blog" -> ((4L, 4L)), "shop" -> ((2L, 2L))), got.toString)
+  }
+
   test("console: runs SQL, renders errors, exposes catalog shims") {
     val store = new ServiceStore(spark, tmp("graft-wh-sql"))
     store.append(Ingest.pipeline(lines(2, "svc").toDF("value"),
