@@ -413,6 +413,31 @@ object Queries {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Retention triangle: cohort = first-seen day, distinct actives
+    // per day offset.
+    "rel_retention_cohorts" -> Decl(
+      (s, d) => Cohorts.retention(ev(s, d), "user_id", "ts"),
+      Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+             |          FROM events GROUP BY user_id)
+             |SELECT cohort,
+             |  CAST(CAST(ts AS DATE) - cohort AS BIGINT) AS day_offset,
+             |  COUNT(DISTINCT e.user_id) AS active
+             |FROM events e JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Two-step funnel: earliest view strictly before earliest purchase.
+    "rel_funnel" -> Decl(
+      (s, d) => Cohorts.funnel(ev(s, d), "user_id", "ts", "event_type",
+        "view", "purchase"),
+      Some("""WITH a AS (SELECT user_id, MIN(ts) AS t_a FROM events
+             |           WHERE event_type = 'view' GROUP BY user_id),
+             |b AS (SELECT user_id, MIN(ts) AS t_b FROM events
+             |      WHERE event_type = 'purchase' GROUP BY user_id)
+             |SELECT CAST(t_a AS DATE) AS d, COUNT(*) AS entered,
+             |  COUNT(CASE WHEN t_b > t_a THEN 1 END) AS converted
+             |FROM a LEFT JOIN b USING (user_id)
+             |GROUP BY d ORDER BY d""".stripMargin)),
+
     "rel_top_customers" -> Decl(
       (s, d) => Relational.topCustomers(
         Tables.read(s, d, "customer"), Tables.read(s, d, "orders"), 10),
@@ -755,6 +780,13 @@ object Queries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
 
     // users with no activity on a specific day — nonzero at every SF
+    "sql_moving_avg" -> sqlParity(
+      """SELECT d, cnt,
+        |  AVG(cnt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS ma7
+        |FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        |      FROM events GROUP BY 1)""".stripMargin),
+
     "sql_except" -> sqlParity(
       """SELECT DISTINCT user_id FROM events
         |EXCEPT
