@@ -779,7 +779,7 @@ object Queries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
 
-    // users with no activity on a specific day — nonzero at every SF
+    // 7-day moving average over the daily series (window frame).
     "sql_moving_avg" -> sqlParity(
       """SELECT d, cnt,
         |  AVG(cnt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -787,6 +787,7 @@ object Queries {
         |FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
         |      FROM events GROUP BY 1)""".stripMargin),
 
+    // users with no activity on a specific day — nonzero at every SF
     "sql_except" -> sqlParity(
       """SELECT DISTINCT user_id FROM events
         |EXCEPT

@@ -262,6 +262,7 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
+    var prevCheckpoint: DataFrame = labels
     while (changed > 0) {
       iter += 1
       require(iter <= maxIters,
@@ -277,6 +278,10 @@ object Dedup {
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("next"))
         .localCheckpoint()
+      // release the round N-1 checkpoint once round N is materialized,
+      // or O(rounds x |labels|) cached blocks pile up on the executors
+      prevCheckpoint.unpersist()
+      prevCheckpoint = updated
       changed = updated.filter(col("next") < col("cluster")).count()
       labels = updated.select(col("doc_id"), col("next").as("cluster"))
     }

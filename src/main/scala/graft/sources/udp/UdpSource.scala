@@ -102,6 +102,11 @@ private[udp] class UdpMicroBatchStream(port: Int,
   private var active = false
 
   private val socket = new DatagramSocket(port)
+  // widen the kernel rx queue (default ~208 KB ≈ 300 small datagrams):
+  // a descheduled listener thread during a burst would otherwise shed
+  // packets the buffer cap was sized to absorb
+  try socket.setReceiveBufferSize(4 * 1024 * 1024)
+  catch { case _: java.net.SocketException => () }
   UdpSource.lastBoundPort = socket.getLocalPort
 
   private val listener = new Thread(s"graft-udp-$port") {
