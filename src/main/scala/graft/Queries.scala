@@ -779,6 +779,31 @@ object Queries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
 
+    // Analytic functions beyond row_number (§2.5 tier B): lag/lead
+    // deltas over the daily series, and quartile bucketing.
+    "sql_lag_lead" -> sqlParity(
+      """SELECT d, cnt,
+        |  cnt - LAG(cnt) OVER (ORDER BY d) AS delta_prev,
+        |  LEAD(cnt) OVER (ORDER BY d) - cnt AS delta_next
+        |FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        |      FROM events GROUP BY 1)""".stripMargin),
+
+    "sql_ntile" -> sqlParity(
+      """SELECT d, cnt,
+        |  NTILE(4) OVER (ORDER BY cnt, d) AS quartile
+        |FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        |      FROM events GROUP BY 1)""".stripMargin),
+
+    // String-function surface (§2.8 tier B) — dialect-neutral forms.
+    "sql_string_funcs" -> sqlParity(
+      """SELECT event_type,
+        |  UPPER(event_type) AS up,
+        |  SUBSTR(event_type, 1, 3) AS pre,
+        |  REPLACE(event_type, 'e', '3') AS repl,
+        |  CAST(LENGTH(event_type) AS BIGINT) AS len,
+        |  event_type || ':' || CAST(COUNT(*) AS STRING) AS tagged
+        |FROM events GROUP BY event_type""".stripMargin),
+
     // 7-day moving average over the daily series (window frame).
     "sql_moving_avg" -> sqlParity(
       """SELECT d, cnt,
