@@ -496,10 +496,13 @@ object Queries {
   /** The end-to-end corpus-cleaning pipeline a training-data job runs:
     * quality gate ∧ language gate ∧ exact-dedup keeper, composed from
     * the SAME operators the individual queries gate. All three joins
-    * key on doc_id, so the exchange is computed once and reused across
-    * the join chain; the per-row verdicts could be fused into one
-    * projection at 100 TB, but keeping the operator seams costs only
-    * the reused-exchange join.
+    * key on doc_id: at tiny SF the planner broadcasts the filter
+    * sides (observed — zero hash exchanges), and at scale, where they
+    * exceed the broadcast threshold, the corpus side is
+    * hash-partitioned on doc_id by the FIRST join and that
+    * partitioning satisfies the rest of the chain — one corpus
+    * shuffle total. The per-row verdicts could also be fused into a
+    * single projection, trading the operator seams for zero joins.
     */
   private val composite: Seq[(String, Decl)] = Seq(
     "pipeline_clean_corpus" -> Decl(
