@@ -486,6 +486,23 @@ object Queries {
              |  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS BIGINT) AS stops
              | FROM documents)""".stripMargin)),
 
+    // TF-IDF top-3 keywords per document — tf·ln(N/df), term tie-break.
+    "text_tfidf_topk" -> Decl(
+      (s, d) => TextAnalysis.tfidfTopTerms(docs(s, d), 3),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             |  GROUP BY doc_id, term),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |s AS (SELECT doc_id, tf.term,
+             |        CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+             |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+             |SELECT doc_id, term, tfidf, rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+             |  FROM s)
+             |WHERE rn <= 3""".stripMargin)),
+
     "text_fingerprint" -> Decl(
       (s, d) => TextAnalysis.fingerprint(docs(s, d)),
       Some("SELECT doc_id, md5(lower(text)) AS fp, CAST('0x'||substr(md5(lower(text)),1,15) AS BIGINT) AS fp60 FROM documents")),

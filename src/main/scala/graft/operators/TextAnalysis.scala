@@ -21,6 +21,38 @@ object TextAnalysis {
   val langMarkers: Seq[(String, String)] = Seq(
     "en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ")
 
+  /** TF-IDF keyword extraction: the top-k characteristic terms per
+    * document by tf·ln(N/df), ties broken by term — the keyword/topic
+    * signal a corpus-curation pipeline attaches to every document.
+    *
+    * Scale shape: one explode + (doc, term) count (map-side partials
+    * collapse repeats), one (term) aggregate for document frequency,
+    * one broadcast-able scalar for N (a 1-row aggregate, never a
+    * driver collect), one join back on term, one per-doc window for
+    * the top-k. Nothing is quadratic; the widest shuffle is the
+    * distinct (doc, term) set. ln() agrees across engines to ~1 ulp,
+    * orders of magnitude inside the oracle compare's rounding.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(n)
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+  }
+
   /** Token / character statistics incl. a BPE-ish regex token count. */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(
