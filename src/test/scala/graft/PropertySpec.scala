@@ -48,6 +48,51 @@ class PropertySpec extends SparkSpec {
       === LocalDate.parse("2020-02-28"))
   }
 
+  test("LSH dedup precision: every emitted edge truly meets the Jaccard bar") {
+    // random corpora with planted duplicate runs: the star variant may
+    // MISS pairs (banding recall) but must never emit a false one —
+    // the exact-verify step guarantees precision by construction
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    val texts = samples(docGen, 40)
+    val corpus = texts.zipWithIndex
+      .flatMap { case (t, i) =>
+        // plant exact duplicates for every third doc
+        if (i % 3 == 0) Seq((i.toLong, t), (1000L + i, t)) else Seq((i.toLong, t))
+      }
+      .toDF("doc_id", "text")
+    val edges = graft.operators.Dedup.minhashLshDedup(corpus, 3, 0.5).collect()
+    assert(edges.nonEmpty)
+    val exact = graft.operators.Dedup.ngramJaccard(corpus, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(j >= 0.5, s"edge ($a,$b) below threshold: $j")
+      assert(exact.contains((a, b)) || exact.contains((b, a)),
+        s"edge ($a,$b) not in the exact all-pairs relation")
+    }
+  }
+
+  test("funnel invariants: converted <= entered, cohort offsets non-negative") {
+    val events =
+      graft.core.Tables.read(spark, "/root/testdata/sf0.001", "events")
+    val funnel = graft.operators.Cohorts
+      .funnel(events, "user_id", "ts", "event_type", "view", "purchase")
+      .collect()
+    assert(funnel.nonEmpty)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("converted") <= r.getAs[Long]("entered"), r.toString)
+    }
+    val retention = graft.operators.Cohorts
+      .retention(events, "user_id", "ts").collect()
+    assert(retention.nonEmpty)
+    retention.foreach { r =>
+      assert(r.getAs[Long]("day_offset") >= 0L, r.toString)
+      assert(r.getAs[Long]("active") >= 1L, r.toString)
+    }
+  }
+
   test("top-N per day is contained in the grouped counts, <= n per day") {
     val events =
       graft.core.Tables.read(spark, "/root/testdata/sf0.001", "events")
