@@ -41,6 +41,7 @@ final class WebApi(spark: SparkSession, store: ServiceStore,
 
   private val console = new Console(spark, store)
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
   // shim views are rebuilt at most every 30 s (O21 discipline: the
   // db-size pragma and catalog listing are not per-request work)
   private val ShimTtlMillis = 30000L
@@ -55,12 +56,19 @@ final class WebApi(spark: SparkSession, store: ServiceStore,
     server.createContext("/api", handler(api))
     server.createContext("/sql", handler(sql))
     server.createContext("/nginx", handler(nginx))
-    server.setExecutor(null)
+    // a pooled executor so one long-running SQL console query cannot
+    // block every other endpoint (handlers are stateless; the shim TTL
+    // and size cache already guard their shared state)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   // ------------------------------------------------------------- handlers
 

@@ -131,6 +131,22 @@ class WebApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("concurrent requests are served in parallel by the pooled executor") {
+    val api = new WebApi(spark, seededStore())
+    val port = api.start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val codes = Await.result(
+        Future.sequence((0 until 8).map(_ =>
+          Future(get(port, "/api/services")._1))),
+        60.seconds)
+      assert(codes.forall(_ === 200), codes.toString)
+    } finally api.stop()
+  }
+
   test("sql console caps driver-side materialization with a truncation marker") {
     val api = new WebApi(spark, seededStore(), maxRows = 10)
     val port = api.start()
