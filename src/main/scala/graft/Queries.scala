@@ -963,7 +963,12 @@ object Queries {
   def oracles: Map[String, String] =
     all.collect { case (n, Decl(_, Some(sql))) => n -> sql }.toMap
 
-  /** Headline queries timed by Bench (one per operator family). */
+  /** Headline queries timed by Bench — kept IDENTICAL to the round-1
+    * set so the driver's round-over-round total stays directly
+    * comparable (round-2 operators are gated by CORRECTNESS instead;
+    * adding them here would inflate the total against the r1 baseline
+    * without measuring a regression).
+    */
   val headline: Seq[String] = Seq(
     "o08_select_range", "o10_daily_average", "o11_daily_unique",
     "o12_group_count_desc", "o13_top3_per_day", "o17_align_by_date",

@@ -102,6 +102,25 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Version-upgrade export/import (tools/duck-upgrade.sh:21-22 dumps
+    * every table to parquet and reloads it into a fresh database).
+    * The store already IS partitioned parquet, so export is a
+    * distributed copy of the dataset and import is a [[migrate]] from
+    * the exported copy — no per-table loop, no driver staging.
+    */
+  def exportTo(path: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    readAll().observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy("service").parquet(path)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Load an [[exportTo]] dump (or any service-partitioned parquet
+    * dataset) into this store; returns (source rows, rows landed).
+    */
+  def importFrom(path: String): (Long, Long) =
+    migrate(spark.read.parquet(path), "service")
+
   /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */
   def sizeBytes(): Long = {
     val root = new Path(warehouse)

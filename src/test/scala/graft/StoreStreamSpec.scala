@@ -159,6 +159,21 @@ class StoreStreamSpec extends SparkSpec {
     assert(console.cachedSizeBytes(0) > first)   // expired -> refreshed
   }
 
+  test("export/import round-trip preserves every row (duck-upgrade parity)") {
+    val src = new ServiceStore(spark, tmp("graft-wh-exp"))
+    src.append(Ingest.pipeline((lines(4, "alpha") ++ lines(3, "beta"))
+      .toDF("value"), GeoIp.demoRanges(spark)))
+    val dump = tmp("graft-dump")
+    assert(src.exportTo(dump) === 7L)
+    val dst = new ServiceStore(spark, tmp("graft-wh-imp"))
+    val (expected, landed) = dst.importFrom(dump)
+    assert(expected === 7L && landed === 7L)
+    assert(dst.list() === Seq("alpha", "beta"))
+    val cols = src.readAll().columns.sorted.toSeq
+    assert(dst.readAll().selectExpr(cols: _*)
+      .except(src.readAll().selectExpr(cols: _*)).isEmpty)
+  }
+
   test("bulk migration lands every source row (O22)") {
     val src = new ServiceStore(spark, tmp("graft-wh-src"))
     src.append(Ingest.pipeline((lines(5, "alpha") ++ lines(4, "beta"))
