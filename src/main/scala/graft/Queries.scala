@@ -486,6 +486,17 @@ object Queries {
              |  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS BIGINT) AS stops
              | FROM documents)""".stripMargin)),
 
+    // Shard packing: deterministic fixed-token-budget shards from a
+    // two-level distributed prefix sum, vs the oracle's single global
+    // window (integer arithmetic → bit-identical).
+    "pipeline_pack_shards" -> Decl(
+      (s, d) => TextAnalysis.packShards(docs(s, d), 5000L),
+      Some("""SELECT doc_id, n_tokens,
+             |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS shard
+             |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |      FROM documents)""".stripMargin)),
+
     // TF-IDF top-3 keywords per document — tf·ln(N/df), term tie-break.
     "text_tfidf_topk" -> Decl(
       (s, d) => TextAnalysis.tfidfTopTerms(docs(s, d), 3),

@@ -53,6 +53,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
   }
 
+  /** Shard packing for training data: documents are packed in doc_id
+    * order into shards of ~`tokensPerShard` whitespace tokens —
+    * shard(doc) = floor(tokens-before-doc / tokensPerShard), the
+    * deterministic layout a dataloader can reproduce from ids alone.
+    *
+    * The global ordered prefix sum is the textbook scale antipattern
+    * as ONE window (a single ordered partition). Here it is two-level:
+    * fixed-width doc_id buckets yield per-bucket totals (a tiny
+    * relation — corpus/bucketWidth rows — whose running sum is a
+    * cheap window), broadcast-joined back so the within-bucket cumsum
+    * windows are each bounded by `bucketWidth` docs. Integer
+    * arithmetic throughout, so the two-level sum is bit-identical to
+    * the oracle's single global window.
+    */
+  def packShards(docs: DataFrame, tokensPerShard: Long,
+                 bucketWidth: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketWidth").as("__bucket"))
+    val bucketOffsets = sized
+      .groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btotal"))
+      .withColumn("__boffset", coalesce(
+        sum(col("__btotal")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__btotal")
+    val within = Window.partitionBy(col("__bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized
+      .join(broadcast(bucketOffsets), "__bucket")
+      .withColumn("__prefix",
+        col("__boffset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__prefix div $tokensPerShard").as("shard"))
+  }
+
   /** Token / character statistics incl. a BPE-ish regex token count. */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(
