@@ -301,15 +301,18 @@ object Queries {
              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
-    // revenue sums as DECIMAL(38,6) on BOTH sides: exact addition is
-    // order-independent, so the hash compare is immune to partial-agg
-    // ordering across shuffle partitions (Relational scaladoc).
+    // revenue accumulates as DECIMAL(38,6) on BOTH sides (exact,
+    // order-independent addition → immune to partial-agg ordering
+    // across shuffle partitions), then the FINAL sum is cast to
+    // DOUBLE so the compared column is a plain float: decimal-typed
+    // outputs hash representation-sensitively in the driver's
+    // comparator (r2: rows matched, hash didn't), doubles round-trip.
     "tpch_q5_local_supplier" -> Decl(
       (s, d) => Relational.localSupplierRevenue(
         Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
         Tables.read(s, d, "lineitem"), Tables.read(s, d, "supplier"),
         Tables.read(s, d, "nation"), Tables.read(s, d, "region")),
-      Some("""SELECT n_name, SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS revenue
+      Some("""SELECT n_name, CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
              |FROM lineitem, orders, customer, supplier, nation, region
              |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -488,12 +491,14 @@ object Queries {
 
     // Shard packing: deterministic fixed-token-budget shards from a
     // two-level distributed prefix sum, vs the oracle's single global
-    // window (integer arithmetic → bit-identical).
+    // window (integer arithmetic → bit-identical). DuckDB's window
+    // SUM(BIGINT) yields HUGEINT, which the driver's comparator hashes
+    // differently from Spark's BIGINT (r2 failure) → CAST back.
     "pipeline_pack_shards" -> Decl(
       (s, d) => TextAnalysis.packShards(docs(s, d), 5000L),
       Some("""SELECT doc_id, n_tokens,
-             |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS shard
+             |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS shard
              |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              |      FROM documents)""".stripMargin)),
 

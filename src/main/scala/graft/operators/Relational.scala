@@ -95,7 +95,7 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(38,6)")).as("revenue"))
+        .cast("decimal(38,6)")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   /** Top spenders: orders⨝customer rollup with a deterministic top-k. */

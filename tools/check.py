@@ -34,6 +34,39 @@ def canon(rows, cols):
     return sorted(out, key=repr), [cols[i] for i in order]
 
 
+def family(t):
+    """Coarse type family for hash-hazard detection."""
+    t = str(t).lower()
+    if "hugeint" in t or "int128" in t:
+        return "HAZARD:hugeint"
+    if "decimal" in t:
+        return "HAZARD:decimal"
+    for k, fam in (("int", "int"), ("double", "float"), ("float", "float"),
+                   ("date32", "date"), ("timestamp", "ts"), ("bool", "bool")):
+        if k in t:
+            return fam
+    return "other"
+
+
+def type_hazards(got, exp):
+    """The driver's hasher is type/representation-sensitive where this
+    replica's Python == is not: DuckDB window/plain SUM(BIGINT) yields
+    HUGEINT, and decimal columns hash by repr (r2: pack_shards, q5).
+    Flag those plus int-vs-float family splits so they fail LOCALLY."""
+    issues = []
+    gt = dict(zip(got.columns, [family(t) for t in got.types]))
+    et = dict(zip(exp.columns, [family(t) for t in exp.types]))
+    for c in set(gt) & set(et):
+        g, e = gt[c], et[c]
+        for side, f in (("spark", g), ("oracle", e)):
+            if f.startswith("HAZARD"):
+                issues.append(f"{c}: {side} {f}")
+        if not g.startswith("HAZARD") and not e.startswith("HAZARD") \
+                and g != e and {g, e} != {"other"} and "other" not in (g, e):
+            issues.append(f"{c}: spark={g} vs oracle={e}")
+    return issues
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -46,11 +79,16 @@ def main():
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_rows, got_cols = canon(got.fetchall(), got.columns)
             exp = con.sql(sql)
+            hazards = type_hazards(got, exp)
+            got_rows, got_cols = canon(got.fetchall(), got.columns)
             exp_rows, exp_cols = canon(exp.fetchall(), exp.columns)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if hazards:
+            print(f"FAIL {name}: type hazards {hazards}")
             n_fail += 1
             continue
         if got_cols != exp_cols:
