@@ -32,19 +32,6 @@ object Dedup {
     docs.groupBy(md5(lower(col("text"))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
 
-  /** Distinct word n-gram shingles per document, as an array column.
-    * Documents with fewer than `n` tokens produce no row.
-    */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val ws = (0 until n).map(k => s"w[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"),
-        array_distinct(expr(s"transform(sequence(0, size(w)-$n), i -> $ws)"))
-          .as("sh"))
-  }
-
   /** Distinct (doc_id, shingle) ROWS without interpreted lambdas:
     * explode the codegen'd offset range and assemble each shingle once
     * per output row. (Exploding an array built by a CodegenFallback
@@ -171,7 +158,6 @@ object Dedup {
                  minJaccard: Double = 0.2,
                  maxBucket: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(docs, n)
     val bands = lshBands(minhashSignatures(docs, n))
     // Hot buckets are BOUNDED: a mass-duplicate corpus (the #1
     // real-world dedup case) puts every copy in one bucket, and an
@@ -195,23 +181,47 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    verifyJaccard(cands, sh, minJaccard)
+    verifyJaccard(cands, docs, n, minJaccard)
   }
 
-  /** Exact-Jaccard verification of candidate pairs against the shingle
-    * sets (shared by [[minhashLsh]] and [[minhashLshDedup]]).
+  /** Exact-Jaccard verification of candidate pairs (shared by
+    * [[minhashLsh]] and [[minhashLshDedup]]). Requires
+    * `minJaccard > 0` (zero-overlap pairs are never emitted).
+    *
+    * Shape: explode the pairs into a (doc_id → pair, side) membership
+    * table, stream the corpus's (doc_id, shingle) ROWS past it in ONE
+    * equi-join, then aggregate per pair — the distinct shingles either
+    * side contributes is `|A∪B|`, the ones both sides contribute is
+    * `|A∩B|`, so jaccard = common/uni with no size lookup at all.
+    * Shuffle volume is pair-scoped (Σ |A|+|B| over candidates), never
+    * corpus-scoped: no shingle ARRAYS are materialized, nothing
+    * corpus-sized is broadcast, and intra-doc duplicate shingles
+    * dedup inside the same pair-keyed aggregation (so the corpus-wide
+    * distinct is skipped too). A previous array_intersect formulation
+    * broadcast every document's shingle array and re-evaluated the
+    * intersection inside the join condition.
     */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
-                            minJaccard: Double): DataFrame =
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame, n: Int,
+                            minJaccard: Double): DataFrame = {
+    require(minJaccard > 0, "verifyJaccard emits only overlapping pairs")
+    val members = cands.select(col("doc_a"), col("doc_b"),
+        explode(array(
+          struct(col("doc_a").as("doc_id"), lit(1).as("side")),
+          struct(col("doc_b").as("doc_id"), lit(2).as("side")))).as("m"))
+      .select(col("doc_a"), col("doc_b"),
+              col("m.doc_id").as("doc_id"), col("m.side").as("side"))
+    shingleRows(docs, n, distinct = false)
+      .join(members, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"), col("shingle"))
+      .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("uni"),
+           sum(when(col("mn") < col("mx"), 1L).otherwise(0L)).as("common"))
       .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+        col("common").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** Dedup-oriented MinHash+LSH with output LINEAR in bucket size: each
     * colliding bucket links its members to the bucket REPRESENTATIVE
@@ -225,7 +235,6 @@ object Dedup {
     */
   def minhashLshDedup(docs: DataFrame, n: Int = 3,
                       minJaccard: Double = 0.2): DataFrame = {
-    val sh = shingles(docs, n)
     val bands = lshBands(minhashSignatures(docs, n))
     val reps = bands.groupBy(col("band"), col("bkey"))
       .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("cnt"))
@@ -234,7 +243,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, sh, minJaccard)
+    verifyJaccard(cands, docs, n, minJaccard)
   }
 
   /** Duplicate-cluster formation — the step a 100 TB dedup job runs
