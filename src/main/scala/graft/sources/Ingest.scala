@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** The ingest pipeline O1-O3 as pure DataFrame transforms: syslog frame
   * → JSON wire record → validated, enriched Entry rows (reference:
@@ -18,54 +17,43 @@ object Ingest {
   /** Syslog frame: `<PRI>…: payload` (syslog_protocol.py:20). */
   val SyslogRegex = "^<[0-9]{1,3}>.*?: (.+)$"
 
-  /** The 11-field nginx JSON wire schema (demo/nginx.conf:1-13);
-    * `status` and `date` arrive as strings.
-    */
-  val wireSchema: StructType = StructType(Seq(
-    StructField("service", StringType),
-    StructField("ip", StringType),
-    StructField("host", StringType),
-    StructField("path", StringType),
-    StructField("status", StringType),
-    StructField("referrer", StringType),
-    StructField("user_agent", StringType),
-    StructField("length", LongType),
-    StructField("generation_time_milli", DoubleType),
-    StructField("date", StringType)))
-
   /** O1: datagram text → JSON payload. Non-matching frames drop. */
   def parseFrame(lines: DataFrame, column: String = "value"): DataFrame =
     lines
       .withColumn("__payload", nullif(regexp_extract(col(column), SyslogRegex, 1), lit("")))
       .filter(col("__payload").isNotNull)
 
-  /** O1/O2: payload → wire struct; malformed JSON or missing/invalid
+  /** O1/O2: payload → wire columns; malformed JSON or missing/invalid
     * service drops (service normalized lower+trim, `^\w+$` —
     * core.py:15,53-58).
     *
-    * Performance note: `from_json` is a CodegenFallback expression with
-    * no common-subexpression elimination, so referencing the struct
-    * from many downstream expressions/filters would re-parse the JSON
-    * once PER REFERENCE. The struct is therefore expanded into
-    * top-level columns in one adjacent projection (CollapseProject
-    * keeps a multiply-referenced non-cheap expression un-inlined), and
-    * every later filter touches only plain attributes — one parse per
-    * row, ~2x faster end-to-end.
+    * Performance note: the payload is parsed with `json_tuple` — a
+    * GENERATOR producing all ten fields from ONE parse per row. The
+    * earlier `from_json`-struct formulation parsed once in its own
+    * projection, but `PushPredicateThroughNonJoin` substitutes aliases
+    * into pushed filters regardless of expression cost, so the
+    * validation predicates below re-inlined `from_json` into the
+    * filter — four extra parses per row (measured in the physical
+    * plan). Filters cannot be pushed below a Generate's output, so the
+    * generator pins the parse count at one while staying usable from
+    * both the batch and streaming paths. Numeric fields arrive as the
+    * extracted JSON text and are `try_cast` (null on mismatch),
+    * mirroring from_json's lenient coercion under ANSI mode.
     */
   def parseWire(framed: DataFrame): DataFrame =
     framed
-      .select(from_json(col("__payload"), wireSchema).as("__wire"))
+      .select(json_tuple(col("__payload"),
+        "service", "ip", "host", "path", "status", "referrer",
+        "user_agent", "length", "generation_time_milli", "date"))
+      .toDF("__svc", "__ip", "__host", "__rawpath", "__status",
+        "__referrer", "__ua", "__rawlength", "__rawgt", "__rawdate")
       .select(
-        lower(trim(col("__wire.service"))).as("service"),
-        col("__wire.ip").as("__ip"),
-        col("__wire.host").as("__host"),
-        col("__wire.path").as("__rawpath"),
-        col("__wire.status").as("__status"),
-        col("__wire.referrer").as("__referrer"),
-        col("__wire.user_agent").as("__ua"),
-        col("__wire.length").as("__length"),
-        col("__wire.generation_time_milli").as("__gt"),
-        col("__wire.date").as("__rawdate"))
+        lower(trim(col("__svc"))).as("service"),
+        col("__ip"), col("__host"), col("__rawpath"), col("__status"),
+        col("__referrer"), col("__ua"),
+        expr("try_cast(__rawlength AS BIGINT)").as("__length"),
+        expr("try_cast(__rawgt AS DOUBLE)").as("__gt"),
+        col("__rawdate"))
       .filter(col("service").isNotNull && col("service").rlike("^\\w+$"))
 
   /** O3: enrichment projection → (service, Entry columns...).
