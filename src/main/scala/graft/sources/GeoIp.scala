@@ -7,13 +7,22 @@ import org.apache.spark.sql.functions._
   *
   * The reference does a per-row point lookup into an embedded MaxMind
   * reader at ingest (ballcone/core.py:60-64) — classically a dimension
-  * join. Spark-first, that IS a join: the CIDR table (start, end,
-  * country) is broadcast and each event's numeric IP is range-matched
-  * map-side (BroadcastNestedLoopJoin); no shuffle of the fact stream,
-  * scales with executors. A real MaxMind CSV dump drops in as the
-  * `ranges` DataFrame without code changes.
+  * join. Spark-first, that IS a join — but a naive `BETWEEN` condition
+  * plans as a BroadcastNestedLoopJoin that scans EVERY range per row:
+  * harmless for a demo table, hopeless against the real GeoLite2 dump
+  * (~3M ranges × the full ingest stream). So the ranges are exploded
+  * into the /16 PREFIX BUCKETS they cover (CIDRs at /16 or longer —
+  * almost all of GeoLite2 — land in exactly one bucket; a /8 lands in
+  * 256) and each event equi-joins on its IP's bucket with the range
+  * check left as a residual: a broadcast HASH join probing only the
+  * handful of ranges sharing the /16, still zero shuffles of the fact
+  * stream. A real MaxMind CSV dump drops in as the `ranges` DataFrame
+  * without code changes.
   */
 object GeoIp {
+
+  /** Prefix-bucket width: /16 — one bucket per B-class. */
+  private val BucketShift = 16
 
   /** Dotted-quad IPv4 → numeric (null for anything else, incl. IPv6 —
     * those simply don't match any v4 range, like the reference's
@@ -78,25 +87,39 @@ object GeoIp {
   /** Left-join `country_iso_code` onto `df` by matching `ipCol` into the
     * broadcast `ranges` table (`ip_start`, `ip_end`, `country`); when a
     * `v6Ranges` table (from [[fromGeoLite2CsvV6]]) is supplied, IPv6
-    * addresses range-match it on sign-flipped (hi, lo) halves — both
-    * joins are broadcast, the fact stream never shuffles.
+    * addresses range-match it on sign-flipped (hi, lo) halves. Both
+    * sides use the prefix-bucket equi-join (see object doc): broadcast
+    * HASH joins, the fact stream never shuffles, per-row probe cost is
+    * the ranges sharing one /16 — not the whole table.
     */
   def enrich(df: DataFrame, ipCol: String, ranges: DataFrame,
              v6Ranges: Option[DataFrame] = None): DataFrame = {
+    val bucketed = ranges.withColumn("__rb", explode(sequence(
+      shiftright(col("ip_start"), BucketShift),
+      shiftright(col("ip_end"), BucketShift))))
     val withNum = df.withColumn("__ipnum", ipv4ToLong(col(ipCol)))
     val v4 = withNum
-      .join(broadcast(ranges),
-        col("__ipnum") >= col("ip_start") && col("__ipnum") <= col("ip_end"),
+      .join(broadcast(bucketed),
+        shiftright(col("__ipnum"), BucketShift) === col("__rb") &&
+          col("__ipnum") >= col("ip_start") && col("__ipnum") <= col("ip_end"),
         "left_outer")
       .withColumnRenamed("country", "country_iso_code")
-      .drop("__ipnum", "ip_start", "ip_end")
+      .drop("__ipnum", "ip_start", "ip_end", "__rb")
     v6Ranges match {
       case None => v4
       case Some(r6) =>
+        // bucket = ARITHMETIC shift of the sign-flipped hi half: the
+        // flipped values order 128-bit addresses as signed longs, and
+        // an arithmetic shift is monotone in that order, so a range's
+        // buckets are exactly sequence(shift(hs), shift(he))
+        val r6b = r6.withColumnRenamed("country", "__c6")
+          .withColumn("__rb6", explode(sequence(
+            shiftright(col("hs"), 64 - BucketShift),
+            shiftright(col("he"), 64 - BucketShift))))
         val (hi, lo) = ipv6ToLongs(col(ipCol))
         v4.withColumn("__hi", flipSign(hi)).withColumn("__lo", flipSign(lo))
-          .join(broadcast(r6.withColumnRenamed("country", "__c6")),
-            col("__hi").isNotNull &&
+          .join(broadcast(r6b),
+            shiftright(col("__hi"), 64 - BucketShift) === col("__rb6") &&
               (col("__hi") > col("hs") ||
                 (col("__hi") === col("hs") && col("__lo") >= col("ls"))) &&
               (col("__hi") < col("he") ||
@@ -104,7 +127,7 @@ object GeoIp {
             "left_outer")
           .withColumn("country_iso_code",
             coalesce(col("country_iso_code"), col("__c6")))
-          .drop("__hi", "__lo", "hs", "ls", "he", "le", "__c6")
+          .drop("__hi", "__lo", "hs", "ls", "he", "le", "__c6", "__rb6")
     }
   }
 
