@@ -522,6 +522,65 @@ object Queries {
     "text_fingerprint" -> Decl(
       (s, d) => TextAnalysis.fingerprint(docs(s, d)),
       Some("SELECT doc_id, md5(lower(text)) AS fp, CAST('0x'||substr(md5(lower(text)),1,15) AS BIGINT) AS fp60 FROM documents")),
+
+    // Repetition quality: most-frequent-bigram and duplicated-bigram
+    // fractions per document, vs an oracle that rebuilds the same
+    // bigrams with a 1-indexed lateral range. SUM(BIGINT) is HUGEINT
+    // in DuckDB → CAST back everywhere.
+    "text_repetition" -> Decl(
+      (s, d) => TextAnalysis.repetitionStats(docs(s, d)),
+      Some("""WITH g AS (
+             |  SELECT doc_id, unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS gram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |  WHERE len(w) >= 2),
+             |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+             |a AS (SELECT doc_id,
+             |  CAST(SUM(c) AS BIGINT) AS n_grams,
+             |  CAST(MAX(c) AS BIGINT) AS top_gram,
+             |  CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_grams
+             | FROM c GROUP BY doc_id)
+             |SELECT doc_id, n_grams, top_gram, dup_grams,
+             |  CAST(top_gram AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_frac,
+             |  CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+             |  CASE WHEN CAST(top_gram AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.2
+             |         OR CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.5
+             |       THEN 'drop' ELSE 'keep' END AS verdict
+             |FROM a""".stripMargin)),
+
+    // PII scrubbing. The synthetic documents table contains no
+    // PII-shaped text at all, so the query CONSTRUCTS it — both
+    // engines build the identical string from the same events columns
+    // (the established pattern for exercising a transform the fixtures
+    // don't reach), then scrub it with the same staged regexes.
+    "pii_scrub" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val text = concat(
+          lit("contact u"), col("user_id").cast("string"),
+          lit("@mail"), (col("user_id") % 10).cast("string"),
+          lit(".com from 10.0."), (col("user_id") % 256).cast("string"),
+          lit("."), (col("event_id") % 200).cast("string"),
+          lit(" ref "), col("props"),
+          lit(" phone "), (col("event_id") * 7 + 5550000000L).cast("string"))
+        TextAnalysis.scrubPii(
+          ev(s, d).select(col("event_id"), text.as("text")),
+          "event_id", "text")
+      },
+      Some("""WITH t AS (SELECT event_id,
+             |  'contact u' || CAST(user_id AS VARCHAR) || '@mail' || CAST(user_id % 10 AS VARCHAR) ||
+             |  '.com from 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 200 AS VARCHAR) ||
+             |  ' ref ' || props || ' phone ' || CAST(event_id * 7 + 5550000000 AS VARCHAR) AS text
+             | FROM events),
+             |s1 AS (SELECT event_id, text,
+             |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS a FROM t),
+             |s2 AS (SELECT event_id, text, a,
+             |  regexp_replace(a, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS b FROM s1)
+             |SELECT event_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(a, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+             |  CAST(len(regexp_extract_all(b, '\d{7,}')) AS BIGINT) AS n_digit_runs,
+             |  regexp_replace(b, '\d{7,}', '<NUM>', 'g') AS scrubbed
+             |FROM s2""".stripMargin)),
   )
 
   // ------------------------------------------------------------- composite
@@ -585,6 +644,18 @@ object Queries {
       },
       Some("""SELECT doc_id, n_chars FROM documents
              |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 < 10""".stripMargin)),
+
+    // Stratified sampling: a fixed-size, class-balanced subset — the
+    // 25 smallest hash ranks per language. WindowGroupLimit truncates
+    // each map task to k rows per stratum before the shuffle.
+    "pipeline_sample_stratified" -> Decl(
+      (s, d) => Sampling.stratified(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id", 25),
+      Some("""SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+             |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+             |    ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 25""".stripMargin)),
   )
 
   // ----------------------------------------------------------------- dedup
@@ -965,6 +1036,48 @@ object Queries {
               |SELECT q_id, vec_id, cos_sim, rn FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
               |WHERE rn <= 10""".stripMargin)),
+
+    // Int8 quantization: per-vector scale + quantized values. The
+    // vector is compared as a comma-joined string (no declared query
+    // emits a raw array — the comparator's array handling is unproven,
+    // and the string pins element order and values just as hard).
+    "sim_quantize_int8" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Similarity.quantizeInt8(emb(s, d))
+          .select(col("vec_id"), col("scale"),
+            concat_ws(",", col("qvec").cast("array<string>")).as("qstr"))
+      },
+      Some("""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+             |m AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS ma FROM c)
+             |SELECT vec_id, ma/127 AS scale,
+             |  CASE WHEN ma = 0 THEN array_to_string([CAST(0 AS BIGINT) for x in v], ',')
+             |  ELSE array_to_string([CAST(floor(x / (ma/127) + 0.5) AS BIGINT) for x in v], ',')
+             |  END AS qstr
+             |FROM m""".stripMargin)),
+
+    // Exact top-k over the quantized vectors: the scales cancel out of
+    // the cosine, so scores are integer dot products (exact in
+    // doubles, order-independent) over root-self-dots.
+    "sim_topk_int8" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.int8TopK(e, e.filter(col("vec_id") < 10), 10)
+      },
+      Some("""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+             |m AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS ma FROM c),
+             |qt AS (SELECT vec_id, CASE WHEN ma = 0 THEN [CAST(0 AS DOUBLE) for x in v]
+             |   ELSE [CAST(floor(x / (ma/127) + 0.5) AS DOUBLE) for x in v] END AS q FROM m),
+             |qs AS (SELECT vec_id AS q_id, q AS qv FROM qt WHERE vec_id < 10),
+             |s AS (SELECT q_id, qt.vec_id,
+             |   list_sum([qv[i+1]*q[i+1] for i in range(64)]) /
+             |   (sqrt(list_sum([qv[i+1]*qv[i+1] for i in range(64)])) *
+             |    sqrt(list_sum([q[i+1]*q[i+1] for i in range(64)]))) AS cos_sim
+             | FROM qt, qs WHERE qt.vec_id <> q_id)
+             |SELECT q_id, vec_id, cos_sim, rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+             |WHERE rn <= 10""".stripMargin)),
   )
 
   // -------------------------------------------------------------- registry

@@ -76,6 +76,35 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Symmetric int8 quantization — the memory-scale path for ANN: a
+    * 64-dim float vector becomes 64 bytes + one scale, a 4-8x shrink
+    * that lets an executor hold proportionally more of the corpus per
+    * probe. Per vector: scale = max|x|/127, q_i = floor(x_i/scale +
+    * 0.5) (explicit floor-of-shifted rounding so every engine agrees
+    * on halfway cases); an all-zero vector quantizes to zeros.
+    * Pure per-row projection, no shuffle.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val ma = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val q = when(ma === 0d, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => floor(x / (ma / lit(127)) + lit(0.5))))
+    emb.select(col("vec_id"), (ma / lit(127)).as("scale"), q.as("qvec"))
+  }
+
+  /** Exact top-k over the QUANTIZED vectors: same plan as
+    * [[bruteForceTopK]] (query side broadcast, corpus scanned once),
+    * but every pair costs an int8 dot product. The scales cancel out
+    * of the cosine, so the score is pure integer dot products (exact
+    * in doubles — order-independent) over their root-self-dots; ranks
+    * approximate the float cosine ranks to quantization error.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quantized(df: DataFrame) =
+      quantizeInt8(df).select(col("vec_id"), col("qvec").as("embedding"))
+    bruteForceTopK(quantized(corpus), quantized(queries), k)
+  }
+
   /** Collect a small anchor/centroid table to driver literals.
     * These sets are tiny BY CONSTRUCTION (k ≤ a few hundred even at
     * 100 TB), so inlining them turns per-vector bucketing into a pure

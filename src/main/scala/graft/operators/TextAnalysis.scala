@@ -145,4 +145,67 @@ object TextAnalysis {
       col("doc_id"),
       md5(lower(col("text"))).as("fp"),
       hash60(lower(col("text"))).as("fp60"))
+
+  /** Repetition-based quality signals (the C4/Gopher-style filters a
+    * training-data pipeline drops boilerplate with): per document, the
+    * fraction of word bigrams taken by the single most frequent one
+    * (`top_frac`) and the fraction covered by bigrams occurring more
+    * than once (`dup_frac`), plus a keep/drop verdict. Documents with
+    * fewer than two tokens produce no row.
+    *
+    * Scale shape: one codegen'd bigram explode ([[Dedup.shingleRows]])
+    * and two hash aggregations with map-side partials — no windows
+    * over per-document arrays, no collect. Fractions are exact
+    * bigint-over-bigint double divisions (bit-identical across
+    * engines), so the verdict thresholds compare identically too.
+    */
+  def repetitionStats(docs: DataFrame,
+                      maxTopFrac: Double = 0.2,
+                      maxDupFrac: Double = 0.5): DataFrame = {
+    val counts = Dedup.shingleRows(docs, 2, distinct = false)
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+           max(col("c")).as("top_gram"),
+           coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_grams"))
+      .withColumn("top_frac",
+        col("top_gram").cast("double") / col("n_grams").cast("double"))
+      .withColumn("dup_frac",
+        col("dup_grams").cast("double") / col("n_grams").cast("double"))
+      .withColumn("verdict",
+        when(col("top_frac") > maxTopFrac || col("dup_frac") > maxDupFrac,
+          "drop").otherwise("keep"))
+  }
+
+  /** PII patterns, shared with the oracle. ASCII character classes
+    * only (`\d` is ASCII in both Java regex and RE2 by default) and no
+    * backreferences, so Spark and DuckDB match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val DigitRunRe = "\\d{7,}"
+
+  /** PII scrubbing — the anonymization pass a training-data pipeline
+    * runs before anything else: redact emails, dotted-quad IPs, and
+    * long digit runs (phone/account numbers), reporting how many of
+    * each were found. Redaction is STAGED (emails, then IPs on the
+    * email-scrubbed text, then digit runs on that) so each counter
+    * sees exactly the text its pattern will rewrite and the engines
+    * cannot disagree about overlapping matches.
+    *
+    * Scale: a pure per-row projection — no shuffle, no UDF; the regex
+    * replaces are codegen'd and the repeated intermediate strings are
+    * collapsed by subexpression elimination within the projection.
+    */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val s1 = regexp_replace(raw, EmailRe, "<EMAIL>")
+    val s2 = regexp_replace(s1, Ipv4Re, "<IP>")
+    df.select(col(idCol),
+      regexp_count(raw, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(s1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(s2, lit(DigitRunRe)).cast("long").as("n_digit_runs"),
+      regexp_replace(s2, DigitRunRe, "<NUM>").as("scrubbed"))
+  }
 }
