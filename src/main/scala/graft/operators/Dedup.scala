@@ -210,7 +210,12 @@ object Dedup {
           struct(col("doc_b").as("doc_id"), lit(2).as("side")))).as("m"))
       .select(col("doc_a"), col("doc_b"),
               col("m.doc_id").as("doc_id"), col("m.side").as("side"))
-    shingleRows(docs, n, distinct = false)
+    // Shingle only docs that appear in some candidate pair: the
+    // semi-join runs BEFORE the explode, so the n-gram blowup is
+    // proportional to the verify work, not the corpus.
+    val needed = docs.join(
+      members.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    shingleRows(needed, n, distinct = false)
       .join(members, "doc_id")
       .groupBy(col("doc_a"), col("doc_b"), col("shingle"))
       .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
