@@ -656,6 +656,30 @@ object Queries {
              |    ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT), doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 25""".stripMargin)),
+
+    // Decontamination: train docs sharing >= 2 trigrams with a
+    // hash-held-out "benchmark" slice (~4% of docs). The eval shingles
+    // broadcast; the train corpus streams past map-side; only real
+    // collisions shuffle. COUNT(*) is BIGINT in DuckDB only after a
+    // CAST (driver hashes by representation).
+    "pipeline_decontaminate" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val all = docs(s, d)
+        val split = graft.functions.TextFunctions
+          .hash60(col("doc_id").cast("string")) % 25
+        Decontaminate.overlaps(
+          all.filter(split =!= 0), all.filter(split === 0), 3, 2)
+      },
+      Some(s"""WITH ${shinglesCteFrom("documents")},
+              |e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM e
+              |       WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 25 = 0),
+              |tr AS (SELECT * FROM e
+              |       WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 25 <> 0)
+              |SELECT tr.doc_id AS doc_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+              |FROM tr JOIN ev ON tr.shingle = ev.shingle
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
   )
 
   // ----------------------------------------------------------------- dedup

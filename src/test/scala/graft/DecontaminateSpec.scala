@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontaminate
+
+/** Benchmark decontamination: overlap counting, threshold, duplicate
+  * shingles counted once, and the per-doc verdict rollup.
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // eval doc 100: trigrams {a b c, b c d, c d e}
+  private lazy val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+
+  private lazy val train = Seq(
+    (1L, "a b c d x"),          // shares {a b c, b c d} → 2
+    (2L, "z z a b c q"),        // shares {a b c} → 1, below threshold
+    (3L, "a b c d e f"),        // shares all 3 → contaminated
+    (4L, "unrelated text entirely here"),
+    (5L, "a b c a b c d")       // repeated shingle counts ONCE → 2
+  ).toDF("doc_id", "text")
+
+  test("overlaps counts distinct shared n-grams above the threshold") {
+    val got = Decontaminate.overlaps(train, evalSet, 3, 2)
+      .select("doc_id", "eval_id", "n_overlap")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L, 2L), (3L, 100L, 3L), (5L, 100L, 2L)))
+  }
+
+  test("contaminated rolls up the worst overlap per train doc") {
+    val multiEval = evalSet.union(
+      Seq((200L, "c d e f g")).toDF("doc_id", "text"))
+    val got = Decontaminate.contaminated(train, multiEval, 3, 2)
+      .select("doc_id", "n_eval_docs", "max_overlap")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 3 shares {c d e, d e f} with eval 200 as well
+    assert(got === Set((1L, 1L, 2L), (3L, 2L, 3L), (5L, 1L, 2L)))
+  }
+
+  test("eval side joins via broadcast, train side is never self-joined") {
+    val plan = Decontaminate.overlaps(train, evalSet, 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
