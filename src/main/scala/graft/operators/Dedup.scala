@@ -204,7 +204,14 @@ object Dedup {
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, n: Int,
                             minJaccard: Double): DataFrame = {
     require(minJaccard > 0, "verifyJaccard emits only overlapping pairs")
-    val members = cands.select(col("doc_a"), col("doc_b"),
+    // The candidate table feeds TWO subtrees (the semi-join filter and
+    // the membership join) and exchange reuse does not unify them, so
+    // without pinning, the whole signature->bands->buckets pipeline
+    // runs twice. Candidates are small (bounded by the bucket cap);
+    // persisting computes them once and serves both sides.
+    val pinned = cands.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = pinned.select(col("doc_a"), col("doc_b"),
         explode(array(
           struct(col("doc_a").as("doc_id"), lit(1).as("side")),
           struct(col("doc_b").as("doc_id"), lit(2).as("side")))).as("m"))
