@@ -716,6 +716,33 @@ object Queries {
       (s, d) => Dedup.exact(docs(s, d)),
       Some("SELECT md5(lower(text)) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keeper FROM documents GROUP BY h")),
 
+    // Incremental dedup of a constructed "new batch" (a 10% hash slice
+    // verbatim = true duplicates, another slice mutated = novel docs)
+    // against the full corpus as the at-rest side. The Bloom prefilter
+    // is probabilistic but the exact confirm join makes the RESULT
+    // exact for any fpp — so it oracles like any other query.
+    "dedup_incremental_bloom" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        val h = graft.functions.TextFunctions
+          .hash60(col("doc_id").cast("string")) % 10
+        val dupes = all.filter(h === 0).select(col("doc_id"), col("text"))
+        val novel = all.filter(h === 1).select(
+          (col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" zzznovel")).as("text"))
+        Dedup.dedupAgainstCorpus(dupes.union(novel), all, 100000L, 0.01)
+      },
+      Some("""WITH nb AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text || ' zzznovel' FROM documents
+             |  WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 10 = 1),
+             |c AS (SELECT md5(lower(text)) AS fp FROM documents)
+             |SELECT DISTINCT nb.doc_id, md5(lower(nb.text)) AS fp
+             |FROM nb JOIN c ON md5(lower(nb.text)) = c.fp""".stripMargin)),
+
     "dedup_ngram_jaccard" -> Decl(
       (s, d) => Dedup.ngramJaccard(docs(s, d), 3, 0.5),
       Some(s"""WITH $shinglesCte,

@@ -32,6 +32,47 @@ object Dedup {
     docs.groupBy(md5(lower(col("text"))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
 
+  /** Incremental exact dedup of a NEW BATCH against an at-rest corpus
+    * — the shape that matters at 100 TB, where re-shuffling the corpus
+    * per ingest batch is not an option. Returns the new rows whose
+    * normalized text already exists in the corpus, as
+    * `(doc_id, fp)`.
+    *
+    * Two passes, neither of which shuffles the corpus:
+    *  1. A Bloom filter over the corpus fingerprints (built with a
+    *     map-side tree aggregate, broadcast to executors) prefilters
+    *     the new batch — docs the filter rejects are PROVABLY novel
+    *     (no false negatives) and drop out map-side. This is the only
+    *     UDF in the repo's operators, confined to the small new-batch
+    *     tier; the corpus side stays fully declarative.
+    *  2. The surviving candidates (expected-duplicate-rate × batch,
+    *     tiny) broadcast, and the corpus streams past them in a
+    *     BroadcastHashJoin to confirm exactly — Bloom false positives
+    *     die here, so the result is exact for ANY fpp.
+    *
+    * The filter itself is reusable across batches (rebuild it only
+    * when the corpus grows materially); here it is rebuilt per call
+    * to stay a pure function.
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val fp = md5(lower(col("text")))
+    val bloom = corpus.select(fp.as("fp"))
+      .stat.bloomFilter("fp", math.max(expectedItems, 1L), fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    val candidates = newDocs
+      .select(col("doc_id"), fp.as("fp"))
+      .filter(mightContain(col("fp")))
+    corpus.select(fp.as("fp"))
+      .join(broadcast(candidates), "fp")
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** Distinct (doc_id, shingle) ROWS without interpreted lambdas:
     * explode the codegen'd offset range and assemble each shingle once
     * per output row. (Exploding an array built by a CodegenFallback
