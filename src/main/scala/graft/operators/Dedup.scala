@@ -53,6 +53,12 @@ object Dedup {
     * The filter itself is reusable across batches (rebuild it only
     * when the corpus grows materially); here it is rebuilt per call
     * to stay a pure function.
+    *
+    * EAGER, unlike every other operator here: `stat.bloomFilter` runs
+    * a corpus-scan job at CALL time (the filter must exist before the
+    * returned plan can be built), so merely constructing or explaining
+    * this query pays one corpus pass. Callers that only want the plan
+    * shape should pass a small corpus.
     */
   def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
                          expectedItems: Long = 1000000L,
@@ -191,13 +197,23 @@ object Dedup {
     * PAIRS are generated by collecting each bucket's doc list and
     * expanding in-bucket combinations — ONE pass over the bands (a
     * self-join would recompute the whole signature pipeline for each
-    * side). The shingle arrays are joined back only for surviving
-    * pairs and verified with exact Jaccard. At 100 TB the candidate
+    * side). Candidates are then verified with exact Jaccard computed
+    * over streamed (doc_id, shingle) rows — see [[verifyJaccard]]; no
+    * shingle arrays are ever materialized. At 100 TB the candidate
     * set is the tiny fraction banding lets through.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3,
                  minJaccard: Double = 0.2,
-                 maxBucket: Int = MaxBucket): DataFrame = {
+                 maxBucket: Int = MaxBucket): DataFrame =
+    verifyJaccard(lshCandidates(docs, n, maxBucket), docs, n, minJaccard)
+
+  /** Candidate pairs from band collisions, hot buckets capped.
+    * Package-visible so plan-shape specs can inspect this segment —
+    * [[minhashLsh]] checkpoints it (see [[verifyJaccard]]), which
+    * truncates it out of the public query's lineage.
+    */
+  private[graft] def lshCandidates(docs: DataFrame, n: Int,
+                                   maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bands = lshBands(minhashSignatures(docs, n))
     // Hot buckets are BOUNDED: a mass-duplicate corpus (the #1
@@ -222,7 +238,7 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    verifyJaccard(cands, docs, n, minJaccard)
+    cands
   }
 
   /** Exact-Jaccard verification of candidate pairs (shared by
@@ -249,9 +265,11 @@ object Dedup {
     // the membership join) and exchange reuse does not unify them, so
     // without pinning, the whole signature->bands->buckets pipeline
     // runs twice. Candidates are small (bounded by the bucket cap);
-    // persisting computes them once and serves both sides.
-    val pinned = cands.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy localCheckpoint computes them once and serves both sides —
+    // and unlike df.persist (whose CacheManager entry outlives every
+    // reference), its blocks are RDD-level cache the ContextCleaner
+    // reclaims once the query's RDDs are garbage collected.
+    val pinned = cands.localCheckpoint(eager = false)
     val members = pinned.select(col("doc_a"), col("doc_b"),
         explode(array(
           struct(col("doc_a").as("doc_id"), lit(1).as("side")),

@@ -57,9 +57,13 @@ class DedupSkewSpec extends SparkSpec {
   }
 
   test("collect_list never sees an unbounded bucket in the capped plan") {
-    // the rank-filter must sit BELOW the list aggregation in the plan
-    val plan = Dedup.minhashLsh(corpus, 3, 0.5)
+    // the rank-filter must sit BELOW the list aggregation; the public
+    // query checkpoints this segment (hiding it behind a LogicalRDD),
+    // so assert on the candidate stage directly
+    val plan = Dedup.lshCandidates(corpus, 3, Dedup.MaxBucket)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("row_number"))
+    val rn = plan.indexOf("row_number")
+    val cl = plan.indexOf("collect_list")
+    assert(rn >= 0 && cl >= 0 && cl < rn, plan)
   }
 }

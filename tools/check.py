@@ -42,7 +42,7 @@ def family(t):
     if "decimal" in t:
         return "HAZARD:decimal"
     for k, fam in (("int", "int"), ("double", "float"), ("float", "float"),
-                   ("date32", "date"), ("timestamp", "ts"), ("bool", "bool")):
+                   ("timestamp", "ts"), ("date", "date"), ("bool", "bool")):
         if k in t:
             return fam
     return "other"
@@ -62,7 +62,7 @@ def type_hazards(got, exp):
             if f.startswith("HAZARD"):
                 issues.append(f"{c}: {side} {f}")
         if not g.startswith("HAZARD") and not e.startswith("HAZARD") \
-                and g != e and {g, e} != {"other"} and "other" not in (g, e):
+                and g != e and "other" not in (g, e):
             issues.append(f"{c}: spark={g} vs oracle={e}")
     return issues
 
