@@ -55,4 +55,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("o10_daily_average")
     assert(p.contains("ReadSchema: struct<ts:bigint,value:double>"), p.take(2000))
   }
+
+  test("stratified sampling pre-truncates map-side (WindowGroupLimit)") {
+    val p = plan("pipeline_sample_stratified")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // both partial (pre-shuffle) and final passes
+    assert(p.contains("Partial") && p.contains("Final"), p.take(2000))
+  }
+
+  test("decontamination broadcasts the eval side, never self-joins train") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
