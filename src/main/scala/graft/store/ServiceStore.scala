@@ -121,6 +121,43 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
   def importFrom(path: String): (Long, Long) =
     migrate(spark.read.parquet(path), "service")
 
+  /** Maintenance compaction — the price of a 5 s micro-batch ingest
+    * loop is a file per trigger, so a day of streaming leaves ~17k
+    * tiny files per service and scan parallelism degenerates into
+    * file-open overhead. Rewrites one service's partition into
+    * `ceil(bytes / targetFileBytes)` evenly-sized files (repartition —
+    * a shuffle of that service's data only — balances them; coalesce
+    * would inherit the skew being repaired).
+    *
+    * Write-audit-swap: the compacted copy lands in a staging dir
+    * first, then two renames swap it in — readers see the old files
+    * or the new ones, never a partial mix, and a failure before the
+    * swap leaves the partition untouched. Returns
+    * (files before, files after).
+    */
+  def compact(service: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(exists(service), s"unknown service: $service")
+    val dir = servicePath(service)
+    def parquetFiles(p: Path): Int =
+      fs.listStatus(p).count(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(dir)
+    val bytes = fs.getContentSummary(dir).getLength
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staging = new Path(warehouse, s".compact-service=$service")
+    fs.delete(staging, true)
+    spark.read.parquet(dir.toString).repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    val retired = new Path(warehouse, s".retired-service=$service")
+    fs.delete(retired, true)
+    fs.rename(dir, retired)
+    fs.rename(staging, dir)
+    fs.delete(retired, true)
+    (before, parquetFiles(dir))
+  }
+
   /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */
   def sizeBytes(): Long = {
     val root = new Path(warehouse)

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.store.ServiceStore
+
+/** ServiceStore.compact: file-count reduction, row/value preservation,
+  * other partitions untouched, and staging dirs invisible to readers.
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact merges micro-batch files without changing the data") {
+    val wh = Files.createTempDirectory("graft-compact").toString
+    val store = new ServiceStore(spark, wh)
+    // 12 tiny appends = at least 12 files in the partition (a morning
+    // of 5 s triggers, miniaturized)
+    (0 until 12).foreach { b =>
+      store.append(
+        Seq((b.toLong, s"2020-01-0${b % 9 + 1}", b * 1.5))
+          .toDF("id", "day", "value")
+          .withColumn("service", lit("api")))
+    }
+    store.append(
+      Seq((99L, "2020-02-01", 9.9)).toDF("id", "day", "value")
+        .withColumn("service", lit("other")))
+
+    val beforeRows = store.read("api").orderBy("id").collect().toSeq
+    val (filesBefore, filesAfter) = store.compact("api")
+    assert(filesBefore >= 12, s"expected >=12 small files, got $filesBefore")
+    assert(filesAfter === 1, s"tiny partition should compact to 1 file")
+
+    // identical content, same schema, other service untouched
+    assert(store.read("api").orderBy("id").collect().toSeq === beforeRows)
+    assert(store.read("other").count() === 1L)
+    assert(store.list() === Seq("api", "other"))
+  }
+
+  test("compact refuses unknown services and leaves no staging debris") {
+    val wh = Files.createTempDirectory("graft-compact2").toString
+    val store = new ServiceStore(spark, wh)
+    store.append(Seq((1L, 1.0)).toDF("id", "value")
+      .withColumn("service", lit("api")))
+    intercept[IllegalArgumentException](store.compact("nope"))
+    store.compact("api")
+    // readAll sees exactly the data; no dot-dirs leak into results
+    assert(store.readAll().count() === 1L)
+  }
+}
