@@ -106,4 +106,37 @@ class PropertySpec extends SparkSpec {
       assert(perDay.forall(_ <= n), s"n=$n asc=$asc exceeded")
     }
   }
+
+  test("int8 quantization: values bounded, reconstruction within half a step") {
+    val gen = Gen.listOfN(16, Gen.choose(-8.0f, 8.0f))
+    val vecs = samples(gen, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getAs[collection.Seq[Long]]("qvec"))).toMap
+    vecs.foreach { case (id, orig) =>
+      val (scale, q) = got(id)
+      assert(q.forall(x => x >= -127 && x <= 127), s"vec $id out of range")
+      // dequantized value within half a quantization step of the input
+      orig.zip(q).foreach { case (o, qi) =>
+        assert(math.abs(qi * scale - o) <= scale / 2 + 1e-9,
+          s"vec $id: $o -> $qi at scale $scale")
+      }
+    }
+  }
+
+  test("stratified sample is invariant to input partitioning") {
+    val docs = (0 until 500).map(i => (i.toLong, s"lang${i % 5}"))
+      .toDF("doc_id", "lang")
+    def sample(parts: Int) =
+      graft.operators.Sampling
+        .stratified(docs.repartition(parts), "lang", "doc_id", 7)
+        .select("doc_id", "lang", "sample_rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val one = sample(1)
+    assert(sample(8) === one && sample(32) === one)
+    assert(one.size === 35)
+  }
 }
