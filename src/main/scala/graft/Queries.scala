@@ -682,6 +682,121 @@ object Queries {
               |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
   )
 
+  // -------------------------------------------------------------- curation
+  // Structure-aware and distribution-based curation passes (Curation /
+  // TextAnalysis): line-level dedup, URL canonicalization, relative
+  // quality cutoff, hashed-n-gram importance selection, vocabulary
+  // extraction.
+
+  private val curation: Seq[(String, Decl)] = Seq(
+    // CCNet-style line dedup. The corpus is single-line, so both
+    // engines derive a multi-line variant the same way: ' scan ' →
+    // newline (left-to-right non-overlapping replace — identical
+    // semantics in Java and DuckDB). First global occurrence of each
+    // line (by (doc_id, pos)) survives; docs reassemble in order.
+    "dedup_lines" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mt = docs(s, d).select(col("doc_id"),
+          expr("replace(concat(' ', text, ' '), ' scan ', '\n')").as("mt"))
+        Curation.dedupLines(mt, "doc_id", "mt")
+      },
+      Some("""WITH t AS (SELECT doc_id, replace(' '||text||' ', ' scan ', chr(10)) AS mt FROM documents),
+             |ll AS (SELECT doc_id, string_split(mt, chr(10)) AS l FROM t),
+             |e AS (SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS pos, unnest(l) AS line FROM ll),
+             |k AS (SELECT doc_id, pos, line FROM e
+             |      QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |        string_agg(line, chr(10) ORDER BY pos) AS cleaned FROM k GROUP BY doc_id)
+             |SELECT ll.doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+             |       COALESCE(n_kept, 0) AS n_kept, COALESCE(cleaned, '') AS cleaned
+             |FROM ll LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    // Canonical-URL dedup over crawl-frontier URLs CONSTRUCTED from
+    // events in both engines (mixed-case host, default port, utm_*
+    // params, trailing slashes, fragments — the variants that hide
+    // duplicate fetches).
+    "pipeline_url_normalize" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val url = expr("""concat('HTTPS://H', event_id % 10, '.Example.COM',
+          CASE event_id % 4 WHEN 0 THEN ':443' ELSE '' END,
+          '/p/', user_id % 50, CASE event_id % 3 WHEN 0 THEN '/' ELSE '' END,
+          CASE event_id % 5 WHEN 0 THEN concat('?utm_source=x&q=', user_id % 7)
+               WHEN 1 THEN concat('?q=', user_id % 7, '&utm_campaign=y')
+               WHEN 2 THEN '?utm_only=z' ELSE concat('?q=', user_id % 7) END,
+          CASE event_id % 2 WHEN 0 THEN '#frag' ELSE '' END)""")
+        Curation.urlDedup(ev(s, d).select(col("event_id"), url.as("url")),
+          "event_id", "url")
+      },
+      Some("""WITH u AS (SELECT event_id,
+             |  'HTTPS://H' || (event_id % 10) || '.Example.COM' || (CASE event_id % 4 WHEN 0 THEN ':443' ELSE '' END) ||
+             |  '/p/' || (user_id % 50) || (CASE event_id % 3 WHEN 0 THEN '/' ELSE '' END) ||
+             |  (CASE event_id % 5 WHEN 0 THEN '?utm_source=x&q=' || (user_id % 7)
+             |        WHEN 1 THEN '?q=' || (user_id % 7) || '&utm_campaign=y'
+             |        WHEN 2 THEN '?utm_only=z' ELSE '?q=' || (user_id % 7) END) ||
+             |  (CASE event_id % 2 WHEN 0 THEN '#frag' ELSE '' END) AS url
+             | FROM events),
+             |nf AS (SELECT event_id, regexp_replace(url, '#.*$', '') AS u0 FROM u),
+             |parts AS (SELECT event_id,
+             |  lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |  regexp_replace(lower(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(443|80)$', '') AS host,
+             |  regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             |  regexp_extract(u0, '\?([^#]*)', 1) AS query
+             | FROM nf),
+             |q1 AS (SELECT *, regexp_replace('&' || query, '&utm_[A-Za-z0-9_]+=[^&]*', '', 'g') AS qq FROM parts),
+             |q2 AS (SELECT event_id, scheme, host,
+             |  CASE WHEN path = '' OR regexp_replace(path, '/+$', '') = '' THEN '/'
+             |       ELSE regexp_replace(path, '/+$', '') END AS npath,
+             |  regexp_replace(qq, '^&', '') AS nq
+             | FROM q1)
+             |SELECT scheme || '://' || host || npath || (CASE WHEN nq = '' THEN '' ELSE '?' || nq END) AS norm_url,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt, MIN(event_id) AS canonical_id
+             |FROM q2 GROUP BY 1""".stripMargin)),
+
+    // Relative quality gate: docs at/above the corpus-wide 25th
+    // percentile of type-token ratio. Both engines interpolate R-7
+    // over the same exact integer-ratio doubles.
+    "pipeline_quality_cutoff" -> Decl(
+      (s, d) => Curation.qualityCutoff(docs(s, d), 0.25),
+      Some("""WITH s AS (SELECT doc_id,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+             |  CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr
+             | FROM documents),
+             |c AS (SELECT quantile_cont(ttr, 0.25) AS cutoff FROM s)
+             |SELECT doc_id, ttr, cutoff FROM s, c WHERE ttr >= cutoff""".stripMargin)),
+
+    // DSIR-style importance selection toward the lang='en' slice —
+    // integer cross-multiplied leaning votes (see Curation.dsirSelect)
+    // so no float accumulates across partitions.
+    "pipeline_dsir_select" -> Decl(
+      (s, d) => Curation.dsirSelect(docs(s, d),
+        org.apache.spark.sql.functions.col("lang") === "en", 1024),
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+             |g AS (SELECT doc_id, lang, unnest([w[i+1]||' '||w[i+2] for i in range(len(w)-1)]) AS gram
+             |      FROM toks WHERE len(w) >= 2),
+             |gb AS (SELECT doc_id, (lang = 'en') AS is_t,
+             |       CAST('0x'||substr(md5(gram),1,15) AS BIGINT) % 1024 AS b FROM g),
+             |bc AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+             |       CAST(COUNT(*) AS BIGINT) AS c_r FROM gb GROUP BY b),
+             |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r FROM bc),
+             |lean AS (SELECT b, (c_t * n_r > c_r * n_t) AS leaning FROM bc, tot)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN leaning THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+             |  CAST(SUM(CASE WHEN leaning THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS target_frac,
+             |  (CAST(SUM(CASE WHEN leaning THEN 1 ELSE 0 END) AS BIGINT) * MIN(n_r) > CAST(COUNT(*) AS BIGINT) * MIN(n_t)) AS selected
+             |FROM gb JOIN lean USING (b) CROSS JOIN tot GROUP BY doc_id""".stripMargin)),
+
+    // Tokenizer vocabulary: top-100 corpus terms by occurrences with
+    // document frequency.
+    "text_vocab_topk" -> Decl(
+      (s, d) => TextAnalysis.vocabTopK(docs(s, d), 100),
+      Some("""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+             |GROUP BY term ORDER BY cnt DESC, term LIMIT 100""".stripMargin)),
+  )
+
   // ----------------------------------------------------------------- dedup
 
   private val minhashConstsCte: String = {
@@ -1135,7 +1250,7 @@ object Queries {
 
   val all: Seq[(String, Decl)] =
     parity ++ ingest ++ relational ++ text ++ dedup ++ similarity ++
-      multimodal ++ scalePath ++ composite
+      multimodal ++ scalePath ++ composite ++ curation
 
   def queries: Map[String, QFn] =
     all.map { case (n, decl) => n -> decl.fn }.toMap

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators beyond per-document filtering: structure-
+  * aware dedup (lines), source canonicalization (URLs), distribution-
+  * based selection (global percentile cutoff, hashed-n-gram importance
+  * selection). These are the passes a web-scale training-data pipeline
+  * runs between raw crawl and tokenization.
+  *
+  * Everything is built-in Catalyst surface (no UDFs): the per-row
+  * stages are whole-stage-codegen'd projections, and the aggregation
+  * stages shuffle narrow keys only.
+  */
+object Curation {
+
+  /** CCNet-style line-level deduplication: split every document into
+    * lines, drop every line whose exact content (md5) has already been
+    * seen at a smaller (doc_id, position) anywhere in the corpus, and
+    * reassemble the surviving lines in order. Boilerplate (headers,
+    * nav bars, cookie banners) repeats across pages line-for-line even
+    * when whole documents differ, which is why line-granular dedup
+    * removes what document-granular dedup cannot.
+    *
+    * Output: one row per input document — `n_lines`, `n_kept`, and the
+    * reassembled `cleaned` text ('' when every line was a repeat).
+    *
+    * Scale shape: one posexplode (no arrays survive it — rows are
+    * (doc_id, pos, line)), ONE shuffle on the line hash for the
+    * first-occurrence rank, one shuffle back on doc_id for ordered
+    * reassembly, then a doc_id-keyed left join against the per-doc
+    * line counts (so docs whose every line was a repeat still emit a
+    * row with `cleaned = ''`). The first-occurrence window partitions
+    * by md5(line) — at 100 TB the hottest key is a hot *line* (an
+    * empty line, "Home"), whose bucket is bounded by rank-1 early
+    * exit: because the `rn = 1` filter sits directly on the window,
+    * WindowGroupLimit truncates each map task to one row per hash
+    * BEFORE the shuffle, so a billion-occurrence line ships one row
+    * per task, not a billion. (A single-pass conditional aggregate
+    * would save the second scan but lose exactly that truncation —
+    * every hot-line occurrence would cross the wire to one reducer.)
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "line")))
+    val firstSeen = Window.partitionBy(md5(col("line")))
+      .orderBy(col("doc_id"), col("pos"))
+    val kept = lines
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, expr(
+          "transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"))
+          .as("cleaned"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** URL canonicalization: lowercase scheme and host, strip default
+    * ports (:80/:443), drop the fragment, strip tracking (utm_*) query
+    * parameters, and collapse trailing slashes — so crawl variants of
+    * the same page agree on one key. Pure staged regex projection
+    * (ASCII classes, no backreferences), identical under Java regex
+    * and RE2.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val u0 = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u0, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(u0, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      ":(443|80)$", "")
+    val path = regexp_extract(u0, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(u0, "\\?([^#]*)", 1)
+    val qClean = regexp_replace(
+      regexp_replace(concat(lit("&"), query), "&utm_[A-Za-z0-9_]+=[^&]*", ""),
+      "^&", "")
+    val pTrim = regexp_replace(path, "/+$", "")
+    val nPath = when(path === "" || pTrim === "", "/").otherwise(pTrim)
+    concat(scheme, lit("://"), host, nPath,
+      when(qClean === "", "").otherwise(concat(lit("?"), qClean)))
+  }
+
+  /** Canonical-URL dedup: normalize, then one count per canonical URL
+    * with the smallest id as the keeper — the crawl-frontier dedup
+    * that runs before any content is even fetched twice. One narrow
+    * hash-shuffle on the normalized string; map-side partials collapse
+    * the per-split repeats first.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), normalizeUrl(col(urlCol)).as("norm_url"))
+      .groupBy(col("norm_url"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical_id"))
+
+  /** Distribution-based quality gate: keep documents whose type-token
+    * ratio reaches the corpus-wide `p`-quantile — a *relative* cutoff
+    * that adapts to the corpus instead of a hand-tuned constant
+    * (the "remove the worst X%" knob every curation pipeline has).
+    *
+    * The cutoff is a one-row aggregate cross-joined back (broadcast —
+    * never a driver collect). Exact `percentile` sort-aggregates the
+    * score column on one reducer: fine into the tens of millions of
+    * docs, and the bit-exact form the oracle can check; at full 100 TB
+    * scale swap in `approx_percentile` (t-digest, mergeable partials)
+    * with an epsilon on the boundary — same plan otherwise.
+    */
+  def qualityCutoff(docs: DataFrame, p: Double): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(col("doc_id"),
+      (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")).as("ttr"))
+    val cut = scored.agg(expr(s"percentile(ttr, $p)").as("cutoff"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("ttr") >= col("cutoff"))
+      .select(col("doc_id"), col("ttr"), col("cutoff"))
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): documents are
+    * scored by how much their hashed-bigram distribution leans toward
+    * a target slice of the corpus (here: a predicate like
+    * `lang = 'en'`), against the raw corpus distribution.
+    *
+    * Bigrams hash into `buckets` feature buckets; a bucket is
+    * target-leaning iff its target share exceeds the corpus-wide
+    * target share — compared by INTEGER cross-multiplication
+    * (`c_t·N_r > c_r·N_t`), so both engines agree bit-for-bit with no
+    * log-ratio float summation (the paper's log-likelihood-ratio sum
+    * is order-sensitive in floats; the leaning-bucket vote is the
+    * order-independent form of the same signal). A document is
+    * `selected` when its own leaning-gram share beats the corpus
+    * target share — again integer cross-multiplied.
+    *
+    * Scale shape: one bigram explode; the bucket table is `buckets`
+    * rows (map-side partials collapse the explode immediately) and
+    * broadcasts back; totals are a 1-row aggregate; the only wide
+    * shuffle is the per-doc count. Nothing is quadratic and no
+    * floating-point accumulates across partitions. At 100 TB the
+    * integer cross-products approach Long overflow (c·N ≲ 9.2e18), so
+    * promote the comparison to DECIMAL(38,0) there — same plan.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column,
+                 buckets: Int = 1024): DataFrame = {
+    val w = tokens(col("text"))
+    val grams = docs
+      .select(col("doc_id"), targetPred.as("is_t"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        explode(sequence(lit(0), size(col("w")) - 2)).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("is_t"),
+        (hash60(concat_ws(" ",
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2))) % buckets).as("b"))
+    val bucketCounts = grams.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+    val totals = bucketCounts
+      .agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
+    val leaning = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (col("c_t") * col("n_r") > col("c_r") * col("n_t")).as("leaning"),
+        col("n_t"), col("n_r"))
+    grams.join(broadcast(leaning), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("leaning"), 1L).otherwise(0L)).as("n_target"),
+        first(col("n_t")).as("n_t"), first(col("n_r")).as("n_r"))
+      .select(col("doc_id"), col("n_grams"), col("n_target"),
+        (col("n_target").cast("double") / col("n_grams").cast("double"))
+          .as("target_frac"),
+        (col("n_target") * col("n_r") > col("n_grams") * col("n_t"))
+          .as("selected"))
+  }
+}

@@ -137,6 +137,26 @@ object TextAnalysis {
         .otherwise("drop").as("verdict"))
   }
 
+  /** Vocabulary extraction for tokenizer training: the top-k corpus
+    * terms by total occurrences (ties by term), with document
+    * frequency alongside — the count table a BPE/unigram tokenizer
+    * trainer consumes.
+    *
+    * Scale shape: one token explode into a (doc, term)-distinct-free
+    * count — map-side partials collapse each split's repeats before
+    * the (term) shuffle; `df` rides the same aggregate via a
+    * count-distinct over doc_id (Spark expands it to one extra
+    * (term, doc_id) dedup exchange, still term-keyed). The global
+    * top-k is TakeOrderedAndProject — per-partition heaps of k, never
+    * a full sort.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+
   /** Document fingerprint: full md5 plus a 60-bit integer form usable as
     * a join/partition key.
     */

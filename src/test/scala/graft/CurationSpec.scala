@@ -1,12 +1,14 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Sampling, Similarity, TextAnalysis}
 
 /** Unit behavior of the round-3 curation operators: stratified
-  * sampling, repetition-quality stats, PII scrubbing, and int8
-  * quantization. Oracle parity is covered by the declared queries;
-  * these pin the hand-checkable semantics.
+  * sampling, repetition-quality stats, PII scrubbing, int8
+  * quantization, line-level dedup, URL canonicalization, relative
+  * quality cutoff, and DSIR importance selection. Oracle parity is
+  * covered by the declared queries; these pin the hand-checkable
+  * semantics.
   */
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -88,6 +90,92 @@ class CurationSpec extends SparkSpec {
     val r2 = got(2L)
     assert(r2.getAs[Double]("scale") === 0.0)
     assert(r2.getAs[Seq[Long]]("qvec") === Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("dedupLines keeps first global occurrence, reassembles in order") {
+    val docs = Seq(
+      (1L, "home\nunique one\nhome"),   // within-doc repeat of "home"
+      (2L, "unique one\nfresh line"),   // cross-doc repeat of "unique one"
+      (3L, "home")                      // every line already seen
+    ).toDF("doc_id", "text")
+    val got = Curation.dedupLines(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_lines") === 3L)
+    assert(got(1L).getAs[Long]("n_kept") === 2L)
+    assert(got(1L).getAs[String]("cleaned") === "home\nunique one")
+    assert(got(2L).getAs[Long]("n_kept") === 1L)
+    assert(got(2L).getAs[String]("cleaned") === "fresh line")
+    assert(got(3L).getAs[Long]("n_kept") === 0L)
+    assert(got(3L).getAs[String]("cleaned") === "")
+  }
+
+  test("normalizeUrl canonicalizes case, ports, utm params, slashes, fragments") {
+    val urls = Seq(
+      "HTTP://Ex.COM:80/a/?utm_source=x#frag",
+      "http://ex.com/a",
+      "https://Ex.com:443",
+      "https://ex.com/?utm_a=1&utm_b=2",
+      "https://ex.com/p?utm_x=1&q=2&utm_y=3#z"
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val got = urls.select(col("id"), Curation.normalizeUrl(col("url")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "http://ex.com/a")
+    assert(got(1L) === "http://ex.com/a")
+    assert(got(2L) === "https://ex.com/")
+    assert(got(3L) === "https://ex.com/")
+    assert(got(4L) === "https://ex.com/p?q=2")
+  }
+
+  test("urlDedup groups crawl variants under one canonical key") {
+    val df = Seq(
+      (10L, "HTTPS://A.com/x/"), (11L, "https://a.COM/x"),
+      (12L, "https://a.com/x#top"), (13L, "https://b.com/y")
+    ).toDF("id", "url")
+    val got = Curation.urlDedup(df, "id", "url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("https://a.com/x" -> ((3L, 10L)),
+                       "https://b.com/y" -> ((1L, 13L))))
+  }
+
+  test("qualityCutoff keeps docs at/above the corpus ttr quantile") {
+    // ttr: 1.0, 1.0, 0.5, 0.25 → median interpolates to 0.75
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "w x y z"),
+      (3L, "a a b b"), (4L, "a a a b")
+    ).toDF("doc_id", "text")
+    val got = Curation.qualityCutoff(docs, 0.5)
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(got.select("cutoff").head().getDouble(0) === 0.75)
+  }
+
+  test("dsirSelect votes docs toward the target bigram distribution") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta alpha beta", true),
+      (3L, "gamma delta gamma delta", false),
+      (4L, "alpha beta gamma delta", false)
+    ).toDF("doc_id", "text", "is_target")
+    val got = Curation.dsirSelect(docs, col("is_target")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // target-leaning buckets: "alpha beta" (4·12>5·6), "beta alpha"
+    // (2·12>2·6); raw-only grams are not leaning.
+    assert(got(1L).getAs[Long]("n_grams") === 3L)
+    assert(got(1L).getAs[Long]("n_target") === 3L)
+    assert(got(1L).getAs[Boolean]("selected"))
+    assert(got(3L).getAs[Long]("n_target") === 0L)
+    assert(!got(3L).getAs[Boolean]("selected"))
+    // doc 4 has 1 leaning gram of 3: 1·12 > 3·6 is false
+    assert(got(4L).getAs[Long]("n_target") === 1L)
+    assert(!got(4L).getAs[Boolean]("selected"))
+  }
+
+  test("vocabTopK orders by count then term and carries document frequency") {
+    val docs = Seq(
+      (1L, "red red blue"), (2L, "red blue green")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabTopK(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("red", 3L, 2L), ("blue", 2L, 2L)))
   }
 
   test("int8TopK ranks a near-identical vector above an orthogonal one") {
