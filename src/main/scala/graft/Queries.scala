@@ -1203,6 +1203,30 @@ object Queries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
               |WHERE rn <= 10""".stripMargin)),
 
+    // SemDedup: cluster-scoped semantic dedup (keep-lowest-id). The
+    // oracle reuses the IVF assignment CTE shape and recomputes the
+    // same within-cell pairs.
+    "sim_semdedup" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.semDedup(e, e.filter(col("vec_id") < 8), 0.35)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+              |scored AS (SELECT c.vec_id, c.v, c_id,
+              |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+              |assign AS (SELECT vec_id, v, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM scored)
+              |   WHERE rn = 1),
+              |p AS (SELECT b.vec_id
+              |      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |      WHERE ${duckCosine("a.v", "b.v")} >= 0.35),
+              |d AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups FROM p GROUP BY vec_id)
+              |SELECT assign.vec_id, CAST(cell AS INTEGER) AS cell,
+              |  COALESCE(n_dups, 0) AS n_dups, (COALESCE(n_dups, 0) > 0) AS is_dup
+              |FROM assign LEFT JOIN d USING (vec_id)""".stripMargin)),
+
     // Int8 quantization: per-vector scale + quantized values. The
     // vector is compared as a comma-joined string (no declared query
     // emits a raw array — the comparator's array handling is unproven,

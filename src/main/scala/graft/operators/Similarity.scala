@@ -232,6 +232,57 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic
+    * deduplication scoped to embedding clusters. Every corpus vector
+    * is assigned to its best centroid cell (the same map-side argmax
+    * projection as [[ivfTopK]] — the corpus is never shuffled to be
+    * labeled); within each cell, a vector whose cosine to a LOWER-id
+    * cellmate reaches `minCos` is a semantic duplicate (the paper's
+    * keep-one policy with a deterministic lowest-id representative).
+    *
+    * Output: (vec_id, cell, n_dups = count of lower-id near-dups in
+    * the cell, is_dup).
+    *
+    * Scale shape: clustering bounds the quadratic term — pairs form
+    * per cell via an equi-join on the cell id, never across cells, so
+    * cost is Σ|cell|², controlled by k (the paper runs 50k clusters
+    * over 5B embeddings for exactly this reason). Assignment is
+    * recomputed per join side rather than checkpointed — k dot
+    * products per row of pure projection, cheaper at scale than
+    * materializing a corpus-sized intermediate. At 100 TB, partition
+    * the corpus BY CELL at rest (as [[ivfTopK]] notes) and the pair
+    * join collapses to a co-partitioned self-join with no exchange.
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame,
+               minCos: Double): DataFrame = {
+    val cent = collectVectors(centroids)
+    def assigned = {
+      val scores = array(cent.map { case (id, cv) =>
+        struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+      }: _*)
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("scores_arr", scores)
+        .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+        .drop("scores_arr")
+        .withColumn("nrm", norm(col("v")))
+    }
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dupCounts = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter((dot(col("va"), col("vb")) / (col("na") * col("nb"))) >= minCos)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupCounts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) > 0L).as("is_dup"))
+  }
+
   /** Spherical k-means (Lloyd) refinement of the IVF centroids:
     * initialize from the first `k` vectors, then iterate
     * assign-to-max-cosine / recompute-normalized-mean. Each iteration

@@ -32,6 +32,29 @@ class KmeansIvfSpec extends SparkSpec {
     }
   }
 
+  test("semDedup flags lower-id near-dups within a cell only") {
+    import spark.implicits._
+    // two well-separated cells; 10/11 near-identical in cell A,
+    // 20 alone in cell B even though 21 (cell A) is its id-neighbor
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // centroid A
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // centroid B
+      (10L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (11L, Array(0.91f, 0.09f, 0.0f, 0.0f)), // dup of 10 (and 0)
+      (20L, Array(0.5f, 0.86f, 0.0f, 0.0f))   // cell B, no cellmate within 0.95
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(corpus,
+      corpus.filter(col("vec_id") < 2), 0.95).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 5)
+    assert(!got(0L).getAs[Boolean]("is_dup"))  // lowest id in its cell
+    assert(got(10L).getAs[Boolean]("is_dup"))  // near 0 and each other
+    assert(got(11L).getAs[Boolean]("is_dup"))
+    assert(got(11L).getAs[Long]("n_dups") === 2L)
+    assert(!got(20L).getAs[Boolean]("is_dup")) // only near-dups are in cell A
+    assert(got(20L).getAs[Int]("cell") === 1)
+  }
+
   test("refined centroids drop into ivfTopK and keep or beat recall") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)
