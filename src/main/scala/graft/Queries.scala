@@ -787,6 +787,38 @@ object Queries {
              |  (CAST(SUM(CASE WHEN leaning THEN 1 ELSE 0 END) AS BIGINT) * MIN(n_r) > CAST(COUNT(*) AS BIGINT) * MIN(n_t)) AS selected
              |FROM gb JOIN lean USING (b) CROSS JOIN tot GROUP BY doc_id""".stripMargin)),
 
+    // Concat-and-chunk sequence packing: 512-token training sequences
+    // over the doc_id-ordered token stream, crossing doc boundaries —
+    // per sequence, contributing-doc stats and exact token counts.
+    "pipeline_pack_sequences" -> Decl(
+      (s, d) => TextAnalysis.packSequences(docs(s, d), 512L),
+      Some("""WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |  CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+             | FROM documents),
+             |e AS (SELECT doc_id, n, p,
+             |        CAST(unnest(range(p // 512, (p + n - 1) // 512 + 1)) AS BIGINT) AS seq_id
+             |      FROM s)
+             |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+             |  CAST(SUM(LEAST(p + n, (seq_id + 1) * 512) - GREATEST(p, seq_id * 512)) AS BIGINT) AS n_tokens
+             |FROM e GROUP BY seq_id""".stripMargin)),
+
+    // Cross-source duplication matrix at line granularity (the
+    // ' scan ' → newline derivation shared with dedup_lines).
+    "dedup_source_overlap" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mt = docs(s, d).select(col("source"),
+          expr("replace(concat(' ', text, ' '), ' scan ', '\n')").as("mt"))
+        Dedup.sourceOverlap(mt, "source", "mt")
+      },
+      Some("""WITH t AS (SELECT source, replace(' '||text||' ', ' scan ', chr(10)) AS mt FROM documents),
+             |f AS (SELECT DISTINCT md5(unnest(string_split(mt, chr(10)))) AS h, source FROM t)
+             |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Tokenizer vocabulary: top-100 corpus terms by occurrences with
     // document frequency.
     "text_vocab_topk" -> Decl(

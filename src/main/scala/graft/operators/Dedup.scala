@@ -32,6 +32,34 @@ object Dedup {
     docs.groupBy(md5(lower(col("text"))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
 
+  /** Cross-source duplication matrix: for every pair of sources (crawl
+    * snapshots, domains, dumps), how many distinct LINES they share —
+    * the overlap audit run before mixing corpora, at line granularity
+    * because boilerplate repeats across sources line-for-line even
+    * when documents differ.
+    *
+    * Shape: explode to (line-hash, source), distinct (one narrow
+    * shuffle; map-side partials collapse each split's repeats), then a
+    * self-equi-join on the hash whose per-key fanout is bounded by the
+    * SOURCE COUNT (each hash carries at most one row per source —
+    * never corpus-sized), finishing in an S² aggregate. With S in the
+    * hundreds the join output is ≤ S²/2 rows per shared hash.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    sep: String = "\n"): DataFrame = {
+    val f = df
+      .select(col(groupCol).as("source"),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as("line"))
+      .select(md5(col("line")).as("h"), col("source"))
+      .distinct()
+    f.as("a")
+      .join(f.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental exact dedup of a NEW BATCH against an at-rest corpus
     * — the shape that matters at 100 TB, where re-shuffling the corpus
     * per ingest batch is not an option. Returns the new rows whose

@@ -68,7 +68,20 @@ object TextAnalysis {
     * the oracle's single global window.
     */
   def packShards(docs: DataFrame, tokensPerShard: Long,
-                 bucketWidth: Long = 1024L): DataFrame = {
+                 bucketWidth: Long = 1024L): DataFrame =
+    tokenPrefix(docs, bucketWidth)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__prefix div $tokensPerShard").as("shard"))
+
+  /** Two-level distributed prefix sum of whitespace-token counts in
+    * doc_id order: (doc_id, n_tokens, __prefix = tokens before this
+    * doc). Fixed-width doc_id buckets yield per-bucket totals (a tiny
+    * relation whose running sum is a cheap window), broadcast back so
+    * each within-bucket cumulative window is bounded by `bucketWidth`
+    * docs — bit-identical to a single global window, without the
+    * one-reducer global sort.
+    */
+  private def tokenPrefix(docs: DataFrame, bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sized = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -86,9 +99,37 @@ object TextAnalysis {
       .join(broadcast(bucketOffsets), "__bucket")
       .withColumn("__prefix",
         col("__boffset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"__prefix div $tokensPerShard").as("shard"))
+      .select(col("doc_id"), col("n_tokens"), col("__prefix"))
   }
+
+  /** Concat-and-chunk sequence packing — what an LM dataloader
+    * actually consumes: the doc_id-ordered token stream cut into
+    * fixed `seqLen`-token training sequences that CROSS document
+    * boundaries (vs [[packShards]], which assigns whole documents to
+    * budgeted shards). Emits one row per sequence: how many documents
+    * contribute, the first/last contributing doc, and the token count
+    * (`seqLen` everywhere but the final partial sequence).
+    *
+    * Shape: the [[tokenPrefix]] two-level prefix sum gives each doc
+    * its global token offset; a doc overlapping k sequences explodes
+    * into k rows (k = n_tokens/seqLen + 1 — bounded, never
+    * token-granular), and one hash aggregate on seq_id finishes.
+    * Overlap lengths are pure integer min/max arithmetic — exact in
+    * both engines.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long,
+                    bucketWidth: Long = 1024L): DataFrame =
+    tokenPrefix(docs, bucketWidth)
+      .select(col("doc_id"), col("n_tokens"), col("__prefix"),
+        explode(sequence(expr(s"__prefix div $seqLen"),
+          expr(s"(__prefix + n_tokens - 1) div $seqLen"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(least(col("__prefix") + col("n_tokens"),
+              (col("seq_id") + 1) * seqLen) -
+            greatest(col("__prefix"), col("seq_id") * seqLen)).as("n_tokens"))
 
   /** Token / character statistics incl. a BPE-ish regex token count. */
   def textStats(docs: DataFrame): DataFrame =

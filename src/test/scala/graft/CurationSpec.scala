@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Unit behavior of the round-3 curation operators: stratified
   * sampling, repetition-quality stats, PII scrubbing, int8
@@ -167,6 +167,35 @@ class CurationSpec extends SparkSpec {
     // doc 4 has 1 leaning gram of 3: 1·12 > 3·6 is false
     assert(got(4L).getAs[Long]("n_target") === 1L)
     assert(!got(4L).getAs[Boolean]("selected"))
+  }
+
+  test("packSequences cuts exact seqLen chunks across doc boundaries") {
+    // 5 + 4 + 3 = 12 tokens, seqLen 5 → chunks of 5, 5, 2
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h i"), (3L, "j k l")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, 5L).orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 1L, 1L, 5L),   // doc 1 exactly fills seq 0
+      (1L, 2L, 2L, 3L, 5L),   // doc 2 (4) + first token of doc 3
+      (2L, 1L, 3L, 3L, 2L)))  // doc 3's remaining 2 tokens
+    // token conservation at any seqLen
+    val total = TextAnalysis.packSequences(docs, 7L)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(total === 12L)
+  }
+
+  test("sourceOverlap counts distinct shared lines per source pair") {
+    val df = Seq(
+      ("s1", "common\nonly one"), ("s1", "common\nother"),
+      ("s2", "common\nshared two"), ("s3", "shared two\nsolo")
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlap(df, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "common" repeats inside s1 but counts once per pair
+    assert(got === Map(("s1", "s2") -> 1L, ("s2", "s3") -> 1L))
   }
 
   test("vocabTopK orders by count then term and carries document frequency") {

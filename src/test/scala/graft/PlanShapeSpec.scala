@@ -68,4 +68,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("line dedup truncates hot-line buckets map-side (WindowGroupLimit)") {
+    val p = plan("dedup_lines")
+    // rank-1 filter on the first-occurrence window must pre-truncate
+    // each map task before the line-hash shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("quality cutoff broadcasts the 1-row percentile, no driver collect") {
+    val p = plan("pipeline_quality_cutoff")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("DSIR selection broadcasts the bucket table back to the gram stream") {
+    val p = plan("pipeline_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("vocabulary top-k plans as distributed top-k, not a global sort") {
+    val p = plan("text_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
