@@ -126,6 +126,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLines is idempotent: a cleaned corpus re-cleans to itself") {
+    val word = Gen.oneOf("home", "nav", "body", "footer", "promo", "x", "y")
+    val lineGen = Gen.listOfN(3, word).map(_.mkString(" "))
+    val docGen = Gen.listOfN(4, lineGen).map(_.mkString("\n"))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val cleaned = graft.operators.Curation.dedupLines(docs, "doc_id", "text")
+    // every surviving line is globally unique, so a second pass keeps all
+    // (docs whose text collapsed to '' contribute one empty line, which
+    // dedups across them — exclude them from the fixpoint check)
+    val again = graft.operators.Curation.dedupLines(
+      cleaned.filter($"cleaned" =!= "")
+        .select($"doc_id", $"cleaned".as("text")), "doc_id", "text")
+    assert(again.filter($"n_kept" =!= $"n_lines").count() === 0L)
+    // token conservation: kept + dropped == total lines, per doc
+    val c = cleaned.collect()
+    assert(c.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_lines")))
+  }
+
+  test("normalizeUrl is idempotent over generated messy URLs") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+      host <- Gen.oneOf("Ex.COM", "a.b.org", "WWW.Site.NET")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/p", "/p/q/", "/p//")
+      q <- Gen.oneOf("", "?q=1", "?utm_s=x", "?utm_s=x&q=1", "?q=1&utm_c=2")
+      frag <- Gen.oneOf("", "#f", "#a/b?c")
+    } yield s"$scheme://$host$port$path$q$frag"
+    val urls = samples(gen, 60).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val once = urls.select($"id",
+      graft.operators.Curation.normalizeUrl(col("url")).as("url"))
+    val twice = once.select($"id",
+      graft.operators.Curation.normalizeUrl(col("url")).as("n2"))
+    val diff = once.join(twice, "id").filter($"url" =!= $"n2").collect()
+    assert(diff.isEmpty, diff.mkString("; "))
+  }
+
+  test("packSequences conserves tokens and fills all but the last chunk") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dddd")
+    val docGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (seqLen <- Seq(7L, 32L, 512L)) {
+      val texts = samples(docGen, 50)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val packed = graft.operators.TextAnalysis.packSequences(docs, seqLen)
+        .orderBy("seq_id").collect()
+      val total = texts.map(_.split(" ", -1).length.toLong).sum
+      assert(packed.map(_.getAs[Long]("n_tokens")).sum === total)
+      // all but the last sequence hold exactly seqLen tokens
+      packed.dropRight(1).foreach(r =>
+        assert(r.getAs[Long]("n_tokens") === seqLen, r.toString))
+      // sequence ids are contiguous from 0
+      assert(packed.map(_.getLong(0)).toSeq === packed.indices.map(_.toLong))
+    }
+  }
+
   test("stratified sample is invariant to input partitioning") {
     val docs = (0 until 500).map(i => (i.toLong, s"lang${i % 5}"))
       .toDF("doc_id", "lang")
