@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.CurationStream
+
+/** Curate-at-ingest stream: quality gate + within-batch dedup +
+  * against-corpus dedup, across two micro-batch runs over the same
+  * corpus directory.
+  */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toString
+
+  // 25 distinct words: n_tokens in [20, 2000], ttr 1.0 → "keep"
+  private def goodText(seed: String): String =
+    (1 to 25).map(i => s"$seed$i").mkString(" ")
+
+  private def writeJson(dir: String, name: String,
+                        docs: Seq[(Long, String)]): Unit = {
+    val lines = docs.map { case (id, t) =>
+      s"""{"doc_id":$id,"text":"$t"}"""
+    }.mkString("", "\n", "\n")
+    Files.write(Paths.get(dir, name), lines.getBytes("UTF-8"),
+      StandardOpenOption.CREATE)
+  }
+
+  test("stream lands only novel, quality-kept, deduplicated docs") {
+    val in = tmp("graft-cur-in")
+    val corpus = tmp("graft-cur-corpus") + "/corpus"
+    val ckpt = tmp("graft-cur-ckpt")
+
+    // batch 1: one good doc, an in-batch duplicate of it, one too-short
+    writeJson(in, "b1.json", Seq(
+      1L -> goodText("alpha"),
+      2L -> goodText("alpha"),      // same text, higher id → dropped
+      3L -> "too short to keep"))   // < 20 tokens → quality drop
+    CurationStream.start(spark, in, corpus, ckpt, Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val after1 = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after1 === Seq(1L))
+
+    // batch 2: a corpus duplicate of doc 1 and a novel good doc
+    writeJson(in, "b2.json", Seq(
+      4L -> goodText("alpha"),      // fingerprint already at rest → dropped
+      5L -> goodText("beta")))
+    CurationStream.start(spark, in, corpus, ckpt, Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val after2 = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after2 === Seq(1L, 5L))
+
+    // fingerprints at rest are unique
+    val fps = spark.read.parquet(corpus).select("fp").as[String].collect()
+    assert(fps.distinct.length === fps.length)
+  }
+}
