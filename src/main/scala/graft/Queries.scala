@@ -819,6 +819,37 @@ object Queries {
              |FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Source mixing: per-source keep rates (derived deterministically
+    // from the source name in both engines) applied as a map-side
+    // hash filter — the training-mix composition knob.
+    "pipeline_mix_sources" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d)
+        val weights = base.select(col("source")).distinct()
+          .withColumn("rate_permille",
+            ((expr("cast(substr(source, 4) as int)") % 4 + 1) * 100)
+              .cast("long"))
+        Sampling.mixSources(base, weights)
+      },
+      Some("""WITH w AS (SELECT source,
+             |    CAST((CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 100 AS BIGINT) AS rate_permille
+             |  FROM (SELECT DISTINCT source FROM documents))
+             |SELECT doc_id, d.source, rate_permille
+             |FROM documents d JOIN w USING (source)
+             |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000 < rate_permille""".stripMargin)),
+
+    // Corpus composition histogram: per (lang, exact-log2 size class)
+    // counts and totals — integer-only aggregates.
+    "pipeline_corpus_stats" -> Decl(
+      (s, d) => TextAnalysis.corpusStats(docs(s, d)),
+      Some("""SELECT lang,
+             |  CAST(length(bin(len(string_split(text,' ')))) - 1 AS BIGINT) AS size_class,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY 1, 2""".stripMargin)),
+
     // Tokenizer vocabulary: top-100 corpus terms by occurrences with
     // document frequency.
     "text_vocab_topk" -> Decl(

@@ -31,4 +31,20 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Per-source rate sampling — the data-mixing knob (Pile/DoReMi
+    * style): each source keeps a deterministic `rate_permille / 1000`
+    * fraction of its documents, so the training mix hits target
+    * proportions reproducibly. Membership depends only on the doc id
+    * (stable across runs, engines, partitionings); the weights table
+    * is per-source — tiny by construction — and broadcasts, so the
+    * whole operator is a map-side filter at any corpus size.
+    */
+  def mixSources(docs: DataFrame, weights: DataFrame,
+                 idCol: String = "doc_id",
+                 sourceCol: String = "source"): DataFrame =
+    docs.join(broadcast(weights), sourceCol)
+      .filter(hash60(col(idCol).cast("string")) % 1000 <
+        col("rate_permille"))
+      .select(col(idCol), col(sourceCol), col("rate_permille"))
 }

@@ -178,6 +178,24 @@ object TextAnalysis {
         .otherwise("drop").as("verdict"))
   }
 
+  /** Corpus composition report: per (language, log₂ size class) doc
+    * counts, token totals, and char totals — the histogram a curation
+    * run publishes before/after each pass. The size class is the EXACT
+    * integer log₂ (digit count of `bin(n_tokens)` minus one — no
+    * floating log whose boundary rounding could differ across
+    * engines). One partial+final hash aggregate; cardinality is
+    * |langs| × ~40 classes, so the shuffle is trivially small.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_ch"))
+      .groupBy(col("lang"),
+        (length(bin(col("n_tok"))) - 1).cast("long").as("size_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_ch")).as("total_chars"))
+
   /** Vocabulary extraction for tokenizer training: the top-k corpus
     * terms by total occurrences (ties by term), with document
     * frequency alongside — the count table a BPE/unigram tokenizer

@@ -198,6 +198,39 @@ class CurationSpec extends SparkSpec {
     assert(got === Map(("s1", "s2") -> 1L, ("s2", "s3") -> 1L))
   }
 
+  test("mixSources keeps a deterministic per-source fraction") {
+    val docs = (0 until 2000).map(i => (i.toLong, s"src${i % 2}"))
+      .toDF("doc_id", "source")
+    val weights = Seq(("src0", 100L), ("src1", 900L))
+      .toDF("source", "rate_permille")
+    val got = Sampling.mixSources(docs, weights)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates are statistical but with 1000 docs/source the md5 split
+    // lands well inside these bands; determinism is exact
+    assert(bySrc("src0") > 50L && bySrc("src0") < 180L, bySrc.toString)
+    assert(bySrc("src1") > 800L && bySrc("src1") < 980L, bySrc.toString)
+    val again = Sampling.mixSources(docs.repartition(13), weights)
+    assert(got.select("doc_id").except(again.select("doc_id")).count() === 0L)
+    assert(again.count() === got.count())
+  }
+
+  test("corpusStats buckets by exact integer log2 of token count") {
+    val docs = Seq(
+      (1L, "a", "en"),                      // 1 token  → class 0
+      (2L, "a b c", "en"),                  // 3 tokens → class 1
+      (3L, "a b c d", "en"),                // 4 tokens → class 2
+      (4L, "w x y z", "de")                 // 4 tokens → class 2
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.corpusStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("en", 0L)) === ((1L, 1L, 1L)))
+    assert(got(("en", 1L)) === ((1L, 3L, 5L)))
+    assert(got(("en", 2L)) === ((1L, 4L, 7L)))
+    assert(got(("de", 2L)) === ((1L, 4L, 7L)))
+  }
+
   test("vocabTopK orders by count then term and carries document frequency") {
     val docs = Seq(
       (1L, "red red blue"), (2L, "red blue green")
