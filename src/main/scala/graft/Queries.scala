@@ -1012,6 +1012,23 @@ object Queries {
               |  UNION ALL SELECT doc_id, r FROM reach)
               |GROUP BY doc_id""".stripMargin)),
 
+    // Content-defined chunking: duplicated chunks anywhere in the
+    // corpus, with boundaries derived from token hashes (≡ 0 mod 8).
+    "dedup_cdc_chunks" -> Decl(
+      (s, d) => Dedup.cdcDupChunks(docs(s, d), 8),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |e AS (SELECT doc_id, CAST(unnest(range(len(w))) AS BIGINT) AS pos, unnest(w) AS tok FROM toks),
+             |b AS (SELECT doc_id, pos, tok,
+             |  CASE WHEN CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS brk FROM e),
+             |c AS (SELECT doc_id, pos, tok,
+             |  CAST(COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk FROM b),
+             |ch AS (SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+             |       CAST(COUNT(*) AS BIGINT) AS n_tok FROM c GROUP BY 1, 2)
+             |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, MIN(n_tok) AS n_tokens
+             |FROM ch GROUP BY fp HAVING COUNT(*) > 1""".stripMargin)),
+
     "dedup_simhash_neardup" -> Decl(
       (s, d) => Dedup.simhashNearDup(docs(s, d), 6),
       Some(s"""WITH $shinglesCte,

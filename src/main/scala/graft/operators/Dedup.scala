@@ -60,6 +60,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Content-defined chunking (CDC): cut every document into chunks at
+    * DATA-DERIVED boundaries — after any token whose hash ≡ 0 mod
+    * `mod` (expected chunk length ≈ `mod` tokens). Because boundaries
+    * depend on content, not position, a small edit shifts ONE chunk
+    * while every other chunk keeps its fingerprint — the property that
+    * makes CDC the standard primitive for sub-document dedup and
+    * delta storage (vs fixed-separator lines or fixed-width windows,
+    * which misalign after any insertion).
+    *
+    * Returns one row per chunk: (doc_id, chunk, fp, n_tok).
+    *
+    * Shape: one token posexplode (linear), a PER-DOC cumulative-sum
+    * window (partitions are document-bounded — no global sort), one
+    * (doc, chunk) hash aggregate for ordered reassembly. All hashes
+    * md5-derived for oracle parity.
+    */
+  def cdcChunks(docs: DataFrame, mod: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksP = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toksP
+      .withColumn("brk",
+        when(graft.functions.TextFunctions.hash60(col("tok")) % mod === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk", coalesce(sum(col("brk")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(md5(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")))
+        .as("fp"),
+        count(lit(1)).as("n_tok"))
+  }
+
+  /** Chunks of [[cdcChunks]] that recur anywhere in the corpus —
+    * the shared-boilerplate / copied-passage report. One narrow
+    * fingerprint aggregate.
+    */
+  def cdcDupChunks(docs: DataFrame, mod: Int = 8): DataFrame =
+    cdcChunks(docs, mod)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_tok")).as("n_tokens"))
+      .filter(col("n_occ") > 1)
+
   /** Incremental exact dedup of a NEW BATCH against an at-rest corpus
     * — the shape that matters at 100 TB, where re-shuffling the corpus
     * per ingest batch is not an option. Returns the new rows whose

@@ -231,6 +231,31 @@ class CurationSpec extends SparkSpec {
     assert(got(("de", 2L)) === ((1L, 4L, 7L)))
   }
 
+  test("cdcChunks conserves tokens and keeps chunk ids contiguous") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),  // identical doc
+      (3L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, 4).collect()
+    // token conservation per doc
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc(1L).map(_.getAs[Long]("n_tok")).sum === 40L)
+    assert(byDoc(3L).map(_.getAs[Long]("n_tok")).sum === 4L)
+    // contiguous chunk ids from 0
+    byDoc.foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("chunk")).sorted
+      assert(ids.toSeq === ids.indices.map(_.toLong))
+    }
+    // identical docs produce identical fingerprint sequences → every
+    // chunk of doc 1 is a duplicate
+    val dups = Dedup.cdcDupChunks(docs, 4).collect()
+    val doc1Fps = byDoc(1L).map(_.getAs[String]("fp")).toSet
+    assert(doc1Fps.subsetOf(dups.map(_.getString(0)).toSet))
+    dups.filter(r => doc1Fps.contains(r.getString(0)))
+      .foreach(r => assert(r.getAs[Long]("n_docs") >= 2L))
+  }
+
   test("vocabTopK orders by count then term and carries document frequency") {
     val docs = Seq(
       (1L, "red red blue"), (2L, "red blue green")
