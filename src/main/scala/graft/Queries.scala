@@ -441,6 +441,18 @@ object Queries {
              |FROM a LEFT JOIN b USING (user_id)
              |GROUP BY d ORDER BY d""".stripMargin)),
 
+    // Q18-style: HAVING-subquery shape as aggregate → filter → join.
+    "tpch_q18_large_volume" -> Decl(
+      (s, d) => Relational.largeVolumeCustomers(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
+        Tables.read(s, d, "lineitem"), 150.0, 100),
+      Some("""WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+             |            FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150)
+             |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+             |FROM orders JOIN big ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)),
+
     "rel_top_customers" -> Decl(
       (s, d) => Relational.topCustomers(
         Tables.read(s, d, "customer"), Tables.read(s, d, "orders"), 10),

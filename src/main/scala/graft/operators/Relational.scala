@@ -98,6 +98,34 @@ object Relational {
         .cast("decimal(38,6)")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H Q18-style large-volume customers: orders whose total
+    * lineitem quantity exceeds `minQty`, with customer context and a
+    * deterministic top-n. The reference's HAVING subquery becomes
+    * aggregate → filter → join: the qualifying-order aggregate is
+    * computed ONCE and its quantity rides the join (Q18's outer
+    * re-aggregation would recompute the identical sum). The
+    * lineitem-rollup ⨝ orders join is fact-sized both sides → pinned
+    * SHUFFLE_HASH (the rollup arrives already hash-partitioned on the
+    * order key, so only orders moves); customers broadcast. l_quantity
+    * is integer-valued, so the distributed sums are exact in doubles
+    * regardless of partial-aggregate order.
+    */
+  def largeVolumeCustomers(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame, minQty: Double,
+                           n: Int): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders
+      .join(big.hint("shuffle_hash"),
+            col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(n)
+  }
+
   /** Top spenders: orders⨝customer rollup with a deterministic top-k. */
   def topCustomers(customer: DataFrame, orders: DataFrame, n: Int): DataFrame =
     orders

@@ -69,6 +69,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q18 keeps the rollup join shuffled-hash, customers broadcast, top-k distributed") {
+    val p = plan("tpch_q18_large_volume")
+    assert("ShuffledHashJoin".r.findAllIn(p).size === 1, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("line dedup truncates hot-line buckets map-side (WindowGroupLimit)") {
     val p = plan("dedup_lines")
     // rank-1 filter on the first-occurrence window must pre-truncate
