@@ -50,6 +50,21 @@ class SargableDatesSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects the sargable rule (production registration path)") {
+    // spark.sql.extensions is a static conf, unreachable from a shared
+    // test session — invoke the builder and read the injected rule set
+    // through the (private[sql]) build hook instead
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val m = classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getDeclaredMethods.find(x => x.getName.contains("buildOptimizerRules")
+        && x.getParameterCount == 1)
+      .getOrElse(fail("buildOptimizerRules hook not found"))
+    m.setAccessible(true)
+    val rules = m.invoke(ext, spark).asInstanceOf[Seq[_]]
+    assert(rules.contains(SargableDates), rules.toString)
+  }
+
   test("timestamp range reaches the parquet scan as a pushed filter") {
     // events.ts is a derived column (nanos→micros), so pushdown can't
     // apply there; use a native timestamp column instead.
