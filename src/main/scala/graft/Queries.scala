@@ -1295,6 +1295,33 @@ object Queries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
               |WHERE rn <= 10""".stripMargin)),
 
+    // Triplet mining: top-kPos positives + deterministic hash-drawn
+    // negatives outside the positive set, per anchor.
+    "sim_triplet_mining" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.tripletMining(e, e.filter(col("vec_id") < 10), 5, 5)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |s AS (SELECT q_id, vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |      FROM c, q WHERE vec_id <> q_id),
+              |pos AS (SELECT q_id, vec_id, rn FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+              |  WHERE rn <= 5),
+              |cand AS (SELECT q_id, c.vec_id FROM c, q
+              |         WHERE c.vec_id <> q_id
+              |           AND NOT EXISTS (SELECT 1 FROM pos p
+              |                           WHERE p.q_id = q.q_id AND p.vec_id = c.vec_id)),
+              |neg AS (SELECT q_id, vec_id, rn FROM (
+              |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY CAST('0x'||substr(md5(q_id||':'||vec_id),1,15) AS BIGINT), vec_id) AS rn
+              |  FROM cand) WHERE rn <= 5)
+              |SELECT q_id, vec_id, 'pos' AS role, CAST(rn AS INTEGER) AS rn FROM pos
+              |UNION ALL
+              |SELECT q_id, vec_id, 'neg' AS role, CAST(rn AS INTEGER) AS rn FROM neg""".stripMargin)),
+
     // SemDedup: cluster-scoped semantic dedup (keep-lowest-id). The
     // oracle reuses the IVF assignment CTE shape and recomputes the
     // same within-cell pairs.

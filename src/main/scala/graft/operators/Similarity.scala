@@ -105,6 +105,41 @@ object Similarity {
     bruteForceTopK(quantized(corpus), quantized(queries), k)
   }
 
+  /** Triplet mining for contrastive-embedding training: for each
+    * anchor, the `kPos` nearest corpus vectors become positives and
+    * `kNeg` DETERMINISTIC hash-sampled vectors OUTSIDE the positive
+    * set become negatives — the (anchor, positive, negative) triples a
+    * contrastive loss consumes, reproducible across runs/engines
+    * because negative choice depends only on (anchor, candidate) ids.
+    *
+    * Output: (q_id, vec_id, role ∈ {pos, neg}, rn) — rn ranks
+    * positives by similarity, negatives by their hash draw.
+    *
+    * Scale shape: positives ride [[bruteForceTopK]]'s broadcast plan
+    * (swap in [[lshTopK]]/[[ivfTopK]] for the approximate tier);
+    * negatives rank a pure hash projection per (anchor, candidate)
+    * pair — same broadcast cross join, no second corpus shuffle — and
+    * the anti-join against the positive set is broadcast-sized
+    * (|anchors| × kPos rows).
+    */
+  def tripletMining(corpus: DataFrame, anchors: DataFrame,
+                    kPos: Int, kNeg: Int): DataFrame = {
+    val pos = bruteForceTopK(corpus, anchors, kPos)
+    val q = anchors.select(col("vec_id").as("q_id"))
+    val negRank = Window.partitionBy(col("q_id")).orderBy(
+      graft.functions.TextFunctions.hash60(
+        concat_ws(":", col("q_id"), col("vec_id"))), col("vec_id"))
+    val neg = corpus.select(col("vec_id")).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(pos.select(col("q_id"), col("vec_id"))),
+        Seq("q_id", "vec_id"), "left_anti")
+      .withColumn("rn", row_number().over(negRank))
+      .filter(col("rn") <= kNeg)
+    pos.select(col("q_id"), col("vec_id"), lit("pos").as("role"), col("rn"))
+      .unionByName(neg.select(col("q_id"), col("vec_id"),
+        lit("neg").as("role"), col("rn")))
+  }
+
   /** Collect a small anchor/centroid table to driver literals.
     * These sets are tiny BY CONSTRUCTION (k ≤ a few hundred even at
     * 100 TB), so inlining them turns per-vector bucketing into a pure

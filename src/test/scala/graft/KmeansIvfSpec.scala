@@ -55,6 +55,31 @@ class KmeansIvfSpec extends SparkSpec {
     assert(got(20L).getAs[Int]("cell") === 1)
   }
 
+  test("tripletMining: positives are nearest, negatives disjoint and deterministic") {
+    import spark.implicits._
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Array(math.cos(i * 0.2).toFloat, math.sin(i * 0.2).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val anchors = corpus.filter(col("vec_id") < 2)
+    val got = Similarity.tripletMining(corpus, anchors, 3, 4).collect()
+    val byAnchor = got.groupBy(_.getLong(0))
+    byAnchor.foreach { case (q, rows) =>
+      val pos = rows.filter(_.getString(2) == "pos").map(_.getLong(1)).toSet
+      val neg = rows.filter(_.getString(2) == "neg").map(_.getLong(1)).toSet
+      assert(pos.size === 3 && neg.size === 4, s"anchor $q")
+      assert(pos.intersect(neg).isEmpty, s"anchor $q overlap")
+      assert(!pos.contains(q) && !neg.contains(q), s"anchor $q self")
+    }
+    // anchor 0's nearest on the unit circle are its angular neighbors
+    // (the circle wraps: 29 sits at 5.8 rad ≈ −0.48, closer than 3's 0.6)
+    assert(byAnchor(0L).filter(_.getString(2) == "pos").map(_.getLong(1)).toSet
+      === Set(1L, 2L, 29L))
+    // deterministic across partitionings
+    val again = Similarity.tripletMining(corpus.repartition(7), anchors, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(again === got.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+  }
+
   test("refined centroids drop into ivfTopK and keep or beat recall") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)
