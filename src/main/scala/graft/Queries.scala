@@ -862,6 +862,21 @@ object Queries {
              |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
              |FROM documents GROUP BY 1, 2""".stripMargin)),
 
+    // Vocabulary-id tokenization: ordered id sequences under the
+    // top-20 vocab (0 = OOV), the trainer-facing output format.
+    "pipeline_tokenize" -> Decl(
+      (s, d) => TextAnalysis.tokenize(docs(s, d), 20),
+      Some("""WITH vc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+             |  GROUP BY term ORDER BY cnt DESC, term LIMIT 20),
+             |v AS (SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS tid FROM vc),
+             |e AS (SELECT doc_id, CAST(unnest(range(len(w))) AS BIGINT) AS pos, unnest(w) AS tok
+             |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+             |m AS (SELECT doc_id, pos, COALESCE(tid, 0) AS tid FROM e LEFT JOIN v ON e.tok = v.term)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  string_agg(tid, ',' ORDER BY pos) AS ids
+             |FROM m GROUP BY doc_id""".stripMargin)),
+
     // Tokenizer vocabulary: top-100 corpus terms by occurrences with
     // document frequency.
     "text_vocab_topk" -> Decl(

@@ -216,6 +216,36 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)
 
+  /** Vocabulary-id tokenization — the last mile before the trainer:
+    * map every token to its id in the [[vocabTopK]] vocabulary (rank
+    * order; 0 = OOV/UNK) and emit each document's ordered id sequence.
+    *
+    * Scale shape: the vocabulary is `vocabSize` rows by construction —
+    * its rank window runs over one tiny partition and the table
+    * BROADCASTS, so the token→id map is a map-side hash join over the
+    * token explode; the only wide shuffle is the per-doc ordered
+    * reassembly. Ids are emitted comma-joined (pins order and values
+    * for the oracle compare; `split().cast("array<int>")` recovers the
+    * array).
+    */
+  def tokenize(docs: DataFrame, vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = vocabTopK(docs, vocabSize)
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      .select(col("term"), col("tid"))
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), col("tok") === col("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tid"), lit(0L)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)"))
+          .as("ids"))
+  }
+
   /** Document fingerprint: full md5 plus a 60-bit integer form usable as
     * a join/partition key.
     */

@@ -256,6 +256,18 @@ class CurationSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Long]("n_docs") >= 2L))
   }
 
+  test("tokenize maps tokens to vocab ranks with 0 for OOV, in order") {
+    val docs = Seq(
+      (1L, "red red blue rare"), (2L, "red blue blue")
+    ).toDF("doc_id", "text")
+    // vocab(2): red cnt 3 → id 1, blue cnt 3 → tie broken by term:
+    // blue < red, so blue = 1, red = 2; "rare" is OOV → 0
+    val got = TextAnalysis.tokenize(docs, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L) === ((4L, "2,2,1,0")))
+    assert(got(2L) === ((3L, "2,1,1")))
+  }
+
   test("vocabTopK orders by count then term and carries document frequency") {
     val docs = Seq(
       (1L, "red red blue"), (2L, "red blue green")
