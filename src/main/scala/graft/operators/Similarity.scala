@@ -311,8 +311,11 @@ object Similarity {
       .filter((dot(col("va"), col("vb")) / (col("na") * col("nb"))) >= minCos)
       .groupBy(col("id_b").as("vec_id"))
       .agg(count(lit(1)).as("n_dups"))
+    // SHUFFLE_HASH: without the hint the planner sort-merge-joins,
+    // paying a full sort of the corpus side; hash-building on the
+    // (smaller) dup-count side skips both sorts at any scale
     assigned.select(col("vec_id"), col("cell"))
-      .join(dupCounts, Seq("vec_id"), "left")
+      .join(dupCounts.hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         (coalesce(col("n_dups"), lit(0L)) > 0L).as("is_dup"))

@@ -102,4 +102,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("text_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("semDedup joins stay hash-based: cell pairs and the dup-count merge") {
+    val p = plan("sim_semdedup")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+  }
 }
