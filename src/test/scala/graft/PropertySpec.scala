@@ -185,6 +185,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("HLL daily uniques stay within 5% of exact (the one un-oracled query)") {
+    val sf = "/root/testdata/sf0.001"
+    val approx = Queries.queries("o11_daily_unique_approx")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = Queries.queries("o11_daily_unique")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (d, ex) =>
+      val ap = approx(d)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"$d: approx $ap vs exact $ex")
+    }
+  }
+
   test("stratified sample is invariant to input partitioning") {
     val docs = (0 until 500).map(i => (i.toLong, s"lang${i % 5}"))
       .toDF("doc_id", "lang")
