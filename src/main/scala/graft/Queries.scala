@@ -453,6 +453,37 @@ object Queries {
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)),
 
+    // Integerized PageRank over a link graph constructed from events
+    // (sparse, asymmetric: ~1000 nodes) — 3 unrolled power iterations
+    // in the oracle, all-floor integer arithmetic on both sides.
+    "rel_pagerank" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.pageRank(edges, 3)
+      },
+      Some("""WITH e AS (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+             |                  'h'||((event_id * 3 + user_id) % 997) AS dst FROM events),
+             |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+             |r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS rank FROM nodes CROSS JOIN nn),
+             |c1 AS (SELECT dst AS node, CAST(SUM(rank // deg) AS BIGINT) AS inr
+             |       FROM e JOIN r0 ON e.src = r0.node JOIN deg USING (src) GROUP BY dst),
+             |r1 AS (SELECT nodes.node, CAST((150000 // n) + ((85 * COALESCE(inr, 0)) // 100) AS BIGINT) AS rank
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+             |c2 AS (SELECT dst AS node, CAST(SUM(rank // deg) AS BIGINT) AS inr
+             |       FROM e JOIN r1 ON e.src = r1.node JOIN deg USING (src) GROUP BY dst),
+             |r2 AS (SELECT nodes.node, CAST((150000 // n) + ((85 * COALESCE(inr, 0)) // 100) AS BIGINT) AS rank
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+             |c3 AS (SELECT dst AS node, CAST(SUM(rank // deg) AS BIGINT) AS inr
+             |       FROM e JOIN r2 ON e.src = r2.node JOIN deg USING (src) GROUP BY dst),
+             |r3 AS (SELECT nodes.node, CAST((150000 // n) + ((85 * COALESCE(inr, 0)) // 100) AS BIGINT) AS rank
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+             |SELECT node, rank FROM r3""".stripMargin)),
+
     "rel_top_customers" -> Decl(
       (s, d) => Relational.topCustomers(
         Tables.read(s, d, "customer"), Tables.read(s, d, "orders"), 10),

@@ -5,6 +5,27 @@ import java.sql.Timestamp
 import graft.operators.Temporal
 
 /** Golden edges for the composed temporal operators. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("integer pageRank: hand-computed star graph, partitioning-invariant") {
+    val edges = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val got = graft.operators.Graphs.pageRank(edges, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N=3: r0 = 333333 each, teleport = 150000/3 = 50000
+    // b: 50000 + (85 * (333333 + 333333)) div 100 = 50000 + 566666
+    assert(got === Map("a" -> 50000L, "b" -> 616666L, "c" -> 50000L))
+    // deterministic under repartitioning and more iterations
+    val r3a = graft.operators.Graphs.pageRank(edges.repartition(7), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r3b = graft.operators.Graphs.pageRank(edges, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3a === r3b)
+    // authority concentrates on the sink of the star
+    assert(r3b("b") > r3b("a"))
+  }
+}
+
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
 
