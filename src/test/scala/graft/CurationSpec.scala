@@ -109,6 +109,17 @@ class CurationSpec extends SparkSpec {
     assert(got(3L).getAs[String]("cleaned") === "")
   }
 
+  test("dedupLines survives a mass-duplicate hot line (3000 copies)") {
+    // every doc shares the boilerplate line; only doc 0 keeps it
+    val docs = (0 until 3000).map(i => (i.toLong, s"boilerplate header\nunique $i"))
+      .toDF("doc_id", "text").repartition(16)
+    val got = Curation.dedupLines(docs, "doc_id", "text")
+    assert(got.count() === 3000L)
+    val keepers = got.filter($"n_kept" === 2L).select("doc_id").as[Long].collect()
+    assert(keepers.toSeq === Seq(0L))
+    assert(got.filter($"n_kept" === 1L).count() === 2999L)
+  }
+
   test("normalizeUrl canonicalizes case, ports, utm params, slashes, fragments") {
     val urls = Seq(
       "HTTP://Ex.COM:80/a/?utm_source=x#frag",
