@@ -672,6 +672,54 @@ object Queries {
              |SELECT d.doc_id, d.n_chars FROM documents d
              |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)""".stripMargin)),
 
+    // The capstone composite: the full curation chain — repetition
+    // gate ∧ quality gate ∧ exact-dedup keeper — then vocabulary-id
+    // tokenization of the SURVIVORS (vocab built from the cleaned
+    // corpus, as a real pipeline would). Every stage is the same
+    // operator its standalone query gates; the joins all key on
+    // doc_id, so one corpus hash-partitioning serves the whole chain.
+    "pipeline_curate_tokenize" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d)
+        val cleaned = base
+          .join(TextAnalysis.qualityScore(base)
+            .filter(col("verdict") === "keep").select("doc_id"), "doc_id")
+          .join(TextAnalysis.repetitionStats(base)
+            .filter(col("verdict") === "keep").select("doc_id"), "doc_id")
+          .join(Dedup.exact(base).select(col("keeper").as("doc_id")), "doc_id")
+        TextAnalysis.tokenize(cleaned, 20)
+      },
+      Some("""WITH q AS (SELECT doc_id FROM (
+             |    SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq
+             |    FROM documents)
+             |  WHERE n_tokens BETWEEN 20 AND 2000
+             |    AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.2),
+             |g AS (SELECT doc_id, unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS gram
+             |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |      WHERE len(w) >= 2),
+             |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+             |rep AS (SELECT doc_id FROM (
+             |    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, CAST(MAX(c) AS BIGINT) AS top_gram,
+             |           CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_grams
+             |    FROM gc GROUP BY doc_id)
+             |  WHERE NOT (CAST(top_gram AS DOUBLE)/CAST(n_grams AS DOUBLE) > 0.2
+             |          OR CAST(dup_grams AS DOUBLE)/CAST(n_grams AS DOUBLE) > 0.5)),
+             |k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+             |f AS (SELECT d.doc_id, d.text FROM documents d
+             |      JOIN q USING (doc_id) JOIN rep USING (doc_id) JOIN k USING (doc_id)),
+             |vc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(string_split(text,' ')) AS term FROM f)
+             |  GROUP BY term ORDER BY cnt DESC, term LIMIT 20),
+             |v AS (SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS tid FROM vc),
+             |e AS (SELECT doc_id, CAST(unnest(range(len(w))) AS BIGINT) AS pos, unnest(w) AS tok
+             |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM f)),
+             |m AS (SELECT doc_id, pos, COALESCE(tid, 0) AS tid FROM e LEFT JOIN v ON e.tok = v.term)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  string_agg(tid, ',' ORDER BY pos) AS ids
+             |FROM m GROUP BY doc_id""".stripMargin)),
+
     // Deterministic hash-split sampling: the reproducible train/val
     // split a training pipeline needs — membership depends only on the
     // document id (stable across runs, engines, and cluster sizes; a
