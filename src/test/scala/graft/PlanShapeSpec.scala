@@ -103,6 +103,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("sequence packing broadcasts the bucket offsets (two-level prefix sum)") {
+    val p = plan("pipeline_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("curate-tokenize capstone plans without a cartesian product") {
+    val p = plan("pipeline_curate_tokenize")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the vocab side of the token→id join broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("semDedup joins stay hash-based: cell pairs and the dup-count merge") {
     val p = plan("sim_semdedup")
     assert(!p.contains("SortMergeJoin"), p.take(2000))
