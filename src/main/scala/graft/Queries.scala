@@ -1060,6 +1060,27 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Containment on the same LSH candidate path: |A∩B| / min(|A|,|B|)
+    // — the asymmetric overlap that catches short-inside-long copies.
+    "dedup_containment_lsh" -> Decl(
+      (s, d) => Dedup.minhashLshContainment(docs(s, d), 3, 0.6),
+      Some(s"""WITH $minhashConstsCte,
+              |$shinglesCte,
+              |$lshBandsCte,
+              |bands_k AS (
+              |  SELECT * FROM bands
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM bands_k a JOIN bands_k b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |jac AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
+              |    len(sh_a) AS na, len(sh_b) AS nb
+              |  FROM cands)
+              |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(LEAST(na, nb) AS DOUBLE) AS containment
+              |FROM jac WHERE CAST(common AS DOUBLE)/CAST(LEAST(na, nb) AS DOUBLE) >= 0.6""".stripMargin)),
+
     // The linear-output star variant over a DELIBERATELY skewed corpus:
     // documents plus 1500 replicas of doc 0 — one mass-duplicate hot
     // bucket, the case that OOMed the uncapped r1 shape. Both engines

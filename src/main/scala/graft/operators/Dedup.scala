@@ -368,6 +368,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Containment near-dup on the SAME LSH candidate path: score
+    * |A∩B| / min(|A|, |B|) instead of Jaccard — the asymmetric overlap
+    * that catches a short document copied INSIDE a long one, where
+    * symmetric Jaccard stays low because the union is dominated by the
+    * long side. Candidates, caps, and verify cost are identical to
+    * [[minhashLsh]] (recall inherits the banding: a very short
+    * contained doc may not band-collide with its container — raise
+    * bands or shingle length to trade recall for cost).
+    */
+  def minhashLshContainment(docs: DataFrame, n: Int = 3,
+                            minContainment: Double = 0.6,
+                            maxBucket: Int = MaxBucket): DataFrame = {
+    val cands = lshCandidates(docs, n, maxBucket)
+    val pinned = cands.localCheckpoint(eager = false)
+    val members = pinned.select(col("doc_a"), col("doc_b"),
+        explode(array(
+          struct(col("doc_a").as("doc_id"), lit(1).as("side")),
+          struct(col("doc_b").as("doc_id"), lit(2).as("side")))).as("m"))
+      .select(col("doc_a"), col("doc_b"),
+              col("m.doc_id").as("doc_id"), col("m.side").as("side"))
+    val needed = docs.join(
+      members.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    shingleRows(needed, n, distinct = false)
+      .join(members, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"), col("shingle"))
+      .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("mn") < col("mx"), 1L).otherwise(0L)).as("common"),
+           sum(when(col("mn") === 1, 1L).otherwise(0L)).as("na"),
+           sum(when(col("mx") === 2, 1L).otherwise(0L)).as("nb"))
+      .withColumn("containment",
+        col("common").cast("double") /
+          least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Dedup-oriented MinHash+LSH with output LINEAR in bucket size: each
     * colliding bucket links its members to the bucket REPRESENTATIVE
     * (min doc_id) instead of expanding all in-bucket pairs — a bucket

@@ -56,6 +56,20 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.size === 12 && got.values.forall(_ === 1L), got.toString)
   }
 
+  test("containment catches a short doc inside a long one where Jaccard misses") {
+    val words = (1 to 40).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),          // long: 38 shingles
+      (2L, words.take(35).mkString(" "))  // strict prefix: 33 shingles, all ⊂ long
+    ).toDF("doc_id", "text")
+    // every shingle of the short doc is in the long doc → containment 1.0
+    val cont = Dedup.minhashLshContainment(docs, 3, 0.95).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(cont.head.getDouble(2) === 1.0)
+    // symmetric Jaccard on the same pair is 33/38 < 0.95 → not emitted
+    assert(Dedup.minhashLsh(docs, 3, 0.95).count() === 0L)
+  }
+
   test("collect_list never sees an unbounded bucket in the capped plan") {
     // the rank-filter must sit BELOW the list aggregation; the public
     // query checkpoints this segment (hiding it behind a LogicalRDD),
