@@ -129,33 +129,68 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
     * a shuffle of that service's data only — balances them; coalesce
     * would inherit the skew being repaired).
     *
-    * Write-audit-swap: the compacted copy lands in a staging dir
-    * first, then two renames swap it in — readers see the old files
-    * or the new ones, never a partial mix, and a failure before the
-    * swap leaves the partition untouched. Returns
-    * (files before, files after).
+    * Concurrency contract (safe against the live ingest loop):
+    *  - SNAPSHOT-SCOPED: only the parquet files listed at scan time
+    *    are compacted and retired. A file a concurrent append lands
+    *    AFTER the snapshot is moved back into the live partition
+    *    right after the swap, so completed appends are never lost.
+    *  - The swap itself is two directory renames; readers can observe
+    *    a brief window (milliseconds) in which the partition directory
+    *    is absent and the service reads as empty. An append whose
+    *    write is IN FLIGHT during that window can fail its job commit
+    *    and must be retried by the caller — completed appends are the
+    *    ones guaranteed to survive.
+    *  - Crash-safe: a failure before the swap leaves the partition
+    *    untouched; a crash between the two renames parks the data
+    *    under `.retired-service=…`, which the next [[compact]] call
+    *    restores before doing anything else (dot-prefixed dirs are
+    *    invisible to readers and [[list]]).
+    *
+    * Returns (files before, files after).
     */
   def compact(service: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    require(exists(service), s"unknown service: $service")
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    compact(service, targetFileBytes, () => ())
+
+  /** Test seam: `beforeSwap` runs between the compaction scan and the
+    * directory swap — the race window a concurrent append must
+    * survive (CompactionSpec injects an append there).
+    */
+  private[graft] def compact(service: String, targetFileBytes: Long,
+                             beforeSwap: () => Unit): (Int, Int) = {
     val dir = servicePath(service)
-    def parquetFiles(p: Path): Int =
-      fs.listStatus(p).count(s => s.isFile &&
-        s.getPath.getName.endsWith(".parquet"))
-    val before = parquetFiles(dir)
-    val bytes = fs.getContentSummary(dir).getLength
+    val retired = new Path(warehouse, s".retired-service=$service")
+    // recover from a crash between a previous compact's two renames:
+    // the whole partition sits under the retired name — restore it
+    if (!fs.exists(dir) && fs.exists(retired)) fs.rename(retired, dir)
+    require(exists(service), s"unknown service: $service")
+    def parquetFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    // the snapshot bounds the compaction: exactly these files feed the
+    // rewrite, and exactly these files are retired afterwards
+    val snapshot = parquetFiles(dir)
+    val before = snapshot.size
+    val bytes = snapshot.map(fs.getFileStatus(_).getLen).sum
     val nFiles = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val staging = new Path(warehouse, s".compact-service=$service")
     fs.delete(staging, true)
-    spark.read.parquet(dir.toString).repartition(nFiles)
+    spark.read.parquet(snapshot.map(_.toString): _*).repartition(nFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    val retired = new Path(warehouse, s".retired-service=$service")
+    beforeSwap()
     fs.delete(retired, true)
     fs.rename(dir, retired)
     fs.rename(staging, dir)
+    // preserve concurrent appends: anything in the retired dir that was
+    // not in the snapshot landed after the scan — move it back live
+    val snapNames = snapshot.map(_.getName).toSet
+    parquetFiles(retired)
+      .filterNot(p => snapNames.contains(p.getName))
+      .foreach(p => fs.rename(p, new Path(dir, p.getName)))
     fs.delete(retired, true)
-    (before, parquetFiles(dir))
+    (before, parquetFiles(dir).size)
   }
 
   /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */

@@ -37,6 +37,45 @@ class CompactionSpec extends SparkSpec {
     assert(store.list() === Seq("api", "other"))
   }
 
+  test("a file appended between the compaction scan and the swap survives") {
+    val wh = Files.createTempDirectory("graft-compact-race").toString
+    val store = new ServiceStore(spark, wh)
+    (0 until 5).foreach { b =>
+      store.append(
+        Seq((b.toLong, 1.0)).toDF("id", "value")
+          .withColumn("service", lit("api")))
+    }
+    // the race the round-3 review flagged: an ingest append lands after
+    // the compaction scan but before the directory swap — snapshot-
+    // scoped retirement must carry it into the compacted partition
+    val (_, _) = store.compact("api", 128L * 1024 * 1024, () =>
+      store.append(Seq((100L, 42.0)).toDF("id", "value")
+        .withColumn("service", lit("api"))))
+    val rows = store.read("api").orderBy("id").collect()
+    assert(rows.length === 6, "the concurrently appended row was lost")
+    assert(rows.last.getLong(0) === 100L)
+    // no staging/retired debris left behind
+    assert(store.list() === Seq("api"))
+  }
+
+  test("compact recovers a partition stranded by a crash mid-swap") {
+    val wh = Files.createTempDirectory("graft-compact-crash").toString
+    val store = new ServiceStore(spark, wh)
+    store.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
+      .withColumn("service", lit("api")))
+    // simulate a crash between the two renames: the live dir is gone
+    // and all data sits under the retired name
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(wh, "service=api"),
+              new org.apache.hadoop.fs.Path(wh, ".retired-service=api"))
+    assert(!store.exists("api"))
+    val (before, after) = store.compact("api")
+    assert(before === 1 || before >= 1)
+    assert(after >= 1)
+    assert(store.read("api").count() === 2L)
+  }
+
   test("compact refuses unknown services and leaves no staging debris") {
     val wh = Files.createTempDirectory("graft-compact2").toString
     val store = new ServiceStore(spark, wh)
