@@ -109,18 +109,26 @@ object Curation {
     * (the "remove the worst X%" knob every curation pipeline has).
     *
     * The cutoff is a one-row aggregate cross-joined back (broadcast —
-    * never a driver collect). Exact `percentile` sort-aggregates the
-    * score column on one reducer: fine into the tens of millions of
-    * docs, and the bit-exact form the oracle can check; at full 100 TB
-    * scale swap in `approx_percentile` (t-digest, mergeable partials)
-    * with an epsilon on the boundary — same plan otherwise.
+    * never a driver collect). `exact = true` (default) uses exact
+    * `percentile`, which sort-aggregates the score column on one
+    * reducer: fine into the tens of millions of docs, and the
+    * bit-exact form the oracle can check. `exact = false` is the
+    * 100 TB tier: `approx_percentile` (mergeable partial sketches, no
+    * single-reducer sort) with an epsilon on the boundary — the plan
+    * is identical otherwise, so the two tiers differ only in which
+    * docs within ±accuracy-quantile of the cutoff flip sides.
     */
-  def qualityCutoff(docs: DataFrame, p: Double): DataFrame = {
+  def qualityCutoff(docs: DataFrame, p: Double,
+                    exact: Boolean = true,
+                    accuracy: Int = 10000): DataFrame = {
     val toks = tokens(col("text"))
     val scored = docs.select(col("doc_id"),
       (size(array_distinct(toks)).cast("double") /
         size(toks).cast("double")).as("ttr"))
-    val cut = scored.agg(expr(s"percentile(ttr, $p)").as("cutoff"))
+    val cutExpr =
+      if (exact) expr(s"percentile(ttr, $p)")
+      else expr(s"approx_percentile(ttr, $p, $accuracy)")
+    val cut = scored.agg(cutExpr.as("cutoff"))
     scored.crossJoin(broadcast(cut))
       .filter(col("ttr") >= col("cutoff"))
       .select(col("doc_id"), col("ttr"), col("cutoff"))

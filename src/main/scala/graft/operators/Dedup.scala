@@ -124,23 +124,44 @@ object Dedup {
     *     BroadcastHashJoin to confirm exactly — Bloom false positives
     *     die here, so the result is exact for ANY fpp.
     *
-    * The filter itself is reusable across batches (rebuild it only
-    * when the corpus grows materially); here it is rebuilt per call
-    * to stay a pure function.
+    * The filter itself is reusable across batches: the prebuilt-filter
+    * overload below lets a caller own the filter's lifecycle
+    * (see `streaming.CorpusBloom`); this entry point rebuilds
+    * per call to stay a pure function. `expectedItems <= 0` (the
+    * default) sizes the filter from an actual corpus count so it can
+    * never silently saturate — pass an explicit tracked count to skip
+    * that extra corpus pass.
     *
     * EAGER, unlike every other operator here: `stat.bloomFilter` runs
     * a corpus-scan job at CALL time (the filter must exist before the
     * returned plan can be built), so merely constructing or explaining
-    * this query pays one corpus pass. Callers that only want the plan
-    * shape should pass a small corpus.
+    * this query pays one corpus pass (two with the sizing count).
+    * Callers that only want the plan shape should pass a small corpus.
     */
   def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
-                         expectedItems: Long = 1000000L,
+                         expectedItems: Long = -1L,
                          fpp: Double = 0.01): DataFrame = {
+    val fp = md5(lower(col("text")))
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(corpus.count(), 1L)
+    val bloom = corpus.select(fp.as("fp"))
+      .stat.bloomFilter("fp", items, fpp)
+    dedupAgainstCorpus(newDocs, corpus, bloom)
+  }
+
+  /** Prebuilt-filter variant — the cross-batch path: the caller owns
+    * the Bloom filter (build once sized from the corpus, fold in its
+    * own appends, rebuild on material growth) and each call pays only
+    * batch-side work plus the confirm join. Exact for ANY filter
+    * contents PROVIDED the filter has no false negatives for the
+    * corpus — rows the filter rejects are assumed novel and kept, so
+    * a stale filter that misses corpus rows readmits duplicates.
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val spark = newDocs.sparkSession
     val fp = md5(lower(col("text")))
-    val bloom = corpus.select(fp.as("fp"))
-      .stat.bloomFilter("fp", math.max(expectedItems, 1L), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain =
       udf((s: String) => s != null && bloomBc.value.mightContainString(s))
@@ -335,14 +356,32 @@ object Dedup {
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, n: Int,
                             minJaccard: Double): DataFrame = {
     require(minJaccard > 0, "verifyJaccard emits only overlapping pairs")
-    // The candidate table feeds TWO subtrees (the semi-join filter and
-    // the membership join) and exchange reuse does not unify them, so
-    // without pinning, the whole signature->bands->buckets pipeline
-    // runs twice. Candidates are small (bounded by the bucket cap);
-    // lazy localCheckpoint computes them once and serves both sides —
-    // and unlike df.persist (whose CacheManager entry outlives every
-    // reference), its blocks are RDD-level cache the ContextCleaner
-    // reclaims once the query's RDDs are garbage collected.
+    pairOverlap(cands, docs, n)
+      .withColumn("jaccard",
+        col("common").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Shared per-pair overlap aggregate behind [[verifyJaccard]] and
+    * [[minhashLshContainment]]: for each candidate pair emits
+    * `(doc_a, doc_b, uni, common, na, nb)` — distinct shingles either
+    * side contributes (|A∪B|), both sides (|A∩B|), and each side
+    * alone-plus-shared (|A|, |B|) — everything any set-overlap score
+    * (Jaccard, containment, overlap coefficient) needs, from ONE
+    * aggregation.
+    *
+    * The candidate table feeds TWO subtrees (the semi-join filter and
+    * the membership join) and exchange reuse does not unify them, so
+    * without pinning, the whole signature->bands->buckets pipeline
+    * runs twice. Candidates are small (bounded by the bucket cap);
+    * lazy localCheckpoint computes them once and serves both sides —
+    * and unlike df.persist (whose CacheManager entry outlives every
+    * reference), its blocks are RDD-level cache the ContextCleaner
+    * reclaims once the query's RDDs are garbage collected.
+    */
+  private def pairOverlap(cands: DataFrame, docs: DataFrame,
+                          n: Int): DataFrame = {
     val pinned = cands.localCheckpoint(eager = false)
     val members = pinned.select(col("doc_a"), col("doc_b"),
         explode(array(
@@ -361,11 +400,9 @@ object Dedup {
       .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("uni"),
-           sum(when(col("mn") < col("mx"), 1L).otherwise(0L)).as("common"))
-      .withColumn("jaccard",
-        col("common").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+           sum(when(col("mn") < col("mx"), 1L).otherwise(0L)).as("common"),
+           sum(when(col("mn") === 1, 1L).otherwise(0L)).as("na"),
+           sum(when(col("mx") === 2, 1L).otherwise(0L)).as("nb"))
   }
 
   /** Containment near-dup on the SAME LSH candidate path: score
@@ -379,31 +416,13 @@ object Dedup {
     */
   def minhashLshContainment(docs: DataFrame, n: Int = 3,
                             minContainment: Double = 0.6,
-                            maxBucket: Int = MaxBucket): DataFrame = {
-    val cands = lshCandidates(docs, n, maxBucket)
-    val pinned = cands.localCheckpoint(eager = false)
-    val members = pinned.select(col("doc_a"), col("doc_b"),
-        explode(array(
-          struct(col("doc_a").as("doc_id"), lit(1).as("side")),
-          struct(col("doc_b").as("doc_id"), lit(2).as("side")))).as("m"))
-      .select(col("doc_a"), col("doc_b"),
-              col("m.doc_id").as("doc_id"), col("m.side").as("side"))
-    val needed = docs.join(
-      members.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-    shingleRows(needed, n, distinct = false)
-      .join(members, "doc_id")
-      .groupBy(col("doc_a"), col("doc_b"), col("shingle"))
-      .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(when(col("mn") < col("mx"), 1L).otherwise(0L)).as("common"),
-           sum(when(col("mn") === 1, 1L).otherwise(0L)).as("na"),
-           sum(when(col("mx") === 2, 1L).otherwise(0L)).as("nb"))
+                            maxBucket: Int = MaxBucket): DataFrame =
+    pairOverlap(lshCandidates(docs, n, maxBucket), docs, n)
       .withColumn("containment",
         col("common").cast("double") /
           least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("containment"))
-  }
 
   /** Dedup-oriented MinHash+LSH with output LINEAR in bucket size: each
     * colliding bucket links its members to the bucket REPRESENTATIVE

@@ -36,6 +36,10 @@ object Graphs {
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = false)
     val n = nodes.count()
+    // an empty edge set has no nodes: return an empty (node, rank)
+    // frame instead of dividing by zero in the teleport term
+    if (n == 0)
+      return nodes.select(col("node"), lit(scale).as("rank"))
     val teleport = (scale * 15L / 100L) / n
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))

@@ -54,9 +54,17 @@ object CurationStream {
 
   /** Drop batch rows whose fingerprint already exists in the corpus
     * parquet at `corpusDir` (no-op when the corpus doesn't exist yet).
+    *
+    * With `state` (the streaming path), the Bloom prefilter comes from
+    * the cross-batch [[CorpusBloom]] — sized from the corpus, updated
+    * with this stream's own appends, rebuilt only on material growth —
+    * so steady-state batches pay no corpus scan for the filter.
+    * Without it (the pure-function path), the filter is rebuilt from
+    * the corpus on every call.
     */
   def dropKnown(spark: SparkSession, curated: DataFrame,
-                corpusDir: String): DataFrame = {
+                corpusDir: String,
+                state: Option[CorpusBloom] = None): DataFrame = {
     val path = new Path(corpusDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasCorpus = fs.exists(path) &&
@@ -64,8 +72,12 @@ object CurationStream {
     if (!hasCorpus) curated
     else {
       val corpus = spark.read.parquet(corpusDir)
-      val dupes = Dedup.dedupAgainstCorpus(
-        curated.select(col("doc_id"), col("text")), corpus)
+      val newDocs = curated.select(col("doc_id"), col("text"))
+      val dupes = state match {
+        case Some(cb) =>
+          Dedup.dedupAgainstCorpus(newDocs, corpus, cb.filterFor(corpus))
+        case None => Dedup.dedupAgainstCorpus(newDocs, corpus)
+      }
       curated.join(dupes.select(col("doc_id")), Seq("doc_id"), "left_anti")
     }
   }
@@ -73,10 +85,18 @@ object CurationStream {
   /** File-based JSON-lines source (`doc_id`, `text`) → curate →
     * dedup-against-corpus → append. A DSv2 or Kafka source slots in
     * unchanged — only `readStream` differs.
+    *
+    * `state` carries the corpus Bloom filter ACROSS micro-batches:
+    * each batch's survivor fingerprints are folded in after the
+    * append (a driver-side collect of one 32-char column, bounded by
+    * batch size), so the filter stays a superset of the corpus with
+    * no per-batch rebuild and gets resized from an actual corpus scan
+    * only when growth exceeds its design capacity.
     */
   def start(spark: SparkSession, inputDir: String, corpusDir: String,
             checkpoint: String,
-            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+            state: CorpusBloom = new CorpusBloom()): StreamingQuery =
     spark.readStream
       .schema("doc_id LONG, text STRING")
       .json(inputDir)
@@ -84,8 +104,14 @@ object CurationStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        dropKnown(spark, curateBatch(batch), corpusDir)
-          .write.mode("append").parquet(corpusDir)
+        // survivors feed the append AND the filter update: pin them so
+        // the curate+dedup pipeline runs once, not once per consumer
+        val survivors =
+          dropKnown(spark, curateBatch(batch), corpusDir, Some(state))
+            .localCheckpoint()
+        survivors.write.mode("append").parquet(corpusDir)
+        state.recordAppended(
+          survivors.select(col("fp")).collect().iterator.map(_.getString(0)))
       }
       .start()
 }

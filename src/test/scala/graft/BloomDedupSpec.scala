@@ -44,4 +44,49 @@ class BloomDedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       plan)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.toLowerCase.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("CorpusBloom sizes from the corpus; a fixed-capacity filter saturates") {
+    import org.apache.spark.sql.functions.{col, lower, md5}
+    val big = (1 to 5000).map(i => (i.toLong, s"corpus document body $i"))
+      .toDF("doc_id", "text")
+    val cb = new graft.streaming.CorpusBloom()
+    val f1 = cb.filterFor(big)
+    assert(cb.rebuilds === 1 && cb.trackedRows === 5000L)
+    // second call within capacity: cached, not rebuilt
+    assert(cb.filterFor(big) eq f1)
+    assert(cb.rebuilds === 1)
+    // sized from the actual corpus count → novel fps rarely collide
+    val novelFps = (1 to 1000).map(i => md5hex(s"novel doc $i"))
+    val sizedRate = novelFps.count(f1.mightContainString) / 1000.0
+    assert(sizedRate <= 0.05, s"sized filter fp rate $sizedRate")
+    // the failure mode being fixed: a filter whose fixed expectedItems
+    // the corpus has outgrown passes nearly everything
+    val saturated = big.select(md5(lower(col("text"))).as("fp"))
+      .stat.bloomFilter("fp", 10L, 0.01)
+    val satRate = novelFps.count(saturated.mightContainString) / 1000.0
+    assert(satRate >= 0.5, s"expected saturation, got $satRate")
+  }
+
+  test("recordAppended keeps the filter a corpus superset; growth rebuilds") {
+    val small = (1 to 10).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val cb = new graft.streaming.CorpusBloom(headroom = 1, minCapacity = 12)
+    val f = cb.filterFor(small)
+    assert(cb.rebuilds === 1 && cb.trackedRows === 10L)
+    val appended = Seq(md5hex("appended one"), md5hex("appended two"))
+    assert(!appended.exists(f.mightContainString))
+    cb.recordAppended(appended)
+    // the stream's own appends are visible with NO rebuild
+    assert(appended.forall(f.mightContainString))
+    assert(cb.trackedRows === 12L)
+    cb.filterFor(small) // tracked (12) <= capacity (12): still cached
+    assert(cb.rebuilds === 1)
+    cb.recordAppended(Seq(md5hex("appended three")))
+    cb.filterFor(small) // tracked (13) > capacity (12): resized rebuild
+    assert(cb.rebuilds === 2)
+  }
 }

@@ -159,6 +159,26 @@ class CurationSpec extends SparkSpec {
     assert(got.select("cutoff").head().getDouble(0) === 0.75)
   }
 
+  test("approx qualityCutoff tier stays within tolerance of exact") {
+    // 100 docs with ttr spread over [1/10, 1]: doc k repeats one word
+    // k times then pads distinct words to length 10
+    val docs = (1 to 100).map { k =>
+      val rep = Seq.fill(k % 10 + 1)("w")
+      val pad = (1 until (10 - k % 10)).map(i => s"u$i$k")
+      (k.toLong, (rep ++ pad).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = Curation.qualityCutoff(docs, 0.7)
+    val approx = Curation.qualityCutoff(docs, 0.7, exact = false)
+    val cutE = exact.select("cutoff").head().getDouble(0)
+    val cutA = approx.select("cutoff").head().getDouble(0)
+    // at accuracy=10000 over 100 rows the sketch is exact up to ties
+    assert(math.abs(cutE - cutA) <= 0.1, s"cutoff drifted: $cutE vs $cutA")
+    val keptE = exact.select("doc_id").as[Long].collect().toSet
+    val keptA = approx.select("doc_id").as[Long].collect().toSet
+    // sets differ only near the boundary
+    assert((keptE diff keptA).size + (keptA diff keptE).size <= 15)
+  }
+
   test("dsirSelect votes docs toward the target bigram distribution") {
     val docs = Seq(
       (1L, "alpha beta alpha beta", true),

@@ -59,4 +59,42 @@ class CurationStreamSpec extends SparkSpec {
     val fps = spark.read.parquet(corpus).select("fp").as[String].collect()
     assert(fps.distinct.length === fps.length)
   }
+
+  test("cross-batch Bloom state rebuilds only on material corpus growth") {
+    val in = tmp("graft-cur2-in")
+    val corpus = tmp("graft-cur2-corpus") + "/corpus"
+    val ckpt = tmp("graft-cur2-ckpt")
+    // headroom=1, minCapacity=1: every appended survivor exceeds the
+    // design capacity, forcing the rebuild path a real corpus would
+    // only hit after ~doubling
+    val state = new graft.streaming.CorpusBloom(headroom = 1, minCapacity = 1)
+
+    writeJson(in, "b1.json", Seq(1L -> goodText("alpha")))
+    CurationStream.start(spark, in, corpus, ckpt, Trigger.AvailableNow(), state)
+      .awaitTermination(120000)
+    // no corpus existed when batch 1 was filtered: nothing built yet
+    assert(state.rebuilds === 0)
+
+    writeJson(in, "b2.json", Seq(
+      2L -> goodText("beta"),
+      3L -> goodText("alpha"))) // at-rest duplicate → dropped
+    CurationStream.start(spark, in, corpus, ckpt, Trigger.AvailableNow(), state)
+      .awaitTermination(120000)
+    // first build, sized from the 1-doc corpus; doc 2's fingerprint
+    // folded in afterwards with no rebuild
+    assert(state.rebuilds === 1)
+    assert(state.trackedRows === 2L)
+
+    writeJson(in, "b3.json", Seq(
+      4L -> goodText("gamma"),
+      5L -> goodText("beta")))  // at-rest duplicate → dropped
+    CurationStream.start(spark, in, corpus, ckpt, Trigger.AvailableNow(), state)
+      .awaitTermination(120000)
+    // tracked growth (2) exceeded capacity (1): batch 3 resized from
+    // the corpus — and the dedup stayed exact throughout
+    assert(state.rebuilds === 2)
+    val ids = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 4L))
+  }
 }

@@ -24,6 +24,13 @@ class GraphsSpec extends SparkSpec {
     // authority concentrates on the sink of the star
     assert(r3b("b") > r3b("a"))
   }
+
+  test("pageRank on an empty edge set returns an empty frame") {
+    val edges = Seq.empty[(String, String)].toDF("src", "dst")
+    val got = graft.operators.Graphs.pageRank(edges, 3)
+    assert(got.columns.toSeq === Seq("node", "rank"))
+    assert(got.count() === 0L)
+  }
 }
 
 class TemporalSpec extends SparkSpec {
