@@ -845,6 +845,54 @@ object Queries {
              |  CAST(COUNT(*) AS BIGINT) AS cnt, MIN(event_id) AS canonical_id
              |FROM q2 GROUP BY 1""".stripMargin)),
 
+    // Gopher rule battery (Rae et al. 2021 A1): every rule an integer
+    // cross-multiplied comparison, so the booleans agree bit-for-bit.
+    "text_gopher_rules" -> Decl(
+      (s, d) => TextAnalysis.gopherRules(docs(s, d)),
+      Some("""WITH s AS (SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+             |  CAST(length(text) AS BIGINT) - CAST(len(string_split(text,' ')) AS BIGINT) + 1 AS sum_len,
+             |  CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS BIGINT) AS symbols,
+             |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             |  CAST(len(regexp_extract_all(chr(10)||text, chr(10)||'[-*•]')) AS BIGINT) AS bullets,
+             |  CAST(len(regexp_extract_all(text||chr(10), '(\.\.\.|…)'||chr(10))) AS BIGINT) AS ell,
+             |  CAST(len(list_filter(string_split(text,' '), t -> NOT regexp_matches(t,'[a-zA-Z]'))) AS BIGINT) AS no_alpha,
+             |  CAST((CASE WHEN instr(' '||text||' ', ' the ')>0 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN instr(' '||text||' ', ' be ')>0 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN instr(' '||text||' ', ' to ')>0 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN instr(' '||text||' ', ' of ')>0 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN instr(' '||text||' ', ' and ')>0 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN instr(' '||text||' ', ' that ')>0 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN instr(' '||text||' ', ' have ')>0 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN instr(' '||text||' ', ' with ')>0 THEN 1 ELSE 0 END) AS BIGINT) AS stops
+             | FROM documents)
+             |SELECT doc_id, n_words,
+             |  n_words BETWEEN 50 AND 100000 AS r_wordcount,
+             |  (sum_len >= n_words*3 AND sum_len <= n_words*10) AS r_meanlen,
+             |  symbols*10 <= n_words AS r_symbol,
+             |  bullets*10 <= n_lines*9 AS r_bullet,
+             |  ell*10 <= n_lines*3 AS r_ellipsis,
+             |  (n_words - no_alpha)*5 >= n_words*4 AS r_alpha,
+             |  stops >= 2 AS r_stop,
+             |  (n_words BETWEEN 50 AND 100000
+             |   AND sum_len >= n_words*3 AND sum_len <= n_words*10
+             |   AND symbols*10 <= n_words AND bullets*10 <= n_lines*9
+             |   AND ell*10 <= n_lines*3 AND (n_words - no_alpha)*5 >= n_words*4
+             |   AND stops >= 2) AS verdict
+             |FROM s""".stripMargin)),
+
+    // C4 §2.2 line gate: pure per-row higher-order filter, no shuffle.
+    "pipeline_c4_line_filter" -> Decl(
+      (s, d) => Curation.c4LineFilter(docs(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+             |FROM (SELECT doc_id, text,
+             |  list_filter(string_split(text, chr(10)),
+             |    l -> regexp_matches(l, '[.!?"]$') AND len(string_split(l,' ')) >= 3) AS kept
+             | FROM documents)""".stripMargin)),
+
     // Relative quality gate: docs at/above the corpus-wide 25th
     // percentile of type-token ratio. Both engines interpolate R-7
     // over the same exact integer-ratio doubles.

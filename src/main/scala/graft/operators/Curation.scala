@@ -68,6 +68,26 @@ object Curation {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** C4-style line-level cleanup (Raffel et al. 2020, §2.2): keep only
+    * lines that end in terminal punctuation (`.` `!` `?` `"`) AND have
+    * at least `minWords` words; reassemble the survivors in order.
+    * Unlike [[dedupLines]] (which needs a corpus-wide first-seen
+    * shuffle), this is a PURE PROJECTION — the line split, per-line
+    * predicate, and rejoin all happen inside one row via higher-order
+    * array functions, so it costs a map pass at any corpus size.
+    * Emits per-doc line accounting so the gate's aggressiveness is
+    * observable.
+    */
+  def c4LineFilter(df: DataFrame, minWords: Int = 3): DataFrame = {
+    val lines = split(col("text"), "\n", -1)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ", -1)) >= minWords)
+    df.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("cleaned"))
+  }
+
   /** URL canonicalization: lowercase scheme and host, strip default
     * ports (:80/:443), drop the fragment, strip tracking (utm_*) query
     * parameters, and collapse trailing slashes — so crawl variants of

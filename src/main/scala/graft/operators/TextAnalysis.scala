@@ -178,6 +178,53 @@ object TextAnalysis {
         .otherwise("drop").as("verdict"))
   }
 
+  /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
+    * Language Models", table A1 — the document filters most public
+    * curation stacks reuse): word-count band, mean-word-length band,
+    * symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, and stopword presence. Emits one
+    * boolean per rule plus the conjunction verdict, so a pipeline can
+    * report WHY documents die, not just how many.
+    *
+    * Every rule is an INTEGER cross-multiplied comparison (e.g. mean
+    * word length in [3,10] ⇔ `3·n ≤ Σlen ≤ 10·n`), so both engines
+    * agree bit-for-bit with no float thresholds. Σ token length needs
+    * no lambda: tokens split on single spaces, so
+    * `Σlen = length(text) − (n_words − 1)` exactly. Line counts ride
+    * `regexp_count` anchored on the injected `\n` sentinels. The one
+    * higher-order function (alpha-word count) filters a per-row array
+    * — no shuffle, bounded by the row. Pure projection: embarrassingly
+    * parallel at any scale.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nW = size(toks).cast("long")
+    val sumLen = (length(col("text")).cast("long") - nW + 1L)
+    val symbols = regexp_count(col("text"), lit("#|…|\\.\\.\\.")).cast("long")
+    val nLines = size(split(col("text"), "\n", -1)).cast("long")
+    val bullets = regexp_count(concat(lit("\n"), col("text")),
+      lit("\n[-*•]")).cast("long")
+    val ellipsis = regexp_count(concat(col("text"), lit("\n")),
+      lit("(\\.\\.\\.|…)\n")).cast("long")
+    val noAlpha = size(filter(toks, t => !t.rlike("[a-zA-Z]"))).cast("long")
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stops = stopSet.map(w =>
+        when(instr(padded(col("text")), s" $w ") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rules = Seq(
+      "r_wordcount" -> nW.between(50L, 100000L),
+      "r_meanlen" -> (sumLen >= nW * 3L && sumLen <= nW * 10L),
+      "r_symbol" -> (symbols * 10L <= nW),
+      "r_bullet" -> (bullets * 10L <= nLines * 9L),
+      "r_ellipsis" -> (ellipsis * 10L <= nLines * 3L),
+      "r_alpha" -> ((nW - noAlpha) * 5L >= nW * 4L),
+      "r_stop" -> (stops >= 2L))
+    docs.select(
+      (col("doc_id") +: nW.as("n_words") +:
+        rules.map { case (n, c) => c.as(n) }) :+
+        rules.map(_._2).reduce(_ && _).as("verdict"): _*)
+  }
+
   /** Corpus composition report: per (language, log₂ size class) doc
     * counts, token totals, and char totals — the histogram a curation
     * run publishes before/after each pass. The size class is the EXACT

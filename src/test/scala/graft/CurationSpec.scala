@@ -159,6 +159,41 @@ class CurationSpec extends SparkSpec {
     assert(got.select("cutoff").head().getDouble(0) === 0.75)
   }
 
+  test("gopherRules: each rule trips on its designed violation") {
+    val good = "the and " + Seq.fill(48)("word").mkString(" ") // 50 words
+    val short = "the and word word"                            // 4 words
+    val bullets = Seq.fill(10)("- item one.").mkString("\n")   // all bullet lines
+    val numeric = "the and " + (1 to 48).mkString(" ")         // 48/50 words non-alpha
+    val docs = Seq((1L, good), (2L, short), (3L, bullets), (4L, numeric))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(got(1L).fieldIndex("verdict")))
+    assert(!got(2L).getBoolean(got(2L).fieldIndex("r_wordcount")))
+    assert(!got(3L).getBoolean(got(3L).fieldIndex("r_bullet")))
+    assert(!got(4L).getBoolean(got(4L).fieldIndex("r_alpha")))
+    assert(got(1L).getLong(got(1L).fieldIndex("n_words")) === 50L)
+    // violations conjoin into the verdict
+    Seq(2L, 3L, 4L).foreach(id =>
+      assert(!got(id).getBoolean(got(id).fieldIndex("verdict"))))
+  }
+
+  test("c4LineFilter keeps punctuated >=3-word lines, in order") {
+    val text = Seq(
+      "This is a proper sentence.",   // kept
+      "short.",                       // < 3 words
+      "no terminal punctuation here", // no [.!?\"] ending
+      "Another good line with words!",// kept
+      ""                              // empty
+    ).mkString("\n")
+    val got = Curation.c4LineFilter(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(got.getLong(1) === 5L) // n_lines
+    assert(got.getLong(2) === 2L) // n_kept
+    assert(got.getString(3) ===
+      "This is a proper sentence.\nAnother good line with words!")
+  }
+
   test("approx qualityCutoff tier stays within tolerance of exact") {
     // 100 docs with ttr spread over [1/10, 1]: doc k repeats one word
     // k times then pads distinct words to length 10
