@@ -590,6 +590,59 @@ object Queries {
              |       THEN 'drop' ELSE 'keep' END AS verdict
              |FROM a""".stripMargin)),
 
+    // Full Gopher repetition battery (Rae et al. 2021 A1): duplicate
+    // lines + top 2/3/4-gram + duplicated 5..10-gram char fractions,
+    // published thresholds conjoined into verdict. The per-n CTEs are
+    // generated; ties on "most frequent n-gram" break by char mass via
+    // lexicographic struct max in BOTH engines.
+    "text_gopher_repetition" -> Decl(
+      (s, d) => TextAnalysis.gopherRepetition(docs(s, d)),
+      Some {
+        def gCte(n: Int) =
+          s"""g$n AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
+             |  (SELECT doc_id, unnest([array_to_string(w[i+1:i+$n], ' ') for i in range(len(w)-${n - 1})]) AS g
+             |   FROM w WHERE len(w) >= $n) GROUP BY 1, 2)""".stripMargin
+        val tops = (2 to 4).map(n =>
+          s"""t$n AS (SELECT doc_id, (max(CASE WHEN c > 1 THEN struct_pack(c := c, l := c * length(g)) END)).l AS top_chars_$n FROM g$n GROUP BY 1)""")
+        val dups = (5 to 10).map(n =>
+          s"""d$n AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup_chars_$n FROM g$n GROUP BY 1)""")
+        val joins = Seq("la") ++ (2 to 4).map(n => s"t$n") ++
+          (5 to 10).map(n => s"d$n")
+        val topFracs = (2 to 4).map(n =>
+          s"CAST(coalesce(top_chars_$n, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS top_${n}_gram_char_frac")
+        val dupFracs = (5 to 10).map(n =>
+          s"CAST(coalesce(dup_chars_$n, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS dup_${n}_gram_char_frac")
+        val topThresh = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16")
+        val dupThresh = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
+          8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+        val verdictConds = Seq("dup_line_frac > 0.30",
+          "dup_line_char_frac > 0.20") ++
+          (2 to 4).map(n => s"top_${n}_gram_char_frac > ${topThresh(n)}") ++
+          (5 to 10).map(n => s"dup_${n}_gram_char_frac > ${dupThresh(n)}")
+        s"""WITH base AS (SELECT doc_id,
+           |  greatest(CAST(length(text) AS BIGINT), 1) AS chars,
+           |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines FROM documents),
+           |lc AS (SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c FROM
+           |  (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents) GROUP BY 1, 2),
+           |la AS (SELECT doc_id,
+           |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+           |  CAST(SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS BIGINT) AS dup_line_chars
+           | FROM lc GROUP BY 1),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |${(2 to 10).map(gCte).mkString(",\n")},
+           |${(tops ++ dups).mkString(",\n")}
+           |SELECT doc_id, dup_line_frac, dup_line_char_frac,
+           |  ${(2 to 4).map(n => s"top_${n}_gram_char_frac").mkString(", ")},
+           |  ${(5 to 10).map(n => s"dup_${n}_gram_char_frac").mkString(", ")},
+           |  CASE WHEN ${verdictConds.mkString(" OR ")}
+           |       THEN 'drop' ELSE 'keep' END AS verdict
+           |FROM (SELECT base.doc_id,
+           |  CAST(coalesce(dup_lines, 0) AS DOUBLE)/CAST(n_lines AS DOUBLE) AS dup_line_frac,
+           |  CAST(coalesce(dup_line_chars, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS dup_line_char_frac,
+           |  ${(topFracs ++ dupFracs).mkString(",\n  ")}
+           | FROM base ${joins.map(j => s"LEFT JOIN $j USING (doc_id)").mkString(" ")})""".stripMargin
+      }),
+
     // PII scrubbing. The synthetic documents table contains no
     // PII-shaped text at all, so the query CONSTRUCTS it — both
     // engines build the identical string from the same events columns

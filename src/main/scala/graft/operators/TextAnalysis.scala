@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -332,6 +332,82 @@ object TextAnalysis {
       .withColumn("verdict",
         when(col("top_frac") > maxTopFrac || col("dup_frac") > maxDupFrac,
           "drop").otherwise("keep"))
+  }
+
+  /** The FULL Gopher repetition battery (Rae et al. 2021 table A1,
+    * "repetitious text" rows) extending [[repetitionStats]]'s bigram
+    * pair: within-document duplicate-LINE fractions (by line count and
+    * by character mass), the character fraction claimed by the single
+    * most frequent n-gram for n ∈ {2,3,4}, and the character fraction
+    * inside n-grams occurring more than once for n ∈ {5..10} — with
+    * the paper's published drop thresholds conjoined into `verdict`.
+    *
+    * Scale shape: one line explode plus one [[Dedup.shingleRows]]
+    * explode per n — ten doc_id-keyed hash aggregates with map-side
+    * partials, re-joined on doc_id so ONE corpus partitioning serves
+    * the whole chain; no per-document arrays, no windows over the
+    * corpus, no collect. "Most frequent n-gram" counts only when it
+    * actually REPEATS (count > 1 — a unique gram is not repetition, and
+    * without that guard every short all-unique document trips the
+    * 2-gram rule on its longest bigram); ties break by character mass
+    * via a lexicographic struct max — deterministic and
+    * engine-portable (both engines order structs field-by-field). All
+    * fractions are exact bigint-over-bigint double divisions, so the
+    * threshold compares agree bit-for-bit with the oracle.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      greatest(length(col("text")).cast("long"), lit(1L)).as("chars"),
+      size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
+
+    val lineAgg = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n", -1)).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .as("dup_lines"),
+        coalesce(sum(when(col("c") > 1,
+            col("c") * length(col("line")).cast("long"))), lit(0L))
+          .as("dup_line_chars"))
+
+    def grams(n: Int): DataFrame = Dedup.shingleRows(docs, n, distinct = false)
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("clen", col("c") * length(col("shingle")).cast("long"))
+    def topAgg(n: Int): DataFrame = grams(n).groupBy(col("doc_id"))
+      .agg(max(when(col("c") > 1, struct(col("c"), col("clen"))))
+        .getField("clen").as(s"top_chars_$n"))
+    def dupAgg(n: Int): DataFrame = grams(n).groupBy(col("doc_id"))
+      .agg(coalesce(sum(when(col("c") > 1, col("clen"))), lit(0L))
+        .as(s"dup_chars_$n"))
+
+    val parts = Seq(lineAgg) ++ (2 to 4).map(topAgg) ++ (5 to 10).map(dupAgg)
+    val full = parts.foldLeft(base)((acc, df) =>
+      acc.join(df, Seq("doc_id"), "left"))
+    def frac(num: Column, den: Column): Column =
+      coalesce(num, lit(0L)).cast("double") / den.cast("double")
+    val topThresh = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThresh = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val withFracs = full.select(
+      (col("doc_id") +:
+        frac(col("dup_lines"), col("n_lines")).as("dup_line_frac") +:
+        frac(col("dup_line_chars"), col("chars")).as("dup_line_char_frac") +:
+        ((2 to 4).map(n =>
+          frac(col(s"top_chars_$n"), col("chars")).as(s"top_${n}_gram_char_frac")) ++
+         (5 to 10).map(n =>
+          frac(col(s"dup_chars_$n"), col("chars")).as(s"dup_${n}_gram_char_frac")))): _*)
+    withFracs.withColumn("verdict",
+      when(
+        col("dup_line_frac") > 0.30 ||
+          col("dup_line_char_frac") > 0.20 ||
+          (2 to 4).map(n => col(s"top_${n}_gram_char_frac") > topThresh(n))
+            .reduce(_ || _) ||
+          (5 to 10).map(n => col(s"dup_${n}_gram_char_frac") > dupThresh(n))
+            .reduce(_ || _),
+        "drop").otherwise("keep"))
   }
 
   /** PII patterns, shared with the oracle. ASCII character classes

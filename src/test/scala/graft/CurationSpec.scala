@@ -159,6 +159,29 @@ class CurationSpec extends SparkSpec {
     assert(got.select("cutoff").head().getDouble(0) === 0.75)
   }
 
+  test("gopherRepetition: duplicate lines and duplicated n-grams trip thresholds") {
+    val clean = "one two three four five six seven eight nine ten"
+    val dupLines = Seq.fill(10)("the same line again").mkString("\n")
+    val spam = Seq.fill(30)("spam").mkString(" ")
+    val docs = Seq((1L, clean), (2L, dupLines), (3L, spam))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = got(id).getDouble(got(id).fieldIndex(c))
+    def v(id: Long) = got(id).getString(got(id).fieldIndex("verdict"))
+    // clean doc: no duplicate lines, no repeated grams anywhere
+    assert(f(1L, "dup_line_frac") === 0.0)
+    assert(f(1L, "dup_5_gram_char_frac") === 0.0)
+    assert(v(1L) === "keep")
+    // every line is a duplicate of every other
+    assert(f(2L, "dup_line_frac") === 1.0)
+    assert(v(2L) === "drop")
+    // 26 identical 5-grams: duplicated-gram char mass dominates
+    assert(f(3L, "dup_5_gram_char_frac") > 0.15)
+    assert(f(3L, "top_2_gram_char_frac") > 0.20)
+    assert(v(3L) === "drop")
+  }
+
   test("gopherRules: each rule trips on its designed violation") {
     val good = "the and " + Seq.fill(48)("word").mkString(" ") // 50 words
     val short = "the and word word"                            // 4 words
