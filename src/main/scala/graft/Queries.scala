@@ -594,7 +594,7 @@ object Queries {
     // lines + top 2/3/4-gram + duplicated 5..10-gram char fractions,
     // published thresholds conjoined into verdict. The per-n CTEs are
     // generated; ties on "most frequent n-gram" break by char mass via
-    // lexicographic struct max in BOTH engines.
+    // the packed-long (c·2³⁶ + c·len) max, identical in both engines.
     "text_gopher_repetition" -> Decl(
       (s, d) => TextAnalysis.gopherRepetition(docs(s, d)),
       Some {
@@ -602,8 +602,10 @@ object Queries {
           s"""g$n AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
              |  (SELECT doc_id, unnest([array_to_string(w[i+1:i+$n], ' ') for i in range(len(w)-${n - 1})]) AS g
              |   FROM w WHERE len(w) >= $n) GROUP BY 1, 2)""".stripMargin
+        // 68719476736 = 2^36: the (count, char-mass) lexicographic max
+        // packed into one BIGINT, mirroring the Spark side exactly
         val tops = (2 to 4).map(n =>
-          s"""t$n AS (SELECT doc_id, (max(CASE WHEN c > 1 THEN struct_pack(c := c, l := c * length(g)) END)).l AS top_chars_$n FROM g$n GROUP BY 1)""")
+          s"""t$n AS (SELECT doc_id, max(CASE WHEN c > 1 THEN c * 68719476736 + c * length(g) END) % 68719476736 AS top_chars_$n FROM g$n GROUP BY 1)""")
         val dups = (5 to 10).map(n =>
           s"""d$n AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup_chars_$n FROM g$n GROUP BY 1)""")
         val joins = Seq("la") ++ (2 to 4).map(n => s"t$n") ++

@@ -349,9 +349,13 @@ object TextAnalysis {
     * corpus, no collect. "Most frequent n-gram" counts only when it
     * actually REPEATS (count > 1 — a unique gram is not repetition, and
     * without that guard every short all-unique document trips the
-    * 2-gram rule on its longest bigram); ties break by character mass
-    * via a lexicographic struct max — deterministic and
-    * engine-portable (both engines order structs field-by-field). All
+    * 2-gram rule on its longest bigram); ties break by character mass,
+    * packed with the count into ONE long (`c·2³⁶ + c·len`) so the
+    * argmax stays a primitive-long HashAggregate — a `max(struct(…))`
+    * formulation is ordered identically but falls back to
+    * SortAggregate, resorting the whole gram stream. The packing is
+    * exact while a gram's per-doc char mass stays under 2³⁶
+    * (≈69 G chars inside one document — beyond any real document). All
     * fractions are exact bigint-over-bigint double divisions, so the
     * threshold compares agree bit-for-bit with the oracle.
     */
@@ -376,9 +380,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("shingle"))
       .agg(count(lit(1)).as("c"))
       .withColumn("clen", col("c") * length(col("shingle")).cast("long"))
+    val Pack = 1L << 36
     def topAgg(n: Int): DataFrame = grams(n).groupBy(col("doc_id"))
-      .agg(max(when(col("c") > 1, struct(col("c"), col("clen"))))
-        .getField("clen").as(s"top_chars_$n"))
+      .agg((max(when(col("c") > 1, col("c") * Pack + col("clen"))) % Pack)
+        .as(s"top_chars_$n"))
     def dupAgg(n: Int): DataFrame = grams(n).groupBy(col("doc_id"))
       .agg(coalesce(sum(when(col("c") > 1, col("clen"))), lit(0L))
         .as(s"dup_chars_$n"))

@@ -122,4 +122,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("ShuffledHashJoin"), p.take(2000))
   }
+
+  test("gopher rules and C4 line filter are pure projections: no wide exchanges") {
+    // both gates must stay embarrassingly parallel — a hash/range
+    // exchange here means a rule accidentally aggregated across
+    // documents (the loader's tiny-SF round-robin pre-spread is the
+    // only exchange allowed)
+    for (q <- Seq("text_gopher_rules", "pipeline_c4_line_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("Exchange rangepartitioning"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("HashAggregate"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("gopher repetition battery: hash aggregates, no sorts or cross joins") {
+    val p = plan("text_gopher_repetition")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // every per-n rollup is a partial+final hash aggregate, never a
+    // sort-based aggregate over the exploded gram stream
+    assert(!p.contains("SortAggregate"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
 }
