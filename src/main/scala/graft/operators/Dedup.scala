@@ -380,7 +380,7 @@ object Dedup {
     * reference), its blocks are RDD-level cache the ContextCleaner
     * reclaims once the query's RDDs are garbage collected.
     */
-  private def pairOverlap(cands: DataFrame, docs: DataFrame,
+  private[graft] def pairOverlap(cands: DataFrame, docs: DataFrame,
                           n: Int): DataFrame = {
     val pinned = cands.localCheckpoint(eager = false)
     val members = pinned.select(col("doc_a"), col("doc_b"),

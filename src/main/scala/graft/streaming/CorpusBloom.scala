@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -38,9 +38,14 @@ import org.apache.spark.util.sketch.BloomFilter
   *                    doublings
   * @param minCapacity capacity floor so tiny corpora don't thrash
   *                    rebuilds (tests shrink it to force the path)
+  * @param keyExpr     the string key the filter covers, evaluated over
+  *                    the at-rest dataset: the text fingerprint by
+  *                    default ([[CurationStream]] exact dedup); the
+  *                    `band:bkey` LSH key for [[NearDupStream]]
   */
 final class CorpusBloom(fpp: Double = 0.01, headroom: Long = 4,
-                        minCapacity: Long = 1024L) {
+                        minCapacity: Long = 1024L,
+                        keyExpr: Column = md5(lower(col("text")))) {
   private var filter: BloomFilter = null
   private var capacity: Long = 0L
   private var tracked: Long = 0L
@@ -54,7 +59,7 @@ final class CorpusBloom(fpp: Double = 0.01, headroom: Long = 4,
     if (filter == null || tracked > capacity) {
       val rows = corpus.count()
       capacity = math.max(rows * headroom, minCapacity)
-      filter = corpus.select(md5(lower(col("text"))).as("fp"))
+      filter = corpus.select(keyExpr.as("fp"))
         .stat.bloomFilter("fp", capacity, fpp)
       tracked = rows
       rebuildCount += 1
