@@ -1171,6 +1171,40 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Cross-corpus near-dedup: a "new dump" (every 7th doc, re-ided)
+    // LSH'd against the at-rest corpus — the band join never pairs the
+    // corpus with itself; corpus-side buckets rank-capped; every pair
+    // exact-Jaccard verified. Both engines produce identical pairs.
+    "dedup_cross_corpus_lsh" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val newDump = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        Dedup.minhashLshAgainst(newDump, base, 3, 0.5)
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT 2000000 + doc_id AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+              |$minhashConstsCte,
+              |${shinglesCteFrom("corpus")},
+              |$lshBandsCte,
+              |corp_k AS (
+              |  SELECT * FROM bands WHERE doc_id < 2000000
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
+              |new_b AS (SELECT * FROM bands WHERE doc_id >= 2000000),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM corp_k a JOIN new_b b ON a.band = b.band AND a.bkey = b.bkey),
+              |jac AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
+              |    len(sh_a) AS na, len(sh_b) AS nb
+              |  FROM cands)
+              |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
+              |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
+
     // Containment on the same LSH candidate path: |A∩B| / min(|A|,|B|)
     // — the asymmetric overlap that catches short-inside-long copies.
     "dedup_containment_lsh" -> Decl(

@@ -447,6 +447,49 @@ object Dedup {
     verifyJaccard(cands, docs, n, minJaccard)
   }
 
+  /** CROSS-corpus near-dedup: every (corpus doc, new doc) pair with
+    * exact shingle Jaccard ≥ `minJaccard` — the batch shape for
+    * "dedup this new crawl dump against the at-rest corpus before
+    * mixing it in", where a self-join over `corpus ∪ new` would
+    * re-pair the (much larger) corpus against itself for nothing.
+    *
+    * Candidates come from a band-key EQUI-join of the two sides' LSH
+    * bands — cost ∝ collisions, never |corpus| × |new| — with the
+    * CORPUS side rank-capped at `maxBucket` smallest doc_ids per
+    * bucket (an at-rest mass-duplicate bucket stays bounded; the new
+    * side is batch-sized by assumption). Every candidate is verified
+    * by true pair-scoped Jaccard ([[pairOverlap]] — only implicated
+    * corpus docs are re-shingled, via the member semi-join).
+    *
+    * Returns `(doc_a ∈ corpus, doc_b ∈ new, jaccard)`. Doc ids must be
+    * disjoint across the two inputs (same contract as
+    * `streaming.NearDupStream`, which is this operator's per-batch
+    * streaming form with the corpus bands PERSISTED instead of
+    * recomputed — at 100 TB, store the bands once and reuse them).
+    */
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
+                        n: Int = 3, minJaccard: Double = 0.2,
+                        maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusBands = lshBands(minhashSignatures(corpus, n))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
+      .filter(col("__rn") <= maxBucket)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val newBands = lshBands(minhashSignatures(newDocs, n))
+      .select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val cands = corpusBands.join(newBands, Seq("band", "bkey"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val union = corpus.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+    pairOverlap(cands, union, n)
+      .withColumn("jaccard",
+        col("common").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Duplicate-cluster formation — the step a 100 TB dedup job runs
     * AFTER candidate pairs: connected components over the near-dup
     * edge set, labeling every document with the smallest doc_id

@@ -70,6 +70,25 @@ class DedupSkewSpec extends SparkSpec {
     assert(Dedup.minhashLsh(docs, 3, 0.95).count() === 0L)
   }
 
+  test("cross-corpus LSH pairs only ACROSS the two sides, never within") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpusDocs = Seq(
+      1L -> base,
+      2L -> (1 to 30).map(i => s"t$i").mkString(" "), // corpus-internal dup pair,
+      3L -> (1 to 30).map(i => s"t$i").mkString(" ")  // unrelated to the dump
+    ).toDF("doc_id", "text")
+    val newDump = Seq(
+      100L -> base,                                      // copy of corpus doc 1
+      101L -> (1 to 30).map(i => s"z$i").mkString(" ")   // novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshAgainst(newDump, corpusDocs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the at-rest twins (2,3) must NOT be re-paired — that's the whole
+    // point of the cross shape; only the corpus→new duplicate surfaces
+    assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 100L)))
+    assert(got.head._3 === 1.0)
+  }
+
   test("collect_list never sees an unbounded bucket in the capped plan") {
     // the rank-filter must sit BELOW the list aggregation; the public
     // query checkpoints this segment (hiding it behind a LogicalRDD),
