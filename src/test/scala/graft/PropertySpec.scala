@@ -145,6 +145,56 @@ class PropertySpec extends SparkSpec {
     assert(c.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_lines")))
   }
 
+  test("c4LineFilter is idempotent: kept lines all re-pass the gate") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "y9", "7z")
+    val ending = Gen.oneOf(".", "!", "?", "\\\"", "", " etc")
+    val lineGen = for {
+      ws <- Gen.choose(1, 5).flatMap(Gen.listOfN(_, word))
+      e <- ending
+    } yield ws.mkString(" ") + e
+    val docGen = Gen.listOfN(5, lineGen).map(_.mkString("\n"))
+    val docs = samples(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.operators.Curation.c4LineFilter(docs)
+    val again = graft.operators.Curation.c4LineFilter(
+      once.select($"doc_id", $"cleaned".as("text")))
+    // a line that passed the gate passes it again — the only delta is
+    // docs that collapsed to '' (one empty line, dropped again)
+    val onceKept = once.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    again.collect().foreach { r =>
+      val id = r.getLong(0)
+      if (onceKept(id) > 0)
+        assert(r.getLong(2) === onceKept(id), s"doc $id lost lines on re-clean")
+    }
+  }
+
+  test("cross-corpus LSH precision: every pair meets the bar in the exact relation") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    val texts = samples(docGen, 30)
+    val corpus = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the dump: every third corpus doc verbatim, plus fresh docs
+    val dump = texts.zipWithIndex.collect {
+      case (t, i) if i % 3 == 0 => (5000L + i, t)
+    }.toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .minhashLshAgainst(dump, corpus, 3, 0.5).collect()
+    assert(pairs.nonEmpty)
+    // exact relation over the union (all-pairs reference)
+    val exact = graft.operators.Dedup.ngramJaccard(
+        corpus.unionByName(dump), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < 5000L && b >= 5000L, s"pair ($a,$b) not cross-side")
+      assert(j >= 0.5, s"pair ($a,$b) below threshold: $j")
+      assert(exact.contains((a, b)) || exact.contains((b, a)),
+        s"pair ($a,$b) not in the exact all-pairs relation")
+    }
+  }
+
   test("normalizeUrl is idempotent over generated messy URLs") {
     import org.apache.spark.sql.functions.col
     val gen = for {
