@@ -597,53 +597,7 @@ object Queries {
     // the packed-long (c·2³⁶ + c·len) max, identical in both engines.
     "text_gopher_repetition" -> Decl(
       (s, d) => TextAnalysis.gopherRepetition(docs(s, d)),
-      Some {
-        def gCte(n: Int) =
-          s"""g$n AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
-             |  (SELECT doc_id, unnest([array_to_string(w[i+1:i+$n], ' ') for i in range(len(w)-${n - 1})]) AS g
-             |   FROM w WHERE len(w) >= $n) GROUP BY 1, 2)""".stripMargin
-        // 68719476736 = 2^36: the (count, char-mass) lexicographic max
-        // packed into one BIGINT, mirroring the Spark side exactly
-        val tops = (2 to 4).map(n =>
-          s"""t$n AS (SELECT doc_id, max(CASE WHEN c > 1 THEN c * 68719476736 + c * length(g) END) % 68719476736 AS top_chars_$n FROM g$n GROUP BY 1)""")
-        val dups = (5 to 10).map(n =>
-          s"""d$n AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup_chars_$n FROM g$n GROUP BY 1)""")
-        val joins = Seq("la") ++ (2 to 4).map(n => s"t$n") ++
-          (5 to 10).map(n => s"d$n")
-        val topFracs = (2 to 4).map(n =>
-          s"CAST(coalesce(top_chars_$n, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS top_${n}_gram_char_frac")
-        val dupFracs = (5 to 10).map(n =>
-          s"CAST(coalesce(dup_chars_$n, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS dup_${n}_gram_char_frac")
-        val topThresh = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16")
-        val dupThresh = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
-          8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
-        val verdictConds = Seq("dup_line_frac > 0.30",
-          "dup_line_char_frac > 0.20") ++
-          (2 to 4).map(n => s"top_${n}_gram_char_frac > ${topThresh(n)}") ++
-          (5 to 10).map(n => s"dup_${n}_gram_char_frac > ${dupThresh(n)}")
-        s"""WITH base AS (SELECT doc_id,
-           |  greatest(CAST(length(text) AS BIGINT), 1) AS chars,
-           |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines FROM documents),
-           |lc AS (SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c FROM
-           |  (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents) GROUP BY 1, 2),
-           |la AS (SELECT doc_id,
-           |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
-           |  CAST(SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS BIGINT) AS dup_line_chars
-           | FROM lc GROUP BY 1),
-           |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           |${(2 to 10).map(gCte).mkString(",\n")},
-           |${(tops ++ dups).mkString(",\n")}
-           |SELECT doc_id, dup_line_frac, dup_line_char_frac,
-           |  ${(2 to 4).map(n => s"top_${n}_gram_char_frac").mkString(", ")},
-           |  ${(5 to 10).map(n => s"dup_${n}_gram_char_frac").mkString(", ")},
-           |  CASE WHEN ${verdictConds.mkString(" OR ")}
-           |       THEN 'drop' ELSE 'keep' END AS verdict
-           |FROM (SELECT base.doc_id,
-           |  CAST(coalesce(dup_lines, 0) AS DOUBLE)/CAST(n_lines AS DOUBLE) AS dup_line_frac,
-           |  CAST(coalesce(dup_line_chars, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS dup_line_char_frac,
-           |  ${(topFracs ++ dupFracs).mkString(",\n  ")}
-           | FROM base ${joins.map(j => s"LEFT JOIN $j USING (doc_id)").mkString(" ")})""".stripMargin
-      }),
+      Some(s"WITH ${gopherRepetitionCtes("documents")}\nSELECT * FROM gre")),
 
     // PII scrubbing. The synthetic documents table contains no
     // PII-shaped text at all, so the query CONSTRUCTS it — both
@@ -904,49 +858,54 @@ object Queries {
     // cross-multiplied comparison, so the booleans agree bit-for-bit.
     "text_gopher_rules" -> Decl(
       (s, d) => TextAnalysis.gopherRules(docs(s, d)),
-      Some("""WITH s AS (SELECT doc_id,
-             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-             |  CAST(length(text) AS BIGINT) - CAST(len(string_split(text,' ')) AS BIGINT) + 1 AS sum_len,
-             |  CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS BIGINT) AS symbols,
-             |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-             |  CAST(len(regexp_extract_all(chr(10)||text, chr(10)||'[-*•]')) AS BIGINT) AS bullets,
-             |  CAST(len(regexp_extract_all(text||chr(10), '(\.\.\.|…)'||chr(10))) AS BIGINT) AS ell,
-             |  CAST(len(list_filter(string_split(text,' '), t -> NOT regexp_matches(t,'[a-zA-Z]'))) AS BIGINT) AS no_alpha,
-             |  CAST((CASE WHEN instr(' '||text||' ', ' the ')>0 THEN 1 ELSE 0 END)
-             |     + (CASE WHEN instr(' '||text||' ', ' be ')>0 THEN 1 ELSE 0 END)
-             |     + (CASE WHEN instr(' '||text||' ', ' to ')>0 THEN 1 ELSE 0 END)
-             |     + (CASE WHEN instr(' '||text||' ', ' of ')>0 THEN 1 ELSE 0 END)
-             |     + (CASE WHEN instr(' '||text||' ', ' and ')>0 THEN 1 ELSE 0 END)
-             |     + (CASE WHEN instr(' '||text||' ', ' that ')>0 THEN 1 ELSE 0 END)
-             |     + (CASE WHEN instr(' '||text||' ', ' have ')>0 THEN 1 ELSE 0 END)
-             |     + (CASE WHEN instr(' '||text||' ', ' with ')>0 THEN 1 ELSE 0 END) AS BIGINT) AS stops
-             | FROM documents)
-             |SELECT doc_id, n_words,
-             |  n_words BETWEEN 50 AND 100000 AS r_wordcount,
-             |  (sum_len >= n_words*3 AND sum_len <= n_words*10) AS r_meanlen,
-             |  symbols*10 <= n_words AS r_symbol,
-             |  bullets*10 <= n_lines*9 AS r_bullet,
-             |  ell*10 <= n_lines*3 AS r_ellipsis,
-             |  (n_words - no_alpha)*5 >= n_words*4 AS r_alpha,
-             |  stops >= 2 AS r_stop,
-             |  (n_words BETWEEN 50 AND 100000
-             |   AND sum_len >= n_words*3 AND sum_len <= n_words*10
-             |   AND symbols*10 <= n_words AND bullets*10 <= n_lines*9
-             |   AND ell*10 <= n_lines*3 AND (n_words - no_alpha)*5 >= n_words*4
-             |   AND stops >= 2) AS verdict
-             |FROM s""".stripMargin)),
+      Some(s"WITH ${gopherRulesCtes("documents")}\nSELECT * FROM gr")),
 
     // C4 §2.2 line gate: pure per-row higher-order filter, no shuffle.
     "pipeline_c4_line_filter" -> Decl(
       (s, d) => Curation.c4LineFilter(docs(s, d)),
-      Some("""SELECT doc_id,
-             |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-             |  CAST(len(kept) AS BIGINT) AS n_kept,
-             |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
-             |FROM (SELECT doc_id, text,
-             |  list_filter(string_split(text, chr(10)),
-             |    l -> regexp_matches(l, '[.!?"]$') AND len(string_split(l,' ')) >= 3) AS kept
-             | FROM documents)""".stripMargin)),
+      Some(s"WITH ${c4Ctes("documents")}\nSELECT * FROM c4")),
+
+    // The composed quality capstone: C4 line gate → Gopher rule
+    // battery → Gopher repetition battery over the SURVIVING lines.
+    // The synthetic documents carry no terminal punctuation, so the
+    // fixture CONSTRUCTS three-line docs from each text (punctuated
+    // body / too-short line / unpunctuated tail) identically in both
+    // engines — the established pattern for exercising a chain the
+    // fixtures don't reach. One doc_id-keyed partitioning serves the
+    // whole join chain.
+    "pipeline_gopher_gate" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val src = docs(s, d).select(col("doc_id"),
+          concat(col("text"), lit(".\nshort.\n"), col("text"),
+            lit(" no end")).as("text"))
+        val cleaned = Curation.c4LineFilter(src)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("n_kept"), col("cleaned").as("text"))
+        val rules = TextAnalysis.gopherRules(
+            cleaned.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("verdict").as("rules_ok"))
+        val rep = TextAnalysis.gopherRepetition(
+            cleaned.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("verdict").as("rep_verdict"))
+        cleaned.select(col("doc_id"), col("n_kept"))
+          .join(rules, "doc_id").join(rep, "doc_id")
+          .withColumn("verdict",
+            when(col("rules_ok") && col("rep_verdict") === "keep", "keep")
+              .otherwise("drop"))
+      },
+      Some(s"""WITH src AS (SELECT doc_id,
+              |  text || '.' || chr(10) || 'short.' || chr(10) || text || ' no end' AS text
+              | FROM documents),
+              |${c4Ctes("src")},
+              |cleaned_t AS (SELECT doc_id, n_kept, cleaned AS text FROM c4 WHERE n_kept > 0),
+              |${gopherRulesCtes("cleaned_t")},
+              |${gopherRepetitionCtes("cleaned_t")}
+              |SELECT c.doc_id, c.n_kept, gr.verdict AS rules_ok,
+              |  gre.verdict AS rep_verdict,
+              |  CASE WHEN gr.verdict AND gre.verdict = 'keep' THEN 'keep'
+              |       ELSE 'drop' END AS verdict
+              |FROM cleaned_t c JOIN gr USING (doc_id) JOIN gre USING (doc_id)""".stripMargin)),
 
     // Relative quality gate: docs at/above the corpus-wide 25th
     // percentile of type-token ratio. Both engines interpolate R-7
@@ -1105,6 +1064,107 @@ object Queries {
        |  SELECT doc_id, sh, j AS band,
        |    md5(sig[4*j+1]::VARCHAR||','||sig[4*j+2]::VARCHAR||','||sig[4*j+3]::VARCHAR||','||sig[4*j+4]::VARCHAR) AS bkey
        |  FROM sigs, range(${Dedup.NumBands}) t(j))""".stripMargin
+
+  /** C4 line filter as a CTE chain over `table`; final CTE `c4` has
+    * (doc_id, n_lines, n_kept, cleaned). Mirrors
+    * `Curation.c4LineFilter`.
+    */
+  private def c4Ctes(table: String): String =
+    s"""c4 AS (SELECT doc_id,
+       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+       |FROM (SELECT doc_id, text,
+       |  list_filter(string_split(text, chr(10)),
+       |    l -> regexp_matches(l, '[.!?"]$$') AND len(string_split(l,' ')) >= 3) AS kept
+       | FROM $table))""".stripMargin
+
+  /** Gopher rule battery as a CTE chain over `table`; final CTE `gr`
+    * has (doc_id, n_words, r_*, verdict). Mirrors
+    * `TextAnalysis.gopherRules` — every rule an integer
+    * cross-multiplied compare.
+    */
+  private def gopherRulesCtes(table: String): String = {
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stops = stopSet.map(w =>
+      s"(CASE WHEN instr(' '||text||' ', ' $w ')>0 THEN 1 ELSE 0 END)")
+      .mkString("\n     + ")
+    s"""rs AS (SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+       |  CAST(length(text) AS BIGINT) - CAST(len(string_split(text,' ')) AS BIGINT) + 1 AS sum_len,
+       |  CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS BIGINT) AS symbols,
+       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(len(regexp_extract_all(chr(10)||text, chr(10)||'[-*•]')) AS BIGINT) AS bullets,
+       |  CAST(len(regexp_extract_all(text||chr(10), '(\\.\\.\\.|…)'||chr(10))) AS BIGINT) AS ell,
+       |  CAST(len(list_filter(string_split(text,' '), t -> NOT regexp_matches(t,'[a-zA-Z]'))) AS BIGINT) AS no_alpha,
+       |  CAST($stops AS BIGINT) AS stops
+       | FROM $table),
+       |gr AS (SELECT doc_id, n_words,
+       |  n_words BETWEEN 50 AND 100000 AS r_wordcount,
+       |  (sum_len >= n_words*3 AND sum_len <= n_words*10) AS r_meanlen,
+       |  symbols*10 <= n_words AS r_symbol,
+       |  bullets*10 <= n_lines*9 AS r_bullet,
+       |  ell*10 <= n_lines*3 AS r_ellipsis,
+       |  (n_words - no_alpha)*5 >= n_words*4 AS r_alpha,
+       |  stops >= 2 AS r_stop,
+       |  (n_words BETWEEN 50 AND 100000
+       |   AND sum_len >= n_words*3 AND sum_len <= n_words*10
+       |   AND symbols*10 <= n_words AND bullets*10 <= n_lines*9
+       |   AND ell*10 <= n_lines*3 AND (n_words - no_alpha)*5 >= n_words*4
+       |   AND stops >= 2) AS verdict
+       |FROM rs)""".stripMargin
+  }
+
+  /** Full Gopher repetition battery as a CTE chain over `table`; final
+    * CTE `gre` has (doc_id, fractions…, verdict). Mirrors
+    * `TextAnalysis.gopherRepetition`, including the packed-long
+    * (c·2³⁶ + c·len) argmax — 68719476736 = 2³⁶.
+    */
+  private def gopherRepetitionCtes(table: String): String = {
+    def gCte(n: Int) =
+      s"""g$n AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
+         |  (SELECT doc_id, unnest([array_to_string(w[i+1:i+$n], ' ') for i in range(len(w)-${n - 1})]) AS g
+         |   FROM w WHERE len(w) >= $n) GROUP BY 1, 2)""".stripMargin
+    val tops = (2 to 4).map(n =>
+      s"""t$n AS (SELECT doc_id, max(CASE WHEN c > 1 THEN c * 68719476736 + c * length(g) END) % 68719476736 AS top_chars_$n FROM g$n GROUP BY 1)""")
+    val dups = (5 to 10).map(n =>
+      s"""d$n AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup_chars_$n FROM g$n GROUP BY 1)""")
+    val joins = Seq("la") ++ (2 to 4).map(n => s"t$n") ++
+      (5 to 10).map(n => s"d$n")
+    val topFracs = (2 to 4).map(n =>
+      s"CAST(coalesce(top_chars_$n, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS top_${n}_gram_char_frac")
+    val dupFracs = (5 to 10).map(n =>
+      s"CAST(coalesce(dup_chars_$n, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS dup_${n}_gram_char_frac")
+    val topThresh = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16")
+    val dupThresh = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
+      8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+    val verdictConds = Seq("dup_line_frac > 0.30",
+      "dup_line_char_frac > 0.20") ++
+      (2 to 4).map(n => s"top_${n}_gram_char_frac > ${topThresh(n)}") ++
+      (5 to 10).map(n => s"dup_${n}_gram_char_frac > ${dupThresh(n)}")
+    s"""base AS (SELECT doc_id,
+       |  greatest(CAST(length(text) AS BIGINT), 1) AS chars,
+       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines FROM $table),
+       |lc AS (SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c FROM
+       |  (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM $table) GROUP BY 1, 2),
+       |la AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+       |  CAST(SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS BIGINT) AS dup_line_chars
+       | FROM lc GROUP BY 1),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $table),
+       |${(2 to 10).map(gCte).mkString(",\n")},
+       |${(tops ++ dups).mkString(",\n")},
+       |gre AS (SELECT doc_id, dup_line_frac, dup_line_char_frac,
+       |  ${(2 to 4).map(n => s"top_${n}_gram_char_frac").mkString(", ")},
+       |  ${(5 to 10).map(n => s"dup_${n}_gram_char_frac").mkString(", ")},
+       |  CASE WHEN ${verdictConds.mkString(" OR ")}
+       |       THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM (SELECT base.doc_id,
+       |  CAST(coalesce(dup_lines, 0) AS DOUBLE)/CAST(n_lines AS DOUBLE) AS dup_line_frac,
+       |  CAST(coalesce(dup_line_chars, 0) AS DOUBLE)/CAST(chars AS DOUBLE) AS dup_line_char_frac,
+       |  ${(topFracs ++ dupFracs).mkString(",\n  ")}
+       | FROM base ${joins.map(j => s"LEFT JOIN $j USING (doc_id)").mkString(" ")}))""".stripMargin
+  }
 
   private val dedup: Seq[(String, Decl)] = Seq(
     "dedup_exact" -> Decl(
