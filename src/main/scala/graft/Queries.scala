@@ -1231,6 +1231,58 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Winnowing (MOSS) fingerprint selection: per-doc window minima
+    // over k-gram hash60s — bit-exact across engines.
+    "text_winnow_fp" -> Decl(
+      (s, d) => Dedup.winnowFingerprints(docs(s, d), 3, 4),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |g AS (SELECT doc_id, CAST(len(w) - 2 AS BIGINT) AS n_grams, u.pos AS pos, u.gram AS gram
+             |  FROM (SELECT doc_id, w,
+             |    unnest([{'pos': i, 'gram': array_to_string(w[i+1:i+3], ' ')} for i in range(len(w)-2)]) AS u
+             |   FROM toks WHERE len(w) >= 3)),
+             |h AS (SELECT doc_id, n_grams, pos,
+             |  CAST('0x'||substr(md5(gram),1,15) AS BIGINT) AS h FROM g),
+             |m AS (SELECT doc_id, n_grams, pos,
+             |  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             | FROM h)
+             |SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_grams - 4""".stripMargin)),
+
+    // Shared-fingerprint copy shortlist over a constructed corpus with
+    // planted copies (every 11th doc duplicated under offset ids) —
+    // winnowing's guarantee makes each copy pair share fingerprints;
+    // ubiquitous fps (> 64 docs) are dropped before pairing.
+    "text_winnow_overlap" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val copies = base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+        Dedup.winnowOverlap(base.unionByName(copies), 3, 4)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT 3000000 + doc_id AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+             |toks AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+             |g AS (SELECT doc_id, CAST(len(w) - 2 AS BIGINT) AS n_grams, u.pos AS pos, u.gram AS gram
+             |  FROM (SELECT doc_id, w,
+             |    unnest([{'pos': i, 'gram': array_to_string(w[i+1:i+3], ' ')} for i in range(len(w)-2)]) AS u
+             |   FROM toks WHERE len(w) >= 3)),
+             |h AS (SELECT doc_id, n_grams, pos,
+             |  CAST('0x'||substr(md5(gram),1,15) AS BIGINT) AS h FROM g),
+             |m AS (SELECT doc_id, n_grams, pos,
+             |  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             | FROM h),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_grams - 4),
+             |bounded AS (SELECT * FROM fps
+             |  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Cross-corpus near-dedup: a "new dump" (every 7th doc, re-ided)
     // LSH'd against the at-rest corpus — the band join never pairs the
     // corpus with itself; corpus-side buckets rank-capped; every pair

@@ -447,6 +447,67 @@ object Dedup {
     verifyJaccard(cands, docs, n, minJaccard)
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every k-gram, slide a window of `w`
+    * consecutive hashes, keep each window's MINIMUM — the selected set
+    * is position-independent and GUARANTEES that any shared token run
+    * of length ≥ `w + k − 1` between two documents shares at least one
+    * fingerprint, at an expected density of 2/(w+1) per gram. The
+    * sub-document copy detector that whole-doc hashing
+    * ([[graft.operators.TextAnalysis.fingerprint]]) cannot be.
+    *
+    * Shape: one positional k-gram explode (codegen, no arrays
+    * materialized per row), a PER-DOCUMENT min window (partitions are
+    * doc-bounded — no global sort), one distinct. Hashes are
+    * [[graft.functions.TextFunctions.hash60]] (md5-derived) so the
+    * oracle reproduces every fingerprint bit-for-bit. Documents with
+    * fewer than `w + k − 1` tokens emit nothing (no full window — the
+    * guarantee bound, mirrored in the oracle).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3,
+                         w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val parts = (0 until k).map(j => element_at(col("wd"), col("pos") + j + 1))
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("wd"))
+      .filter(size(col("wd")) >= k)
+      .select(col("doc_id"), col("wd"),
+        (size(col("wd")) - k + 1).cast("long").as("n_grams"),
+        explode(sequence(lit(0), size(col("wd")) - k)).as("pos"))
+      .select(col("doc_id"), col("n_grams"), col("pos"),
+        hash60(concat_ws(" ", parts: _*)).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("n_grams") - w) // full windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  /** Pairwise shared-fingerprint report over [[winnowFingerprints]]:
+    * `(doc_a, doc_b, n_shared)` for every pair sharing ≥1 selected
+    * fingerprint — the copy-suspect shortlist. Fingerprints occurring
+    * in more than `maxDocsPerFp` documents are dropped BEFORE pairing
+    * (ubiquitous boilerplate would otherwise pair quadratically — the
+    * same bound discipline as the LSH bucket cap; per-fp join fanout
+    * is ≤ maxDocsPerFp² by construction).
+    */
+  def winnowOverlap(docs: DataFrame, k: Int = 3, w: Int = 4,
+                    maxDocsPerFp: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val bounded = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= maxDocsPerFp),
+      Seq("fp"), "left_semi")
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** CROSS-corpus near-dedup: every (corpus doc, new doc) pair with
     * exact shingle Jaccard ≥ `minJaccard` — the batch shape for
     * "dedup this new crawl dump against the at-rest corpus before

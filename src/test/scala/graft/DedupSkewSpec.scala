@@ -89,6 +89,31 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.head._3 === 1.0)
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    val a = (1 to 30).map(i => s"a$i")
+    val shared = a.slice(10, 26) // 16 shared tokens >= w+k-1 = 6
+    val b = (1 to 8).map(i => s"b$i") ++ shared
+    val c = (1 to 30).map(i => s"c$i") // disjoint
+    val docs = Seq(
+      1L -> a.mkString(" "), 2L -> b.mkString(" "), 3L -> c.mkString(" "))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlap(docs, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"shared run produced no fingerprint: $pairs")
+    assert(pairs.keySet.forall(p => !Set(p._1, p._2).contains(3L)),
+      s"disjoint doc paired: $pairs")
+    // identical docs select identical fingerprint sets
+    val fpsA = Dedup.winnowFingerprints(docs.filter($"doc_id" === 1), 3, 4)
+      .select("fp").as[Long].collect().toSet
+    val fpsA2 = Dedup.winnowFingerprints(
+        docs.filter($"doc_id" === 1).withColumn("doc_id", lit(9L)), 3, 4)
+      .select("fp").as[Long].collect().toSet
+    assert(fpsA === fpsA2 && fpsA.nonEmpty)
+    // density: selected set is a subset of the gram count, short docs emit nothing
+    val short = Seq(4L -> "only five words here now").toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(short, 3, 4).count() === 0L) // 3 grams < w
+  }
+
   test("collect_list never sees an unbounded bucket in the capped plan") {
     // the rank-filter must sit BELOW the list aggregation; the public
     // query checkpoints this segment (hiding it behind a LogicalRDD),
