@@ -496,7 +496,11 @@ object Dedup {
     */
   def winnowOverlap(docs: DataFrame, k: Int = 3, w: Int = 4,
                     maxDocsPerFp: Int = 64): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w)
+    // the fingerprint set feeds THREE subtrees (both join sides and the
+    // ubiquity filter); pin it so the explode+window pipeline runs once
+    // (the verifyJaccard localCheckpoint rationale — ContextCleaner
+    // reclaims the blocks once the query's RDDs are collected)
+    val fps = winnowFingerprints(docs, k, w).localCheckpoint(eager = false)
     val bounded = fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") <= maxDocsPerFp),
