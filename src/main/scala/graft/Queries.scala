@@ -1231,6 +1231,18 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Corpus-frequency content score (exact-arithmetic CCNet
+    // perplexity-bucket analog): mean corpus bigram frequency per doc.
+    "pipeline_ngram_freq_score" -> Decl(
+      (s, d) => Curation.ngramFrequencyScore(docs(s, d), 2),
+      Some("""WITH g AS (SELECT doc_id, unnest([w[i+1]||' '||w[i+2] for i in range(len(w)-1)]) AS gram
+             |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) WHERE len(w) >= 2),
+             |c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cf FROM g GROUP BY 1)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(cf) AS BIGINT) AS sum_cf,
+             |  CAST(SUM(cf) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean_cf
+             |FROM g JOIN c USING (gram) GROUP BY doc_id""".stripMargin)),
+
     // Winnowing (MOSS) fingerprint selection: per-doc window minima
     // over k-gram hash60s — bit-exact across engines.
     "text_winnow_fp" -> Decl(

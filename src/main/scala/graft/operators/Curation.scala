@@ -68,6 +68,35 @@ object Curation {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Corpus-frequency content score — the EXACT-arithmetic stand-in
+    * for CCNet's LM-perplexity bucketing (Wenzek et al. 2020 splits a
+    * corpus into head/middle/tail by language-model perplexity; with
+    * no external LM in scope, mean corpus-wide bigram frequency is
+    * the deterministic analog: high = common/templated content, low =
+    * rare/unusual): per document, the count and corpus-frequency sum
+    * of its word n-grams, with the mean as an exact
+    * bigint-over-bigint double. Feed the score to [[qualityCutoff]]'s
+    * quantile pattern for the actual head/middle/tail split.
+    *
+    * Shape: one corpus-wide gram count (partial+final hash agg) and
+    * one gram-keyed join back to the per-doc gram stream. The gram
+    * explode is codegen over the scan and is recomputed per subtree —
+    * deliberately NOT localCheckpoint-pinned, because materializing a
+    * corpus-scale gram stream costs more than re-running the explode.
+    * The counts side aggregates BEFORE joining, so it broadcasts when
+    * the vocabulary fits (tiny SF) and shuffle-joins otherwise; the
+    * raw gram side is never sorted or collected.
+    */
+  def ngramFrequencyScore(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = graft.operators.Dedup.shingleRows(docs, n, distinct = false)
+    val counts = grams.groupBy(col("shingle")).agg(count(lit(1)).as("cf"))
+    grams.join(counts, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("cf")).as("sum_cf"))
+      .withColumn("mean_cf",
+        col("sum_cf").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** C4-style line-level cleanup (Raffel et al. 2020, §2.2): keep only
     * lines that end in terminal punctuation (`.` `!` `?` `"`) AND have
     * at least `minWords` words; reassemble the survivors in order.

@@ -159,6 +159,16 @@ class CurationSpec extends SparkSpec {
     assert(got.select("cutoff").head().getDouble(0) === 0.75)
   }
 
+  test("ngramFrequencyScore: hand-computed corpus bigram frequencies") {
+    // corpus counts: "a b" -> 3 (2 in doc 1, 1 in doc 2), "b a" -> 1, "b c" -> 1
+    val docs = Seq(1L -> "a b a b", 2L -> "a b c").toDF("doc_id", "text")
+    val got = Curation.ngramFrequencyScore(docs, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((3L, 7L, 7.0 / 3.0))) // grams: ab, ba, ab -> 3+1+3
+    assert(got(2L) === ((2L, 4L, 2.0)))       // grams: ab, bc -> 3+1
+  }
+
   test("gopherRepetition: duplicate lines and duplicated n-grams trip thresholds") {
     val clean = "one two three four five six seven eight nine ten"
     val dupLines = Seq.fill(10)("the same line again").mkString("\n")

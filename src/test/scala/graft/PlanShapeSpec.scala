@@ -136,6 +136,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ngram frequency score: hash joins and aggregates, no sorts") {
+    // counts aggregate BEFORE the join (broadcastable at this SF); the
+    // raw gram stream must never be sorted or cross-joined
+    val p = plan("pipeline_ngram_freq_score")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("gopher repetition battery: hash aggregates, no sorts or cross joins") {
     val p = plan("text_gopher_repetition")
     assert(!p.contains("CartesianProduct"), p.take(2000))
