@@ -1231,6 +1231,17 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Deterministic global corpus shuffle: dense 1..N rank in hashed
+    // order via two-level prefix sums, vs the oracle's single-reducer
+    // row_number — identical permutation, distributed sort.
+    "pipeline_shuffle_rank" -> Decl(
+      (s, d) => Sampling.deterministicShuffle(docs(s, d), 42L),
+      Some("""SELECT doc_id, skey,
+             |  CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS shuffle_rank
+             |FROM (SELECT doc_id,
+             |  CAST('0x'||substr(md5(doc_id::VARCHAR || ':' || '42'),1,15) AS BIGINT) AS skey
+             | FROM documents)""".stripMargin)),
+
     // Corpus-frequency content score (exact-arithmetic CCNet
     // perplexity-bucket analog): mean corpus bigram frequency per doc.
     "pipeline_ngram_freq_score" -> Decl(

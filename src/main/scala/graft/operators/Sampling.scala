@@ -47,4 +47,43 @@ object Sampling {
       .filter(hash60(col(idCol).cast("string")) % 1000 <
         col("rate_permille"))
       .select(col(idCol), col(sourceCol), col("rate_permille"))
+
+  /** Deterministic global corpus shuffle — the "shuffle the training
+    * data" step: a dense 1..N `shuffle_rank` in md5-derived key order,
+    * reproducible across runs, engines, and partitionings (seed in,
+    * same permutation out).
+    *
+    * A naive `row_number() OVER (ORDER BY key)` funnels the corpus
+    * through ONE reducer; this is the two-level form instead (the
+    * sequence-packing prefix-sum pattern): keys range-bucket by their
+    * high bits (order-preserving by construction), per-bucket counts
+    * produce bucket START OFFSETS via a cumulative window over the
+    * BUCKET TABLE (`nBuckets` rows — bounded, broadcast back), and the
+    * global rank is bucket offset + within-bucket `row_number`. Every
+    * sort is bucket-local (expected corpus/`nBuckets` rows); scale
+    * `nBuckets` with the corpus so buckets stay executor-sized.
+    * Bit-identical to the single-reducer oracle form.
+    */
+  def deterministicShuffle(docs: DataFrame, seed: Long,
+                           idCol: String = "doc_id",
+                           nBuckets: Int = 4096): DataFrame = {
+    val key = hash60(concat(col(idCol).cast("string"),
+      lit(":"), lit(seed.toString)))
+    // hash60 < 2^60; ceil-width so buckets stay monotone in the key
+    val width = (1L << 60) / nBuckets + 1
+    val keyed = docs.select(col(idCol), key.as("skey"))
+      .withColumn("__bucket", expr(s"skey div $width"))
+    val offsets = keyed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val within = Window.partitionBy(col("__bucket"))
+      .orderBy(col("skey"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("shuffle_rank",
+        (col("__off") + row_number().over(within)).cast("long"))
+      .select(col(idCol), col("skey"), col("shuffle_rank"))
+  }
 }

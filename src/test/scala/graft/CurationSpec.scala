@@ -159,6 +159,26 @@ class CurationSpec extends SparkSpec {
     assert(got.select("cutoff").head().getDouble(0) === 0.75)
   }
 
+  test("deterministicShuffle: dense global rank, partitioning-invariant") {
+    val docs = (1 to 200).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val got = graft.operators.Sampling.deterministicShuffle(docs, 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dense 1..N
+    assert(got.map(_._3).sorted.toSeq === (1L to 200L))
+    // rank order IS key order (ties impossible here; id breaks them anyway)
+    val byRank = got.sortBy(_._3).map(t => (t._2, t._1)).toSeq
+    assert(byRank === byRank.sorted)
+    // same permutation regardless of input partitioning and bucket count
+    val again = graft.operators.Sampling
+      .deterministicShuffle(docs.repartition(13), 7L, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.map(t => t._1 -> t._3).toMap === again)
+    // a different seed yields a different permutation
+    val other = graft.operators.Sampling.deterministicShuffle(docs, 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.map(t => t._1 -> t._3).toMap !== other)
+  }
+
   test("ngramFrequencyScore: hand-computed corpus bigram frequencies") {
     // corpus counts: "a b" -> 3 (2 in doc 1, 1 in doc 2), "b a" -> 1, "b c" -> 1
     val docs = Seq(1L -> "a b a b", 2L -> "a b c").toDF("doc_id", "text")
