@@ -780,6 +780,34 @@ object Queries {
               |SELECT tr.doc_id AS doc_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
               |FROM tr JOIN ev ON tr.shingle = ev.shingle
               |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
+    // The eval-side audit of the same split: per eval doc, colliding
+    // train docs and the fraction of its distinct trigrams seen
+    // anywhere in train (exact int/int double).
+    "pipeline_eval_contamination" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val all = docs(s, d)
+        val split = graft.functions.TextFunctions
+          .hash60(col("doc_id").cast("string")) % 25
+        Decontaminate.evalContamination(
+          all.filter(split =!= 0), all.filter(split === 0), 3)
+      },
+      Some(s"""WITH ${shinglesCteFrom("documents")},
+              |e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM e
+              |       WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 25 = 0),
+              |tr AS (SELECT * FROM e
+              |       WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 25 <> 0),
+              |sizes AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM ev GROUP BY 1),
+              |hits AS (SELECT ev.eval_id,
+              |    CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+              |    CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_seen
+              |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1)
+              |SELECT s.eval_id, s.n_shingles,
+              |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+              |  coalesce(h.n_seen, 0) AS n_seen,
+              |  CAST(coalesce(h.n_seen, 0) AS DOUBLE)/CAST(s.n_shingles AS DOUBLE) AS contamination_frac
+              |FROM sizes s LEFT JOIN hits h USING (eval_id)""".stripMargin)),
   )
 
   // -------------------------------------------------------------- curation

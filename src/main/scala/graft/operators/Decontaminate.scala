@@ -45,4 +45,35 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_eval_docs"),
            max(col("n_overlap")).as("max_overlap"))
+
+  /** Per-EVAL-doc audit — the report a benchmark owner reads before
+    * trusting a score: for each eval document, how many training docs
+    * collide at all, how many of ITS distinct n-grams occur anywhere
+    * in the training corpus (`n_seen`), and the headline contamination
+    * fraction `n_seen / n_shingles`. The fraction is an exact
+    * bigint-over-bigint double.
+    *
+    * Same scale contract as [[overlaps]]: eval shingles broadcast,
+    * the corpus streams past map-side, only real collisions shuffle —
+    * `n_seen` is a per-eval `countDistinct` over collision rows, so no
+    * corpus-wide shingle distinct is ever built.
+    */
+  def evalContamination(train: DataFrame, evalSet: DataFrame,
+                        n: Int = 3): DataFrame = {
+    val evalSh = Dedup.shingleRows(evalSet, n)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val sizes = evalSh.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = Dedup.shingleRows(train, n)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+           countDistinct(col("shingle")).as("n_seen"))
+    sizes.join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("contamination_frac",
+        col("n_seen").cast("double") / col("n_shingles").cast("double"))
+  }
 }

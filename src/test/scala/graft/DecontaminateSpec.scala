@@ -37,6 +37,19 @@ class DecontaminateSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 2L), (3L, 2L, 3L), (5L, 1L, 2L)))
   }
 
+  test("evalContamination reports per-eval seen-gram fraction") {
+    val multiEval = evalSet.union(
+      Seq((200L, "u v w x y")).toDF("doc_id", "text")) // no train collisions
+    val got = Decontaminate.evalContamination(train, multiEval, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // eval 100: 3 trigrams; all 3 seen in train (a b c in docs 1,2,3,5;
+    // b c d in 1,3,5; c d e in 3); colliding train docs = {1,2,3,5}
+    assert(got(100L) === ((3L, 4L, 3L, 1.0)))
+    // eval 200: untouched — zero hits, frac 0.0
+    assert(got(200L) === ((3L, 0L, 0L, 0.0)))
+  }
+
   test("eval side joins via broadcast, train side is never self-joined") {
     val plan = Decontaminate.overlaps(train, evalSet, 3, 2)
       .queryExecution.executedPlan.toString
