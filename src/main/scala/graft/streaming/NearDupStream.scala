@@ -44,7 +44,9 @@ import graft.operators.Dedup
   * trade. Replayed batches land on identical signatures → identical
   * band keys → Jaccard 1.0 → dropped, so restarts converge like the
   * exact stream. Batch doc_ids must not collide with corpus doc_ids
-  * (the ingest contract).
+  * (the ingest contract). A corpus that predates this stream has no
+  * bands — run [[backfillBands]] once before `start`, or near-dups of
+  * that untracked history are admitted.
   */
 object NearDupStream {
 
@@ -55,6 +57,17 @@ object NearDupStream {
   def bandsBloom(fpp: Double = 0.01, headroom: Long = 4,
                  minCapacity: Long = 1024L): CorpusBloom =
     new CorpusBloom(fpp, headroom, minCapacity, keyExpr = bandKey)
+
+  /** One-time bands backfill for a corpus that PREDATES this stream
+    * (e.g. built by [[CurationStream]]): without it, history has no
+    * band keys, so near-dups of pre-existing documents would be
+    * silently admitted. One corpus pass; run before `start`.
+    */
+  def backfillBands(spark: SparkSession, corpusDir: String,
+                    bandsDir: String): Unit =
+    Dedup.lshBands(Dedup.minhashSignatures(
+        spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))))
+      .write.mode("overwrite").parquet(bandsDir)
 
   /** Drop near-duplicates from a curated batch: within-batch pairs
     * always; against the at-rest bands/corpus when they exist.

@@ -77,4 +77,27 @@ class NearDupStreamSpec extends SparkSpec {
     run()
     assert(corpusIds === Seq(1L, 4L))
   }
+
+  test("backfillBands protects a corpus that predates the stream") {
+    val in = tmp("graft-nd2-in")
+    val corpus = tmp("graft-nd2-corpus") + "/corpus"
+    val bands = tmp("graft-nd2-bands") + "/bands"
+    val ckpt = tmp("graft-nd2-ckpt")
+    // history written WITHOUT this stream (CurationStream-style corpus)
+    Seq((1L, baseText("gamma"), "fp1"))
+      .toDF("doc_id", "text", "fp")
+      .write.parquet(corpus)
+    NearDupStream.backfillBands(spark, corpus, bands)
+    assert(spark.read.parquet(bands).count() === 8L)
+    // a near-copy of the pre-existing doc is now caught at the door
+    writeJson(in, "b1.json", Seq(
+      10L -> editedText("gamma"),
+      11L -> baseText("delta")))
+    NearDupStream.start(spark, in, corpus, bands, ckpt,
+        Trigger.AvailableNow(), minJaccard = 0.7)
+      .awaitTermination(120000)
+    val ids = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 11L))
+  }
 }
