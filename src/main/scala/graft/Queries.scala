@@ -840,6 +840,27 @@ object Queries {
              |       COALESCE(n_kept, 0) AS n_kept, COALESCE(cleaned, '') AS cleaned
              |FROM ll LEFT JOIN agg USING (doc_id)""".stripMargin)),
 
+    // PARAGRAPH-granularity global dedup (the Gopher/Dolma unit above
+    // lines): same first-seen-wins machinery, '\n\n' separator — both
+    // engines derive paragraphs by replacing ' the ' markers.
+    "dedup_paragraphs" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mt = docs(s, d).select(col("doc_id"),
+          expr("replace(concat(' ', text, ' '), ' the ', '\n\n')").as("mt"))
+        Curation.dedupLines(mt, "doc_id", "mt", sep = "\n\n")
+      },
+      Some("""WITH t AS (SELECT doc_id, replace(' '||text||' ', ' the ', chr(10)||chr(10)) AS mt FROM documents),
+             |ll AS (SELECT doc_id, string_split(mt, chr(10)||chr(10)) AS l FROM t),
+             |e AS (SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS pos, unnest(l) AS line FROM ll),
+             |k AS (SELECT doc_id, pos, line FROM e
+             |      QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |        string_agg(line, chr(10)||chr(10) ORDER BY pos) AS cleaned FROM k GROUP BY doc_id)
+             |SELECT ll.doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+             |       COALESCE(n_kept, 0) AS n_kept, COALESCE(cleaned, '') AS cleaned
+             |FROM ll LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
     // Canonical-URL dedup over crawl-frontier URLs CONSTRUCTED from
     // events in both engines (mixed-case host, default port, utm_*
     // params, trailing slashes, fragments — the variants that hide
