@@ -198,6 +198,30 @@ class MaxMindDbSpec extends SparkSpec {
     assert(fromBin("9.9.9.9") === None)
   }
 
+  test("malformed files fail loudly, not with garbage ranges") {
+    // no metadata marker at all
+    val junk = writeDb("junk.mmdb", Array.fill[Byte](256)(0x41))
+    val e1 = intercept[IllegalArgumentException](
+      MaxMindDb.fromMmdb(spark, junk))
+    assert(e1.getMessage.contains("no metadata marker"))
+    // valid marker + metadata, but node_count claims a tree larger
+    // than the file
+    val lying = {
+      val good = Fixture.build(demoNets, 24, 32)
+      val marker = Array(0xAB.toByte, 0xCD.toByte, 0xEF.toByte) ++
+        "MaxMind.com".getBytes("US-ASCII")
+      val meta = Fixture.encMap(
+        "ip_version" -> Fixture.encUint16(4),
+        "node_count" -> Fixture.encUint32(1000000),
+        "record_size" -> Fixture.encUint16(24))
+      good ++ marker ++ meta
+    }
+    val p2 = writeDb("lying.mmdb", lying)
+    val e2 = intercept[IllegalArgumentException](
+      MaxMindDb.fromMmdb(spark, p2))
+    assert(e2.getMessage.contains("truncated"))
+  }
+
   test("ip_version=6 database: v6 ranges match the CSV loader, embedded v4 splits out") {
     // 2001:200::/32 → JP (real v6), 10.0.0.0/8 embedded at ::/96+8
     val v6Nets = Seq(
