@@ -1468,6 +1468,39 @@ object Queries {
               |  UNION ALL SELECT doc_id, r FROM reach)
               |GROUP BY doc_id""".stripMargin)),
 
+    // Cluster representative selection on top of the components:
+    // keep the member with the most tokens (ties → smallest id).
+    "dedup_cluster_keepers" -> Decl(
+      (s, d) => {
+        val base = docs(s, d)
+        Dedup.clusterKeepers(
+          Dedup.duplicateClusters(Dedup.ngramJaccard(base, 3, 0.5)), base)
+      },
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+              |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
+              |       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2, 3, 4),
+              |p AS (SELECT doc_a, doc_b FROM pp
+              |      WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT src AS doc_id, dst AS r FROM edges
+              |          UNION SELECT rr.doc_id, e2.dst FROM reach rr JOIN edges e2 ON e2.src = rr.r),
+              |labels AS (SELECT doc_id, MIN(r) AS cluster FROM (
+              |  SELECT src AS doc_id, src AS r FROM edges
+              |  UNION ALL SELECT doc_id, r FROM reach)
+              |GROUP BY doc_id),
+              |scored AS (SELECT l.doc_id, l.cluster,
+              |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS s
+              |  FROM labels l JOIN documents d USING (doc_id)),
+              |best AS (SELECT cluster, MAX(s) AS keeper_score,
+              |    CAST(COUNT(*) AS BIGINT) AS size FROM scored GROUP BY 1)
+              |SELECT b.cluster, MIN(sc.doc_id) AS keeper, b.size, b.keeper_score
+              |FROM scored sc JOIN best b
+              |  ON sc.cluster = b.cluster AND sc.s = b.keeper_score
+              |GROUP BY b.cluster, b.size, b.keeper_score""".stripMargin)),
+
     // Content-defined chunking: duplicated chunks anywhere in the
     // corpus, with boundaries derived from token hashes (≡ 0 mod 8).
     "dedup_cdc_chunks" -> Decl(

@@ -606,6 +606,30 @@ object Dedup {
     labels
   }
 
+  /** Representative selection for [[duplicateClusters]] output: per
+    * cluster, keep the BEST member by `score` (token count by
+    * default — real dedup jobs keep the longest/most complete copy,
+    * not the smallest id), ties broken by smallest doc_id. Emits
+    * `(cluster, keeper, size, keeper_score)`.
+    *
+    * Two hash aggregates and one cluster-keyed join — no struct-max
+    * (which would fall back to SortAggregate) and no windows: argmax
+    * is max-score-then-min-id, each a primitive aggregate.
+    */
+  def clusterKeepers(clusters: DataFrame, docs: DataFrame,
+                     score: org.apache.spark.sql.Column =
+                       size(tokens(col("text"))).cast("long")): DataFrame = {
+    val scored = clusters.join(
+      docs.select(col("doc_id"), score.as("s")), "doc_id")
+    val best = scored.groupBy(col("cluster"))
+      .agg(max(col("s")).as("keeper_score"), count(lit(1)).as("size"))
+    scored.join(best, "cluster")
+      .filter(col("s") === col("keeper_score"))
+      .groupBy(col("cluster"), col("size"), col("keeper_score"))
+      .agg(min(col("doc_id")).as("keeper"))
+      .select(col("cluster"), col("keeper"), col("size"), col("keeper_score"))
+  }
+
   val SimhashBits = 32
 
   /** SimHash near-dup pairs: candidates share the top half of the

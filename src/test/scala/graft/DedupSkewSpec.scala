@@ -89,6 +89,22 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.head._3 === 1.0)
   }
 
+  test("clusterKeepers picks the longest member, ties to smallest id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: doc 2 longest
+      (7L, 7L), (8L, 7L)            // cluster 7: equal lengths → min id
+    ).toDF("doc_id", "cluster")
+    val docsDf = Seq(
+      1L -> "a b c", 2L -> "a b c d e", 3L -> "a b",
+      7L -> "x y z", 8L -> "p q r"
+    ).toDF("doc_id", "text")
+    val got = Dedup.clusterKeepers(clusters, docsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((2L, 3L, 5L))) // keeper 2 (5 tokens), size 3
+    assert(got(7L) === ((7L, 2L, 3L))) // tie at 3 tokens → min id 7
+  }
+
   test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
     val a = (1 to 30).map(i => s"a$i")
     val shared = a.slice(10, 26) // 16 shared tokens >= w+k-1 = 6
