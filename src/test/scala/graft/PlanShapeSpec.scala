@@ -146,6 +146,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("deterministic shuffle never plans a global range sort") {
+    // the whole point of the two-level form: rank without funneling
+    // the corpus through one ordered partition
+    val p = plan("pipeline_shuffle_rank")
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
   test("gopher repetition battery: hash aggregates, no sorts or cross joins") {
     val p = plan("text_gopher_repetition")
     assert(!p.contains("CartesianProduct"), p.take(2000))
