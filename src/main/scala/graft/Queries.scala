@@ -861,6 +861,34 @@ object Queries {
              |       COALESCE(n_kept, 0) AS n_kept, COALESCE(cleaned, '') AS cleaned
              |FROM ll LEFT JOIN agg USING (doc_id)""".stripMargin)),
 
+    // ExactSubstr duplicated-span removal (Lee et al. 2021) at 5-token
+    // granularity: any 5-gram occurring twice anywhere in the corpus is
+    // cut from every document; both engines share the same positional
+    // gram hashes (hash60) and the same running-max coverage window, so
+    // the reassembled texts agree byte-for-byte.
+    "dedup_exact_substr" -> Decl(
+      (s, d) => Dedup.exactSubstrDedup(docs(s, d), 5),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |g AS (SELECT doc_id, u.pos AS pos,
+             |   CAST('0x'||substr(md5(u.gram),1,15) AS BIGINT) AS gh
+             |  FROM (SELECT doc_id,
+             |    unnest([{'pos': i, 'gram': array_to_string(w[i+1:i+5], ' ')} for i in range(len(w)-4)]) AS u
+             |   FROM toks WHERE len(w) >= 5)),
+             |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+             |ds AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gh)),
+             |t AS (SELECT doc_id, u.p AS p, u.tok AS tok
+             |  FROM (SELECT doc_id, unnest([{'p': i, 'tok': w[i+1]} for i in range(len(w))]) AS u FROM toks)),
+             |c AS (SELECT t.doc_id, t.p, t.tok,
+             |   MAX(CASE WHEN ds.pos IS NOT NULL THEN t.p END)
+             |     OVER (PARTITION BY t.doc_id ORDER BY t.p) AS cov
+             |  FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id AND t.p = ds.pos),
+             |k AS (SELECT doc_id, p, tok FROM c WHERE cov IS NULL OR p > cov + 4),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |    string_agg(tok, ' ' ORDER BY p) AS cleaned FROM k GROUP BY doc_id)
+             |SELECT toks.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             |  COALESCE(n_kept, 0) AS n_kept, COALESCE(cleaned, '') AS cleaned
+             |FROM toks LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
     // Canonical-URL dedup over crawl-frontier URLs CONSTRUCTED from
     // events in both engines (mixed-case host, default port, utm_*
     // params, trailing slashes, fragments — the variants that hide

@@ -512,6 +512,75 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Exact duplicated-substring REMOVAL (the ExactSubstr policy of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", at token k-gram granularity): any k-token run whose exact
+    * content occurs more than once anywhere in the corpus — including
+    * twice in the same document — is cut from EVERY document, and the
+    * surviving tokens reassemble in order. This is the pass that
+    * catches boilerplate *fragments* (license headers, navigation
+    * chrome, quoted passages) embedded inside otherwise-unique
+    * documents, which document-, paragraph-, and line-granular dedup
+    * all miss. The paper's suffix-array formulation is a single-node
+    * construction; the distributed equivalent is positional k-gram
+    * fingerprints: a token is removed iff it is covered by at least one
+    * globally-duplicated k-gram, which removes exactly the tokens lying
+    * inside a duplicated run of length ≥ k.
+    *
+    * Output: one row per input document — `n_tokens`, `n_kept`, and the
+    * reassembled `cleaned` text ('' when everything was duplicated).
+    *
+    * Scale shape: one positional k-gram explode (codegen — no arrays
+    * survive it), ONE shuffle on the gram hash for the global
+    * occurrence count (partial+final hash agg, so a billion-occurrence
+    * gram ships one partial row per map task), a left-semi join back to
+    * the gram stream to keep duplicated start positions (counts
+    * aggregate BEFORE the join — the side broadcasts when the
+    * duplicated-gram set fits), then a per-document running-max window
+    * (`covered(p) ⟺ max dup-start ≤ p ≥ p−k+1` — doc-bounded
+    * partitions, no global sort) and one doc_id shuffle for ordered
+    * reassembly. Nothing is ever collected or corpus-broadcast.
+    */
+  def exactSubstrDedup(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val parts = (0 until k).map(j => element_at(col("wd"), col("pos") + j + 1))
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("wd"))
+      .filter(size(col("wd")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("wd")) - k)).as("pos"), col("wd"))
+      .select(col("doc_id"), col("pos"),
+        hash60(concat_ws(" ", parts: _*)).as("gh"))
+    val dupGh = grams.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val dupStarts = grams.join(dupGh, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+    val runMax = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = toks
+      .join(dupStarts.withColumn("isdup", lit(1)),
+        toks("doc_id") === dupStarts("doc_id") && col("p") === col("pos"),
+        "left")
+      .select(toks("doc_id"), col("p"), col("tok"), col("isdup"))
+      .withColumn("cov",
+        max(when(col("isdup") === 1, col("p"))).over(runMax))
+      .filter(col("cov").isNull || col("p") > col("cov") + (k - 1))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"))
+          .as("cleaned"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** CROSS-corpus near-dedup: every (corpus doc, new doc) pair with
     * exact shingle Jaccard ≥ `minJaccard` — the batch shape for
     * "dedup this new crawl dump against the at-rest corpus before

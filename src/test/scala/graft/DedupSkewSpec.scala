@@ -130,6 +130,32 @@ class DedupSkewSpec extends SparkSpec {
     assert(Dedup.winnowFingerprints(short, 3, 4).count() === 0L) // 3 grams < w
   }
 
+  test("exactSubstrDedup cuts a planted duplicated span from every doc, leaves unique text alone") {
+    val span = (1 to 6).map(i => s"dup$i").mkString(" ") // 6 tokens, k=5
+    val a = s"alpha beta gamma $span delta epsilon zeta eta theta"
+    val b = s"iota kappa lambdaa mu $span nu xi omicron pi rho"
+    val c = "unique words that appear nowhere else sigma tau upsilon phi chi"
+    val docs = Seq(1L -> a, 2L -> b, 3L -> c).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(docs, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // the shared 6-token span hosts two duplicated 5-grams; exactly
+    // those 6 tokens vanish from BOTH hosts, in-order context survives
+    assert(got(1L)._3 === "alpha beta gamma delta epsilon zeta eta theta")
+    assert(got(2L)._3 === "iota kappa lambdaa mu nu xi omicron pi rho")
+    assert(got(1L)._1 === 14L && got(1L)._2 === 8L)
+    // the unique doc is untouched
+    assert(got(3L)._3 === c && got(3L)._1 === got(3L)._2)
+    // a doc that is ENTIRELY a duplicated run reassembles to ''
+    val all = Seq(1L -> span, 2L -> span).toDF("doc_id", "text")
+    val wiped = Dedup.exactSubstrDedup(all, 5).collect()
+    assert(wiped.forall(r => r.getLong(2) === 0L && r.getString(3) === ""))
+    // within-doc repetition counts as duplication too (one doc, span twice)
+    val self = Seq(1L -> s"$span filler middle tokens $span").toDF("doc_id", "text")
+    val selfGot = Dedup.exactSubstrDedup(self, 5).head()
+    assert(selfGot.getString(3) === "filler middle tokens")
+  }
+
   test("collect_list never sees an unbounded bucket in the capped plan") {
     // the rank-filter must sit BELOW the list aggregation; the public
     // query checkpoints this segment (hiding it behind a LogicalRDD),
