@@ -1103,6 +1103,22 @@ object Queries {
              |  string_agg(tid, ',' ORDER BY pos) AS ids
              |FROM m GROUP BY doc_id""".stripMargin)),
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): 8 merge rounds over
+    // the word-count table — highest pair count wins, ties to the
+    // lexicographically smallest pair. The oracle unrolls the identical
+    // recurrence as a generated 8-round CTE chain (Bpe.oracleMerges),
+    // so the learned merge table matches bit-for-bit.
+    "pipeline_bpe_train" -> Decl(
+      (s, d) => Bpe.bpeMerges(docs(s, d), 8),
+      Some(Bpe.oracleMerges(8))),
+
+    // The encode side of the learned tokenizer: per-document word and
+    // BPE-token counts under the same 8 merges (n_bpe walks down from
+    // character count toward word count as rounds grow).
+    "pipeline_bpe_encode" -> Decl(
+      (s, d) => Bpe.bpeSegment(docs(s, d), 8),
+      Some(Bpe.oracleSegment(8))),
+
     // Tokenizer vocabulary: top-100 corpus terms by occurrences with
     // document frequency.
     "text_vocab_topk" -> Decl(
