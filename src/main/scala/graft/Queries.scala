@@ -319,6 +319,64 @@ object Queries {
              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // Q6: the purest scan shape — all four predicates pushed to the
+    // parquet scan, one scalar aggregate, DECIMAL(38,6)-exact revenue.
+    "tpch_q6_forecast" -> Decl(
+      (s, d) => Relational.forecastRevenue(
+        Tables.read(s, d, "lineitem"), "1996-01-01", "1997-01-01",
+        0.02, 0.06, 25.0),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             | COUNT(*) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25""".stripMargin)),
+
+    // Q4 adapted to the schema (no commit/receipt dates): EXISTS as a
+    // LEFT-SEMI join, counted per order priority.
+    "tpch_q4_priority" -> Decl(
+      (s, d) => Relational.orderPriorityCheck(
+        Tables.read(s, d, "orders"), Tables.read(s, d, "lineitem"),
+        "1996-01-01", "1996-07-01"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q10: returned-item revenue ranking over a quarter.
+    "tpch_q10_returns" -> Decl(
+      (s, d) => Relational.returnedItems(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "nation"),
+        "1996-01-01", "1996-04-01", 20),
+      Some("""SELECT c_custkey, c_name, n_name,
+             | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |FROM lineitem, orders, customer, nation
+             |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Q14: promotion revenue share for a month; exact sums, the
+    // division happens in doubles after.
+    "tpch_q14_promo" -> Decl(
+      (s, d) => Relational.promoRevenue(
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "part"),
+        "1996-03-01", "1996-04-01"),
+      Some("""SELECT 100.0 *
+             | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+             |   THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) /
+             | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS promo_pct
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
+
     // AS-OF join (composed union+window) checked against DuckDB's
     // NATIVE ASOF JOIN — an independent implementation of the same
     // semantics: for each purchase, the latest preceding (or equal)

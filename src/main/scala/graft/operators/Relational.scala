@@ -126,6 +126,89 @@ object Relational {
       .limit(n)
   }
 
+  /** TPC-H Q6-style forecast revenue: the purest scan shape — one
+    * selective filter, one scalar aggregate, no joins, no shuffle
+    * beyond the 1-row final agg. All four predicates reach the parquet
+    * scan as pushed filters; revenue accumulates as DECIMAL(38,6) so
+    * the result is bit-identical under any partial-agg order (the q5
+    * discipline).
+    */
+  def forecastRevenue(lineitem: DataFrame, from: String, until: String,
+                      discLo: Double, discHi: Double,
+                      maxQty: Double): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < maxQty)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(38,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4-style order-priority check, adapted to the available
+    * columns (no commit/receipt dates in the schema): orders from a
+    * window having at least one line item shipped after the order date,
+    * counted per priority. The EXISTS becomes a LEFT-SEMI join — the
+    * probe side never duplicates, so the count is right without a
+    * distinct; the orders side is date-pruned before the join.
+    */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame,
+                         from: String, until: String): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .join(lineitem.hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q10-style returned-item report: customers ranked by revenue
+    * lost to returns in a quarter. The quarter filter prunes orders
+    * before the fact⨝fact join (pinned SHUFFLE_HASH, build = the
+    * pruned orders side); customer and nation broadcast. Revenue is
+    * DECIMAL(38,6)-exact; top-k is deterministic (revenue desc, then
+    * custkey) and plans as TakeOrderedAndProject.
+    */
+  def returnedItems(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, nation: DataFrame,
+                    from: String, until: String, n: Int): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+          .hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(n)
+
+  /** TPC-H Q14-style promotion effect: the share of a month's revenue
+    * from PROMO parts. Part is the broadcast dimension; numerator and
+    * denominator both accumulate as DECIMAL(38,6) and the percentage
+    * divides as doubles AFTER the exact sums, so the scalar matches the
+    * oracle to full compare precision.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+                   from: String, until: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0)).cast("decimal(38,6)")).cast("double") /
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")).cast("double")).as("promo_pct"))
+
   /** Top spenders: orders⨝customer rollup with a deterministic top-k. */
   def topCustomers(customer: DataFrame, orders: DataFrame, n: Int): DataFrame =
     orders

@@ -162,4 +162,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p.take(2000))
     assert(p.contains("HashAggregate"), p.take(2000))
   }
+
+  test("q6 pushes every predicate to the parquet scan") {
+    // (the PushedFilters list truncates in toString — assert its head
+    // plus the full pruned read schema, which is not truncated)
+    val p = plan("tpch_q6_forecast")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), p.take(3000))
+    // scan reads only the four needed columns
+    assert(!p.contains("l_orderkey"), p.take(3000))
+  }
+
+  test("q4 EXISTS plans as a left-semi hash join, not a dedup-then-join") {
+    val p = plan("tpch_q4_priority")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q10 keeps the fact join shuffled-hash and the top-k distributed") {
+    val p = plan("tpch_q10_returns")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q14 broadcasts the part dimension") {
+    val p = plan("tpch_q14_promo")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
