@@ -112,6 +112,34 @@ object Queries {
       (s, d) => Reports.dailyCount(ev(s, d), "ts", Some("user_id")),
       Some("SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d ORDER BY d")),
 
+    // Traffic-anomaly days over the O11 daily series: ratio to the
+    // trailing 7-day mean, flagged outside [1/1.5, 1.5]. Deliberately
+    // stddev-free — every derived column is exact rational arithmetic
+    // over integer counts, so the boolean cannot flip between engines.
+    "o11_anomaly_days" -> Decl(
+      (s, d) => Reports.anomalyDays(ev(s, d), "ts", 7, 1.5),
+      Some("""WITH dc AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY d),
+             |w AS (SELECT d, cnt,
+             |  AVG(cnt) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_avg,
+             |  COUNT(cnt) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_trail
+             | FROM dc)
+             |SELECT d, cnt, trail_avg, cnt/trail_avg AS ratio,
+             |  (cnt/trail_avg > 1.5 OR cnt/trail_avg < CAST(1.0 AS DOUBLE)/CAST(1.5 AS DOUBLE)) AS is_anomaly
+             |FROM w WHERE n_trail = 7""".stripMargin)),
+
+    // EWMA smoothing of the daily series (pandas ewm adjust=True,
+    // alpha=1/2): every weight is a power of two, so the running
+    // weighted sum is exact integer arithmetic in doubles and the
+    // smoothed values agree bit-for-bit.
+    "o11_ewma_daily" -> Decl(
+      (s, d) => Reports.ewmaDaily(ev(s, d), "ts"),
+      Some("""WITH dc AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY d),
+             |w AS (SELECT d, cnt, row_number() OVER (ORDER BY d) AS i FROM dc),
+             |s AS (SELECT d, cnt, i,
+             |  SUM(cnt * pow(2.0, i)) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             | FROM w)
+             |SELECT d, cnt, s * pow(2.0, -i) * 0.5 / (1.0 - pow(2.0, -i)) AS ewma FROM s""".stripMargin)),
+
     "o12_group_count_desc" -> Decl(
       (s, d) => Reports.dailyGroupCount(ev(s, d), "ts", "user_id", "event_type",
         distinct = true, ascending = false),
@@ -1997,5 +2025,9 @@ object Queries {
     "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "mm_decode_features",
     // round-5 additions — excluded from cross-round total comparisons
-    "dedup_lsh_star_skew", "pipeline_curate_tokenize")
+    "dedup_lsh_star_skew", "pipeline_curate_tokenize",
+    // the two heaviest shapes added later in round 5: ExactSubstr span
+    // removal (positional-gram corpus pass) and BPE training (iterative
+    // word-table aggregates)
+    "dedup_exact_substr", "pipeline_bpe_train")
 }

@@ -117,6 +117,56 @@ object Reports {
     * loops one query per service table; with a service column this is a
     * single grouped aggregate — one shuffle instead of N queries.
     */
+  /** Traffic-anomaly days: each day's visit count against its trailing
+    * `trail`-day mean, flagged when the ratio leaves [1/factor, factor]
+    * — the spike/drop alarm a monitoring dashboard derives from the
+    * O11 daily series. The deliberately ratio-based form (no stddev)
+    * keeps every derived column EXACT rational arithmetic over integer
+    * counts, so the flag can never flip between engines on a last-ulp
+    * variance difference.
+    *
+    * Scale shape: one daily aggregate (partial+final), then a window
+    * over the day series — which is one row per day, thousands of rows
+    * at any corpus size; the window cost is nil and the series fits
+    * one partition by construction.
+    */
+  def anomalyDays(df: DataFrame, tsCol: String, trail: Int = 7,
+                  factor: Double = 1.5): DataFrame = {
+    val w = Window.orderBy(col("d")).rowsBetween(-trail, -1)
+    dailyCount(df, tsCol)
+      .withColumn("trail_avg", avg(col("cnt")).over(w))
+      .withColumn("n_trail", count(col("cnt")).over(w))
+      .filter(col("n_trail") === trail)
+      .withColumn("ratio", col("cnt") / col("trail_avg"))
+      .select(col("d"), col("cnt"), col("trail_avg"), col("ratio"),
+        (col("ratio") > factor || col("ratio") < 1.0 / factor)
+          .as("is_anomaly"))
+  }
+
+  /** Exponentially-weighted moving average of the daily visit series
+    * (pandas `ewm(adjust=True)` semantics): the smoothed trend line a
+    * dashboard overlays on raw counts. With `alpha = 0.5` every weight
+    * is a power of two, so the running weighted sum stays EXACT integer
+    * arithmetic in doubles (counts ≤ 2^23 over ≤ 30 days stay under
+    * 2^53) and both engines agree bit-for-bit.
+    *
+    * ewma_n = Σ_{i≤n} r^{n-i}·x_i / Σ_{j<n} r^j with r = 1−α, computed
+    * as a single ordered running sum of x_i·r^{−i} (rescaled by r^n),
+    * never a per-row re-scan. Same one-row-per-day window-cost argument
+    * as [[anomalyDays]].
+    */
+  def ewmaDaily(df: DataFrame, tsCol: String): DataFrame = {
+    val run = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rn = Window.orderBy(col("d"))
+    dailyCount(df, tsCol)
+      .withColumn("i", row_number().over(rn))
+      .withColumn("s", sum(col("cnt") * pow(lit(2.0), col("i"))).over(run))
+      .select(col("d"), col("cnt"),
+        (col("s") * pow(lit(2.0), -col("i")) * lit(0.5) /
+          (lit(1.0) - pow(lit(2.0), -col("i")))).as("ewma"))
+  }
+
   def dashboard(df: DataFrame, tsCol: String, serviceCol: String,
                 field: String, dayStr: String): DataFrame =
     df.filter(DateRange.pred(col(tsCol), Some(dayStr), Some(dayStr)))

@@ -121,4 +121,35 @@ class GoldenFixtureSpec extends SparkSpec {
     val got = rows.map(r => (r.getAs[String]("service"), r.getAs[Long]("cnt"))).toSeq
     assert(got === Seq(("Linux", 1L), ("Mac OS", 1L)))
   }
+
+  // --- anomaly/EWMA extensions of the daily series
+
+  test("anomalyDays flags a planted 10x spike and nothing else") {
+    // 14 flat days of 4 events, then one day of 40
+    val rows = (1 to 14).flatMap { day =>
+      (1 to 4).map(i => (ts(f"2020-01-$day%02d 10:0$i%01d:00"), i.toLong))
+    } ++ (1 to 40).map(i => (ts("2020-01-15 10:00:00"), i.toLong))
+    val df = rows.toDF("t", "user_id")
+    val got = Reports.anomalyDays(df, "t", 7, 1.5).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        r.getAs[Boolean]("is_anomaly")).toMap
+    assert(got("2020-01-15") === true)
+    assert(got.filter(_._2).keySet === Set("2020-01-15"), got.toString)
+    // first 7 days have no full trailing window and are absent
+    assert(!got.contains("2020-01-07") && got.contains("2020-01-08"))
+  }
+
+  test("ewmaDaily starts at the first count and tracks a level shift") {
+    val rows = (1 to 5).flatMap { day =>
+      val n = if (day <= 3) 2 else 10
+      (1 to n).map(i => (ts(f"2020-01-0$day%01d 10:00:0${i % 10}%01d"), i.toLong))
+    }
+    val got = Reports.ewmaDaily(rows.toDF("t", "user_id"), "t").collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString -> r.getAs[Double]("ewma"))
+      .toMap
+    assert(got("2020-01-01") === 2.0) // ewma_1 = x_1 exactly
+    // after the shift the smoothed value moves toward 10 monotonically
+    assert(got("2020-01-04") > 2.0 && got("2020-01-04") < 10.0)
+    assert(got("2020-01-05") > got("2020-01-04"))
+  }
 }
