@@ -158,26 +158,65 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
     */
   private[graft] def compact(service: String, targetFileBytes: Long,
                              beforeSwap: () => Unit): (Int, Int) = {
+    var before = 0
+    val (after, _) = rewritePartition(service, beforeSwap) { (df, snapshot) =>
+      before = snapshot.size
+      val bytes = snapshot.map(fs.getFileStatus(_).getLen).sum
+      val nFiles = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      df.repartition(nFiles)
+    }
+    (before, after)
+  }
+
+  /** Retention TTL — drop a service's entries older than `keepSince`
+    * (the lifecycle op the reference delegates to manual SQL; at a 5 s
+    * ingest cadence a store only grows without it). The store
+    * partitions by service (matching the reference's per-service
+    * tables), so date retention is a REWRITE of that service's
+    * partition, not a partition drop — the honest tradeoff of this
+    * layout; a time-partitioned lake would prune instead. The rewrite
+    * rides [[compact]]'s snapshot/swap machinery, so it inherits the
+    * same concurrency contract: completed concurrent appends survive
+    * (and are NOT ttl-filtered — they are newer than the snapshot by
+    * construction), and a crash parks data under the retired name for
+    * the next call to restore. Returns (rows kept, rows dropped), both
+    * observed on the rewrite pass itself — no extra store scans.
+    */
+  def expire(service: String, keepSince: java.sql.Timestamp,
+             tsCol: String = "datetime"): (Long, Long) = {
+    val kept = org.apache.spark.sql.Observation()
+    val (_, snapshotRows) = rewritePartition(service, () => ()) { (df, _) =>
+      df.filter(col(tsCol) >= lit(keepSince))
+        .observe(kept, count(lit(1)).as("kept"))
+    }
+    val k = kept.get("kept").asInstanceOf[Long]
+    (k, snapshotRows - k)
+  }
+
+  /** Shared snapshot→rewrite→swap core ([[compact]]'s concurrency
+    * contract). `build` receives the snapshot read (with a row-count
+    * observation already attached below it) and the snapshot file
+    * list, and returns the frame to write. Returns (files after the
+    * swap, snapshot rows).
+    */
+  private def rewritePartition(service: String, beforeSwap: () => Unit)(
+      build: (DataFrame, Seq[Path]) => DataFrame): (Int, Long) = {
     val dir = servicePath(service)
     val retired = new Path(warehouse, s".retired-service=$service")
-    // recover from a crash between a previous compact's two renames:
+    // recover from a crash between a previous rewrite's two renames:
     // the whole partition sits under the retired name — restore it
     if (!fs.exists(dir) && fs.exists(retired)) fs.rename(retired, dir)
     require(exists(service), s"unknown service: $service")
-    def parquetFiles(p: Path): Seq[Path] =
-      fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
-    // the snapshot bounds the compaction: exactly these files feed the
-    // rewrite, and exactly these files are retired afterwards
+    // the snapshot bounds the rewrite: exactly these files feed it,
+    // and exactly these files are retired afterwards
     val snapshot = parquetFiles(dir)
-    val before = snapshot.size
-    val bytes = snapshot.map(fs.getFileStatus(_).getLen).sum
-    val nFiles = math.max(1L,
-      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val staging = new Path(warehouse, s".compact-service=$service")
     fs.delete(staging, true)
-    spark.read.parquet(snapshot.map(_.toString): _*).repartition(nFiles)
+    val obs = org.apache.spark.sql.Observation()
+    val source = spark.read.parquet(snapshot.map(_.toString): _*)
+      .observe(obs, count(lit(1)).as("snapshot_rows"))
+    build(source, snapshot)
       .write.mode("overwrite").parquet(staging.toString)
     beforeSwap()
     fs.delete(retired, true)
@@ -190,8 +229,13 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
       .filterNot(p => snapNames.contains(p.getName))
       .foreach(p => fs.rename(p, new Path(dir, p.getName)))
     fs.delete(retired, true)
-    (before, parquetFiles(dir).size)
+    (parquetFiles(dir).size, obs.get("snapshot_rows").asInstanceOf[Long])
   }
+
+  private def parquetFiles(p: Path): Seq[Path] =
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
 
   /** O14: total stored bytes (pragma_database_size, dao.py:147-148). */
   def sizeBytes(): Long = {

@@ -76,6 +76,29 @@ class CompactionSpec extends SparkSpec {
     assert(store.read("api").count() === 2L)
   }
 
+  test("expire drops only pre-cutoff rows of the targeted service") {
+    val wh = Files.createTempDirectory("graft-expire").toString
+    val store = new ServiceStore(spark, wh)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    store.append(Seq(
+      (1L, t("2020-01-01 10:00:00"), 1.0),
+      (2L, t("2020-01-15 10:00:00"), 2.0),
+      (3L, t("2020-02-01 10:00:00"), 3.0))
+      .toDF("id", "datetime", "value").withColumn("service", lit("api")))
+    store.append(Seq((9L, t("2019-06-01 00:00:00"), 9.0))
+      .toDF("id", "datetime", "value").withColumn("service", lit("other")))
+
+    val (kept, dropped) = store.expire("api", t("2020-01-10 00:00:00"))
+    assert((kept, dropped) === ((2L, 1L)))
+    assert(store.read("api").select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // the other service's ancient row is untouched
+    assert(store.read("other").count() === 1L)
+    // idempotent: nothing left to drop
+    assert(store.expire("api", t("2020-01-10 00:00:00")) === ((2L, 0L)))
+    assert(store.list() === Seq("api", "other"))
+  }
+
   test("compact refuses unknown services and leaves no staging debris") {
     val wh = Files.createTempDirectory("graft-compact2").toString
     val store = new ServiceStore(spark, wh)
