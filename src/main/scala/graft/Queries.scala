@@ -1929,6 +1929,47 @@ object Queries {
               |UNION ALL
               |SELECT q_id, vec_id, 'neg' AS role, CAST(rn AS INTEGER) AS rn FROM neg""".stripMargin)),
 
+    // Product quantization (Jégou et al. 2011): corpus coded as 4
+    // subspace codebook ids (codebooks = sub-vectors of the first-16
+    // deterministic centroid set), queries full-precision, score
+    // reconstructed per row in fixed order — both engines agree on
+    // every code and every approximate dot bit-for-bit.
+    "sim_topk_pq" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 16), m = 4, k = 10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 16),
+              |sub AS (SELECT t.m, vec_id, v FROM c, range(4) t(m)),
+              |scored AS (SELECT m, s.vec_id, c_id,
+              |   list_sum([s.v[16*m+i+1]*cv[16*m+i+1] for i in range(16)]) AS cd
+              |  FROM sub s, cent),
+              |codes AS (SELECT vec_id, m, c_id FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY cd DESC, c_id) AS rn FROM scored) WHERE rn = 1),
+              |cw AS (SELECT vec_id,
+              |   MAX(CASE WHEN m=0 THEN c_id END) AS c0,
+              |   MAX(CASE WHEN m=1 THEN c_id END) AS c1,
+              |   MAX(CASE WHEN m=2 THEN c_id END) AS c2,
+              |   MAX(CASE WHEN m=3 THEN c_id END) AS c3
+              |  FROM codes GROUP BY vec_id),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |s2 AS (SELECT q_id, cw.vec_id,
+              |   list_sum([qv[i+1]*b0.cv[i+1] for i in range(16)])
+              | + list_sum([qv[i+17]*b1.cv[i+17] for i in range(16)])
+              | + list_sum([qv[i+33]*b2.cv[i+33] for i in range(16)])
+              | + list_sum([qv[i+49]*b3.cv[i+49] for i in range(16)]) AS approx_dot
+              |  FROM cw JOIN cent b0 ON b0.c_id = cw.c0
+              |         JOIN cent b1 ON b1.c_id = cw.c1
+              |         JOIN cent b2 ON b2.c_id = cw.c2
+              |         JOIN cent b3 ON b3.c_id = cw.c3, q
+              |  WHERE cw.vec_id <> q_id)
+              |SELECT q_id, vec_id, approx_dot, rn FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
+              |WHERE rn <= 10""".stripMargin)),
+
     // SemDedup: cluster-scoped semantic dedup (keep-lowest-id). The
     // oracle reuses the IVF assignment CTE shape and recomputes the
     // same within-cell pairs.

@@ -153,6 +153,76 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  /** Product-quantization codes (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the vector splits into
+    * `m` contiguous subspaces and each sub-vector is replaced by the id
+    * of its best codebook entry — 64 float dims become `m` small ints,
+    * the compression that lets an executor hold the whole corpus's
+    * codes in memory at 100 TB. Codebooks here are the sub-vectors of a
+    * deterministic centroid set (inlined literals, same discipline as
+    * [[signBuckets]]); assignment is max-inner-product per subspace
+    * with ties to the smallest code, a pure map-side projection — the
+    * corpus is never shuffled to be coded.
+    *
+    * Output: (vec_id, code_0 … code_{m-1}) — wide, not exploded, so
+    * downstream scoring stays per-row arithmetic.
+    */
+  def pqCodes(corpus: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
+    val cent = collectVectors(centroids)
+    require(cent.nonEmpty, "empty codebook")
+    val dims = cent.head._2.length
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    // per subspace: an array of (-dot, code) structs over the codebook;
+    // array_sort picks the max-dot entry with ties to the smallest code
+    // (the semDedup/IVF assignment idiom, once per subspace)
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val withScores = (0 until m).foldLeft(base) { (df, j) =>
+      df.withColumn(s"pq_scores_$j", array(cent.map { case (id, cv) =>
+        struct((-dot(slice(col("v"), j * sub + 1, sub),
+          lit(cv.slice(j * sub, j * sub + sub)))).as("negd"),
+          lit(id).as("c_id"))
+      }: _*))
+    }
+    withScores.select(col("vec_id") +: col("v") +:
+      (0 until m).map(j => expr(s"array_sort(pq_scores_$j)[0].c_id")
+        .as(s"code_$j")): _*)
+  }
+
+  /** Asymmetric PQ top-k: queries stay full-precision, the corpus is
+    * its codes — each (query, vector) score is Σ_j dot(q_subvec_j,
+    * codebook_j[code_j]), reconstructed per row in fixed left-to-right
+    * order (bit-deterministic; no aggregation whose order could vary).
+    * Plan shape is [[bruteForceTopK]]'s: queries broadcast, corpus
+    * scanned once map-side, per-query top-k as a windowed rank. At
+    * scale the scored corpus side carries `m` ints per row instead of
+    * the full vector — the point of PQ.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             m: Int, k: Int): DataFrame = {
+    val cent = collectVectors(centroids)
+    val dims = cent.head._2.length
+    val sub = dims / m
+    val coded = pqCodes(corpus, centroids, m).drop("v")
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
+    val approx = (0 until m).map { j =>
+      val bookJ = array(cent.map { case (_, cv) =>
+        lit(cv.slice(j * sub, j * sub + sub))
+      }: _*)
+      dot(slice(col("q_vec"), j * sub + 1, sub),
+        element_at(bookJ, col(s"code_$j").cast("int") + 1))
+    }.reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), approx.as("approx_dot"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("approx_dot"), col("rn"))
+  }
+
   /** Sign-LSH bucket signature: bit j = 1 iff dot(v, anchor_j) > 0.
     * Anchors are taken deterministically from the dataset itself
     * (`vec_id < nBits`), making the "random" hyperplanes reproducible in

@@ -99,4 +99,38 @@ class KmeansIvfSpec extends SparkSpec {
     assert(refined >= naive - 0.05, s"naive $naive vs refined $refined")
     assert(refined > 0.3, s"refined recall too low: $refined")
   }
+
+  test("pqCodes emits one in-range code per subspace, map-side only") {
+    val coded = Similarity.pqCodes(emb, emb.filter(col("vec_id") < 16), 4)
+    val stats = coded.agg(
+      count(lit(1)), min(col("code_0")), max(col("code_0")),
+      min(col("code_3")), max(col("code_3"))).head()
+    assert(stats.getLong(0) === emb.count())
+    assert(stats.getInt(1) >= 0 && stats.getInt(2) < 16)
+    assert(stats.getInt(3) >= 0 && stats.getInt(4) < 16)
+    // coding is a projection: no exchange anywhere in the plan
+    val plan = coded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("PQ top-k ranks against exact search with usable recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries,
+        emb.filter(col("vec_id") < 16), m = 4, k = 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // 16-entry data-derived codebooks over 4 subspaces: coarse, but the
+    // reconstruction must still find a usable share of true neighbors
+    assert(recall > 0.2, s"PQ recall collapsed: $recall")
+    // corpus side must not shuffle: queries broadcast (bruteforce plan)
+    val plan = Similarity.pqTopK(emb, queries,
+      emb.filter(col("vec_id") < 16), 4, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
