@@ -528,6 +528,19 @@ object Queries {
              |GROUP BY d ORDER BY d""".stripMargin)),
 
     // Q18-style: HAVING-subquery shape as aggregate → filter → join.
+    // First-order Markov transitions over each user's time-ordered
+    // event stream: the "where do users go next" paths report.
+    "rel_top_transitions" -> Decl(
+      (s, d) => Cohorts.topTransitions(ev(s, d), "user_id", "ts",
+        "event_type", "event_id", 20),
+      Some("""WITH t AS (SELECT user_id, event_type,
+             |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_step
+             | FROM events)
+             |SELECT event_type AS from_step, to_step, CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM t WHERE to_step IS NOT NULL
+             |GROUP BY from_step, to_step
+             |ORDER BY cnt DESC, from_step, to_step LIMIT 20""".stripMargin)),
+
     "tpch_q18_large_volume" -> Decl(
       (s, d) => Relational.largeVolumeCustomers(
         Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
@@ -1575,6 +1588,41 @@ object Queries {
               |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id)
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // Fuzzy-dedup capstone: the CLEANED corpus after MinHash-LSH star
+    // dedup — every verified near-duplicate of a bucket representative
+    // is dropped, survivors emit (doc_id, content fingerprint). The
+    // anti-join composes the gated star-dedup output with the corpus
+    // under one oracle.
+    "pipeline_fuzzy_dedup" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val dropped = Dedup.minhashLshDedup(base, 3, 0.5)
+          .select(col("doc_b").as("doc_id"))
+        base.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      },
+      Some(s"""WITH $minhashConstsCte,
+              |$shinglesCte,
+              |$lshBandsCte,
+              |reps AS (
+              |  SELECT band, bkey, MIN(doc_id) AS rep, COUNT(*) AS cnt
+              |  FROM bands GROUP BY band, bkey),
+              |cand AS (
+              |  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+              |  FROM reps r JOIN bands b USING (band, bkey)
+              |  WHERE r.cnt > 1 AND b.doc_id <> r.rep),
+              |jac AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS common,
+              |    len(a.sh) AS na, len(b.sh) AS nb
+              |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id),
+              |dropped AS (
+              |  SELECT DISTINCT doc_b FROM jac
+              |  WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5)
+              |SELECT d.doc_id, md5(lower(d.text)) AS fp FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin)),
 
     // Cluster formation over the verified near-dup pairs: Spark runs
     // min-label propagation to fixpoint; DuckDB computes the same

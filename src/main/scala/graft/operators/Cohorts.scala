@@ -30,6 +30,30 @@ object Cohorts {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** Top navigation transitions: the (from → to) event-type bigram
+    * counts over each user's time-ordered stream — the first-order
+    * Markov view ("where do users go next") a paths report draws.
+    * `tieCol` breaks equal timestamps deterministically.
+    *
+    * Scale shape: ONE per-user window (lead) — partitions are
+    * user-bounded, no global sort — then a bigram count whose key
+    * space is |event types|², tiny by construction, and a distributed
+    * top-k (TakeOrderedAndProject). Nothing event² anywhere.
+    */
+  def topTransitions(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, tieCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("to_step", lead(col(typeCol), 1).over(w))
+      .filter(col("to_step").isNotNull)
+      .groupBy(col(typeCol).as("from_step"), col("to_step"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("from_step"), col("to_step"))
+      .limit(k)
+  }
+
   /** Two-step conversion funnel: users whose earliest `stepA` event
     * strictly precedes their earliest `stepB` event, per cohort day of
     * the A step. Min-per-user aggregates + one join — no event-level
