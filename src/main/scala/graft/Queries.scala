@@ -528,6 +528,36 @@ object Queries {
              |GROUP BY d ORDER BY d""".stripMargin)),
 
     // Q18-style: HAVING-subquery shape as aggregate → filter → join.
+    // Degree-oriented triangle count over the same constructed link
+    // graph as rel_pagerank — every triangle counted once at its
+    // lowest-(degree, id) apex; both engines agree on edge, wedge, and
+    // triangle totals exactly.
+    "rel_triangles" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.triangleCount(edges)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+             |                 'h'||((event_id * 3 + user_id) % 997) AS dst FROM events),
+             |und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+             |        FROM e0 WHERE src <> dst),
+             |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+             |        (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+             |o AS (SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS u,
+             |             CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS v,
+             |             CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg ELSE da.deg END AS vd
+             |      FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+             |w AS (SELECT o1.u, o1.v AS w1, o2.v AS w2
+             |      FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.vd, o1.v) < (o2.vd, o2.v)),
+             |t AS (SELECT * FROM w WHERE EXISTS
+             |      (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2))
+             |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles""".stripMargin)),
+
     // First-order Markov transitions over each user's time-ordered
     // event stream: the "where do users go next" paths report.
     "rel_top_transitions" -> Decl(

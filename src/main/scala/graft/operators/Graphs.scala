@@ -58,4 +58,57 @@ object Graphs {
     }
     ranks
   }
+
+  /** Distributed triangle count with DEGREE-BASED edge orientation
+    * (the node-iterator++ / compact-forward algorithm): every
+    * undirected edge points from its lower-(degree, id) endpoint to
+    * the higher, making the graph a DAG in which each triangle has
+    * exactly one node with both out-edges — so wedges (two out-edges
+    * of one node) joined against the closing oriented edge count every
+    * triangle exactly once. Orienting by DEGREE first is the skew
+    * discipline that makes this survive power-law graphs at 100 TB: a
+    * hub's out-degree in the oriented graph is O(√m) regardless of its
+    * raw degree, so the wedge join's per-key fanout — the quadratic
+    * term — is bounded; id-only orientation would leave a
+    * billion-follower hub with a billion out-edges and a 10¹⁸-row
+    * wedge explosion.
+    *
+    * Shape: canonical-edge distinct, one degree aggregate joined to
+    * both endpoints, the wedge self-join on the apex node, and a hash
+    * semi-join against the closing edge — no cartesian products, no
+    * sorts. Returns one row: (n_edges, n_wedges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set (a < b by id, self-loops dropped)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds degree + 3 join sides
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: u -> v iff (deg_u, u) < (deg_v, v); struct fields share
+    // names so the lexicographic comparison typechecks
+    val ka = struct(col("da").as("d"), col("a").as("n"))
+    val kb = struct(col("db").as("d"), col("b").as("n"))
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("u"),
+        when(ka < kb, col("b")).otherwise(col("a")).as("v"),
+        when(ka < kb, kb).otherwise(ka).as("vkey"))
+      .localCheckpoint(eager = false) // feeds both wedge sides + close
+    val wedges = o.select(col("u"), col("v").as("w1"), col("vkey").as("k1"))
+      .join(o.select(col("u"), col("v").as("w2"), col("vkey").as("k2")), "u")
+      .filter(col("k1") < col("k2"))
+    val closed = wedges.join(
+      o.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"),
+      "left_semi")
+    und.agg(count(lit(1)).as("n_edges")).crossJoin(
+        wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
 }

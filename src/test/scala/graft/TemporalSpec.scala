@@ -31,6 +31,30 @@ class GraphsSpec extends SparkSpec {
     assert(got.columns.toSeq === Seq("node", "rank"))
     assert(got.count() === 0L)
   }
+
+  test("triangleCount: hand-computed graphs, duplicate/direction-proof") {
+    def tri(pairs: Seq[(String, String)]): (Long, Long, Long) = {
+      val r = graft.operators.Graphs.triangleCount(
+        pairs.toDF("src", "dst")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: 6 edges, 4 triangles; oriented wedges = Σ C(outdeg, 2) =
+    // C(3,2) + C(2,2) = 4 (id order breaks the all-equal-degree tie)
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    assert(tri(k4) === ((6L, 4L, 4L)))
+    // path graph: no triangles; the middle vertex's two edges point
+    // AWAY from it (ends have lower degree), so zero oriented wedges
+    assert(tri(Seq(("a", "b"), ("b", "c"))) === ((2L, 0L, 0L)))
+    // duplicate edges, reversed directions, and self-loops collapse
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq(("a", "a"), ("b", "b"))
+    assert(tri(noisy) === ((6L, 4L, 4L)))
+    // triangle + pendant edge: only apex a holds a wedge, it closes
+    assert(tri(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
+      === ((4L, 1L, 1L)))
+  }
 }
 
 class TemporalSpec extends SparkSpec {
