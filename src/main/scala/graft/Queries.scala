@@ -527,6 +527,53 @@ object Queries {
              |FROM a LEFT JOIN b USING (user_id)
              |GROUP BY d ORDER BY d""".stripMargin)),
 
+    // Three-step funnel (view → click → purchase): one conditional-min
+    // aggregate per user, chained strict ordering, per-cohort-day depth.
+    "rel_funnel3" -> Decl(
+      (s, d) => Cohorts.funnelSteps(ev(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")),
+      Some("""WITH m AS (SELECT user_id,
+             |  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+             |  MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+             |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+             | FROM events GROUP BY user_id)
+             |SELECT CAST(t1 AS DATE) AS d, COUNT(*) AS step_1,
+             |  COUNT(CASE WHEN t2 > t1 THEN 1 END) AS step_2,
+             |  COUNT(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 END) AS step_3
+             |FROM m WHERE t1 IS NOT NULL GROUP BY d ORDER BY d""".stripMargin)),
+
+    // GA-style per-day session quality rollup over the sessionize
+    // output: ratios divide exact integer sums as doubles AFTER
+    // aggregation, so every number is bit-deterministic.
+    "rel_session_stats" -> Decl(
+      (s, d) => Cohorts.sessionStats(ev(s, d), "user_id", "ts", "event_id", 1800L),
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM t),
+             |g AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |        MIN(ts) AS sess_start, MAX(ts) AS sess_end
+             |      FROM s GROUP BY user_id, session_id),
+             |agg AS (SELECT CAST(sess_start AS DATE) AS d,
+             |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+             |  CAST(SUM(epoch_us(sess_end) - epoch_us(sess_start)) AS BIGINT) AS total_dur_us,
+             |  CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS bounces
+             | FROM g GROUP BY d)
+             |SELECT d, n_sessions,
+             |  CAST(total_events AS DOUBLE)/CAST(n_sessions AS DOUBLE) AS events_per_session,
+             |  CAST(total_dur_us AS DOUBLE)/1000000.0/CAST(n_sessions AS DOUBLE) AS avg_duration_sec,
+             |  CAST(bounces AS DOUBLE)/CAST(n_sessions AS DOUBLE) AS bounce_rate
+             |FROM agg ORDER BY d""".stripMargin)),
+
     // Q18-style: HAVING-subquery shape as aggregate → filter → join.
     // Degree-oriented triangle count over the same constructed link
     // graph as rel_pagerank — every triangle counted once at its

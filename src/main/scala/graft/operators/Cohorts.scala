@@ -71,4 +71,61 @@ object Cohorts {
         count(when(col("t_b") > col("t_a"), 1)).as("converted"))
       .orderBy(col("d"))
   }
+
+  /** N-step funnel — [[funnel]] generalized to an ordered step chain
+    * (same earliest-occurrence semantics: a user reaches step i when
+    * their first step-i event is strictly after their first step-i−1
+    * event, chained). ONE conditional-min aggregate computes every
+    * per-user step time in a single corpus pass — no per-step scans,
+    * no event-level self-joins — then a per-cohort-day count of how
+    * deep each user's chain reaches.
+    *
+    * Output: (d = day of first step-1 event, step_1 … step_N counts).
+    */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "need at least two steps")
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s, col(tsCol))).as(s"t${i + 1}")
+    }
+    val perUser = events.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
+    // reached_i = every consecutive pair up to i is strictly ordered
+    val reached = (2 to steps.size).map { i =>
+      (2 to i).map(j => col(s"t$j") > col(s"t${j - 1}"))
+        .reduce(_ && _)
+    }
+    perUser.filter(col("t1").isNotNull)
+      .groupBy(to_date(col("t1")).as("d"))
+      .agg(count(lit(1)).as("step_1"),
+        reached.zipWithIndex.map { case (c, i) =>
+          count(when(c, 1)).as(s"step_${i + 2}")
+        }: _*)
+      .orderBy(col("d"))
+  }
+
+  /** Per-day session quality stats over [[Temporal.sessionize]]'s
+    * output: session count, events per session, mean duration, bounce
+    * rate — the GA-style rollup. All ratios divide exact integer sums
+    * as doubles AFTER aggregation, so the numbers are bit-deterministic
+    * under any partitioning.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, gapSeconds: Long): DataFrame = {
+    val sess = Temporal.sessionize(events, userCol, tsCol, idCol, gapSeconds)
+    sess
+      .groupBy(to_date(col("sess_start")).as("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        sum(unix_micros(col("sess_end")) - unix_micros(col("sess_start")))
+          .as("total_dur_us"),
+        count(when(col("n_events") === 1, 1)).as("bounces"))
+      .select(col("d"), col("n_sessions"),
+        (col("total_events").cast("double") / col("n_sessions").cast("double"))
+          .as("events_per_session"),
+        (col("total_dur_us").cast("double") / lit(1000000.0) /
+          col("n_sessions").cast("double")).as("avg_duration_sec"),
+        (col("bounces").cast("double") / col("n_sessions").cast("double"))
+          .as("bounce_rate"))
+      .orderBy(col("d"))
+  }
 }
