@@ -2095,6 +2095,56 @@ object Queries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
               |WHERE rn <= 10""".stripMargin)),
 
+    // IVF-PQ (the FAISS layout): probe 2 of 8 cells, score candidates
+    // from their 4 PQ codes instead of full vectors — the two gated
+    // primitives composed; codes, probes, and scores all bit-exact.
+    "sim_topk_ivfpq" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 8), e.filter(col("vec_id") < 16),
+          m = 4, nProbe = 2, k = 10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+              |book AS (SELECT vec_id AS b_id, v AS bv FROM c WHERE vec_id < 16),
+              |cellscore AS (SELECT c.vec_id, c.v, c_id,
+              |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+              |assign AS (SELECT vec_id, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM cellscore) WHERE rn = 1),
+              |sub AS (SELECT t.m, vec_id, v FROM c, range(4) t(m)),
+              |pqscore AS (SELECT m, s.vec_id, b_id,
+              |   list_sum([s.v[16*m+i+1]*bv[16*m+i+1] for i in range(16)]) AS cd FROM sub s, book),
+              |codes AS (SELECT vec_id, m, b_id FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY cd DESC, b_id) AS rn FROM pqscore) WHERE rn = 1),
+              |cw AS (SELECT vec_id,
+              |   MAX(CASE WHEN m=0 THEN b_id END) AS c0,
+              |   MAX(CASE WHEN m=1 THEN b_id END) AS c1,
+              |   MAX(CASE WHEN m=2 THEN b_id END) AS c2,
+              |   MAX(CASE WHEN m=3 THEN b_id END) AS c3
+              |  FROM codes GROUP BY vec_id),
+              |qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn
+              |   FROM cellscore WHERE vec_id < 10) WHERE rn <= 2),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |s2 AS (SELECT qp.q_id, a.vec_id,
+              |   list_sum([qv[i+1]*b0.bv[i+1] for i in range(16)])
+              | + list_sum([qv[i+17]*b1.bv[i+17] for i in range(16)])
+              | + list_sum([qv[i+33]*b2.bv[i+33] for i in range(16)])
+              | + list_sum([qv[i+49]*b3.bv[i+49] for i in range(16)]) AS approx_dot
+              |  FROM qprobe qp JOIN assign a USING (cell)
+              |    JOIN cw ON cw.vec_id = a.vec_id
+              |    JOIN q ON q.q_id = qp.q_id
+              |    JOIN book b0 ON b0.b_id = cw.c0
+              |    JOIN book b1 ON b1.b_id = cw.c1
+              |    JOIN book b2 ON b2.b_id = cw.c2
+              |    JOIN book b3 ON b3.b_id = cw.c3
+              |  WHERE a.vec_id <> qp.q_id)
+              |SELECT q_id, vec_id, approx_dot, rn FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
+              |WHERE rn <= 10""".stripMargin)),
+
     // SemDedup: cluster-scoped semantic dedup (keep-lowest-id). The
     // oracle reuses the IVF assignment CTE shape and recomputes the
     // same within-cell pairs.

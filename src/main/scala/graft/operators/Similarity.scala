@@ -293,6 +293,58 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** IVF-PQ: the two scale mechanisms composed the way a production
+    * vector index runs them (the FAISS IVFPQ layout) — the corpus is
+    * bucketed into IVF cells so a query touches `nProbe` cells instead
+    * of everything, and within the probed cells every candidate is
+    * scored from its PQ CODES (m small ints), not its full vector.
+    * At 100 TB: corpus partitioned by cell at rest, codes ~16× smaller
+    * than vectors riding the probe join, queries full-precision.
+    *
+    * Both stages are the already-gated primitives unchanged —
+    * [[ivfTopKWith]]'s cell assignment/probing and [[pqCodes]]'s
+    * codebook scoring — so the composition stays bit-reproducible.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                cellCentroids: DataFrame, pqCentroids: DataFrame,
+                m: Int, nProbe: Int, k: Int): DataFrame = {
+    val cells = collectVectors(cellCentroids)
+    val books = collectVectors(pqCentroids)
+    val dims = books.head._2.length
+    val sub = dims / m
+    def cellScores = array(cells.map { case (id, cv) =>
+      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+    }: _*)
+    // corpus side: cell + PQ codes in ONE projection pass, full vector
+    // dropped before the join (the point of the compression)
+    val coded = pqCodes(corpus, pqCentroids, m)
+      .withColumn("scores_arr", cellScores)
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .drop("scores_arr", "v")
+    val probes = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
+      .withColumn("v", col("q_vec"))
+      .withColumn("scores_arr", cellScores)
+      .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
+      .select(col("q_id"), col("q_vec"),
+        explode(slice(col("cells"), 1, nProbe)).as("cell"))
+    val approx = (0 until m).map { j =>
+      val bookJ = array(books.map { case (_, cv) =>
+        lit(cv.slice(j * sub, j * sub + sub))
+      }: _*)
+      dot(slice(col("q_vec"), j * sub + 1, sub),
+        element_at(bookJ, col(s"code_$j").cast("int") + 1))
+    }.reduce(_ + _)
+    val scored = coded.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), approx.as("approx_dot"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("approx_dot"), col("rn"))
+  }
+
   /** Scale path for [[nearDupPairs]]: all-pairs near-dup restricted to
     * same-LSH-bucket candidates, so a 100 TB corpus never
     * cross-products. Recall follows the bucket granularity (2^nBits

@@ -133,4 +133,24 @@ class KmeansIvfSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("IVF-PQ composes the probe and code tiers without a cross product") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val res = Similarity.ivfPqTopK(emb, queries,
+      emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") < 16),
+      m = 4, nProbe = 2, k = 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.1, s"IVF-PQ recall collapsed: $recall")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // candidates meet probes on the cell key, a hash join
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
 }
