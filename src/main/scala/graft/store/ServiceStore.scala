@@ -152,6 +152,29 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     compact(service, targetFileBytes, () => ())
 
+  /** [[compact]] variant that also CLUSTERS the rewrite by `sortCol`
+    * (typically the event timestamp): files get disjoint time ranges
+    * (range repartition) and rows sort within each file, so parquet
+    * min/max column statistics let a date-ranged scan (O8/O9) skip
+    * whole files and row groups instead of reading a service's entire
+    * history. Micro-batch appends arrive roughly time-ordered anyway;
+    * this makes the property exact after compaction. Same snapshot/
+    * swap concurrency contract as [[compact]].
+    */
+  def compactSorted(service: String, sortCol: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    var before = 0
+    val (after, _) = rewritePartition(service, () => ()) { (df, snapshot) =>
+      before = snapshot.size
+      val bytes = snapshot.map(fs.getFileStatus(_).getLen).sum
+      val nFiles = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      df.repartitionByRange(nFiles, col(sortCol))
+        .sortWithinPartitions(col(sortCol))
+    }
+    (before, after)
+  }
+
   /** Test seam: `beforeSwap` runs between the compaction scan and the
     * directory swap — the race window a concurrent append must
     * survive (CompactionSpec injects an append there).

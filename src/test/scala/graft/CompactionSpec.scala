@@ -99,6 +99,40 @@ class CompactionSpec extends SparkSpec {
     assert(store.list() === Seq("api", "other"))
   }
 
+  test("compactSorted clusters files into disjoint time ranges") {
+    val wh = Files.createTempDirectory("graft-compact-sort").toString
+    val store = new ServiceStore(spark, wh)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // appends arrive time-interleaved (two out-of-order batches)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, t(f"2020-01-${i % 28 + 1}%02d 10:00:00"), i * 1.0))
+    store.append(rows.filter(_._1 % 2 == 0).toDF("id", "datetime", "value")
+      .withColumn("service", lit("api")))
+    store.append(rows.filter(_._1 % 2 == 1).toDF("id", "datetime", "value")
+      .withColumn("service", lit("api")))
+    // force several output files with a tiny byte target
+    val (_, after) = store.compactSorted("api", "datetime", 4096L)
+    assert(after >= 2, s"expected multiple range files, got $after")
+    // per-file [min, max] datetime ranges must not overlap
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(wh, "service=api"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("datetime")), max(col("datetime"))).head()
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // content identical to what was appended
+    assert(store.read("api").count() === 200L)
+  }
+
   test("compact refuses unknown services and leaves no staging debris") {
     val wh = Files.createTempDirectory("graft-compact2").toString
     val store = new ServiceStore(spark, wh)
