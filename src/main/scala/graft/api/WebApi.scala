@@ -199,6 +199,16 @@ final class WebApi(spark: SparkSession, store: ServiceStore,
         Right(Reports.alignByDate(
           Reports.dailyCount(df, "datetime", None, start, stop),
           Reports.dailyCount(df, "datetime", Some("ip"), start, stop)))
+      case "anomaly" =>
+        Right(Reports.anomalyDays(df.filter(
+          graft.operators.DateRange.pred(
+            org.apache.spark.sql.functions.col("datetime"), start, stop)),
+          "datetime"))
+      case "ewma" =>
+        Right(Reports.ewmaDaily(df.filter(
+          graft.operators.DateRange.pred(
+            org.apache.spark.sql.functions.col("datetime"), start, stop)),
+          "datetime"))
       case _ => Left(s"unknown endpoint ${parts(1)}")
     }
     result match {

@@ -68,6 +68,14 @@ class WebApiSpec extends SparkSpec {
       val (c5, report) = get(port, "/api/blog/report")
       assert(c5 === 200 && report.contains(""""visits":2"""))
 
+      // monitoring endpoints ride the same daily series (the two-day
+      // fixture has no 7-day trail, so anomaly returns header-only [];
+      // ewma emits one smoothed row per day)
+      val (c5a, anom) = get(port, "/api/blog/anomaly")
+      assert(c5a === 200 && anom === "[]", anom)
+      val (c5b, ewma) = get(port, "/api/blog/ewma")
+      assert(c5b === 200 && ewma.contains(""""ewma":"""), ewma)
+
       val (c6, rows) = post(port, "/sql", "SELECT 1 AS one")
       assert(c6 === 200 && rows === """[{"one":1}]""")
       val (c7, err) = post(port, "/sql", "SELECT nope FROM nowhere")
