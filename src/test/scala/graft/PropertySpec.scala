@@ -262,4 +262,51 @@ class PropertySpec extends SparkSpec {
     assert(sample(8) === one && sample(32) === one)
     assert(one.size === 35)
   }
+
+  test("BPE merges are invariant to input partitioning") {
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"alpha$i beta${i % 7} gamma${i % 3} beta${i % 7}"))
+      .toDF("doc_id", "text")
+    def merges(parts: Int) =
+      graft.operators.Bpe.bpeMerges(docs.repartition(parts), 5)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val one = merges(1)
+    assert(one.size === 5)
+    assert(merges(8) === one && merges(32) === one)
+  }
+
+  test("exactSubstrDedup is invariant to input partitioning and conserves tokens") {
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = (0 until 120).map { i =>
+      val body = s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e"
+      (i.toLong, if (i % 4 == 0) s"$body $span" else body)
+    }.toDF("doc_id", "text")
+    def run(parts: Int) =
+      graft.operators.Dedup.exactSubstrDedup(docs.repartition(parts), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    val one = run(1)
+    assert(run(8) === one && run(32) === one)
+    // every doc emits; kept <= total; hosts of the span lost exactly
+    // its 8 tokens, everyone else is untouched
+    assert(one.size === 120)
+    one.foreach { case (id, total, kept, cleaned) =>
+      if (id % 4 == 0) assert(total - kept === 8L, s"doc $id: $cleaned")
+      else assert(total === kept)
+    }
+  }
+
+  test("triangle counts are invariant to edge-list partitioning") {
+    val edges = (0 until 400).map(i =>
+      (s"n${i % 37}", s"n${(i * 7 + 3) % 41}")).toDF("src", "dst")
+    def counts(parts: Int) = {
+      val r = graft.operators.Graphs.triangleCount(edges.repartition(parts))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val one = counts(1)
+    assert(counts(8) === one && counts(32) === one)
+    assert(one._1 > 0)
+  }
 }
