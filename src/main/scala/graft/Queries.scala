@@ -297,6 +297,23 @@ object Queries {
              | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              | CAST(unnest(range(0, (n_chars % 100) + 1, 10)) AS INTEGER) AS frame_idx
              |FROM documents""".stripMargin)),
+
+    // Resize/transcode stub: payload deterministically truncated to a
+    // quarter; the corpus is ASCII so the oracle's substr reproduces
+    // the byte truncation and the md5 fingerprints match exactly.
+    "mm_resize" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Multimodal.resizeStub(Multimodal.fromDocuments(docs(s, d)), 4)
+          .toDF().select(col("media_id"), col("kind"), col("src_bytes"),
+            col("dst_bytes"), md5(col("content")).as("fp"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             | CAST(length(text) AS BIGINT) AS src_bytes,
+             | CAST((length(text) + 3) // 4 AS BIGINT) AS dst_bytes,
+             | md5(substr(text, 1, CAST((length(text) + 3) // 4 AS INTEGER))) AS fp
+             |FROM documents""".stripMargin)),
   )
 
   // ------------------------------------------------------------- relational

@@ -68,6 +68,33 @@ object Multimodal {
       explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
         .as("frame_idx"))
 
+  final case class ResizedMedia(media_id: Long, kind: String,
+                                src_bytes: Long, dst_bytes: Long,
+                                content: Array[Byte])
+
+  /** STUB RESIZE — the transcode/downscale verb of the modality set
+    * (image resize, audio resample, video re-encode). The stub derives
+    * the "resized" payload deterministically: the first
+    * `ceil(len / factor)` bytes of the source (a real implementation
+    * replaces only that line with the codec's scaled re-encode; the
+    * per-partition init sits exactly where a real transcoder's context
+    * would). Shape is the same zero-shuffle narrow map as
+    * [[decodeFeatures]] — at 100 TB resize cost is pure CPU on the
+    * scan, and the output column is smaller than the input, so the
+    * stage SHRINKS the data in flight.
+    */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
+    require(factor >= 1, "factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val dstLen = (m.content.length + factor - 1) / factor
+        ResizedMedia(m.media_id, m.kind, m.content.length.toLong,
+          dstLen.toLong, m.content.take(dstLen))
+      }
+    }
+  }
+
   /** Balance partitions by payload size so one executor doesn't draw
     * all the 4K videos while another gets thumbnails: range-partition
     * on content length. At 100 TB this is the difference between a

@@ -38,4 +38,21 @@ class MultimodalSpec extends SparkSpec {
     assert(balanced.count() === media.count())
     assert(balanced.rdd.getNumPartitions === 4)
   }
+
+  test("resize stub truncates payloads by the factor, shuffle-free") {
+    val resized = Multimodal.resizeStub(media, 4)
+    val rows = resized.collect()
+    assert(rows.length === media.count())
+    rows.foreach { r =>
+      assert(r.dst_bytes === (r.src_bytes + 3) / 4)
+      assert(r.content.length.toLong === r.dst_bytes)
+    }
+    // prefix property: the resized payload is a prefix of the source
+    val src = media.filter(_.media_id == 1L).head().content
+    val dst = resized.filter(_.media_id == 1L).head().content
+    assert(src.take(dst.length).sameElements(dst))
+    // narrow map: no exchange in the plan
+    val plan = resized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
 }
