@@ -192,4 +192,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("no declared query plans an unbroadcast cartesian product") {
+    // the blanket scale guard: a CartesianProduct in any declared
+    // query's physical plan is a 100 TB killer. The broadcast-cross
+    // ANN family (small query/anchor side crossed against the corpus)
+    // is the one DELIBERATE exception — those must still be
+    // broadcast-nested-loop, never a partitioned cartesian.
+    val failures = Queries.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val p = Queries.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+        else None
+      } catch {
+        case e: Throwable => Some(s"$name: plan build failed: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
