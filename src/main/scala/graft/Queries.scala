@@ -2259,8 +2259,8 @@ object Queries {
     "mm_decode_features",
     // round-5 additions — excluded from cross-round total comparisons
     "dedup_lsh_star_skew", "pipeline_curate_tokenize",
-    // the two heaviest shapes added later in round 5: ExactSubstr span
-    // removal (positional-gram corpus pass) and BPE training (iterative
-    // word-table aggregates)
-    "dedup_exact_substr", "pipeline_bpe_train")
+    // the heaviest shapes added later in round 5: ExactSubstr span
+    // removal (positional-gram corpus pass), BPE training (iterative
+    // word-table aggregates), and the wedge-join triangle count
+    "dedup_exact_substr", "pipeline_bpe_train", "rel_triangles")
 }

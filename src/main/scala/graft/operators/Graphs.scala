@@ -104,11 +104,14 @@ object Graphs {
     val wedges = o.select(col("u"), col("v").as("w1"), col("vkey").as("k1"))
       .join(o.select(col("u"), col("v").as("w2"), col("vkey").as("k2")), "u")
       .filter(col("k1") < col("k2"))
-    val closed = wedges.join(
-      o.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"),
-      "left_semi")
-    und.agg(count(lit(1)).as("n_edges")).crossJoin(
-        wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+    // one traversal counts wedges AND closed wedges: the closing edge
+    // rides a left join (oriented edges are unique, so no fanout) and
+    // a conditional count — materializing the wedge join twice for two
+    // separate aggregates would double the dominant cost
+    val counts = wedges.join(
+        o.select(col("u").as("w1"), col("v").as("w2"), lit(1).as("closed")),
+        Seq("w1", "w2"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("closed")).as("n_triangles"))
+    und.agg(count(lit(1)).as("n_edges")).crossJoin(counts)
   }
 }
