@@ -1312,6 +1312,18 @@ object Queries {
       (s, d) => Bpe.bpeSegment(docs(s, d), 8),
       Some(Bpe.oracleSegment(8))),
 
+    // Length-bucketed inference batching: docs batch with similar-
+    // length peers (power-of-two classes) so padding waste stays <2x;
+    // batch ids fill densely in doc_id order within each class.
+    "pipeline_length_batches" -> Decl(
+      (s, d) => TextAnalysis.lengthBatches(docs(s, d), 16),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |  CAST(length(bin(len(string_split(text,' ')))) - 1 AS BIGINT) AS len_class,
+             |  CAST((row_number() OVER (PARTITION BY length(bin(len(string_split(text,' ')))) - 1
+             |        ORDER BY doc_id) - 1) // 16 AS BIGINT) AS batch_id
+             |FROM documents""".stripMargin)),
+
     // Tokenizer vocabulary: top-100 corpus terms by occurrences with
     // document frequency.
     "text_vocab_topk" -> Decl(

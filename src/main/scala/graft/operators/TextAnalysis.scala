@@ -73,6 +73,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         expr(s"__prefix div $tokensPerShard").as("shard"))
 
+  /** Length-bucketed inference batching — the serving-side pack: docs
+    * of similar token length batch together so one long outlier does
+    * not pad out an entire batch (padding waste in a naive batcher is
+    * the gap to the longest member; bucketing by power-of-two length
+    * class bounds it to <2×). Within each class, batches fill to
+    * `batchSize` docs in doc_id order.
+    *
+    * Output: (doc_id, n_tokens, len_class = ⌊log₂ tokens⌋, batch_id
+    * dense within class). Pure integer arithmetic; the per-class
+    * row_number window partitions by class (bounded count), and a
+    * mass-class window is the same rank machinery every WindowGroupLimit
+    * path here already survives.
+    */
+  def lengthBatches(docs: DataFrame, batchSize: Int): DataFrame = {
+    val sized = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      // exact integer log2 via decimal bin length (corpusStats idiom)
+      .withColumn("len_class",
+        (length(bin(col("n_tokens"))) - 1).cast("long"))
+    sized
+      .withColumn("batch_id",
+        expr(s"(row_number() OVER (PARTITION BY len_class ORDER BY doc_id) - 1) div $batchSize"))
+      .select(col("doc_id"), col("n_tokens"), col("len_class"), col("batch_id"))
+  }
+
   /** Two-level distributed prefix sum of whitespace-token counts in
     * doc_id order: (doc_id, n_tokens, __prefix = tokens before this
     * doc). Fixed-width doc_id buckets yield per-bucket totals (a tiny

@@ -396,6 +396,27 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq(("red", 3L, 2L), ("blue", 2L, 2L)))
   }
 
+  test("lengthBatches bounds batch size and padding waste") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, (1 to (i % 40 + 1)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBatches(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 200)
+    // every batch: <= 8 docs, one length class, max/min token ratio < 2
+    got.groupBy(t => (t._3, t._4)).foreach { case ((cls, b), members) =>
+      assert(members.length <= 8, s"class $cls batch $b overfull")
+      val toks = members.map(_._2)
+      assert(toks.max < 2 * toks.min,
+        s"padding waste in class $cls batch $b: $toks")
+    }
+    // batches fill densely: within a class only the last batch is partial
+    got.groupBy(_._3).foreach { case (cls, members) =>
+      val sizes = members.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.init.forall(_ === 8), s"class $cls sparse batches: $sizes")
+    }
+  }
+
   test("int8TopK ranks a near-identical vector above an orthogonal one") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
