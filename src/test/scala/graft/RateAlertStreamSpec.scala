@@ -67,6 +67,50 @@ class RateAlertStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trailing state survives a checkpoint restart") {
+    val in = Files.createTempDirectory("graft-rate-in").toString
+    val out = Files.createTempDirectory("graft-rate-out").toString
+    val ckpt = Files.createTempDirectory("graft-rate-ckpt3").toString
+    def writeHits(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    // memory sinks can't recover a checkpoint — use a parquet sink with
+    // AvailableNow, the DailyAggStream restore discipline
+    def runOnce(): Unit = RateAlertStream.alerts(
+        spark.readStream.schema("service STRING, ts TIMESTAMP").json(in)
+          .as[Hit].withWatermark("ts", "0 seconds"),
+        bucketSeconds = 60, trail = 2, factor = 1.5)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+
+    def line(m: Int, s: Int) =
+      s"""{"service":"api","ts":"2020-01-01T10:${"%02d".format(m)}:${"%02d".format(s)}"}"""
+    // run 1: two steady minutes + a heartbeat that closes them
+    writeHits("a.json",
+      (0 until 4).map(s => line(0, s)) ++ (0 until 4).map(s => line(1, s)) :+
+        line(2, 30))
+    runOnce()
+    val run1 = spark.read.parquet(out).as[Alert].collect()
+    assert(run1.map(_.bucket_start).toSet === Set(ts(0), ts(1)), run1.toSeq)
+
+    // run 2 (same checkpoint): a minute-4 heartbeat closes the
+    // pre-restart heartbeat bucket 2 AND the silent bucket 3 — bucket
+    // 2's trailing average of 4.0 proves the ring survived the restart
+    writeHits("b.json", Seq(line(4, 10)))
+    runOnce()
+    val run2 = spark.read.parquet(out).as[Alert].collect()
+      .map(a => a.bucket_start -> a).toMap
+    val b2 = run2(ts(2))
+    assert(b2.cnt === 1L && b2.n_trail === 2 && b2.trail_avg === 4.0 &&
+      b2.is_anomaly, s"restored-trail bucket wrong: $b2")
+    val b3 = run2(ts(3))
+    assert(b3.cnt === 0L && b3.is_anomaly, s"silent bucket wrong: $b3")
+  }
+
   test("services keep independent state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Hit]
