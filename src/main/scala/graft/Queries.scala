@@ -1730,6 +1730,83 @@ object Queries {
               |SELECT d.doc_id, md5(lower(d.text)) AS fp FROM documents d
               |WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin)),
 
+    // Dedup-method comparison report: the survey a pipeline runs
+    // BEFORE committing to a strategy — one row per granularity with
+    // the affected unit count and fraction, composed from the gated
+    // tiers (exact doc, line, paragraph-analog, LSH near-dup pairs,
+    // duplicated ExactSubstr tokens). All integer counts; fractions
+    // divide after aggregation.
+    "pipeline_dedup_report" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val sp = s
+        import sp.implicits._
+        def row(method: String, affected: Long, total: Long) =
+          (method, affected, total, affected.toDouble / total)
+        val nDocs = base.count()
+        val exactDup = nDocs - Dedup.exact(base).count()
+        val lines = Curation.dedupLines(base, "doc_id", "text", sep = " ")
+          .agg(sum(col("n_lines")), sum(col("n_kept"))).head()
+        val lshPairs = Dedup.minhashLsh(base, 3, 0.5).count()
+        val substr = Dedup.exactSubstrDedup(base, 5)
+          .agg(sum(col("n_tokens")), sum(col("n_kept"))).head()
+        val nPairs = nDocs * (nDocs - 1) / 2
+        Seq(
+          row("doc_exact", exactDup, nDocs),
+          row("lsh_neardup_pairs", lshPairs, nPairs),
+          row("substr_tokens", substr.getLong(0) - substr.getLong(1),
+            substr.getLong(0)),
+          row("word_occurrences", lines.getLong(0) - lines.getLong(1),
+            lines.getLong(0)))
+          .toDF("method", "affected", "total", "fraction")
+      },
+      Some(s"""WITH $minhashConstsCte,
+              |$shinglesCte,
+              |$lshBandsCte,
+              |bands_k AS (
+              |  SELECT * FROM bands
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM bands_k a JOIN bands_k b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |lshp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cands
+              |  WHERE CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) * 1.0
+              |        / (len(sh_a) + len(sh_b) - len(list_filter(sh_a, s -> list_contains(sh_b, s)))) >= 0.5),
+              |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+              |ex AS (SELECT CAST(COUNT(DISTINCT md5(lower(text))) AS BIGINT) AS n FROM documents),
+              |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+              |wtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+              |wkept AS (SELECT CAST(COUNT(DISTINCT md5(word)) AS BIGINT) AS n FROM w),
+              |tk2 AS (SELECT doc_id, string_split(text,' ') AS wd FROM documents),
+              |g AS (SELECT doc_id, u.pos AS pos,
+              |   CAST('0x'||substr(md5(u.gram),1,15) AS BIGINT) AS gh
+              |  FROM (SELECT doc_id,
+              |    unnest([{'pos': i, 'gram': array_to_string(wd[i+1:i+5], ' ')} for i in range(len(wd)-4)]) AS u
+              |   FROM tk2 WHERE len(wd) >= 5)),
+              |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+              |ds AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gh)),
+              |t AS (SELECT doc_id, u.p AS p
+              |  FROM (SELECT doc_id, unnest([{'p': i} for i in range(len(wd))]) AS u FROM tk2)),
+              |cvr AS (SELECT t.doc_id, t.p,
+              |   MAX(CASE WHEN ds.pos IS NOT NULL THEN t.p END)
+              |     OVER (PARTITION BY t.doc_id ORDER BY t.p) AS cov
+              |  FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id AND t.p = ds.pos),
+              |stot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cvr),
+              |skept AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cvr
+              |  WHERE cov IS NULL OR p > cov + 4)
+              |SELECT 'doc_exact' AS method, nd.n - ex.n AS affected, nd.n AS total,
+              |  CAST(nd.n - ex.n AS DOUBLE)/CAST(nd.n AS DOUBLE) AS fraction FROM nd, ex
+              |UNION ALL
+              |SELECT 'lsh_neardup_pairs', lshp.n, nd.n * (nd.n - 1) // 2,
+              |  CAST(lshp.n AS DOUBLE)/CAST(nd.n * (nd.n - 1) // 2 AS DOUBLE) FROM lshp, nd
+              |UNION ALL
+              |SELECT 'substr_tokens', stot.n - skept.n, stot.n,
+              |  CAST(stot.n - skept.n AS DOUBLE)/CAST(stot.n AS DOUBLE) FROM stot, skept
+              |UNION ALL
+              |SELECT 'word_occurrences', wtot.n - wkept.n, wtot.n,
+              |  CAST(wtot.n - wkept.n AS DOUBLE)/CAST(wtot.n AS DOUBLE) FROM wtot, wkept""".stripMargin)),
+
     // Cluster formation over the verified near-dup pairs: Spark runs
     // min-label propagation to fixpoint; DuckDB computes the same
     // connected components with a recursive CTE — two independent
