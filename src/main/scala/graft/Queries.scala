@@ -1976,6 +1976,27 @@ object Queries {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin),
 
+    "sql_having" -> sqlParity(
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id HAVING COUNT(*) >= 3
+        |ORDER BY n_purchases DESC, user_id""".stripMargin),
+
+    "sql_in_list_case" -> sqlParity(
+      """SELECT CASE WHEN event_type IN ('view', 'click') THEN 'browse'
+        |            WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+        |            ELSE 'other' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    "sql_scalar_subquery" -> sqlParity(
+      """SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events
+        |GROUP BY 1
+        |HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 40
+        |ORDER BY d""".stripMargin),
+
     "sql_grouping_sets" -> sqlParity(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(COUNT(*) AS BIGINT) AS cnt, SUM(l_quantity) AS qty
