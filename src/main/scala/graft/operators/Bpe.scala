@@ -48,11 +48,20 @@ object Bpe {
   private def train(docs: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
+    // the ONE materialization: the word-count table is pinned once
+    // (localCheckpoint — ContextCleaner reclaims the blocks when the
+    // final plan's RDDs are collected) and every round's symbol state
+    // is a lazy chain of narrow string rewrites on top of it. Each
+    // round then runs exactly ONE job (the pair-count argmax); re-
+    // deriving r rewrites per round is cheap codegen string work on
+    // the small cached table, measured faster than materializing every
+    // round's symbols just to truncate the chain.
     val words = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
     var syms = words.select(col("word"), charSyms(col("word")).as("sym"),
-      col("cnt")).persist()
+      col("cnt"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       val pairs = syms
@@ -71,14 +80,11 @@ object Bpe {
         val freq = best(0).getLong(1)
         val merged = pair.replace(" ", "")
         merges += ((r, pair, merged, freq))
-        val prev = syms
         val pad = concat(lit(" "), col("sym"), lit(" "))
         val once = replace(pad, lit(s" $pair "), lit(s" $merged "))
-        syms = prev.select(col("word"),
+        syms = syms.select(col("word"),
           trim(replace(once, lit(s" $pair "), lit(s" $merged "))).as("sym"),
-          col("cnt")).persist()
-        syms.count() // materialize before dropping the parent
-        prev.unpersist()
+          col("cnt"))
       }
     }
     (merges.result(), syms)
@@ -88,8 +94,7 @@ object Bpe {
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, syms) = train(docs, rounds)
-    syms.unpersist()
+    val (merges, _) = train(docs, rounds)
     merges.toDF("step", "pair", "merged", "freq")
   }
 
