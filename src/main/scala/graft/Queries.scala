@@ -622,6 +622,28 @@ object Queries {
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles""".stripMargin)),
 
+    // Degree-distribution survey of the same link graph: node counts
+    // per power-of-two degree class — the skew check run before
+    // choosing graph strategies.
+    "rel_degree_hist" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.degreeStats(edges)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+             |                 'h'||((event_id * 3 + user_id) % 997) AS dst FROM events),
+             |und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+             |        FROM e0 WHERE src <> dst),
+             |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+             |        (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node)
+             |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_class,
+             |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             |  MIN(deg) AS min_deg, MAX(deg) AS max_deg
+             |FROM deg GROUP BY 1 ORDER BY deg_class""".stripMargin)),
+
     // First-order Markov transitions over each user's time-ordered
     // event stream: the "where do users go next" paths report.
     "rel_top_transitions" -> Decl(

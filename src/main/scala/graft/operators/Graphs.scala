@@ -59,6 +59,29 @@ object Graphs {
     ranks
   }
 
+  /** Degree-distribution report: node counts per power-of-two degree
+    * class with the class's min/max degree — the skew survey a graph
+    * job runs BEFORE picking strategies (a power-law corpus whose top
+    * class holds million-degree hubs needs the orientation/salting
+    * discipline; a flat one doesn't). One degree aggregate and one
+    * tiny class rollup; the log₂ class is the exact integer
+    * bin-length idiom, so counts match any engine bit-for-bit.
+    */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy((length(bin(col("deg"))) - 1).cast("long").as("deg_class"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("deg_class"))
+  }
+
   /** Distributed triangle count with DEGREE-BASED edge orientation
     * (the node-iterator++ / compact-forward algorithm): every
     * undirected edge points from its lower-(degree, id) endpoint to
