@@ -1910,11 +1910,37 @@ object Queries {
               |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
               |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
               | FROM sh),
-              |b AS (SELECT doc_id, simhash, simhash >> ${Dedup.SimhashBits / 2} AS bucket FROM sg)
+              |b0 AS (SELECT doc_id, simhash, simhash >> ${Dedup.SimhashBits / 2} AS bucket FROM sg),
+              |b AS (SELECT doc_id, simhash, bucket FROM (
+              |  SELECT doc_id, simhash, bucket,
+              |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM b0)
+              |  WHERE rn <= ${Dedup.MaxBucket})
               |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
               |  CAST(bit_count(xor(a.simhash, bb.simhash)) AS BIGINT) AS hamming
               |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.doc_id < bb.doc_id
               |WHERE bit_count(xor(a.simhash, bb.simhash)) <= 6""".stripMargin)),
+
+    // Linear star variant: members link to the bucket representative,
+    // not to each other — complete on mass-duplicate corpora where the
+    // capped all-pairs form truncates.
+    "dedup_simhash_star" -> Decl(
+      (s, d) => Dedup.simhashDedup(docs(s, d), 6),
+      Some(s"""WITH $shinglesCte,
+              |sg AS (
+              | SELECT doc_id,
+              |  CAST(list_sum([ CASE WHEN
+              |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
+              |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
+              | FROM sh),
+              |b AS (SELECT doc_id, simhash, simhash >> ${Dedup.SimhashBits / 2} AS bucket FROM sg),
+              |reps AS (SELECT bucket, MIN(doc_id) AS doc_a, COUNT(*) AS cnt
+              |         FROM b GROUP BY 1 HAVING COUNT(*) > 1),
+              |rs AS (SELECT r.bucket, r.doc_a, m.simhash AS sig_a
+              |       FROM reps r JOIN b m ON m.bucket = r.bucket AND m.doc_id = r.doc_a)
+              |SELECT rs.doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(rs.sig_a, b.simhash)) AS BIGINT) AS hamming
+              |FROM b JOIN rs ON b.bucket = rs.bucket AND b.doc_id <> rs.doc_a
+              |WHERE bit_count(xor(rs.sig_a, b.simhash)) <= 6""".stripMargin)),
 
     "dedup_simhash" -> Decl(
       (s, d) => Dedup.simhash(docs(s, d)),

@@ -560,11 +560,16 @@ object Dedup {
       posexplode(tokens(col("text"))).as(Seq("p", "tok")))
     val runMax = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = toks
-      .join(dupStarts.withColumn("isdup", lit(1)),
-        toks("doc_id") === dupStarts("doc_id") && col("p") === col("pos"),
+    // explicit aliases: both sides derive from `docs`, and the bare
+    // toks("doc_id") === dupStarts("doc_id") form leans on the
+    // analyzer's self-join disambiguation (it warns "trivially true
+    // equals predicate" and is one refactor from silently joining a
+    // column to itself)
+    val kept = toks.alias("t")
+      .join(dupStarts.withColumn("isdup", lit(1)).alias("d"),
+        col("t.doc_id") === col("d.doc_id") && col("t.p") === col("d.pos"),
         "left")
-      .select(toks("doc_id"), col("p"), col("tok"), col("isdup"))
+      .select(col("t.doc_id"), col("t.p").as("p"), col("tok"), col("isdup"))
       .withColumn("cov",
         max(when(col("isdup") === 1, col("p"))).over(runMax))
       .filter(col("cov").isNull || col("p") > col("cov") + (k - 1))
@@ -706,10 +711,30 @@ object Dedup {
     * verified by Hamming distance ≤ `maxHamming` on the full 32 bits.
     * The bucket prefilter trades recall for scale exactly like LSH
     * banding; multiple rotated buckets would raise recall.
+    *
+    * Hot buckets are BOUNDED exactly like the LSH tier
+    * ([[lshCandidates]]): a mass-duplicate corpus puts every copy in
+    * ONE bucket, and an uncapped self-join there emits O(bucket²)
+    * pairs — at 10⁹ docs that bucket IS the job. Rank-then-truncate
+    * keeps the `maxBucket` SMALLEST doc_ids per bucket
+    * (deterministic, so the DuckDB oracle reproduces the exact same
+    * truncation); pair fanout is ≤ maxBucket²/2 per bucket by
+    * construction. For the complete answer on a skewed corpus use
+    * [[simhashDedup]] (output linear in bucket size).
+    *
+    * The signature pipeline feeds both join sides; the lazy
+    * localCheckpoint pins it so the shingle+fold stages run ONCE (the
+    * [[pairOverlap]] rationale — ContextCleaner reclaims the blocks).
     */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(docs)
-      .withColumn("bucket", expr(s"shiftright(simhash, ${SimhashBits / 2})"))
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 6,
+                     maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = bucketedSimhash(docs)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+      .localCheckpoint(eager = false)
     sh.as("a")
       .join(sh.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -718,6 +743,38 @@ object Dedup {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Dedup-oriented SimHash with output LINEAR in bucket size — the
+    * [[minhashLshDedup]] shape on simhash buckets: each multi-member
+    * bucket links its members to the bucket REPRESENTATIVE (min
+    * doc_id) instead of expanding in-bucket pairs, every edge
+    * Hamming-verified on the full signature. A bucket of b
+    * mass-identical docs yields b−1 (keeper, duplicate) edges, not
+    * b(b−1)/2 — the complete keep-one-per-group relation the capped
+    * [[simhashNearDup]] truncates. Plan is aggregates + equi-joins
+    * only (no windows, nothing unbounded per row).
+    */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = bucketedSimhash(docs).localCheckpoint(eager = false)
+    val reps = sh.groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .join(sh.select(col("bucket"), col("doc_id").as("doc_a"),
+        col("simhash").as("sig_a")), Seq("bucket", "doc_a"))
+    sh.join(reps, "bucket")
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Signatures + top-half bucket, shared by the two simhash pairing
+    * shapes.
+    */
+  private def bucketedSimhash(docs: DataFrame): DataFrame =
+    simhash(docs)
+      .withColumn("bucket", expr(s"shiftright(simhash, ${SimhashBits / 2})"))
 
   /** 32-bit SimHash per document: for each bit j, sum +1/−1 over distinct
     * tokens by bit j of the token hash; bit set iff the sum is positive.

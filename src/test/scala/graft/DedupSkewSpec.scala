@@ -40,6 +40,25 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.agg(max("doc_b")).head().getLong(0) === k - 1)
   }
 
+  test("simhash all-pairs caps the hot bucket at MaxBucket") {
+    // 2000 identical docs share one simhash → one 16-bit bucket; the
+    // rank cap must bound the pair join to K*(K-1)/2, not ~2M pairs
+    val got = Dedup.simhashNearDup(corpus, 6)
+    val k = Dedup.MaxBucket.toLong
+    assert(got.count() === k * (k - 1) / 2)
+    assert(got.agg(max("doc_b")).head().getLong(0) === k - 1)
+  }
+
+  test("simhash star dedup links every duplicate to the keeper, linearly") {
+    val got = Dedup.simhashDedup(corpus, 6)
+    // 1999 edges (keeper 0 -> each replica), hamming exactly 0; the
+    // two distinct docs are singleton buckets and emit nothing
+    assert(got.count() === 1999L)
+    val agg = got.agg(min("doc_a"), max("doc_a"), max("hamming")).head()
+    assert(agg.getLong(0) === 0L && agg.getLong(1) === 0L)
+    assert(agg.getLong(2) === 0L)
+  }
+
   test("duplicateClusters labels transitive components with the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L), (7L, 8L))
       .toDF("doc_a", "doc_b")
