@@ -53,6 +53,18 @@ object Bench {
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
 
+    // machine-load marker: driver-box contention has historically
+    // inflated CPU-bound queries 20-30% round-over-round; recording
+    // 1/5/15-min loadavg alongside the timings makes a contended run
+    // self-evident instead of reading as a plan regression
+    def loadavg(): String =
+      try {
+        val s = scala.io.Source.fromFile("/proc/loadavg")
+        try s.getLines().next().split(" ").take(3).mkString(",")
+        finally s.close()
+      } catch { case _: Throwable => "" }
+    val loadStart = loadavg()
+
     // global warm-up covering the distinct infrastructure paths:
     // parquet scan + sort (o08), broadcast-join machinery (q5), and
     // the documents/md5 pipeline — broadcast thread pools and codegen
@@ -68,7 +80,7 @@ object Bench {
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val errJson = errors.map { case (k, v) => s""""$k":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","passes":"min_of_2"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1334,6 +1334,27 @@ object Queries {
       (s, d) => Bpe.bpeSegment(docs(s, d), 8),
       Some(Bpe.oracleSegment(8))),
 
+    // BATCHED BPE training — the scale path for real merge budgets
+    // (10^4-10^5 merges): each driver round accepts up to `batch`
+    // NON-INTERACTING top pairs from one bounded collect, cutting
+    // driver round-trips by ~batch. The oracle reproduces the greedy
+    // acceptance rule and the in-round rewrite order exactly
+    // (Bpe.oracleMergesBatched), so even the approximation is
+    // bit-exact against DuckDB.
+    "pipeline_bpe_train_batched" -> Decl(
+      (s, d) => Bpe.bpeMerges(docs(s, d), 24, 8),
+      Some(Bpe.oracleMergesBatched(24, 8))),
+
+    // The real-merge-budget scale demonstration: 256 merges at
+    // batch=64 (a few driver rounds, not 256 jobs). No SQL oracle —
+    // unrolling the worst-case 256-round CTE chain is DuckDB-hostile;
+    // the ALGORITHM is exactly the one oracle-gated above at 24/8
+    // (same code path), and BpeSpec pins batched==sequential
+    // equivalence. Driver records the rows check; Bench times it.
+    "pipeline_bpe_train256" -> Decl(
+      (s, d) => Bpe.bpeMerges(docs(s, d), 256, 64),
+      None),
+
     // Length-bucketed inference batching: docs batch with similar-
     // length peers (power-of-two classes) so padding waste stays <2x;
     // batch ids fill densely in doc_id order within each class.
@@ -2420,5 +2441,8 @@ object Queries {
     // the heaviest shapes added later in round 5: ExactSubstr span
     // removal (positional-gram corpus pass), BPE training (iterative
     // word-table aggregates), and the wedge-join triangle count
-    "dedup_exact_substr", "pipeline_bpe_train", "rel_triangles")
+    "dedup_exact_substr", "pipeline_bpe_train", "rel_triangles",
+    // round-6 addition: the batched-BPE scale path (256 merges in a
+    // handful of driver rounds — the claim is it completes in seconds)
+    "pipeline_bpe_train256")
 }

@@ -30,6 +30,55 @@ class BpeSpec extends SparkSpec {
     assert(seg1.getLong(1) === 1L && seg1.getLong(2) === 3L) // "aa a aa"
   }
 
+  test("batched rounds equal sequential rounds when top pairs don't interact") {
+    // four symbol-disjoint frequent pairs: greedy batch accepts all in
+    // one round, and because no selected pair shares a symbol (or a
+    // merged string) the batch is EXACTLY the sequential merge table
+    val docs = Seq(
+      1L -> "ab ab ab ab cd cd cd ef ef gh",
+      2L -> "ab cd cd ef gh gh").toDF("doc_id", "text")
+    val seq = Bpe.bpeMerges(docs, 4, batch = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val bat = Bpe.bpeMerges(docs, 4, batch = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(seq.toSeq === bat.toSeq)
+    assert(seq.map(_._2).toSet ===
+      Set("a b", "c d", "e f", "g h"))
+    // the batched run reached the same table in ONE driver round — the
+    // segmentation under both must agree too
+    val segSeq = Bpe.bpeSegment(docs, 4, batch = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val segBat = Bpe.bpeSegment(docs, 4, batch = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(segSeq.toSeq === segBat.toSeq)
+  }
+
+  test("batched greedy defers interacting pairs within a round") {
+    // "t h" and "h e" share symbol h: rank-1 "t h" (freq 5) is taken,
+    // "h e" (freq 4) must be DEFERRED to the next round's recount, and
+    // the recount sees the post-merge pair "th e", not "h e"
+    val docs = Seq(
+      1L -> "the the the th th",
+      2L -> "he he he he x").toDF("doc_id", "text")
+    val bat = Bpe.bpeMerges(docs, 2, batch = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // rank-1 is "h e" (3+4=7); "t h" (5) shares h and is deferred, so
+    // round 2 recounts and finds "t he" (3) — identical to sequential
+    assert(bat.toSeq === Seq((1, "h e", "he", 7L), (2, "t he", "the", 3L)))
+    val seq = Bpe.bpeMerges(docs, 2, batch = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(bat.toSeq === seq.toSeq)
+  }
+
+  test("batched budget cap: exactly `merges` accepted across rounds") {
+    val docs = Seq(
+      1L -> "ab ab cd cd ef ef gh gh ij ij",
+      2L -> "ab cd ef gh ij").toDF("doc_id", "text")
+    val bat = Bpe.bpeMerges(docs, 3, batch = 8).collect()
+    assert(bat.length === 3)
+    assert(bat.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+  }
+
   test("encode compresses monotonically with more merges") {
     val docs = Seq(
       1L -> "lower lowest low low newer newest new",
