@@ -76,6 +76,32 @@ final class CorpusBloom(fpp: Double = 0.01, headroom: Long = 4,
       fps.iterator.foreach { s => filter.putString(s); tracked += 1 }
   }
 
+  /** Executor-side variant of [[recordAppended]]: build a Bloom over
+    * `key` of the appended frame with the SAME (capacity, fpp) as the
+    * live filter — structurally identical bit arrays — and merge it
+    * bitwise. The driver receives ONE bit array (the size it already
+    * broadcasts each batch) instead of the appended key column, so a
+    * large batch never ships its raw fingerprints through the driver;
+    * the per-task partial filters are Spark's own BloomFilterAggregate
+    * machinery, tree-reduced. No-op before the first build. The whole
+    * method holds the lock (micro-batches are sequential; this keeps a
+    * concurrent [[filterFor]] rebuild from changing `capacity` between
+    * the batch build and the merge, which would make the bit arrays
+    * incompatible).
+    */
+  def recordAppendedFrom(appended: DataFrame, key: Column): Unit =
+    synchronized {
+      if (filter != null) {
+        val n = appended.count()
+        if (n > 0) {
+          val bf = appended.select(key.as("k"))
+            .stat.bloomFilter("k", capacity, fpp)
+          filter.mergeInPlace(bf)
+          tracked += n
+        }
+      }
+    }
+
   /** Drop the cached filter — required after any append that did NOT
     * go through [[recordAppended]] (a foreign writer), else the
     * prefilter has false negatives for those rows and duplicates of

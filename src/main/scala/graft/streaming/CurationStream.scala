@@ -88,8 +88,9 @@ object CurationStream {
     *
     * `state` carries the corpus Bloom filter ACROSS micro-batches:
     * each batch's survivor fingerprints are folded in after the
-    * append (a driver-side collect of one 32-char column, bounded by
-    * batch size), so the filter stays a superset of the corpus with
+    * append via an executor-built filter merged bitwise
+    * ([[CorpusBloom.recordAppendedFrom]] — nothing row-sized crosses
+    * the driver), so the filter stays a superset of the corpus with
     * no per-batch rebuild and gets resized from an actual corpus scan
     * only when growth exceeds its design capacity.
     */
@@ -110,8 +111,9 @@ object CurationStream {
           dropKnown(spark, curateBatch(batch), corpusDir, Some(state))
             .localCheckpoint()
         survivors.write.mode("append").parquet(corpusDir)
-        state.recordAppended(
-          survivors.select(col("fp")).collect().iterator.map(_.getString(0)))
+        // executor-side fold: one bit-array merge, never a raw-column
+        // collect — batch fingerprints stay off the driver
+        state.recordAppendedFrom(survivors, col("fp"))
       }
       .start()
 }

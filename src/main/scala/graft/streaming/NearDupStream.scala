@@ -142,8 +142,9 @@ object NearDupStream {
             survivors.select(col("doc_id"), col("text"))))
           .localCheckpoint()
         newBands.write.mode("append").parquet(bandsDir)
-        state.recordAppended(
-          newBands.select(bandKey).collect().iterator.map(_.getString(0)))
+        // executor-side fold of the new band keys (one bit-array
+        // merge); the band-key column never transits the driver
+        state.recordAppendedFrom(newBands, bandKey)
       }
       .start()
 }

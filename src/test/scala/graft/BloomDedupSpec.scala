@@ -89,4 +89,27 @@ class BloomDedupSpec extends SparkSpec {
     cb.filterFor(small) // tracked (13) > capacity (12): resized rebuild
     assert(cb.rebuilds === 2)
   }
+
+  test("recordAppendedFrom merges an executor-built filter bitwise") {
+    import org.apache.spark.sql.functions.{col, lower, md5}
+    val corpus = (1 to 50).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val cb = new graft.streaming.CorpusBloom(minCapacity = 256)
+    val f = cb.filterFor(corpus)
+    // an appended frame whose fp column is the filter key: the batch
+    // filter is built with the live filter's (capacity, fpp), so the
+    // bit arrays are structurally identical and the merge is bitwise
+    val appended = Seq(
+      (100L, "streamed alpha"), (101L, "streamed beta"))
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(lower(col("text"))))
+    val keys = appended.select("fp").as[String].collect()
+    assert(!keys.exists(f.mightContainString))
+    cb.recordAppendedFrom(appended, col("fp"))
+    assert(keys.forall(f.mightContainString))
+    assert(cb.trackedRows === 52L)
+    // before the first build it is a no-op, not a crash
+    val cold = new graft.streaming.CorpusBloom()
+    cold.recordAppendedFrom(appended, col("fp"))
+    assert(cold.trackedRows === 0L)
+  }
 }
