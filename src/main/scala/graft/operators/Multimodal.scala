@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * typed metadata, with decode / feature-extraction / frame-sampling as
   * partition-parallel operators.
   *
-  * The decode step is a clearly-marked STUB (this environment has no
-  * media codecs): it derives deterministic fake features from the md5
-  * of the content bytes. Everything AROUND the stub — the schema, the
-  * typed `mapPartitions` batch shape with per-partition codec init, the
-  * metadata-driven frame sampling, the size-balanced repartitioning —
-  * is the real Spark plumbing a 100 TB media pipeline needs; a real
-  * codec replaces ONLY the body of the `map` below.
+  * The IMAGE modality decodes for real ([[decodeImages]] — JDK
+  * `javax.imageio`, PNG/JPEG/GIF/BMP, no external dependency). The
+  * audio/video decode step remains a clearly-marked STUB (this
+  * environment has no media codecs): [[decodeFeatures]] derives
+  * deterministic fake features from the md5 of the content bytes.
+  * Everything AROUND the stub — the schema, the typed `mapPartitions`
+  * batch shape with per-partition codec init, the metadata-driven
+  * frame sampling, the size-balanced repartitioning — is the real
+  * Spark plumbing a 100 TB media pipeline needs; a real codec replaces
+  * ONLY the body of the `map` (exactly as [[decodeImages]] does for
+  * images).
   */
 object Multimodal {
 
@@ -54,6 +58,63 @@ object Multimodal {
         def f(i: Int): Double = (h(i) & 0xff) / 255.0
         MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
           f(0), f(1), f(2), f(3))
+      }
+    }
+  }
+
+  final case class ImageFeatures(media_id: Long, kind: String,
+                                 n_bytes: Long, decoded: Boolean,
+                                 width: Int, height: Int,
+                                 mean_r: Double, mean_g: Double,
+                                 mean_b: Double)
+
+  /** REAL image decode for `kind='image'` via the JDK's built-in
+    * `javax.imageio` (PNG/JPEG/GIF/BMP — no external codec needed):
+    * width, height, and channel-mean RGB (0..1) per decodable blob.
+    * Rows that are not images, or whose bytes don't decode (no
+    * recognizable magic — `ImageIO.read` returns null), fall through
+    * to `decoded=false` sentinel features, so one pass over a mixed
+    * media table cleanly splits real decodes from passthroughs.
+    *
+    * Same zero-shuffle narrow-map shape as [[decodeFeatures]]; the
+    * per-partition init disables ImageIO's temp-FILE cache (decode
+    * stays in-memory on executors — a disk write per blob would be a
+    * 100 TB-scale own goal). The audio/video modalities remain
+    * honestly stubbed ([[decodeFeatures]]); this is the one modality
+    * the JDK can decode for real.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { m =>
+        val img =
+          if (m.kind == "image")
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.content)))
+            catch { case _: java.io.IOException => None }
+          else None
+        img match {
+          case Some(i) if i.getWidth > 0 && i.getHeight > 0 =>
+            var r = 0L; var g = 0L; var b = 0L
+            var y = 0
+            while (y < i.getHeight) {
+              var x = 0
+              while (x < i.getWidth) {
+                val p = i.getRGB(x, y)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = i.getWidth.toLong * i.getHeight * 255L
+            ImageFeatures(m.media_id, m.kind, m.content.length.toLong,
+              decoded = true, i.getWidth, i.getHeight,
+              r.toDouble / n, g.toDouble / n, b.toDouble / n)
+          case _ =>
+            ImageFeatures(m.media_id, m.kind, m.content.length.toLong,
+              decoded = false, -1, -1, -1.0, -1.0, -1.0)
+        }
       }
     }
   }

@@ -25,6 +25,55 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter(f => f.f0 < 0 || f.f0 > 1).isEmpty)
   }
 
+  private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImages decodes a real 2x2 PNG with exact features") {
+    // top row pure red, bottom row pure blue:
+    // mean_r = (255+255)/(4*255) = 0.5, mean_g = 0, mean_b = 0.5
+    val png = pngBytes(Array(
+      Array(0xff0000, 0xff0000),
+      Array(0x0000ff, 0x0000ff)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, 1),
+      // image-kinded but NOT decodable (text bytes, no magic)
+      Multimodal.MediaRow(2L, "image", "plain text".getBytes("UTF-8"), 1),
+      // decodable bytes but audio-kinded: must NOT be decoded
+      Multimodal.MediaRow(3L, "audio", png, 1)
+    ).toDS()
+    val got = Multimodal.decodeImages(rows).collect()
+      .map(f => f.media_id -> f).toMap
+    val ok = got(1L)
+    assert(ok.decoded && ok.width === 2 && ok.height === 2)
+    assert(ok.mean_r === 0.5 && ok.mean_g === 0.0 && ok.mean_b === 0.5)
+    assert(ok.n_bytes === png.length.toLong)
+    assert(!got(2L).decoded && got(2L).width === -1)
+    assert(!got(3L).decoded, "non-image kinds must pass through")
+  }
+
+  test("decodeImages handles JPEG and stays shuffle-free") {
+    val img = new java.awt.image.BufferedImage(
+      3, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 3) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val rows = Seq(Multimodal.MediaRow(7L, "image", out.toByteArray, 1)).toDS()
+    val decoded = Multimodal.decodeImages(rows)
+    val f = decoded.head()
+    // JPEG is lossy: pin the geometry exactly, the channel means loosely
+    assert(f.decoded && f.width === 3 && f.height === 5)
+    assert(math.abs(f.mean_r - 0x80 / 255.0) < 0.05, f.toString)
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("frame sampling steps through n_frames by the given stride") {
     val frames = Multimodal.frameSample(media, 10)
     val one = media.filter(_.media_id == 1L).head()
