@@ -290,6 +290,24 @@ object Queries {
              | CAST(('0x'||substr(md5(text),7,2)) AS INTEGER) / 255.0 AS f3
              |FROM documents""".stripMargin)),
 
+    // Real-image decode path over the mixed media table: the synthetic
+    // content is text bytes (no image magic), so every row exercises
+    // the decoded=false fallback — the oracle gates the full schema and
+    // passthrough semantics; the decoded=true branch (real PNG/JPEG via
+    // javax.imageio) is pinned by MultimodalSpec against generated
+    // fixtures with exact expected width/height/mean-RGB.
+    "mm_decode_image" -> Decl(
+      (s, d) => Multimodal.decodeImages(
+        Multimodal.fromDocuments(docs(s, d))).toDF(),
+      Some("""SELECT doc_id AS media_id,
+             | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             | CAST(strlen(text) AS BIGINT) AS n_bytes,
+             | FALSE AS decoded,
+             | CAST(-1 AS INTEGER) AS width, CAST(-1 AS INTEGER) AS height,
+             | CAST(-1.0 AS DOUBLE) AS mean_r, CAST(-1.0 AS DOUBLE) AS mean_g,
+             | CAST(-1.0 AS DOUBLE) AS mean_b
+             |FROM documents""".stripMargin)),
+
     "mm_frame_sample" -> Decl(
       (s, d) => Multimodal.frameSample(
         Multimodal.fromDocuments(docs(s, d)), 10),
@@ -406,6 +424,54 @@ object Queries {
              |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
              |GROUP BY c_custkey, c_name, n_name
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Q2 adapted (no partsupp table — lineitem is the part×supplier
+    // cost relation): correlated per-part MIN subquery in the oracle,
+    // hand-decorrelated aggregate+join-back on the Spark side. Cost
+    // equality is a same-bits double compare (no arithmetic).
+    "tpch_q2_mincost" -> Decl(
+      (s, d) => Relational.minCostSupplier(
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "part"),
+        Tables.read(s, d, "supplier"), Tables.read(s, d, "nation"),
+        Tables.read(s, d, "region"), "ASIA", 25, 100),
+      Some("""SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+             | l_extendedprice AS cost
+             |FROM lineitem, part, supplier, nation, region
+             |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+             |  AND p_size = 25 AND s_nationkey = n_nationkey
+             |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |  AND l_extendedprice = (
+             |    SELECT MIN(l2.l_extendedprice)
+             |    FROM lineitem l2, supplier s2, nation n2, region r2
+             |    WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey
+             |      AND s2.s_nationkey = n2.n_nationkey
+             |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // Q7: bidirectional two-nation revenue by ship year — nation joined
+    // twice under different roles + a disjunctive pair predicate; the
+    // one fact⨝fact join is SHUFFLE_HASH-pinned.
+    "tpch_q7_volume" -> Decl(
+      (s, d) => Relational.volumeShipping(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "supplier"),
+        Tables.read(s, d, "nation"), "NATION_3", "NATION_7"),
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             | CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |FROM (
+             | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |  l_extendedprice*(1.0-l_discount) AS volume
+             | FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             | WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+             |  AND c_nationkey = n2.n_nationkey
+             |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+             |) shipping
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
 
     // Q14: promotion revenue share for a month; exact sums, the
     // division happens in doubles after.

@@ -210,6 +210,95 @@ object Relational {
             .cast("decimal(38,6)")).cast("double")).as("promo_pct"))
 
   /** Top spenders: orders⨝customer rollup with a deterministic top-k. */
+  /** TPC-H Q2-style min-cost supplier, adapted to the schema (no
+    * partsupp table — lineitem serves as the part×supplier cost
+    * relation, cost = l_extendedprice). The shape is Q2's: a
+    * correlated per-part MIN subquery gating the outer row. Spark-side
+    * the subquery is DECORRELATED by hand — exactly what Catalyst's
+    * RewriteCorrelatedScalarSubquery does — into a per-part min
+    * aggregate joined back on (part, cost): the cost relation is
+    * filtered by the broadcast dimension chain ONCE and feeds both the
+    * aggregate and the probe, so nothing region-external ever
+    * shuffles. The min table is part-sized (small next to lineitem) →
+    * broadcast; equality on cost is a same-bits compare (no
+    * arithmetic on either engine), so ties are exact, DISTINCT bounds
+    * duplicate lineitems, and the ORDER BY is a total order over the
+    * output columns → the LIMIT is deterministic.
+    */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame, rName: String, pSize: Int,
+                      n: Int): DataFrame = {
+    val regionalSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === rName)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val costs = lineitem
+      .join(broadcast(regionalSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.filter(col("p_size") === pSize)),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("s_acctbal"), col("n_name"), col("l_extendedprice").as("cost"))
+    val minCost = costs.groupBy(col("p_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    costs.join(broadcast(minCost), Seq("p_partkey"))
+      .filter(col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(n)
+  }
+
+  /** TPC-H Q7-style volume shipping: revenue between two nations by
+    * ship year, in BOTH directions — the multi-dim join-ordering shape
+    * (nation joined twice under different roles, a disjunctive pair
+    * predicate). The 100 TB ordering: the nation filters land on
+    * supplier and customer FIRST (each side shrinks to 2/N of the
+    * dimension before any fact is touched), the pruned customer side
+    * rides into orders, and only then does the one unavoidable
+    * fact⨝fact join (lineitem⨝orders) run — pinned SHUFFLE_HASH with
+    * the pre-filtered orders side as build. The pair disjunction
+    * evaluates post-join on two broadcast-joined name columns (a
+    * row-local predicate, not a join condition — no cartesian).
+    * Revenue accumulates DECIMAL(38,6) (the q5 discipline).
+    */
+  def volumeShipping(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, nationA: String,
+                     nationB: String): DataFrame = {
+    val names = Seq(nationA, nationB)
+    val supp = supplier
+      .join(broadcast(nation.filter(col("n_name").isin(names: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(nation.filter(col("n_name").isin(names: _*))),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    // customer pruned to 2/N of the dimension is still fact-scaled at
+    // 100 TB (×10⁸ rows) — never broadcast it; SHUFFLE_HASH with the
+    // pruned customer as build side is the plan that holds
+    val ord = orders
+      .join(cust.hint("shuffle_hash"),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    lineitem
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,6)")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   def topCustomers(customer: DataFrame, orders: DataFrame, n: Int): DataFrame =
     orders
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))

@@ -28,6 +28,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p3.contains("SortMergeJoin"), p3.take(2000))
   }
 
+  test("q2 broadcasts dims and the per-part min; q7 shuffle-hashes both fact joins") {
+    val p2 = plan("tpch_q2_mincost")
+    // dimension chain + decorrelated min table all arrive broadcast;
+    // lineitem is never shuffled on a join key
+    assert("BroadcastHashJoin".r.findAllIn(p2).size >= 3, p2.take(2000))
+    assert(!p2.contains("SortMergeJoin"), p2.take(2000))
+    assert(!p2.contains("CartesianProduct"), p2.take(2000))
+    val p7 = plan("tpch_q7_volume")
+    // orders⨝customer and lineitem⨝orders are both fact-sized at
+    // scale: exactly two shuffled hash joins, nation broadcast twice
+    assert("ShuffledHashJoin".r.findAllIn(p7).size === 2, p7.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 3, p7.take(2000))
+    assert(!p7.contains("SortMergeJoin"), p7.take(2000))
+  }
+
   test("salted join and LSH near-dup never plan a cross product") {
     assert(!plan("rel_salted_join").contains("CartesianProduct"))
     val p = plan("sim_neardup_lsh")
