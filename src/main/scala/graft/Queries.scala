@@ -119,26 +119,38 @@ object Queries {
     "o11_anomaly_days" -> Decl(
       (s, d) => Reports.anomalyDays(ev(s, d), "ts", 7, 1.5),
       Some("""WITH dc AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY d),
+             |spine AS (SELECT CAST(unnest(generate_series(
+             |    (SELECT MIN(d) FROM dc), (SELECT MAX(d) FROM dc),
+             |    INTERVAL 1 DAY)) AS DATE) AS d),
+             |dense AS (SELECT spine.d, CAST(COALESCE(dc.cnt, 0) AS BIGINT) AS cnt
+             |  FROM spine LEFT JOIN dc USING (d)),
              |w AS (SELECT d, cnt,
              |  AVG(cnt) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_avg,
              |  COUNT(cnt) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_trail
-             | FROM dc)
-             |SELECT d, cnt, trail_avg, cnt/trail_avg AS ratio,
-             |  (cnt/trail_avg > 1.5 OR cnt/trail_avg < CAST(1.0 AS DOUBLE)/CAST(1.5 AS DOUBLE)) AS is_anomaly
+             | FROM dense)
+             |SELECT d, cnt, trail_avg,
+             |  CASE WHEN trail_avg > 0 THEN cnt/trail_avg END AS ratio,
+             |  CASE WHEN trail_avg > 0
+             |    THEN (cnt/trail_avg > 1.5 OR cnt/trail_avg < CAST(1.0 AS DOUBLE)/CAST(1.5 AS DOUBLE))
+             |    ELSE cnt > 0 END AS is_anomaly
              |FROM w WHERE n_trail = 7""".stripMargin)),
 
     // EWMA smoothing of the daily series (pandas ewm adjust=True,
-    // alpha=1/2): every weight is a power of two, so the running
-    // weighted sum is exact integer arithmetic in doubles and the
-    // smoothed values agree bit-for-bit.
+    // alpha=1/2, trailing 30-row horizon): weighted sum and normalizer
+    // both scale by 2^29 into exact BIGINT arithmetic, one final double
+    // division — bit-identical at ANY series length (the old running
+    // 2^i rescale overflowed past i=1024 rows).
     "o11_ewma_daily" -> Decl(
       (s, d) => Reports.ewmaDaily(ev(s, d), "ts"),
       Some("""WITH dc AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY d),
              |w AS (SELECT d, cnt, row_number() OVER (ORDER BY d) AS i FROM dc),
-             |s AS (SELECT d, cnt, i,
-             |  SUM(cnt * pow(2.0, i)) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-             | FROM w)
-             |SELECT d, cnt, s * pow(2.0, -i) * 0.5 / (1.0 - pow(2.0, -i)) AS ewma FROM s""".stripMargin)),
+             |n AS (SELECT a.d, a.cnt, a.i,
+             |  SUM(b.cnt * (CAST(1 AS BIGINT) << (29 - (a.i - b.i)))) AS num
+             | FROM w a JOIN w b ON b.i <= a.i AND b.i > a.i - 30
+             | GROUP BY a.d, a.cnt, a.i)
+             |SELECT d, cnt, CAST(num AS DOUBLE) /
+             |  CAST((CAST(1 AS BIGINT) << 30) - (CAST(1 AS BIGINT) << (30 - LEAST(i, 30))) AS DOUBLE) AS ewma
+             |FROM n""".stripMargin)),
 
     "o12_group_count_desc" -> Decl(
       (s, d) => Reports.dailyGroupCount(ev(s, d), "ts", "user_id", "event_type",

@@ -132,39 +132,75 @@ object Reports {
     */
   def anomalyDays(df: DataFrame, tsCol: String, trail: Int = 7,
                   factor: Double = 1.5): DataFrame = {
+    // densify over a date spine first: zero-event days must appear as
+    // cnt=0 rows, or (a) gaps silently compress the trailing window
+    // across the gap and (b) a TOTAL outage day — the most anomalous
+    // day possible — produces no row and can never be flagged. The
+    // spine is a 1-row aggregate exploded to one row per day; the
+    // series stays day-count-sized.
+    val daily = dailyCount(df, tsCol)
+    val dense = daily
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val w = Window.orderBy(col("d")).rowsBetween(-trail, -1)
-    dailyCount(df, tsCol)
+    dense
       .withColumn("trail_avg", avg(col("cnt")).over(w))
       .withColumn("n_trail", count(col("cnt")).over(w))
       .filter(col("n_trail") === trail)
-      .withColumn("ratio", col("cnt") / col("trail_avg"))
+      // an all-zero trailing window makes the ratio 0/0: keep the
+      // ratio NULL there and flag iff the day itself has traffic
+      // (engine-portable — no IEEE Inf/NaN semantics in the compare)
+      .withColumn("ratio",
+        when(col("trail_avg") > 0, col("cnt") / col("trail_avg")))
       .select(col("d"), col("cnt"), col("trail_avg"), col("ratio"),
-        (col("ratio") > factor || col("ratio") < 1.0 / factor)
+        when(col("trail_avg") > 0,
+          col("ratio") > factor || col("ratio") < 1.0 / factor)
+          .otherwise(col("cnt") > 0)
           .as("is_anomaly"))
   }
 
   /** Exponentially-weighted moving average of the daily visit series
-    * (pandas `ewm(adjust=True)` semantics): the smoothed trend line a
-    * dashboard overlays on raw counts. With `alpha = 0.5` every weight
-    * is a power of two, so the running weighted sum stays EXACT integer
-    * arithmetic in doubles (counts ≤ 2^23 over ≤ 30 days stay under
-    * 2^53) and both engines agree bit-for-bit.
+    * (pandas `ewm(adjust=True)` semantics, truncated to a trailing
+    * `window`-row horizon): the smoothed trend line a dashboard
+    * overlays on raw counts.
     *
-    * ewma_n = Σ_{i≤n} r^{n-i}·x_i / Σ_{j<n} r^j with r = 1−α, computed
-    * as a single ordered running sum of x_i·r^{−i} (rescaled by r^n),
-    * never a per-row re-scan. Same one-row-per-day window-cost argument
-    * as [[anomalyDays]].
+    * ewma_n = Σ_{k<m} 2^{−k}·x_{n−k} / Σ_{k<m} 2^{−k}, m = min(n,
+    * window). With `alpha = 0.5` both sums scale by 2^{window−1} into
+    * EXACT BIGINT arithmetic — num = Σ x·2^{window−1−k}, den = 2^window
+    * − 2^{window−m} — and the single final double division is
+    * bit-identical on both engines regardless of aggregation order.
+    * The windowed horizon is what makes this possible AT ANY SERIES
+    * LENGTH: the previous running-sum formulation multiplied by 2^i
+    * (i = absolute row number), which overflows double at i ≥ 1024 —
+    * about 2.8 years of days — and silently degraded exactness past
+    * ~30 days; truncated weights below 2^{−29} differ from the
+    * infinite-horizon EWMA by < 2^{−29} relative, well under any
+    * dashboard's rendering precision.
+    *
+    * Shape: the daily series (one row per day) joins its own trailing
+    * `window` rows by row-number range — a ≤window× fanout on a
+    * day-count-sized frame, constant work per day forever.
     */
-  def ewmaDaily(df: DataFrame, tsCol: String): DataFrame = {
-    val run = Window.orderBy(col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  def ewmaDaily(df: DataFrame, tsCol: String, window: Int = 30): DataFrame = {
+    require(window >= 1 && window <= 30,
+      "window in [1, 30] keeps the weighted sum exact in BIGINT " +
+        "(counts up to 2^23 x weights up to 2^29 x 30 terms < 2^63)")
     val rn = Window.orderBy(col("d"))
-    dailyCount(df, tsCol)
+    val daily = dailyCount(df, tsCol)
       .withColumn("i", row_number().over(rn))
-      .withColumn("s", sum(col("cnt") * pow(lit(2.0), col("i"))).over(run))
+    val hist = daily.select(col("i").as("j"), col("cnt").as("xj"))
+    daily.join(hist,
+        col("j") <= col("i") && col("j") > col("i") - window)
+      .groupBy(col("d"), col("cnt"), col("i"))
+      .agg(sum(col("xj") *
+        expr(s"shiftleft(1L, ${window - 1} - (i - j))")).as("num"))
       .select(col("d"), col("cnt"),
-        (col("s") * pow(lit(2.0), -col("i")) * lit(0.5) /
-          (lit(1.0) - pow(lit(2.0), -col("i")))).as("ewma"))
+        (col("num").cast("double") /
+          expr(s"cast(shiftleft(1L, $window) - " +
+            s"shiftleft(1L, $window - least(i, $window)) as double)"))
+          .as("ewma"))
   }
 
   def dashboard(df: DataFrame, tsCol: String, serviceCol: String,

@@ -139,6 +139,39 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(!got.contains("2020-01-07") && got.contains("2020-01-08"))
   }
 
+  test("anomalyDays flags a total-outage day and densifies gaps") {
+    // 10 busy days, then a SILENT day 11 (zero events — no raw row at
+    // all), then traffic resumes. The spine must surface day 11 as a
+    // cnt=0 drop; pre-densify it produced no row and the window
+    // silently compressed across the gap.
+    val rows = ((1 to 10) ++ (12 to 14)).flatMap { day =>
+      (1 to 4).map(i => (ts(f"2020-01-$day%02d 10:0$i%01d:00"), i.toLong))
+    }
+    val got = Reports.anomalyDays(rows.toDF("t", "user_id"), "t", 7, 1.5)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        ((r.getAs[Long]("cnt"), r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(got.contains("2020-01-11"), s"outage day missing: $got")
+    assert(got("2020-01-11") === ((0L, true)))
+    // the resume day sees the zero inside its window (avg 24/7 < 4*1.5)
+    assert(got("2020-01-12")._1 === 4L && !got("2020-01-12")._2)
+  }
+
+  test("ewmaDaily stays finite and exact on a 1500-day series") {
+    // one event per day for 1500 days: ewma must be exactly 1.0 at
+    // every full-window row — the old 2^i running rescale overflowed
+    // to Inf/NaN past ~1024 rows
+    val rows = (0 until 1500).map { k =>
+      (new java.sql.Timestamp(
+        ts("2020-01-01 12:00:00").getTime + k * 86400000L), 1L)
+    }
+    val got = Reports.ewmaDaily(rows.toDF("t", "user_id"), "t").collect()
+    assert(got.length === 1500)
+    assert(got.forall(r => !r.getAs[Double]("ewma").isNaN &&
+      !r.getAs[Double]("ewma").isInfinite))
+    assert(got.forall(_.getAs[Double]("ewma") === 1.0))
+  }
+
   test("ewmaDaily starts at the first count and tracks a level shift") {
     val rows = (1 to 5).flatMap { day =>
       val n = if (day <= 3) 2 else 10
