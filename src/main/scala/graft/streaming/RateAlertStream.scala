@@ -74,6 +74,13 @@ object RateAlertStream {
       // capping a long idle gap at trail*4 synthesized zero buckets
       val floor = math.max(st.lastClosed + bucketSeconds,
         wmBucket - bucketSeconds * (trail.toLong * 4))
+      // a watermark jump can strand REAL-event buckets below the
+      // synthesized-zero floor: close them first (oldest first) or
+      // their alerts are never emitted, the entries leak in st.open
+      // forever, and nextClose keeps pointing at the orphan firing a
+      // no-op timeout every trigger. Only the gap's EMPTY buckets are
+      // skipped by the cap — never ones that saw traffic.
+      st.open.keys.filter(_ < floor).toSeq.sorted.foreach(close)
       var b = floor
       while (b + bucketSeconds <= wmSec) { close(b); b += bucketSeconds }
     }

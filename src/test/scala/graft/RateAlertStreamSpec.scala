@@ -67,6 +67,46 @@ class RateAlertStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a watermark jump past the zero-cap still closes stranded real-event buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Hit]
+    val out = RateAlertStream.alerts(
+      input.toDS().withWatermark("ts", "0 seconds"),
+      bucketSeconds = 60, trail = 3, factor = 1.5)
+    val q = out.writeStream
+      .format("memory").queryName("rate_alerts_jump")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rate-jump-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      def buckets(): Map[Timestamp, Alert] =
+        spark.table("rate_alerts_jump").as[Alert].collect()
+          .map(a => a.bucket_start -> a).toMap
+      // bucket 10:00 closes (lastClosed set); bucket 10:01 holds one
+      // real event and stays OPEN (watermark at 10:01:30)
+      input.addData(
+        (0 until 4).map(i => Hit("api", ts(0, i))) :+ Hit("api", ts(1, 30)): _*)
+      q.processAllAvailable()
+      assert(buckets().keySet === Set(ts(0)), buckets().keys.toString)
+      // the watermark then JUMPS one hour — far past the trail*4 = 12
+      // synthesized-zero cap. The stranded 10:01 bucket must still
+      // close and emit; the empty gap is capped, not the real bucket.
+      input.addData(Hit("api", Timestamp.valueOf("2020-01-01 11:00:30")))
+      q.processAllAvailable()
+      val after = buckets()
+      val stranded = after(ts(1))
+      assert(stranded.cnt === 1L, s"stranded bucket lost: $after")
+      // the synthesized-zero window is the 12 buckets before 11:00
+      // (10:48..10:59) — 10:02..10:47 are skipped by the cap
+      assert(!after.contains(ts(2)) && !after.contains(ts(47)))
+      assert(after.contains(ts(48)) && after.contains(ts(59)))
+      assert(after(ts(48)).cnt === 0L)
+      assert(after.size === 1 + 1 + 12, after.keys.toSeq.sortBy(_.getTime).toString)
+    } finally q.stop()
+  }
+
   test("trailing state survives a checkpoint restart") {
     val in = Files.createTempDirectory("graft-rate-in").toString
     val out = Files.createTempDirectory("graft-rate-out").toString
