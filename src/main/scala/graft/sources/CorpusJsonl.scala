@@ -9,13 +9,18 @@ import org.apache.spark.sql.types._
   * reference ingests only its own syslog wire format; a training-data
   * pipeline's front door is this.
   *
-  * Malformed lines are NEVER dropped silently: the reader runs in
-  * PERMISSIVE mode with a corrupt-record column, and [[split]] returns
-  * the valid documents alongside a quarantine frame holding every
-  * unparseable raw line — at 100 TB "0.3% of the dump failed to parse"
-  * is a signal someone must see, not a rounding error. Parsing is
-  * Spark's native JSON scan (distributed, pushdown-friendly, no UDFs);
-  * the quarantine split is one boolean filter over the same scan.
+  * Malformed lines are NEVER dropped silently: the input is read ONCE
+  * as text and parsed with `from_json` (PERMISSIVE + corrupt-record
+  * column), so the ORIGINAL line travels next to its parse and
+  * [[split]]'s quarantine holds every rejected raw line VERBATIM —
+  * whether it failed to parse at all or parsed but missed a required
+  * field (a re-serialization of the parsed subset would drop extra
+  * fields and formatting, destroying the evidence an operator needs).
+  * At 100 TB "0.3% of the dump failed to parse" is a signal someone
+  * must see, not a rounding error. `from_json` is Spark's own JSON
+  * parser as a codegen expression over a distributed text scan — no
+  * UDFs, and the line scan splits by file ranges exactly like the
+  * native JSON source; the quarantine split is one boolean filter.
   */
 object CorpusJsonl {
 
@@ -27,29 +32,33 @@ object CorpusJsonl {
     StructField("source", StringType),
     StructField("_corrupt", StringType)))
 
-  /** Batch read: every line of `path`, parsed or quarantined. */
+  private def parse(lines: DataFrame): DataFrame =
+    lines.select(col("value").as("_raw"),
+        from_json(col("value"), schema,
+          Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
+        col("j.lang").as("lang"), col("j.source").as("source"),
+        col("j._corrupt").as("_corrupt"), col("_raw"))
+
+  /** Batch read: every line of `path`, parsed or quarantined, with the
+    * verbatim source line in `_raw`.
+    */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
+    parse(spark.read.text(path))
 
   /** Streaming read of a landing directory (new files per trigger) —
     * the same schema/quarantine contract, for curate-at-ingest chains
     * ([[graft.streaming.CurationStream]]) fed by dump deliveries.
     */
   def readStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
+    parse(spark.readStream.text(path))
 
   /** (valid documents, quarantine). A line is quarantined when it
     * failed to parse at all (corrupt column set) OR parsed to a
     * document missing its required identity/content fields — both are
-    * operator-visible defects. Valid docs drop the capture column.
+    * operator-visible defects, and both quarantine the ORIGINAL line
+    * byte-for-byte. Valid docs drop the capture columns.
     */
   def split(parsed: DataFrame): (DataFrame, DataFrame) = {
     val bad = col("_corrupt").isNotNull ||
@@ -57,9 +66,7 @@ object CorpusJsonl {
     val good = parsed.filter(!bad)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val quarantine = parsed.filter(bad)
-      .select(coalesce(col("_corrupt"),
-        to_json(struct(col("doc_id"), col("text"), col("lang"),
-          col("source")))).as("raw_line"))
+      .select(col("_raw").as("raw_line"))
     (good, quarantine)
   }
 }

@@ -18,7 +18,10 @@ class CorpusJsonlSpec extends SparkSpec {
       """{"doc_id": 3, "text": "minimal"}""",              // lang/source null: valid
       """{"doc_id": 4}""",                                  // no text: quarantined
       """not json at all""",                                // corrupt: quarantined
-      """{"doc_id": "wrong-type", "text": 7}"""             // type mismatch: quarantined
+      """{"doc_id": "wrong-type", "text": 7}""",            // type mismatch: quarantined
+      // schema-invalid but parseable, with EXTRA fields and formatting
+      // that a re-serialization of the parsed subset would destroy
+      """{"doc_id": 5,  "extra": [1, 2],   "note": "evidence"}"""
     )
     Files.write(Paths.get(dir.toString, "dump.jsonl"),
       lines.mkString("\n").getBytes)
@@ -33,11 +36,12 @@ class CorpusJsonlSpec extends SparkSpec {
     assert(docs(3L) === (("minimal", None, None)))
 
     val bad = quarantine.collect().map(_.getString(0))
-    assert(bad.length === 3, bad.mkString("|"))
-    assert(bad.exists(_.contains("not json at all")))
-    assert(bad.exists(_.contains("wrong-type")))
-    // the parsed-but-incomplete line is reconstructible from quarantine
-    assert(bad.exists(_.contains(""""doc_id":4""")))
+    assert(bad.length === 4, bad.mkString("|"))
+    // every quarantined line is the ORIGINAL input byte-for-byte —
+    // including parseable-but-schema-invalid ones (extra fields,
+    // whitespace, field order all preserved)
+    assert(bad.toSet === Set(lines(3), lines(4), lines(5), lines(6)),
+      bad.mkString("|"))
 
     // accounting: every input line is exactly one of good/quarantine
     assert(good.count() + quarantine.count() === lines.length.toLong)
