@@ -183,6 +183,14 @@ private[api] object Html {
          |<div class="column is-one-half">
          |<canvas id="time" style="height: 20em; width: 100%; display: block;"></canvas>
          |</div></div>
+         |<h2 class="subtitle">Traffic Trend &amp; Anomalies</h2>
+         |<div class="columns is-desktop">
+         |<div class="column is-one-half">
+         |<canvas id="ewma" style="height: 20em; width: 100%; display: block;"></canvas>
+         |</div>
+         |<div class="column is-one-half">
+         |<canvas id="anomaly" style="height: 20em; width: 100%; display: block;"></canvas>
+         |</div></div>
          |<h2 class="subtitle">Most Popular Paths</h2>
          |<div class="table-container">
          |<table class="table is-hoverable is-fullwidth">
@@ -210,6 +218,16 @@ private[api] object Html {
          |    type: 'line',
          |    data: { datasets: [{ label: 'Average Generation Time', borderWidth: 1 }] }
          |  }), 'avg_generation_time'));
+         |  $$.getJSON('/api/$su/ewma',
+         |  makeCallback(new Chart($$('#ewma'), {
+         |    type: 'line',
+         |    data: { datasets: [{ label: 'Smoothed Daily Visits (EWMA)', borderWidth: 1 }] }
+         |  }), 'ewma'));
+         |  $$.getJSON('/api/$su/anomaly',
+         |  makeCallback(new Chart($$('#anomaly'), {
+         |    type: 'bar',
+         |    data: { datasets: [{ label: 'Visits vs Trailing Mean (ratio)', borderWidth: 1 }] }
+         |  }), 'ratio'));
          |});
          |</script>""".stripMargin
     layout(current, services, "service", Some(current), content)

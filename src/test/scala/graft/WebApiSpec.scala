@@ -114,6 +114,17 @@ class WebApiSpec extends SparkSpec {
       assert(c2 === 200 && page.contains("<h2 class=\"subtitle\">Overview</h2>"))
       assert(page.contains("rowspan="))
       assert(page.contains("0.5000"))
+      // anomaly/EWMA series are wired into the page: canvases + the
+      // Chart.js feeds pointing at the JSON endpoints
+      assert(page.contains("""<canvas id="ewma""""), page.take(2000))
+      assert(page.contains("""<canvas id="anomaly""""))
+      assert(page.contains("/api/blog/ewma") && page.contains("/api/blog/anomaly"))
+      // and the endpoints those feeds hit actually serve the series
+      val (ce, ewmaJson) = get(port, "/api/blog/ewma")
+      assert(ce === 200 && ewmaJson.contains("\"ewma\""), ewmaJson.take(300))
+      val (ca, anomJson) = get(port, "/api/blog/anomaly")
+      assert(ca === 200 && anomJson.contains("\"ratio\"") ||
+        anomJson === "[]", anomJson.take(300))
       assert(get(port, "/services/ghost")._1 === 404)
 
       // sql console: GET renders the form and runs the default query
