@@ -263,4 +263,65 @@ class MaxMindDbSpec extends SparkSpec {
     assert(out === Map("2001:200:1:2::3" -> Some("JP"),
       "10.0.0.1" -> Some("US"), "9.9.9.9" -> None))
   }
+
+  test("property: random tries decode to the same ranges as the CSV loader") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val countryPool = Vector("US", "DE", "JP", "GB", "AU", "FR", "BR", "IN")
+    val gids = countryPool.zipWithIndex.map { case (c, j) => c -> (1000 + j) }.toMap
+    val netGen: Gen[(BigInt, Int, String)] = for {
+      p <- Gen.choose(1, 24)
+      bits <- Gen.choose(0L, (1L << p) - 1)
+      c <- Gen.oneOf(countryPool)
+    } yield (BigInt(bits) << (32 - p), p, c)
+    // greedy disjoint filter: drop any net nested in (or containing) a
+    // kept one — the fixture builder requires a proper leaf trie
+    def disjoint(nets: Seq[(BigInt, Int, String)]) = {
+      val kept = ArrayBuffer.empty[(BigInt, Int, String)]
+      nets.foreach { case n @ (b, p, _) =>
+        if (kept.forall { case (b2, p2, _) =>
+          val m = math.min(p, p2)
+          (b >> (32 - m)) != (b2 >> (32 - m))
+        }) kept += n
+      }
+      kept.toSeq
+    }
+    def cidr(b: BigInt, p: Int): String = {
+      val v = b.toLong
+      s"${(v >> 24) & 0xFF}.${(v >> 16) & 0xFF}.${(v >> 8) & 0xFF}.${v & 0xFF}/$p"
+    }
+    val locCsv = {
+      val p = Paths.get(dir, "prop-loc.csv")
+      val rows = countryPool.map(c =>
+        s"${gids(c)},en,NA,Continent,$c,Country $c,0")
+      Files.write(p,
+        ("geoname_id,locale_code,continent_code,continent_name,country_iso_code,country_name,is_in_european_union" +:
+          rows).mkString("\n").getBytes)
+      p.toString
+    }
+    for (i <- 0 until 9) {
+      val raw = Gen.listOfN(40, netGen)
+        .apply(Gen.Parameters.default, Seed(4242L + i)).getOrElse(Nil)
+      val nets = disjoint(raw).take(30)
+      assert(nets.nonEmpty, s"iteration $i generated no networks")
+      val rs = Seq(24, 28, 32)(i % 3)
+      val mmdbPath = writeDb(s"prop-$i.mmdb", Fixture.build(nets, rs, 32))
+      val blocksCsv = {
+        val p = Paths.get(dir, s"prop-blocks-$i.csv")
+        val rows = nets.map { case (b, pre, c) =>
+          s"${cidr(b, pre)},${gids(c)},${gids(c)},,0,0"
+        }
+        Files.write(p,
+          ("network,geoname_id,registered_country_geoname_id,represented_country_geoname_id,is_anonymous_proxy,is_satellite_provider" +:
+            rows).mkString("\n").getBytes)
+        p.toString
+      }
+      val expected = GeoIp.fromGeoLite2Csv(spark, blocksCsv, locCsv)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val got = MaxMindDb.fromMmdb(spark, mmdbPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === expected,
+        s"iteration $i record_size=$rs nets=${nets.size}")
+    }
+  }
 }
