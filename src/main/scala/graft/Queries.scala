@@ -485,6 +485,64 @@ object Queries {
              |GROUP BY supp_nation, cust_nation, l_year
              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
 
+    // Q8: national market share within a region for one part type —
+    // the conditional-sum/sum shape over the suite's widest join tree;
+    // both fact-sized joins SHUFFLE_HASH-pinned, both sums exact.
+    "tpch_q8_market_share" -> Decl(
+      (s, d) => Relational.marketShare(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "supplier"),
+        Tables.read(s, d, "part"), Tables.read(s, d, "nation"),
+        Tables.read(s, d, "region"), "AMERICA", "ECONOMY", "NATION_1",
+        "1996-01-01", "1997-12-31"),
+      Some("""SELECT o_year,
+             | CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) /
+             | CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+             |FROM (
+             | SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  l_extendedprice*(1.0-l_discount) AS volume, n2.n_name AS supp_nation
+             | FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+             | WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |  AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+             |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+             |  AND p_type = 'ECONOMY'
+             |) shipping
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // Q17: revenue from lineitems under a fraction of their part's
+    // average quantity — the correlated scalar-AVG shape, decorrelated
+    // Spark-side. Integer-valued quantities keep the threshold exact.
+    "tpch_q17_small_qty" -> Decl(
+      (s, d) => Relational.smallQtyRevenue(
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "part"),
+        "Brand#23", 0.2),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lineitem, part
+             |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+             |  AND l_quantity < (
+             |    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+             |    WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    // Q22 adapted (no phone column — grouped by nation key; "dormant"
+    // = no orders since 1999, since every customer has history):
+    // scalar-aggregate threshold + LEFT-ANTI against the orders fact.
+    "tpch_q22_dormant" -> Decl(
+      (s, d) => Relational.dormantCustomers(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders"),
+        "1999-01-01"),
+      Some("""SELECT c_nationkey, COUNT(*) AS numcust,
+             | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             |  FROM customer WHERE c_acctbal > 0)
+             | AND NOT EXISTS (SELECT 1 FROM orders
+             |   WHERE o_custkey = c_custkey
+             |     AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // Q14: promotion revenue share for a month; exact sums, the
     // division happens in doubles after.
     "tpch_q14_promo" -> Decl(

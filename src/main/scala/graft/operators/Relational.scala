@@ -299,6 +299,117 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q8-style national market share: the target nation's slice of
+    * regional order volume for one part type, by order year. The
+    * conditional-sum-over-sum shape on top of the widest join tree in
+    * the suite (part, supplier, lineitem, orders, customer, nation ×2,
+    * region). Join ordering for 100 TB: the part-type filter prunes
+    * lineitem FIRST (broadcast), supplier+nation broadcast onto the
+    * pruned stream, then ONE fact⨝fact join against date-filtered
+    * orders (SHUFFLE_HASH), then customer — region-filtered but still
+    * fact-scaled, so it also arrives SHUFFLE_HASH with its broadcast
+    * nation/region dims pre-applied. Both sums accumulate
+    * DECIMAL(38,6) (the q5 discipline); the share divides two exact
+    * sums in doubles at the end.
+    */
+  def marketShare(customer: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame, supplier: DataFrame, part: DataFrame,
+                  nation: DataFrame, region: DataFrame, rName: String,
+                  pType: String, targetNation: String,
+                  from: String, until: String): DataFrame = {
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = customer
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
+        col("n_regionkey"))), col("c_nationkey") === col("cnk"))
+      .join(broadcast(region.filter(col("r_name") === rName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") <= lit(until).cast("timestamp"))
+      .join(cust.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === pType)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_year"), col("supp_nation"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("volume"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === targetNation, col("volume"))
+          .otherwise(lit(0.0)).cast("decimal(38,6)")).cast("double")
+          .as("nation_volume"),
+        sum(col("volume").cast("decimal(38,6)")).cast("double")
+          .as("total_volume"))
+      .select(col("o_year"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems whose quantity
+    * is below a fraction of their PART's average quantity — the
+    * correlated scalar-AVG shape. Decorrelated Spark-side into a
+    * per-part average joined back (what Catalyst does to the
+    * subquery); the avg table is part-sized → broadcast, lineitem
+    * never shuffles. l_quantity is integer-valued, so the per-part
+    * sums (≤2^53) and the single division are exact and the threshold
+    * compare can never flip between engines; revenue accumulates
+    * DECIMAL(38,6).
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame,
+                      brand: String, fraction: Double): DataFrame = {
+    val brandParts = part.filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val avgQty = lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    lineitem
+      .join(broadcast(avgQty), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") < lit(fraction) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22-style dormant high-balance customers (adapted: no phone
+    * column — grouped by nation key instead of phone country code, and
+    * "dormant" means no orders since `since` rather than none ever,
+    * because the generator gives every customer history): customers
+    * with no recent orders whose balance beats the positive-balance
+    * average. Three shapes in one: a 1-row scalar-aggregate broadcast
+    * back as a threshold, a LEFT-ANTI join against the (date-pruned)
+    * orders fact — the complement is never materialized — and the
+    * final rollup. The average divides an exact DECIMAL(38,6) sum by
+    * an exact count in doubles, so the threshold is bit-identical on
+    * both engines.
+    */
+  def dormantCustomers(customer: DataFrame, orders: DataFrame,
+                       since: String): DataFrame = {
+    val threshold = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    customer
+      .join(broadcast(threshold), col("c_acctbal") > col("avg_bal"))
+      .join(orders
+          .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(38,6)")).cast("double")
+          .as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   def topCustomers(customer: DataFrame, orders: DataFrame, n: Int): DataFrame =
     orders
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))

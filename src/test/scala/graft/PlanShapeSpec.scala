@@ -43,6 +43,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p7.contains("SortMergeJoin"), p7.take(2000))
   }
 
+  test("q8/q17/q22: pinned fact joins, broadcast thresholds, no cartesian") {
+    val p8 = plan("tpch_q8_market_share")
+    // orders⨝customer and lineitem⨝orders shuffle-hash; dims broadcast
+    assert("ShuffledHashJoin".r.findAllIn(p8).size === 2, p8.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 3, p8.take(2000))
+    assert(!p8.contains("SortMergeJoin"), p8.take(2000))
+    val p17 = plan("tpch_q17_small_qty")
+    // the decorrelated per-part avg arrives broadcast; lineitem never
+    // shuffles on a join key
+    assert(p17.contains("BroadcastHashJoin"), p17.take(2000))
+    assert(!p17.contains("SortMergeJoin") && !p17.contains("CartesianProduct"),
+      p17.take(2000))
+    val p22 = plan("tpch_q22_dormant")
+    // scalar threshold is a broadcast nested-loop (1 row), the orders
+    // complement is a LEFT-ANTI hash join — never materialized
+    assert(p22.contains("BroadcastNestedLoopJoin"), p22.take(2000))
+    assert(p22.contains("LeftAnti"), p22.take(2000))
+  }
+
   test("salted join and LSH near-dup never plan a cross product") {
     assert(!plan("rel_salted_join").contains("CartesianProduct"))
     val p = plan("sim_neardup_lsh")
