@@ -436,7 +436,11 @@ object Dedup {
     */
   def minhashLshDedup(docs: DataFrame, n: Int = 3,
                       minJaccard: Double = 0.2): DataFrame = {
+    // bands feed TWO subtrees (the representative aggregate and the
+    // member join): pin them or the whole shingle->minhash pipeline —
+    // the expensive part — runs twice (the pairOverlap rationale)
     val bands = lshBands(minhashSignatures(docs, n))
+      .localCheckpoint(eager = false)
     val reps = bands.groupBy(col("band"), col("bkey"))
       .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -693,8 +697,11 @@ object Dedup {
   def clusterKeepers(clusters: DataFrame, docs: DataFrame,
                      score: org.apache.spark.sql.Column =
                        size(tokens(col("text"))).cast("long")): DataFrame = {
+    // scored feeds the per-cluster max AND the argmax probe: pin it so
+    // the clusters⨝docs join runs once
     val scored = clusters.join(
       docs.select(col("doc_id"), score.as("s")), "doc_id")
+      .localCheckpoint(eager = false)
     val best = scored.groupBy(col("cluster"))
       .agg(max(col("s")).as("keeper_score"), count(lit(1)).as("size"))
     scored.join(best, "cluster")
