@@ -1159,6 +1159,75 @@ object Queries {
               |  coalesce(h.n_seen, 0) AS n_seen,
               |  CAST(coalesce(h.n_seen, 0) AS DOUBLE)/CAST(s.n_shingles AS DOUBLE) AS contamination_frac
               |FROM sizes s LEFT JOIN hits h USING (eval_id)""".stripMargin)),
+
+    // THE INTAKE CAPSTONE: what actually runs when a new crawl dump
+    // arrives at a training-data pipeline's door. The documents table
+    // splits into at-rest corpus (doc_id%5 ∈ {0,3,4}), the incoming
+    // dump (%5=1), and a held-out eval set (%5=2); the dump is then
+    // (1) quality-gated — cheapest filter first, everything downstream
+    // shrinks; (2) near-dup'd AGAINST the corpus via the cross-LSH
+    // band join (corpus rank-capped, never self-paired, pair-scoped
+    // exact-Jaccard verify); (3) decontaminated against eval (3-gram
+    // overlap ≥ 2, eval side broadcast); survivors ship. Every stage
+    // is the same operator its standalone query gates; both anti-joins
+    // key on doc_id.
+    "pipeline_intake_dump" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        val slice = col("doc_id") % 5
+        val corpus = all.filter(slice.isin(0, 3, 4))
+          .select(col("doc_id"), col("text"))
+        val dump = all.filter(slice === 1)
+        val evalSet = all.filter(slice === 2)
+          .select(col("doc_id"), col("text"))
+        val dumpQ = dump
+          .join(TextAnalysis.qualityScore(dump)
+            .filter(col("verdict") === "keep").select("doc_id"), "doc_id")
+        val dupIds = Dedup.minhashLshAgainst(
+            dumpQ.select(col("doc_id"), col("text")), corpus, 3, 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val contamIds = Decontaminate.overlaps(
+            dumpQ.select(col("doc_id"), col("text")), evalSet, 3, 2)
+          .select(col("doc_id")).distinct()
+        dumpQ
+          .join(dupIds, Seq("doc_id"), "left_anti")
+          .join(contamIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id FROM (
+              |    SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+              |           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq
+              |    FROM documents WHERE doc_id % 5 = 1)
+              |  WHERE n_tokens BETWEEN 20 AND 2000
+              |    AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.2),
+              |$minhashConstsCte,
+              |$shinglesCte,
+              |$lshBandsCte,
+              |corp_k AS (
+              |  SELECT * FROM bands WHERE doc_id % 5 IN (0, 3, 4)
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
+              |new_b AS (SELECT * FROM bands
+              |  WHERE doc_id % 5 = 1 AND doc_id IN (SELECT doc_id FROM q)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM corp_k a JOIN new_b b ON a.band = b.band AND a.bkey = b.bkey),
+              |dup AS (SELECT DISTINCT doc_b AS doc_id FROM (
+              |    SELECT doc_b,
+              |      CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
+              |      len(sh_a) AS na, len(sh_b) AS nb
+              |    FROM cands)
+              |  WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5),
+              |e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM e WHERE doc_id % 5 = 2),
+              |tr AS (SELECT * FROM e
+              |  WHERE doc_id % 5 = 1 AND doc_id IN (SELECT doc_id FROM q)),
+              |contam AS (SELECT DISTINCT doc_id FROM (
+              |  SELECT tr.doc_id, ev.eval_id FROM tr JOIN ev ON tr.shingle = ev.shingle
+              |  GROUP BY tr.doc_id, ev.eval_id HAVING COUNT(*) >= 2))
+              |SELECT d.doc_id, d.n_chars FROM documents d JOIN q USING (doc_id)
+              |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin)),
   )
 
   // -------------------------------------------------------------- curation
@@ -1515,7 +1584,7 @@ object Queries {
 
   // ----------------------------------------------------------------- dedup
 
-  private val minhashConstsCte: String = {
+  private lazy val minhashConstsCte: String = {
     val ha = Dedup.hashA.mkString("[", ", ", "]")
     val hb = Dedup.hashB.mkString("[", ", ", "]")
     s"consts AS (SELECT $ha AS ha, $hb AS hb)"
@@ -1526,12 +1595,12 @@ object Queries {
        |sh AS (SELECT doc_id, list_distinct([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) AS sh
        |       FROM toks WHERE len(w) >= 3)""".stripMargin
 
-  private val shinglesCte: String = shinglesCteFrom("documents")
+  private lazy val shinglesCte: String = shinglesCteFrom("documents")
 
   /** MinHash signature + band-key CTEs over an `sh` CTE (shared by the
     * LSH oracle queries; mirrors Dedup.minhashSignatures/lshBands).
     */
-  private val lshBandsCte: String =
+  private lazy val lshBandsCte: String =
     s"""sigs AS (
        |  SELECT doc_id, sh,
        |    [ list_min([ (ha[i+1] * (CAST('0x'||substr(md5(s),1,15) AS BIGINT) % ${Dedup.MinhashPrime})
