@@ -1539,6 +1539,40 @@ object Queries {
       (s, d) => Bpe.bpeSegment(docs(s, d), 8),
       Some(Bpe.oracleSegment(8))),
 
+    // WordPiece-style greedy longest-prefix ENCODE: per-doc piece and
+    // OOV counts under a corpus-derived vocabulary (top-20 words ∪
+    // top-20 weighted 3-char prefixes). The Spark side walks each word
+    // imperatively over the broadcast vocab; the oracle walks a
+    // precomputed jump table with a recursive CTE — two independent
+    // implementations of the same greedy recurrence.
+    "pipeline_wordpiece" -> Decl(
+      (s, d) => TextAnalysis.greedyPieces(docs(s, d), 20),
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+             |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY word),
+             |vw AS (SELECT word AS v FROM wc ORDER BY cnt DESC, word LIMIT 20),
+             |vp AS (SELECT prefix AS v FROM (
+             |    SELECT substr(word, 1, 3) AS prefix, SUM(cnt) AS freq FROM wc WHERE len(word) >= 3 GROUP BY 1)
+             |  ORDER BY freq DESC, prefix LIMIT 20),
+             |vocab AS (SELECT DISTINCT v FROM (SELECT v FROM vw UNION SELECT v FROM vp)),
+             |ws AS (SELECT DISTINCT word FROM wc),
+             |p AS (SELECT word, CAST(unnest(range(len(word))) AS INTEGER) AS pos FROM ws),
+             |j AS (SELECT word, pos,
+             |   (SELECT len(v) FROM vocab WHERE substr(word, pos+1, len(v)) = v ORDER BY len(v) DESC, v LIMIT 1) AS step
+             |  FROM p),
+             |seg AS (
+             |  SELECT word, 0 AS pos, 0 AS n_pieces, 0 AS n_unk FROM ws
+             |  UNION ALL
+             |  SELECT s.word, s.pos + CAST(COALESCE(j.step, 1) AS INTEGER),
+             |    s.n_pieces + 1, s.n_unk + CASE WHEN j.step IS NULL THEN 1 ELSE 0 END
+             |  FROM seg s JOIN j ON j.word = s.word AND j.pos = s.pos
+             |  WHERE s.pos < len(s.word)),
+             |fin AS (SELECT word, n_pieces, n_unk FROM seg WHERE pos = len(word))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+             |  CAST(SUM(n_unk) AS BIGINT) AS n_unk
+             |FROM d JOIN fin USING (word) GROUP BY doc_id""".stripMargin)),
+
     // BATCHED BPE training — the scale path for real merge budgets
     // (10^4-10^5 merges): each driver round accepts up to `batch`
     // NON-INTERACTING top pairs from one bounded collect, cutting

@@ -470,4 +470,75 @@ object TextAnalysis {
       regexp_count(s2, lit(DigitRunRe)).cast("long").as("n_digit_runs"),
       regexp_replace(s2, DigitRunRe, "<NUM>").as("scrubbed"))
   }
+
+  /** Greedy longest-prefix subword segmentation — the WordPiece-style
+    * ENCODE pass (Wu et al. 2016, sans the `##` continuation
+    * alphabet): each word is consumed left to right, at every position
+    * taking the LONGEST vocabulary entry matching the remaining
+    * prefix; a position no entry covers consumes one UNK character.
+    * Emits per-document `(n_words, n_pieces, n_unk)` — the
+    * vocabulary-compression / OOV-rate report a tokenizer rollout
+    * needs over a candidate corpus.
+    *
+    * The vocabulary is derived deterministically from the corpus
+    * itself (top-`k` whole words plus top-`k` occurrence-weighted
+    * 3-char prefixes, ties lexicographic), so both engines build the
+    * identical table; a trained vocabulary drops in unchanged.
+    *
+    * Scale shape: like every real tokenizer pass ([[Bpe]] rationale),
+    * the inner loop runs over the DISTINCT-WORD table, orders of
+    * magnitude smaller than the corpus by Zipf's law, then joins back
+    * to the doc→word stream (word table broadcasts when it fits). The
+    * greedy match loop is genuinely imperative per word — no
+    * relational form avoids the sequential position walk — so it runs
+    * as a typed `mapPartitions` over the word table with the (tiny,
+    * `require`-bounded) vocabulary broadcast; the DuckDB oracle walks
+    * the same jump table with a recursive CTE, an independent
+    * implementation of the same recurrence. ASCII-equal semantics:
+    * JVM UTF-16 substring and SQL char-based substr agree on ASCII
+    * corpora (documented caveat for astral-plane text).
+    */
+  def greedyPieces(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 2048, "k in [1, 2048] keeps the vocab broadcastable")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val wc = d.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // feeds vocab (×2) and the walk
+    val topWords = wc.orderBy(col("cnt").desc, col("word")).limit(k)
+      .select(col("word").as("v"))
+    val topPrefixes = wc.filter(length(col("word")) >= 3)
+      .groupBy(substring(col("word"), 1, 3).as("v"))
+      .agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("v")).limit(k)
+      .select(col("v"))
+    // ≤ 2k strings by construction — the one bounded collect
+    val vocab = topWords.unionByName(topPrefixes).distinct()
+      .as[String].collect().toSet
+    val vocabBc = spark.sparkContext.broadcast(vocab)
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val segmented = wc.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val vs = vocabBc.value
+        it.map { w =>
+          var pos = 0; var pieces = 0L; var unk = 0L
+          while (pos < w.length) {
+            var step = 0
+            var l = math.min(maxLen, w.length - pos)
+            while (l >= 1 && step == 0) {
+              if (vs.contains(w.substring(pos, pos + l))) step = l
+              l -= 1
+            }
+            if (step == 0) { step = 1; unk += 1 }
+            pieces += 1; pos += step
+          }
+          (w, pieces, unk)
+        }
+      }.toDF("word", "n_pieces", "n_unk")
+    d.join(segmented, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"))
+  }
 }

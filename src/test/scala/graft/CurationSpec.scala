@@ -387,6 +387,22 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) === ((3L, "2,1,1")))
   }
 
+  test("greedyPieces segments by longest vocab prefix with char UNKs") {
+    val docs = Seq(
+      (1L, "hello hello hello world world cat"),
+      (2L, "helloing")
+    ).toDF("doc_id", "text")
+    // k=2 vocab: top words {hello(3), world(2)}; top 3-char prefixes
+    // by occurrence weight {hel(4), wor(2)} → vocab {hello,world,hel,wor}
+    // doc1: hello/world are single pieces, cat = 3 char-UNKs
+    // doc2: helloing = [hello][i][n][g] — longest match wins over hel
+    val got = TextAnalysis.greedyPieces(docs, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((6L, 8L, 3L)))
+    assert(got(2L) === ((1L, 4L, 3L)))
+  }
+
   test("vocabTopK orders by count then term and carries document frequency") {
     val docs = Seq(
       (1L, "red red blue"), (2L, "red blue green")
