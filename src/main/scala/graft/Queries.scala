@@ -2681,7 +2681,9 @@ object Queries {
     // removal (positional-gram corpus pass), BPE training (iterative
     // word-table aggregates), and the wedge-join triangle count
     "dedup_exact_substr", "pipeline_bpe_train", "rel_triangles",
-    // round-6 addition: the batched-BPE scale path (256 merges in a
-    // handful of driver rounds — the claim is it completes in seconds)
-    "pipeline_bpe_train256")
+    // round-6 additions: the batched-BPE scale path (256 merges in a
+    // handful of driver rounds — the claim is it completes in seconds),
+    // the dump-intake capstone (quality → cross-LSH → decontaminate),
+    // and the greedy subword encode
+    "pipeline_bpe_train256", "pipeline_intake_dump", "pipeline_wordpiece")
 }

@@ -108,6 +108,16 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.head._3 === 1.0)
   }
 
+  test("cross-corpus LSH caps an at-rest mass-duplicate bucket") {
+    // one incoming doc identical to the corpus's 2000-replica hot
+    // bucket: the corpus side is rank-capped, so the dump doc pairs
+    // with exactly MaxBucket keepers, not all 2000
+    val newDump = Seq(90001L -> phrase).toDF("doc_id", "text")
+    val got = Dedup.minhashLshAgainst(newDump, corpus, 3, 0.5)
+    assert(got.count() === Dedup.MaxBucket.toLong)
+    assert(got.agg(max("doc_a")).head().getLong(0) === Dedup.MaxBucket - 1L)
+  }
+
   test("clusterKeepers picks the longest member, ties to smallest id") {
     val clusters = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: doc 2 longest
