@@ -896,6 +896,23 @@ object Queries {
              |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              |      FROM documents)""".stripMargin)),
 
+    // Shard manifest over the same pack: per-shard doc/token counts,
+    // id range, and an order-independent bit_xor content checksum —
+    // the integrity artifact a corpus delivery ships with its shards.
+    "pipeline_shard_manifest" -> Decl(
+      (s, d) => TextAnalysis.shardManifest(docs(s, d), 5000L),
+      Some("""WITH p AS (SELECT doc_id, n_tokens,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS shard
+             | FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |       FROM documents)),
+             |f AS (SELECT doc_id, CAST('0x'||substr(md5(lower(text)),1,15) AS BIGINT) AS fp60 FROM documents)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+             |  bit_xor(fp60) AS checksum
+             |FROM p JOIN f USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // TF-IDF top-3 keywords per document — tf·ln(N/df), term tie-break.
     "text_tfidf_topk" -> Decl(
       (s, d) => TextAnalysis.tfidfTopTerms(docs(s, d), 3),

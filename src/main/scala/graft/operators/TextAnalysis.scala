@@ -73,6 +73,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         expr(s"__prefix div $tokensPerShard").as("shard"))
 
+  /** Shard manifest for the [[packShards]] export — the integrity
+    * artifact a 100 TB corpus delivery ships next to its shards: per
+    * shard, document and token counts, the doc_id range, and an
+    * ORDER-INDEPENDENT content checksum (bit_xor of the 60-bit text
+    * fingerprints — XOR is commutative/associative, so the checksum is
+    * identical under any partial-aggregation order and any partition
+    * layout, with no overflow semantics to reconcile between engines,
+    * unlike a wrapped BIGINT sum under ANSI mode). A consumer
+    * re-derives the same manifest from the delivered shards and diffs;
+    * one hash aggregate over the pack assignment, nothing collected.
+    */
+  def shardManifest(docs: DataFrame, tokensPerShard: Long): DataFrame =
+    packShards(docs, tokensPerShard)
+      .join(docs.select(col("doc_id"),
+        hash60(lower(col("text"))).as("fp60")), "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(fp60)").as("checksum"))
+      .orderBy(col("shard"))
+
   /** Length-bucketed inference batching — the serving-side pack: docs
     * of similar token length batch together so one long outlier does
     * not pad out an entire batch (padding waste in a naive batcher is

@@ -387,6 +387,28 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) === ((3L, "2,1,1")))
   }
 
+  test("shardManifest checksums are partitioning-invariant and tamper-evident") {
+    val docs = (1 to 60).map(i => (i.toLong, s"document body number $i words"))
+      .toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.shardManifest(df, 50).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toSeq
+    val m1 = manifest(docs)
+    assert(m1.nonEmpty && m1.map(_._2._1).sum === 60L)
+    // XOR checksum must not depend on partition layout or row order
+    assert(manifest(docs.repartition(7)) === m1)
+    // a single flipped document (same token count, so the pack
+    // boundaries stay put) changes exactly its shard's checksum
+    val tampered = docs.withColumn("text",
+      when($"doc_id" === 30L, lit("tampered body number 30 words"))
+        .otherwise($"text"))
+    val m2 = manifest(tampered).toMap
+    val changed = m1.filter { case (s, v) => m2(s) !== v }
+    assert(changed.length === 1, changed.toString)
+  }
+
   test("greedyPieces segments by longest vocab prefix with char UNKs") {
     val docs = Seq(
       (1L, "hello hello hello world world cat"),
