@@ -309,4 +309,24 @@ class PropertySpec extends SparkSpec {
     assert(counts(8) === one && counts(32) === one)
     assert(one._1 > 0)
   }
+
+  test("greedyPieces and simhashDedup are partitioning-invariant") {
+    // the greedy segmenter's mapPartitions walk and the simhash star's
+    // bucket aggregates must not depend on row placement: the vocab
+    // selection, segmentation, and keeper edges are all deterministic
+    // functions of the data alone
+    val base = graft.core.Tables
+      .read(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 150).select($"doc_id", $"text")
+    def pieces(parts: Int) =
+      graft.operators.TextAnalysis.greedyPieces(base.repartition(parts), 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val p1 = pieces(1)
+    assert(p1.size === 150 && pieces(13) === p1)
+    def star(parts: Int) =
+      graft.operators.Dedup.simhashDedup(base.repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(star(13) === star(1))
+  }
 }
