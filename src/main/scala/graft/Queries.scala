@@ -320,6 +320,23 @@ object Queries {
              | CAST(-1.0 AS DOUBLE) AS mean_b
              |FROM documents""".stripMargin)),
 
+    // Audio decode path over the mixed media table: text bytes carry
+    // no RIFF header, so every row exercises the decoded=false
+    // fallback — the oracle gates the schema/passthrough; the real
+    // WAV/PCM branch is pinned by MultimodalSpec against generated
+    // fixtures with exact rate/bits/duration/RMS.
+    "mm_decode_audio" -> Decl(
+      (s, d) => Multimodal.decodeAudio(
+        Multimodal.fromDocuments(docs(s, d))).toDF(),
+      Some("""SELECT doc_id AS media_id,
+             | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             | CAST(strlen(text) AS BIGINT) AS n_bytes,
+             | FALSE AS decoded,
+             | CAST(-1 AS INTEGER) AS sample_rate, CAST(-1 AS INTEGER) AS channels,
+             | CAST(-1 AS INTEGER) AS bits, CAST(-1 AS BIGINT) AS n_samples,
+             | CAST(-1.0 AS DOUBLE) AS duration_s, CAST(-1.0 AS DOUBLE) AS rms
+             |FROM documents""".stripMargin)),
+
     "mm_frame_sample" -> Decl(
       (s, d) => Multimodal.frameSample(
         Multimodal.fromDocuments(docs(s, d)), 10),

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * partition-parallel operators.
   *
   * The IMAGE modality decodes for real ([[decodeImages]] — JDK
-  * `javax.imageio`, PNG/JPEG/GIF/BMP, no external dependency). The
-  * audio/video decode step remains a clearly-marked STUB (this
-  * environment has no media codecs): [[decodeFeatures]] derives
-  * deterministic fake features from the md5 of the content bytes.
+  * `javax.imageio`, PNG/JPEG/GIF/BMP, no external dependency), and so
+  * does AUDIO ([[decodeAudio]] — WAV/PCM parsed from the RIFF spec by
+  * hand, zero dependencies). The video decode step remains a
+  * clearly-marked STUB (this environment has no video codecs):
+  * [[decodeFeatures]] derives deterministic fake features from the
+  * md5 of the content bytes.
   * Everything AROUND the stub — the schema, the typed `mapPartitions`
   * batch shape with per-partition codec init, the metadata-driven
   * frame sampling, the size-balanced repartitioning — is the real
@@ -117,6 +119,94 @@ object Multimodal {
         }
       }
     }
+  }
+
+  final case class AudioFeatures(media_id: Long, kind: String,
+                                 n_bytes: Long, decoded: Boolean,
+                                 sample_rate: Int, channels: Int,
+                                 bits: Int, n_samples: Long,
+                                 duration_s: Double, rms: Double)
+
+  /** REAL audio decode for `kind='audio'`: WAV/PCM parsed from the
+    * RIFF container spec directly (chunk walk → fmt + data; 8-bit
+    * unsigned and 16-bit little-endian signed PCM) — no codec library,
+    * no JDK sound stack, nothing platform-dependent. Emits geometry
+    * (sample rate, channels, bit depth, sample count, duration) and
+    * normalized RMS amplitude per decodable blob; non-audio rows and
+    * bytes without a well-formed RIFF/WAVE+PCM structure fall through
+    * to `decoded=false` sentinels, exactly like [[decodeImages]].
+    * Same zero-shuffle narrow map; RMS iterates each blob's samples in
+    * fixed order, so the double is deterministic. With this, two of
+    * the three modalities decode real bytes; video remains the
+    * honestly-stubbed one ([[decodeFeatures]]).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val wav = if (m.kind == "audio") parseWav(m.content) else None
+        wav match {
+          case Some((rate, ch, bits, data)) =>
+            val bytesPer = bits / 8
+            val n = data.length / bytesPer
+            var sumSq = 0.0
+            var i = 0
+            while (i < n) {
+              val x =
+                if (bits == 8) ((data(i) & 0xff) - 128) / 128.0
+                else {
+                  val lo = data(2 * i) & 0xff
+                  val hi = data(2 * i + 1).toInt
+                  ((hi << 8) | lo) / 32768.0
+                }
+              sumSq += x * x
+              i += 1
+            }
+            val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+            AudioFeatures(m.media_id, m.kind, m.content.length.toLong,
+              decoded = true, rate, ch, bits, n.toLong / ch,
+              n.toDouble / ch / rate, rms)
+          case None =>
+            AudioFeatures(m.media_id, m.kind, m.content.length.toLong,
+              decoded = false, -1, -1, -1, -1L, -1.0, -1.0)
+        }
+      }
+    }
+  }
+
+  /** RIFF/WAVE chunk walk per the public WAV spec: returns
+    * (sampleRate, channels, bitsPerSample, pcmData) for integer PCM
+    * (format 1) at 8 or 16 bits; None for anything else.
+    */
+  private def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    def le32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Array[Byte]] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val len = le32(off + 4)
+      if (len < 0 || off + 8 + len > b.length) return None
+      if (id == "fmt " && len >= 16) {
+        val audioFormat = le16(off + 8)
+        val channels = le16(off + 10)
+        val rate = le32(off + 12)
+        val bits = le16(off + 22)
+        if (audioFormat != 1 || channels < 1 ||
+            rate <= 0 || (bits != 8 && bits != 16)) return None
+        fmt = Some((rate, channels, bits))
+      } else if (id == "data") {
+        data = Some(b.slice(off + 8, off + 8 + len))
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for ((rate, ch, bits) <- fmt; d <- data)
+      yield (rate, ch, bits, d)
   }
 
   /** Metadata-driven frame sampling: one output row per sampled frame

@@ -74,6 +74,67 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  /** Minimal PCM WAV builder (RIFF + fmt + data chunks). */
+  private def wavBytes(rate: Int, channels: Int, bits: Int,
+                       samples: Array[Int]): Array[Byte] = {
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+    def le16(v: Int): Unit =
+      (0 until 2).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(channels); le32(rate)
+    le32(rate * channels * bytesPer); le16(channels * bytesPer); le16(bits)
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    samples.foreach { s =>
+      if (bits == 8) out.write(s & 0xff) else le16(s & 0xffff)
+    }
+    out.toByteArray
+  }
+
+  test("decodeAudio parses real 16-bit PCM WAV with exact features") {
+    // 8000 Hz mono, 4000 samples of a +/-16384 square wave:
+    // duration 0.5 s exactly, RMS = 16384/32768 = 0.5 exactly
+    val sq = Array.tabulate(4000)(i => if (i % 2 == 0) 16384 else -16384)
+    val wav = wavBytes(8000, 1, 16, sq)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, 1),
+      Multimodal.MediaRow(2L, "audio", "not audio".getBytes("UTF-8"), 1),
+      // decodable bytes but image-kinded: must pass through
+      Multimodal.MediaRow(3L, "image", wav, 1)
+    ).toDS()
+    val got = Multimodal.decodeAudio(rows).collect()
+      .map(f => f.media_id -> f).toMap
+    val ok = got(1L)
+    assert(ok.decoded && ok.sample_rate === 8000 && ok.channels === 1 &&
+      ok.bits === 16)
+    assert(ok.n_samples === 4000L && ok.duration_s === 0.5)
+    assert(ok.rms === 0.5, ok.toString)
+    assert(!got(2L).decoded && got(2L).sample_rate === -1)
+    assert(!got(3L).decoded, "non-audio kinds must pass through")
+  }
+
+  test("decodeAudio handles 8-bit stereo and rejects non-PCM formats") {
+    // 2 channels, 8-bit unsigned: constant 192 = +0.5 amplitude
+    val st = Array.fill(1000)(192)
+    val wav = wavBytes(4000, 2, 8, st)
+    val f = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRow(7L, "audio", wav, 1)).toDS()).head()
+    assert(f.decoded && f.channels === 2 && f.bits === 8)
+    assert(f.n_samples === 500L && f.duration_s === 0.125)
+    assert(f.rms === 0.5, f.toString)
+    // same container, float format tag (3): decoded=false, not garbage
+    val nonPcm = wavBytes(4000, 1, 16, Array(0, 0))
+    nonPcm(20) = 3 // audioFormat = 3 (IEEE float)
+    val g = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRow(8L, "audio", nonPcm, 1)).toDS()).head()
+    assert(!g.decoded)
+  }
+
   test("frame sampling steps through n_frames by the given stride") {
     val frames = Multimodal.frameSample(media, 10)
     val one = media.filter(_.media_id == 1L).head()
