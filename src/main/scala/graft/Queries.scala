@@ -337,6 +337,20 @@ object Queries {
              | CAST(-1.0 AS DOUBLE) AS duration_s, CAST(-1.0 AS DOUBLE) AS rms
              |FROM documents""".stripMargin)),
 
+    // Video container probe over the mixed media table: text bytes
+    // have no box structure → probed=false passthrough, oracle-gated;
+    // the real ISO-BMFF branch is spec-pinned on generated fixtures.
+    "mm_probe_video" -> Decl(
+      (s, d) => Multimodal.probeVideo(
+        Multimodal.fromDocuments(docs(s, d))).toDF(),
+      Some("""SELECT doc_id AS media_id,
+             | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             | CAST(strlen(text) AS BIGINT) AS n_bytes,
+             | FALSE AS probed,
+             | CAST(-1 AS INTEGER) AS timescale, CAST(-1 AS BIGINT) AS duration_units,
+             | CAST(-1.0 AS DOUBLE) AS duration_s, CAST(-1 AS INTEGER) AS n_tracks
+             |FROM documents""".stripMargin)),
+
     "mm_frame_sample" -> Decl(
       (s, d) => Multimodal.frameSample(
         Multimodal.fromDocuments(docs(s, d)), 10),

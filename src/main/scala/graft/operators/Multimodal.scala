@@ -174,6 +174,87 @@ object Multimodal {
     }
   }
 
+  final case class VideoProbe(media_id: Long, kind: String,
+                              n_bytes: Long, probed: Boolean,
+                              timescale: Int, duration_units: Long,
+                              duration_s: Double, n_tracks: Int)
+
+  /** Container-level probe for `kind='video'`: ISO BMFF / MP4 box
+    * structure parsed by hand from the public spec (ISO 14496-12) —
+    * walk the top-level boxes, descend into `moov`, read `mvhd`
+    * (timescale + duration, v0 and v1 layouts) and count `trak`
+    * children. DECODING video frames needs a codec this environment
+    * does not have — that stays honestly stubbed in
+    * [[decodeFeatures]]/[[frameSample]] — but the container metadata a
+    * pipeline partitions and samples BY (duration, track count) is
+    * pure structure, same as the WAV and mmdb parsers. Non-video rows
+    * and bytes without a well-formed moov/mvhd fall through to
+    * `probed=false` sentinels.
+    */
+  def probeVideo(media: Dataset[MediaRow]): Dataset[VideoProbe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val p = if (m.kind == "video") parseMp4(m.content) else None
+        p match {
+          case Some((timescale, duration, tracks)) =>
+            VideoProbe(m.media_id, m.kind, m.content.length.toLong,
+              probed = true, timescale, duration,
+              duration.toDouble / timescale, tracks)
+          case None =>
+            VideoProbe(m.media_id, m.kind, m.content.length.toLong,
+              probed = false, -1, -1L, -1.0, -1)
+        }
+      }
+    }
+  }
+
+  /** ISO BMFF box walk: returns (timescale, duration, n_tracks) from
+    * moov/mvhd + moov/trak, or None when the structure is absent or
+    * malformed. Handles mvhd version 0 (32-bit times) and 1 (64-bit).
+    */
+  private def parseMp4(b: Array[Byte]): Option[(Int, Long, Int)] = {
+    def be32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    // walk boxes in [from, until); invoke f(type, bodyStart, bodyEnd)
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = be32(off)
+        if (size < 8 || off + size > until) return false
+        f(tag(off + 4), off + 8, off + size.toInt)
+        off += size.toInt
+      }
+      off == until
+    }
+    if (b.length < 16) return None
+    var result: Option[(Int, Long, Int)] = None
+    var tracks = 0
+    var mvhd: Option[(Int, Long)] = None
+    val wellFormed = walk(0, b.length) { (t, s, e) =>
+      if (t == "moov") {
+        walk(s, e) { (t2, s2, e2) =>
+          if (t2 == "trak") tracks += 1
+          else if (t2 == "mvhd" && e2 - s2 >= 20) {
+            val version = b(s2) & 0xff
+            if (version == 0 && e2 - s2 >= 20)
+              mvhd = Some((be32(s2 + 12).toInt, be32(s2 + 16)))
+            else if (version == 1 && e2 - s2 >= 32)
+              mvhd = Some((be32(s2 + 20).toInt, be64(s2 + 24)))
+          }
+        }
+        ()
+      }
+    }
+    if (wellFormed) mvhd.foreach { case (ts, dur) =>
+      if (ts > 0 && dur >= 0) result = Some((ts, dur, tracks))
+    }
+    result
+  }
+
   /** RIFF/WAVE chunk walk per the public WAV spec: returns
     * (sampleRate, channels, bitsPerSample, pcmData) for integer PCM
     * (format 1) at 8 or 16 bits; None for anything else.

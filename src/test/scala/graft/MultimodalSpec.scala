@@ -135,6 +135,53 @@ class MultimodalSpec extends SparkSpec {
     assert(!g.decoded)
   }
 
+  /** Minimal ISO-BMFF builder: boxes as (type, body). */
+  private def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val size = 8 + body.length
+    (3 to 0 by -1).foreach(i => out.write((size >>> (8 * i)) & 0xff))
+    out.write(tpe.getBytes("US-ASCII")); out.write(body)
+    out.toByteArray
+  }
+  private def be32(v: Long): Array[Byte] =
+    (3 to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+
+  test("probeVideo reads mvhd timescale/duration and counts tracks") {
+    // mvhd v0: version+flags, created, modified, timescale 1000,
+    // duration 7500 units = 7.5 s; two trak children
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(7500))
+    val trak = box("trak", Array.emptyByteArray)
+    val moov = box("moov", mvhd ++ trak ++ trak)
+    val mp4 = box("ftyp", "isom0000".getBytes("US-ASCII")) ++ moov
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", mp4, 1),
+      Multimodal.MediaRow(2L, "video", "not a video".getBytes("UTF-8"), 1),
+      Multimodal.MediaRow(3L, "audio", mp4, 1) // wrong kind: passthrough
+    ).toDS()
+    val got = Multimodal.probeVideo(rows).collect()
+      .map(v => v.media_id -> v).toMap
+    val ok = got(1L)
+    assert(ok.probed && ok.timescale === 1000 && ok.duration_units === 7500L)
+    assert(ok.duration_s === 7.5 && ok.n_tracks === 2)
+    assert(!got(2L).probed && got(2L).timescale === -1)
+    assert(!got(3L).probed, "non-video kinds must pass through")
+    // mvhd v1 (64-bit duration) parses too
+    val mvhd1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(600) ++ be32(0) ++ be32(1200))
+    val mp41 = box("moov", mvhd1 ++ trak)
+    val g1 = Multimodal.probeVideo(
+      Seq(Multimodal.MediaRow(9L, "video", mp41, 1)).toDS()).head()
+    assert(g1.probed && g1.timescale === 600 && g1.duration_units === 1200L)
+    assert(g1.duration_s === 2.0 && g1.n_tracks === 1)
+    // truncated/lying box sizes fail loudly into the sentinel
+    val bad = mp4.take(mp4.length - 3)
+    val gb = Multimodal.probeVideo(
+      Seq(Multimodal.MediaRow(10L, "video", bad, 1)).toDS()).head()
+    assert(!gb.probed)
+  }
+
   test("frame sampling steps through n_frames by the given stride") {
     val frames = Multimodal.frameSample(media, 10)
     val one = media.filter(_.media_id == 1L).head()
