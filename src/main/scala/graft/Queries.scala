@@ -2407,6 +2407,31 @@ object Queries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin),
+
+    // CUBE: all four grouping combinations in one pass. Null sort
+    // order differs between the engines' defaults, so the ORDER BY
+    // pins NULLS FIRST explicitly.
+    "sql_cube" -> sqlParity(
+      """SELECT event_type, user_id % 5 AS cohort,
+        | CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY CUBE(event_type, user_id % 5)
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin),
+
+    // EXCEPT ALL: bag difference (duplicates preserved), the set-op
+    // the plain EXCEPT query can't exercise.
+    "sql_except_all" -> sqlParity(
+      """SELECT event_type FROM events WHERE user_id % 2 = 0
+        |EXCEPT ALL
+        |SELECT event_type FROM events WHERE user_id % 3 = 0""".stripMargin),
+
+    // Rank-family windows over an aggregate: percent_rank + cume_dist
+    // are exact rationals over small integers on both engines.
+    "sql_percent_rank" -> sqlParity(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        | percent_rank() OVER (ORDER BY COUNT(*), event_type) AS pr,
+        | CAST(cume_dist() OVER (ORDER BY COUNT(*), event_type) AS DOUBLE) AS cd
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
   )
 
   // ------------------------------------------------------------ similarity
