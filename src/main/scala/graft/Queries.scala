@@ -2250,6 +2250,40 @@ object Queries {
               |FROM b JOIN rs ON b.bucket = rs.bucket AND b.doc_id <> rs.doc_a
               |WHERE bit_count(xor(rs.sig_a, b.simhash)) <= 6""".stripMargin)),
 
+    // Multi-rotation recall variant: candidates share the top half of
+    // EITHER the raw or the 16-bit-rotated signature, each rotation
+    // independently rank-capped; Hamming verifies on the full 32 bits.
+    "dedup_simhash_multi" -> Decl(
+      (s, d) => Dedup.simhashNearDupMulti(docs(s, d), 6, 2),
+      Some(s"""WITH $shinglesCte,
+              |sg AS (
+              | SELECT doc_id,
+              |  CAST(list_sum([ CASE WHEN
+              |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
+              |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
+              | FROM sh),
+              |k0 AS (SELECT doc_id, bucket FROM (
+              |  SELECT doc_id, simhash >> 16 AS bucket,
+              |    ROW_NUMBER() OVER (PARTITION BY (simhash >> 16) ORDER BY doc_id) AS rn FROM sg)
+              |  WHERE rn <= ${Dedup.MaxBucket}),
+              |k1 AS (SELECT doc_id, bucket FROM (
+              |  SELECT doc_id,
+              |    (((simhash << 16) & 4294967295) | (simhash >> 16)) >> 16 AS bucket,
+              |    ROW_NUMBER() OVER (PARTITION BY ((((simhash << 16) & 4294967295) | (simhash >> 16)) >> 16) ORDER BY doc_id) AS rn FROM sg)
+              |  WHERE rn <= ${Dedup.MaxBucket}),
+              |cands AS (SELECT DISTINCT doc_a, doc_b FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM k0 a JOIN k0 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+              |  UNION ALL
+              |  SELECT a.doc_id, b.doc_id
+              |  FROM k1 a JOIN k1 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id))
+              |SELECT c.doc_a, c.doc_b,
+              |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+              |FROM cands c
+              |JOIN sg sa ON sa.doc_id = c.doc_a
+              |JOIN sg sb ON sb.doc_id = c.doc_b
+              |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6""".stripMargin)),
+
     "dedup_simhash" -> Decl(
       (s, d) => Dedup.simhash(docs(s, d)),
       Some(s"""WITH $shinglesCte

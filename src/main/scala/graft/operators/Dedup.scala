@@ -751,6 +751,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Multi-rotation SimHash near-dup — the RECALL upgrade the
+    * single-bucket [[simhashNearDup]] docstring promises: candidates
+    * share the top half of ANY of `rotations` bit-rotations of the
+    * signature, so a pair only hides when EVERY rotation splits its
+    * differing bits across both halves (at Hamming ≤ 6 over 32 bits,
+    * two rotations already make that unlikely; one rotation = the base
+    * operator exactly). Each rotation's bucket is independently
+    * rank-capped at `maxBucket` (the same deterministic truncation,
+    * oracle-mirrored), the candidate pair sets union + distinct, and
+    * Hamming verifies once on the full signature — cost is ≤
+    * `rotations` × the base operator's, never quadratic.
+    */
+  def simhashNearDupMulti(docs: DataFrame, maxHamming: Int = 6,
+                          rotations: Int = 2,
+                          maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rotations >= 1 && rotations <= 8, "rotations in [1, 8]")
+    val sh = simhash(docs).localCheckpoint(eager = false)
+    val mask = (1L << SimhashBits) - 1
+    val cands = (0 until rotations).map { r =>
+      val s = (SimhashBits / rotations) * r
+      // rotate-left by s within 32 bits, then take the top half
+      val rot = sh.withColumn("bucket", expr(
+        s"shiftright((shiftleft(simhash, $s) & $mask) | " +
+          s"shiftright(simhash, ${SimhashBits - s}), ${SimhashBits / 2})"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+        .filter(col("__rn") <= maxBucket)
+        .select(col("doc_id"), col("bucket"))
+      rot.as("a").join(rot.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Dedup-oriented SimHash with output LINEAR in bucket size — the
     * [[minhashLshDedup]] shape on simhash buckets: each multi-member
     * bucket links its members to the bucket REPRESENTATIVE (min

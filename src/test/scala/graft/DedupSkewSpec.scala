@@ -108,6 +108,26 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.head._3 === 1.0)
   }
 
+  test("multi-rotation simhash strictly raises recall, stays bucket-capped") {
+    val d = graft.core.Tables
+      .read(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Dedup.simhashNearDup(d, 6))
+    val multi = pairs(Dedup.simhashNearDupMulti(d, 6, 2))
+    // rotation 0 IS the single bucket (same cap), so multi ⊇ single;
+    // the 16-bit rotation finds pairs whose differing bits straddle
+    // the raw top half — strictly more on this corpus (12 → 19)
+    assert(single.subsetOf(multi), (single -- multi).toString)
+    assert(multi.size > single.size, s"${single.size} vs ${multi.size}")
+    // and the mass-duplicate hot bucket stays rank-capped per rotation
+    val capped = Dedup.simhashNearDupMulti(corpus, 6, 2)
+    val k = Dedup.MaxBucket.toLong
+    assert(capped.count() === k * (k - 1) / 2)
+  }
+
   test("cross-corpus LSH caps an at-rest mass-duplicate bucket") {
     // one incoming doc identical to the corpus's 2000-replica hot
     // bucket: the corpus side is rank-capped, so the dump doc pairs
