@@ -1276,6 +1276,74 @@ object Queries {
               |SELECT d.doc_id, d.n_chars FROM documents d JOIN q USING (doc_id)
               |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
               |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin)),
+
+    // The intake AUDIT TRAIL: one row per (rejected dump doc, stage) —
+    // the report an operator reads to see WHY the door turned each
+    // document away (quality gate, corpus near-dup, eval
+    // contamination; a doc failing several gates appears once per
+    // gate). Same stage computations as pipeline_intake_dump.
+    "pipeline_intake_report" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        val slice = col("doc_id") % 5
+        val corpus = all.filter(slice.isin(0, 3, 4))
+          .select(col("doc_id"), col("text"))
+        val dump = all.filter(slice === 1)
+        val evalSet = all.filter(slice === 2)
+          .select(col("doc_id"), col("text"))
+        val verdicts = TextAnalysis.qualityScore(dump)
+        val qualityDrop = verdicts.filter(col("verdict") =!= "keep")
+          .select(col("doc_id"), lit("quality").as("stage"))
+        val dumpQ = dump.join(
+          verdicts.filter(col("verdict") === "keep").select("doc_id"),
+          "doc_id")
+        val dupDrop = Dedup.minhashLshAgainst(
+            dumpQ.select(col("doc_id"), col("text")), corpus, 3, 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .select(col("doc_id"), lit("near_dup").as("stage"))
+        val contamDrop = Decontaminate.overlaps(
+            dumpQ.select(col("doc_id"), col("text")), evalSet, 3, 2)
+          .select(col("doc_id")).distinct()
+          .select(col("doc_id"), lit("decontaminate").as("stage"))
+        qualityDrop.unionByName(dupDrop).unionByName(contamDrop)
+      },
+      Some(s"""WITH qa AS (
+              |    SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+              |           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq
+              |    FROM documents WHERE doc_id % 5 = 1),
+              |q AS (SELECT doc_id FROM qa
+              |  WHERE n_tokens BETWEEN 20 AND 2000
+              |    AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.2),
+              |$minhashConstsCte,
+              |$shinglesCte,
+              |$lshBandsCte,
+              |corp_k AS (
+              |  SELECT * FROM bands WHERE doc_id % 5 IN (0, 3, 4)
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
+              |new_b AS (SELECT * FROM bands
+              |  WHERE doc_id % 5 = 1 AND doc_id IN (SELECT doc_id FROM q)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM corp_k a JOIN new_b b ON a.band = b.band AND a.bkey = b.bkey),
+              |dup AS (SELECT DISTINCT doc_b AS doc_id FROM (
+              |    SELECT doc_b,
+              |      CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
+              |      len(sh_a) AS na, len(sh_b) AS nb
+              |    FROM cands)
+              |  WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5),
+              |e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM e WHERE doc_id % 5 = 2),
+              |tr AS (SELECT * FROM e
+              |  WHERE doc_id % 5 = 1 AND doc_id IN (SELECT doc_id FROM q)),
+              |contam AS (SELECT DISTINCT doc_id FROM (
+              |  SELECT tr.doc_id, ev.eval_id FROM tr JOIN ev ON tr.shingle = ev.shingle
+              |  GROUP BY tr.doc_id, ev.eval_id HAVING COUNT(*) >= 2))
+              |SELECT doc_id, 'quality' AS stage FROM qa
+              |WHERE NOT (n_tokens BETWEEN 20 AND 2000
+              |       AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.2)
+              |UNION ALL SELECT doc_id, 'near_dup' FROM dup
+              |UNION ALL SELECT doc_id, 'decontaminate' FROM contam""".stripMargin)),
   )
 
   // -------------------------------------------------------------- curation
