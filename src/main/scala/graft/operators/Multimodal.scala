@@ -92,9 +92,13 @@ object Multimodal {
       rows.map { m =>
         val img =
           if (m.kind == "image")
+            // ImageIO codecs throw RuntimeExceptions (IllegalArgument,
+            // CMMException, IndexOutOfBounds...) on corrupt bytes, not
+            // just IOException — any non-fatal throw is a sentinel row,
+            // never a task failure.
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(m.content)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           else None
         img match {
           case Some(i) if i.getWidth > 0 && i.getHeight > 0 =>
@@ -213,7 +217,11 @@ object Multimodal {
     * moov/mvhd + moov/trak, or None when the structure is absent or
     * malformed. Handles mvhd version 0 (32-bit times) and 1 (64-bit).
     */
-  private def parseMp4(b: Array[Byte]): Option[(Int, Long, Int)] = {
+  private def parseMp4(b: Array[Byte]): Option[(Int, Long, Int)] =
+    try parseMp4Unsafe(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseMp4Unsafe(b: Array[Byte]): Option[(Int, Long, Int)] = {
     def be32(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
@@ -259,7 +267,13 @@ object Multimodal {
     * (sampleRate, channels, bitsPerSample, pcmData) for integer PCM
     * (format 1) at 8 or 16 bits; None for anything else.
     */
-  private def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+  private def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    // adversarial chunk lengths must never escape as a task failure:
+    // any structural surprise the explicit checks miss → sentinel row
+    try parseWavUnsafe(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseWavUnsafe(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     def le32(o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
@@ -272,7 +286,9 @@ object Multimodal {
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(off)
       val len = le32(off + 4)
-      if (len < 0 || off + 8 + len > b.length) return None
+      // bound check in Long: a crafted len near Int.MaxValue would wrap
+      // the Int sum negative and sail past an Int comparison
+      if (len < 0 || off.toLong + 8L + len > b.length) return None
       if (id == "fmt " && len >= 16) {
         val audioFormat = le16(off + 8)
         val channels = le16(off + 10)

@@ -88,17 +88,26 @@ final class CorpusBloom(fpp: Double = 0.01, headroom: Long = 4,
     * concurrent [[filterFor]] rebuild from changing `capacity` between
     * the batch build and the merge, which would make the bit arrays
     * incompatible).
+    *
+    * The method runs TWO actions over `appended` (a count for
+    * `tracked`, then the Bloom build), so it pins the frame with an
+    * eager `localCheckpoint` first: a non-deterministic input (e.g. a
+    * frame built on sampling or `rand`) would otherwise yield a count
+    * inconsistent with the merged bits. Callers that already
+    * materialized the frame pay one cheap re-persist of a batch-sized
+    * relation.
     */
   def recordAppendedFrom(appended: DataFrame, key: Column): Unit =
     synchronized {
       if (filter != null) {
-        val n = appended.count()
+        val pinned = appended.select(key.as("k")).localCheckpoint(true)
+        val n = pinned.count()
         if (n > 0) {
-          val bf = appended.select(key.as("k"))
-            .stat.bloomFilter("k", capacity, fpp)
+          val bf = pinned.stat.bloomFilter("k", capacity, fpp)
           filter.mergeInPlace(bf)
           tracked += n
         }
+        pinned.unpersist()
       }
     }
 

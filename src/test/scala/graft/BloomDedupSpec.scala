@@ -112,4 +112,26 @@ class BloomDedupSpec extends SparkSpec {
     cold.recordAppendedFrom(appended, col("fp"))
     assert(cold.trackedRows === 0L)
   }
+
+  test("recordAppendedFrom pins a non-deterministic frame to one pass") {
+    import org.apache.spark.sql.functions.{col, concat, lit, rand}
+    val corpus = (1 to 50).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val cb = new graft.streaming.CorpusBloom(minCapacity = 256)
+    val f = cb.filterFor(corpus)
+    // a frame whose key column is non-deterministic: without an eager
+    // pin inside the method, the count action and the bloom action
+    // would evaluate rand() twice and disagree on the keys covered
+    val nd = spark.range(20)
+      .withColumn("fp", concat(lit("nd-"), (rand(7) * 1e9).cast("long")))
+    cb.recordAppendedFrom(nd, col("fp"))
+    assert(cb.trackedRows === 70L)
+    // the merged bits must cover EXACTLY the keys the count saw: every
+    // fp the pinned frame produced is now a member
+    // (re-evaluating nd would give different values; so instead assert
+    // via behavior: a second record of the SAME plan adds 20 more
+    // tracked rows and still never throws)
+    cb.recordAppendedFrom(nd, col("fp"))
+    assert(cb.trackedRows === 90L)
+    assert(f != null)
+  }
 }

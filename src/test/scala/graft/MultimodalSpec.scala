@@ -135,6 +135,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!g.decoded)
   }
 
+  test("adversarial chunk lengths fall to sentinels, never task failures") {
+    // a crafted fmt-chunk length near Int.MaxValue wraps an Int bound
+    // check (off + 8 + len < 0) — the parse must reject it in Long
+    // arithmetic and emit decoded=false, not throw
+    val evil = wavBytes(8000, 1, 16, Array(0, 0))
+    def patchLe32(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    patchLe32(evil, 16, Int.MaxValue - 4) // fmt chunk claims ~2 GiB body
+    // and one with the data chunk length poisoned instead
+    val evil2 = wavBytes(8000, 1, 16, Array(0, 0))
+    patchLe32(evil2, 40, Int.MaxValue - 4)
+    val got = Multimodal.decodeAudio(Seq(
+      Multimodal.MediaRow(1L, "audio", evil, 1),
+      Multimodal.MediaRow(2L, "audio", evil2, 1)).toDS()).collect()
+    assert(got.forall(!_.decoded), got.mkString(", "))
+    // corrupt image bytes with a valid PNG magic: ImageIO codecs may
+    // throw RuntimeExceptions — must land on the sentinel row
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a) ++ Array.fill[Byte](64)(0x41)
+    val img = Multimodal.decodeImages(Seq(
+      Multimodal.MediaRow(3L, "image", fakePng, 1)).toDS()).head()
+    assert(!img.decoded && img.width === -1)
+  }
+
   /** Minimal ISO-BMFF builder: boxes as (type, body). */
   private def box(tpe: String, body: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
