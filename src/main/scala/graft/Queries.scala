@@ -290,16 +290,41 @@ object Queries {
   // ------------------------------------------------------------ multimodal
 
   private val multimodal: Seq[(String, Decl)] = Seq(
+    // Unified per-modality feature extraction (REAL decoders: ImageIO
+    // images, hand-parsed WAV PCM, MJPEG-in-AVI frames). The synthetic
+    // content is text bytes — decodable under NO modality — so every
+    // row exercises the decoded=false fallback and the oracle gates the
+    // full schema + passthrough semantics; the decoded=true branches
+    // are pinned by MultimodalSpec against generated fixtures with
+    // exact expected features per modality.
     "mm_decode_features" -> Decl(
       (s, d) => Multimodal.decodeFeatures(
         Multimodal.fromDocuments(docs(s, d))).toDF(),
       Some("""SELECT doc_id AS media_id,
              | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              | CAST(strlen(text) AS BIGINT) AS n_bytes,
-             | CAST(('0x'||substr(md5(text),1,2)) AS INTEGER) / 255.0 AS f0,
-             | CAST(('0x'||substr(md5(text),3,2)) AS INTEGER) / 255.0 AS f1,
-             | CAST(('0x'||substr(md5(text),5,2)) AS INTEGER) / 255.0 AS f2,
-             | CAST(('0x'||substr(md5(text),7,2)) AS INTEGER) / 255.0 AS f3
+             | FALSE AS decoded,
+             | CAST(-1.0 AS DOUBLE) AS f0, CAST(-1.0 AS DOUBLE) AS f1,
+             | CAST(-1.0 AS DOUBLE) AS f2, CAST(-1.0 AS DOUBLE) AS f3
+             |FROM documents""".stripMargin)),
+
+    // Video FRAME decode (MJPEG-in-AVI via RIFF walk + ImageIO): text
+    // bytes carry no RIFF/AVI structure, so every row exercises the
+    // decoded=false fallback — schema/passthrough oracle-gated; the
+    // real frame-decode branch (exact luma/motion on lossless PNG
+    // frames, real JPEG frames, step sampling, poisoned chunk
+    // lengths) is pinned by MultimodalSpec on generated AVI fixtures.
+    "mm_decode_video_frames" -> Decl(
+      (s, d) => Multimodal.decodeVideoFrames(
+        Multimodal.fromDocuments(docs(s, d))).toDF(),
+      Some("""SELECT doc_id AS media_id,
+             | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             | CAST(strlen(text) AS BIGINT) AS n_bytes,
+             | FALSE AS decoded,
+             | CAST(-1 AS INTEGER) AS n_frames, CAST(-1 AS INTEGER) AS n_decoded,
+             | CAST(-1 AS INTEGER) AS width, CAST(-1 AS INTEGER) AS height,
+             | CAST(-1.0 AS DOUBLE) AS fps, CAST(-1.0 AS DOUBLE) AS mean_luma,
+             | CAST(-1.0 AS DOUBLE) AS motion
              |FROM documents""".stripMargin)),
 
     // Real-image decode path over the mixed media table: the synthetic

@@ -2,7 +2,8 @@ package graft
 
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: typed mapPartitions decode (stub codec),
+/** Multimodal plumbing: typed mapPartitions decode over real codecs
+  * (ImageIO images, hand-parsed WAV PCM, MJPEG-in-AVI frames),
   * metadata-driven frame sampling, size-balanced repartitioning.
   */
 class MultimodalSpec extends SparkSpec {
@@ -12,17 +13,17 @@ class MultimodalSpec extends SparkSpec {
     graft.core.Tables.read(spark, "/root/testdata/sf0.001", "documents")
   private lazy val media = Multimodal.fromDocuments(docs)
 
-  test("stub decode is deterministic and md5-derived") {
+  test("decodeFeatures over text bytes is all sentinels (no modality decodes)") {
     val feats = Multimodal.decodeFeatures(media)
     val row = feats.filter(_.media_id == 0L).head()
     val text = docs.filter($"doc_id" === 0).select("text").as[String].head()
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(text.getBytes("UTF-8"))
     assert(row.n_bytes === text.getBytes("UTF-8").length.toLong)
-    assert(row.f0 === (h(0) & 0xff) / 255.0)
-    assert(row.f3 === (h(3) & 0xff) / 255.0)
-    // features are in [0, 1] for every row
-    assert(feats.filter(f => f.f0 < 0 || f.f0 > 1).isEmpty)
+    assert(!row.decoded && row.f0 === -1.0 && row.f3 === -1.0)
+    assert(feats.filter(_.decoded).isEmpty,
+      "text bytes must not decode under any modality")
+    // narrow map: no exchange in the plan
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
   private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
@@ -204,6 +205,120 @@ class MultimodalSpec extends SparkSpec {
     val gb = Multimodal.probeVideo(
       Seq(Multimodal.MediaRow(10L, "video", bad, 1)).toDS()).head()
     assert(!gb.probed)
+  }
+
+  /** Minimal MJPEG-style AVI builder: RIFF(AVI ) with LIST(hdrl avih)
+    * and LIST(movi) holding one 00dc chunk per frame payload.
+    */
+  private def aviBytes(microPerFrame: Int,
+                       frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32b(v: Int): Array[Byte] =
+      (0 until 4).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32b(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val avih = chunk("avih", le32b(microPerFrame) ++ Array.fill[Byte](36)(0))
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.map(f => chunk("00dc", f)).foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  private def solidPng(rgb: Int): Array[Byte] =
+    pngBytes(Array(Array(rgb, rgb), Array(rgb, rgb)))
+
+  test("decodeVideoFrames decodes AVI frames with exact luma/motion") {
+    // black, white, black @ 40000 us/frame = 25 fps; PNG payloads are
+    // lossless so channel means are exact: luma(white) = .299+.587+.114
+    val avi = aviBytes(40000,
+      Seq(solidPng(0x000000), solidPng(0xffffff), solidPng(0x000000)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi, 3),
+      Multimodal.MediaRow(2L, "video", "not a video".getBytes("UTF-8"), 1),
+      Multimodal.MediaRow(3L, "image", avi, 3) // wrong kind: passthrough
+    ).toDS()
+    val got = Multimodal.decodeVideoFrames(rows).collect()
+      .map(v => v.media_id -> v).toMap
+    val ok = got(1L)
+    val w = 0.299 * 1.0 + 0.587 * 1.0 + 0.114 * 1.0
+    assert(ok.decoded && ok.n_frames === 3 && ok.n_decoded === 3)
+    assert(ok.width === 2 && ok.height === 2 && ok.fps === 25.0)
+    assert(math.abs(ok.mean_luma - w / 3) < 1e-12, ok.toString)
+    assert(math.abs(ok.motion - w) < 1e-12, ok.toString)
+    assert(!got(2L).decoded && got(2L).n_frames === -1)
+    assert(!got(3L).decoded, "non-video kinds must pass through")
+  }
+
+  test("decodeVideoFrames samples every step-th frame and rejects junk") {
+    val avi = aviBytes(40000,
+      Seq(solidPng(0x000000), solidPng(0xffffff), solidPng(0x000000)))
+    // step=2 decodes frames 0 and 2 (both black): luma 0, motion 0
+    val s2 = Multimodal.decodeVideoFrames(
+      Seq(Multimodal.MediaRow(1L, "video", avi, 3)).toDS(), step = 2).head()
+    assert(s2.decoded && s2.n_frames === 3 && s2.n_decoded === 2)
+    assert(s2.mean_luma === 0.0 && s2.motion === 0.0)
+    // frames that are not ImageIO-decodable: container parses but
+    // nothing decodes -> sentinel, not a crash
+    val junkFrames = aviBytes(40000, Seq(
+      "garbage-1".getBytes("UTF-8"), "garbage-2".getBytes("UTF-8")))
+    val g = Multimodal.decodeVideoFrames(
+      Seq(Multimodal.MediaRow(2L, "video", junkFrames, 2)).toDS()).head()
+    assert(!g.decoded)
+    // real MJPEG: JPEG frame payloads decode via the same ImageIO path
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val mjpeg = aviBytes(33333, Seq(out.toByteArray, out.toByteArray))
+    val mj = Multimodal.decodeVideoFrames(
+      Seq(Multimodal.MediaRow(3L, "video", mjpeg, 2)).toDS()).head()
+    assert(mj.decoded && mj.n_decoded === 2 && mj.width === 4)
+    assert(math.abs(mj.mean_luma - 0x80 / 255.0) < 0.05, mj.toString)
+    assert(mj.motion === 0.0) // identical frames
+    // poisoned chunk length near Int.MaxValue -> sentinel (Long bounds)
+    val evil = aviBytes(40000, Seq(solidPng(0)))
+    // first movi frame chunk length field: find "00dc" and poison it
+    val idx = evil.toIndexedSeq.indexOfSlice(
+      "00dc".getBytes("US-ASCII").toIndexedSeq)
+    (0 until 4).foreach(i =>
+      evil(idx + 4 + i) = (((Int.MaxValue - 4) >>> (8 * i)) & 0xff).toByte)
+    val ev = Multimodal.decodeVideoFrames(
+      Seq(Multimodal.MediaRow(4L, "video", evil, 1)).toDS()).head()
+    assert(!ev.decoded)
+  }
+
+  test("decodeFeatures dispatches each modality to its real decoder") {
+    val png = pngBytes(Array(
+      Array(0xff0000, 0xff0000),
+      Array(0x0000ff, 0x0000ff)))
+    val sq = Array.tabulate(4000)(i => if (i % 2 == 0) 16384 else -16384)
+    val wav = wavBytes(8000, 1, 16, sq)
+    val avi = aviBytes(40000,
+      Seq(solidPng(0x000000), solidPng(0xffffff), solidPng(0x000000)))
+    val got = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaRow(1L, "image", png, 1),
+      Multimodal.MediaRow(2L, "audio", wav, 1),
+      Multimodal.MediaRow(3L, "video", avi, 3),
+      // each modality with undecodable bytes -> sentinel
+      Multimodal.MediaRow(4L, "image", wav, 1),
+      Multimodal.MediaRow(5L, "audio", avi.take(64).toArray, 1),
+      Multimodal.MediaRow(6L, "video", png, 1)
+    ).toDS()).collect().map(f => f.media_id -> f).toMap
+    val img = got(1L) // mean_r .5, mean_g 0, mean_b .5, aspect 2/(2+2)
+    assert(img.decoded && img.f0 === 0.5 && img.f1 === 0.0 &&
+      img.f2 === 0.5 && img.f3 === 0.5)
+    val aud = got(2L) // rms .5, zcr 1.0 (alternating), |amp| .5, 8k/48k
+    assert(aud.decoded && aud.f0 === 0.5 && aud.f1 === 1.0 &&
+      aud.f2 === 0.5 && aud.f3 === 8000.0 / 48000.0)
+    val vid = got(3L) // luma w/3, motion w, 3/100 frames, aspect .5
+    val w = 0.299 + 0.587 + 0.114
+    assert(vid.decoded && math.abs(vid.f0 - w / 3) < 1e-12 &&
+      math.abs(vid.f1 - w) < 1e-12 && vid.f2 === 0.03 && vid.f3 === 0.5)
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(!got(id).decoded && got(id).f0 === -1.0, s"media $id")
+    }
   }
 
   test("frame sampling steps through n_frames by the given stride") {
