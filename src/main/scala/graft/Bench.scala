@@ -53,17 +53,12 @@ object Bench {
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
 
-    // machine-load marker: driver-box contention has historically
-    // inflated CPU-bound queries 20-30% round-over-round; recording
-    // 1/5/15-min loadavg alongside the timings makes a contended run
-    // self-evident instead of reading as a plan regression
-    def loadavg(): String =
-      try {
-        val s = scala.io.Source.fromFile("/proc/loadavg")
-        try s.getLines().next().split(" ").take(3).mkString(",")
-        finally s.close()
-      } catch { case _: Throwable => "" }
-    val loadStart = loadavg()
+    // quiet-box gate: wait (bounded) for the 1-min loadavg to drop
+    // before the first timed pass, and self-label the run "contended"
+    // on timeout — a loaded-box number must never read as a plan
+    // regression (round 6: loadavg 5.35 measured a 1.3 s query at 6.2 s)
+    val quiet = BenchEnv.awaitQuiet()
+    val loadStart = BenchEnv.loadavg()
 
     // global warm-up covering the distinct infrastructure paths:
     // parquet scan + sort (o08), broadcast-join machinery (q5), and
@@ -80,7 +75,7 @@ object Bench {
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val errJson = errors.map { case (k, v) => s""""$k":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","passes":"min_of_2"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","contended":${!quiet},"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","passes":"min_of_2"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

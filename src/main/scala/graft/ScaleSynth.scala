@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deterministic corpus scale-up for scaling-curve measurement
+  * ([[ScaleBench]], `ScalingSpec`): replicate the `documents` and
+  * `embeddings` tables R-fold so a ~sf1 point exists locally without
+  * driver-generated data.
+  *
+  * The replication is designed so the DUPLICATE STRUCTURE scales
+  * linearly — the property the capped dedup paths are supposed to
+  * preserve and the one a naive copy would destroy:
+  *
+  *  - each replica applies a replica-specific rotation of a 10-letter
+  *    high-frequency alphabet to the text (`translate` — codegen'd,
+  *    char-for-char, bijective). Within a replica every document gets
+  *    the SAME substitution, so the replica's near-duplicate clusters
+  *    are exactly the original corpus's clusters; across replicas the
+  *    rotations differ, so shingle sets are disjoint-ish and
+  *    cross-replica similarity collapses. Result: near-dup pairs grow
+  *    ~R-fold (linear), not R²-fold, mirroring how real corpora grow —
+  *    more documents, same duplication RATE.
+  *  - doc_id / vec_id are offset by r·10⁷ per replica, far from both
+  *    the organic id range and the +2·10⁶ dump offset
+  *    `dedup_cross_corpus_lsh` applies internally.
+  *  - embeddings get a small deterministic per-replica, per-dimension
+  *    perturbation (keeps ANN cell assignment work honest; replica-0
+  *    rows are bit-identical originals so fixed anchor/centroid sets
+  *    `vec_id < k` stay constant across scale points).
+  *
+  * Everything is a pure projection over a union — Spark reads the base
+  * parquet once per replica, no shuffle, and the write re-partitions so
+  * downstream scans see uniform splits.
+  */
+object ScaleSynth {
+
+  /** Ten high-frequency letters: rotating these changes most words of
+    * English-ish text, so distinct rotations produce dissimilar texts.
+    */
+  val Alphabet = "etaoinsrhl"
+
+  /** R-fold replicated documents: replica 0 verbatim, replica r>0 with
+    * the r-rotated alphabet substitution and ids offset by r·10⁷.
+    */
+  def replicateDocs(docs: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 1 && replicas <= 10,
+      "alphabet rotations are pairwise distinct only up to 10 replicas")
+    (0 until replicas).map { r =>
+      val rot = Alphabet.drop(r) + Alphabet.take(r)
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+        (if (r == 0) col("text")
+         else translate(col("text"), Alphabet, rot)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** R-fold replicated embeddings: replica 0 verbatim (anchors and
+    * centroid seeds `vec_id < k` unchanged), replica r>0 perturbed by
+    * a small deterministic per-dimension offset and ids offset r·10⁷.
+    */
+  def replicateEmbeddings(emb: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 1 && replicas <= 10)
+    (0 until replicas).map { r =>
+      val vec =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          (x + lit(r * 0.003) * ((i % 7) - lit(3.0))).cast("float"))
+      emb.select(
+        (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Materialize an R× scale point from `fromDir` into `outDir`
+    * (documents + embeddings — the tables the dedup/ANN/intake
+    * headline reads). Idempotent: skips tables whose row count already
+    * matches. Returns (docRows, embRows).
+    */
+  def synthesize(spark: SparkSession, fromDir: String, outDir: String,
+                 replicas: Int): (Long, Long) = {
+    val parts = spark.sparkContext.defaultParallelism
+    def materialize(name: String, build: DataFrame => DataFrame): Long = {
+      val want = Tables.read(spark, fromDir, name).count() * replicas
+      val path = s"$outDir/$name.parquet"
+      val have =
+        try spark.read.parquet(path).count()
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      if (have != want)
+        build(Tables.read(spark, fromDir, name))
+          .repartition(parts)
+          .write.mode("overwrite").parquet(path)
+      want
+    }
+    (materialize("documents", replicateDocs(_, replicas)),
+      materialize("embeddings", replicateEmbeddings(_, replicas)))
+  }
+}
