@@ -1725,6 +1725,15 @@ object Queries {
       (s, d) => Bpe.bpeMerges(docs(s, d), 24, 8),
       Some(Bpe.oracleMergesBatched(24, 8))),
 
+    // Sampled-corpus training (the 10^5-merge cost-model answer):
+    // identical batched trainer over a deterministic md5-ranked 50%
+    // document reservoir — membership is engine-reproducible, so the
+    // FULL merge table is oracle-gated bit-for-bit; BpeSpec pins
+    // sampled-vs-full merge agreement on the same corpus.
+    "pipeline_bpe_train_sampled" -> Decl(
+      (s, d) => Bpe.bpeMergesSampled(docs(s, d), 24, 8, 50),
+      Some(Bpe.oracleMergesSampled(24, 8, 50))),
+
     // The real-merge-budget scale demonstration: 256 merges at
     // batch=64 (a few driver rounds, not 256 jobs). No SQL oracle —
     // unrolling the worst-case 256-round CTE chain is DuckDB-hostile;

@@ -154,6 +154,32 @@ object Bpe {
     merges.toDF("step", "pair", "merged", "freq")
   }
 
+  /** Sampled-corpus BPE training — the standard answer to the
+    * driver-round cost model at real vocabulary scale: even batched,
+    * a 10⁵-merge vocabulary is ~merges/batch driver-synchronized
+    * rounds over the full word table, while the merge TABLE a trainer
+    * learns converges on a far smaller corpus sample (Zipf: pair
+    * frequencies are dominated by high-frequency words that any
+    * uniform sample retains). Train on a deterministic md5-ranked
+    * reservoir (`hash60(doc_id) % 100 < pct` — the
+    * [[graft.operators.Sampling]] membership rule, reproducible in
+    * any engine, no RNG state), then validate on the FULL corpus:
+    * [[bpeSegment]] with the sampled merge table measures realized
+    * compression, and `BpeSpec` pins sampled-vs-full merge-table
+    * agreement on the fixture corpus. Cost: the word-count pass
+    * scans pct% of the corpus and every round's aggregate runs over
+    * the sample's word table — at 100 TB with pct=1 the 400-round
+    * 10⁵-merge schedule becomes 400 aggregates over ~1 TB of text's
+    * word table, hours → minutes.
+    */
+  def bpeMergesSampled(docs: DataFrame, rounds: Int, batch: Int,
+                       pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, "pct must be in [1, 100]")
+    bpeMerges(
+      docs.filter(hash60(col("doc_id").cast("string")) % 100 < pct),
+      rounds, batch)
+  }
+
   /** Per-document BPE compression report under the learned merges:
     * (doc_id, n_words, n_bpe) — the corpus-level check that a
     * tokenizer actually compresses (n_bpe starts at character count
@@ -222,9 +248,10 @@ s$r AS (SELECT word, COALESCE(trim(replace(replace(' '||sym||' ', ' '||b$r.pair|
     * VARCHAR-accumulator fold used for merge application is
     * unaffected.
     */
-  def oracleMergesBatched(merges: Int, batch: Int): String = {
+  def oracleMergesBatched(merges: Int, batch: Int,
+                          docsWhere: String = ""): String = {
     val sb = new StringBuilder
-    sb.append("WITH RECURSIVE w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) GROUP BY word),\n")
+    sb.append(s"WITH RECURSIVE w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents $docsWhere) GROUP BY word),\n")
     sb.append("s0 AS (SELECT word, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, cnt FROM w0)")
     for (r <- 1 to merges) {
       val prev = s"s${r - 1}"
@@ -266,6 +293,13 @@ s$r AS MATERIALIZED (SELECT word, trim(list_reduce(list_prepend(' '||sym||' ', k
     }.mkString(" UNION ALL "))
     sb.toString
   }
+
+  /** DuckDB oracle for [[bpeMergesSampled]]: the batched oracle over
+    * the identical md5-ranked document sample.
+    */
+  def oracleMergesSampled(merges: Int, batch: Int, pct: Int): String =
+    oracleMergesBatched(merges, batch,
+      s"WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 < $pct")
 
   /** DuckDB oracle for [[bpeSegment]]. */
   def oracleSegment(rounds: Int): String =

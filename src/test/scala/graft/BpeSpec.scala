@@ -79,6 +79,48 @@ class BpeSpec extends SparkSpec {
     assert(bat.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
   }
 
+  test("the 256-budget scale demo exhausts at a pinned merge table") {
+    // pipeline_bpe_train256 (256 merges @ batch 64) has no SQL oracle
+    // (a 256-round recursive CTE is DuckDB-hostile); this pin makes
+    // the scale demo more than rows-only: at sf0.01 the 30-word
+    // vocabulary exhausts after exactly 89 accepted merges, and the
+    // full (step, pair, merged, freq) table hashes to a constant. Any
+    // drift in the greedy batched selection, the rewrite, or the
+    // exhaustion logic moves this hash.
+    val docs = graft.core.Tables.read(
+      spark, "/root/testdata/sf0.01", "documents")
+    val merges = Bpe.bpeMerges(docs, 256, 64).collect()
+      .map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getString(2)}|${r.getLong(3)}")
+    assert(merges.length === 89, s"exhaustion point moved: ${merges.length}")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(merges.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h === "a2f23274c129c4193338f838e03b81e2",
+      s"merge-table hash drifted: $h")
+  }
+
+  test("sampled-corpus training agrees with full-corpus training") {
+    // the 10^5-merge cost-model answer (train on an md5-ranked
+    // reservoir, verify on the full corpus): on the sf0.01 fixture a
+    // 50% sample must reproduce most of the full corpus's first 24
+    // merges — Zipf makes the top pair frequencies sample-stable. The
+    // agreement level is pinned (not just > 0) so a regression in the
+    // sampling rule or the trainer shows up as a drop.
+    val docs = graft.core.Tables.read(
+      spark, "/root/testdata/sf0.01", "documents")
+    def mergeSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(r => r.getString(1)).toSet
+    val full = mergeSet(Bpe.bpeMerges(docs, 24, 8))
+    val sampled = mergeSet(Bpe.bpeMergesSampled(docs, 24, 8, 50))
+    val overlap = (full & sampled).size
+    // deterministic on the fixed corpus + md5 membership: exactly 19
+    // of 24 merges agree (the tail diverges where near-tied pair
+    // frequencies flip under sampling — the expected failure mode)
+    assert(overlap === 19, s"$overlap/24 merges shared: " +
+      s"full-only=${(full -- sampled).toSeq.sorted} " +
+      s"sampled-only=${(sampled -- full).toSeq.sorted}")
+  }
+
   test("encode compresses monotonically with more merges") {
     val docs = Seq(
       1L -> "lower lowest low low newer newest new",
