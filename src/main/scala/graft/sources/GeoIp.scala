@@ -37,9 +37,15 @@ object GeoIp {
     // to the same numeric as "10.0.0.0" and falsely match its range
     val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)"
     val bare = regexp_replace(ip, "^(?i)::ffff:", "")
+    // plain split + element_at + arithmetic (NOT a higher-order
+    // aggregate/transform fold): lambda expressions are interpreted-
+    // eval in Spark, and this runs per event on the ingest hot path —
+    // the flat form keeps the whole projection inside codegen
+    // (PlanShapeSpec pins the enrichment plan opaque-free)
+    val arr = split(bare, "\\.")
+    def oct(i: Int): Column = element_at(arr, i).cast("long")
     when(bare.rlike(s"^($octet\\.){3}$octet$$"),
-      aggregate(transform(split(bare, "\\."), o => o.cast("long")),
-        lit(0L), (acc, o) => acc * 256 + o))
+      ((oct(1) * 256 + oct(2)) * 256 + oct(3)) * 256 + oct(4))
   }
 
   /** IPv6 textual form → 64-bit halves (hi, lo), two's-complement raw

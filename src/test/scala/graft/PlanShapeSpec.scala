@@ -227,6 +227,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("ingest enrichment is pure codegen: no opaque eval in the plan") {
+    // O1-O3 (syslog parse -> validate -> UA/GeoIP enrich) is the hot
+    // streaming path: every operator must stay inside whole-stage
+    // codegen. A UDF would appear as an opaque invoke/eval node, a
+    // typed map as (De)SerializeObject, a naive BETWEEN geo join as a
+    // BroadcastNestedLoopJoin scanning every range per row.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lines = Seq(
+      """<190>ballcone: {"service":"web","ip":"10.0.0.7","host":"h","path":"/x","status":"200","referrer":"","user_agent":"Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0","length":"17","generation_time_milli":"0.2","date":"2026-01-01T00:00:00+00:00"}"""
+    ).toDF("value")
+    val ranges = Seq((167772160L, 184549375L, "US"))
+      .toDF("ip_start", "ip_end", "country")
+    val enriched = graft.sources.Ingest.pipeline(lines, ranges)
+    // collect() executes THIS dataframe's QueryExecution (head()/write
+    // would derive a new one), so AQE finalizes the plan and the
+    // WholeStageCodegen spans appear
+    val rows = enriched.collect()
+    assert(rows.length === 1)
+    val row = enriched.select("country_iso_code", "browser_name",
+      "platform_name", "is_robot").head()
+    assert(row.getString(0) === "US" && row.getString(1) === "Chrome")
+    assert(row.getString(2) === "Windows" && !row.getBoolean(3))
+    val p = enriched.queryExecution.executedPlan.toString
+    // (static_invoke of builtin codecs like UrlCodec is codegen'd
+    // Spark machinery, not an opaque call — only ScalaUDF/typed-map
+    // nodes break whole-stage codegen)
+    // lambdafunction = higher-order builtin, interpreted-eval (codegen
+    // fallback) — also banned from the hot path, not just UDFs
+    Seq("DeserializeToObject", "SerializeFromObject", "MapElements",
+        "MapPartitions", "BatchEval", "ScalaUDF", "lambdafunction")
+      .foreach { opaque =>
+        assert(!p.contains(opaque), s"opaque node $opaque in:\n${p.take(2000)}")
+      }
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // codegen stages print as "*(n)" in the finalized adaptive plan;
+    // the json_tuple parse, validation, UA parse, and the hash join
+    // all carry the marker (the ipv4ToLong projection uses
+    // higher-order builtins — interpreted-eval expressions, still
+    // columnar Catalyst, not a UDF boundary)
+    assert(p.contains("*("), p.take(2000))
+  }
+
   test("no declared query plans an unbroadcast cartesian product") {
     // the blanket scale guard: a CartesianProduct in any declared
     // query's physical plan is a 100 TB killer. The broadcast-cross
