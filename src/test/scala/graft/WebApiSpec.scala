@@ -150,6 +150,59 @@ class WebApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("sql console renders each engine exception class verbatim in the error pane") {
+    // reference parity: web_ballcone.py:142-143 catches the engine
+    // error and templates/sql.html:38-43 renders its message verbatim
+    // in the page — one case per exception class, each asserting the
+    // engine's own message text (not a generic "error") survives into
+    // the pane, HTML-escaped, with the page still a 200 form render
+    val api = new WebApi(spark, seededStore())
+    val port = api.start()
+    try {
+      def consolePost(q: String): (Int, String) =
+        post(port, "/sql", "sql=" + java.net.URLEncoder.encode(q, "UTF-8"))
+      def engineMessage(q: String): String =
+        try { spark.sql(q).limit(1).collect(); fail(s"expected $q to fail") }
+        catch { case e: Throwable => e.getMessage }
+      // same entity escaping Html.escape applies (it is package-private)
+      def esc(s: String): String = s
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;").replace("'", "&#39;")
+
+      // ParseException: syntax error at the parser
+      val (cp, parse) = consolePost("SELEC 1")
+      val parseMsg = engineMessage("SELEC 1")
+      assert(cp === 200 && parse.contains("<h2 class=\"subtitle\">Error</h2>"))
+      assert(parse.contains("PARSE_SYNTAX_ERROR"), parse.take(800))
+      // the engine's first message line renders verbatim (escaped)
+      val parseFirst = esc(parseMsg.linesIterator.next())
+      assert(parse.contains(parseFirst), s"missing: $parseFirst")
+
+      // AnalysisException: unresolved relation
+      val (ca, analysis) = consolePost("SELECT nope FROM nowhere")
+      assert(ca === 200 && analysis.contains("TABLE_OR_VIEW_NOT_FOUND"),
+        analysis.take(800))
+      val analysisFirst = esc(
+        engineMessage("SELECT nope FROM nowhere").linesIterator.next())
+      assert(analysis.contains(analysisFirst), s"missing: $analysisFirst")
+
+      // AnalysisException: unresolved routine (distinct error class)
+      val (cr, routine) = consolePost("SELECT no_such_fn(1)")
+      assert(cr === 200 && routine.contains("UNRESOLVED_ROUTINE"),
+        routine.take(800))
+
+      // runtime SparkArithmeticException: spark.sql() is lazy, so this
+      // one only surfaces at the console's bounded collect — same pane
+      val (cd, divide) = consolePost("SELECT 1/0 AS boom")
+      assert(cd === 200 && divide.contains("DIVIDE_BY_ZERO"),
+        divide.take(800))
+
+      // the erroring page keeps the query in the textarea for editing
+      // (reference keeps the form value: templates/sql.html)
+      assert(divide.contains("SELECT 1/0 AS boom"), divide.take(800))
+    } finally api.stop()
+  }
+
   test("concurrent requests are served in parallel by the pooled executor") {
     val api = new WebApi(spark, seededStore())
     val port = api.start()
