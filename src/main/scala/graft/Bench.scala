@@ -9,11 +9,57 @@ import org.apache.spark.sql.SparkSession
   * plan executes (a bare `count()` would let Catalyst prune most of the
   * work). One warm-up pass of the first query absorbs JVM/codegen
   * startup so numbers reflect steady-state execution.
+  *
+  * Contention discipline (round 7 post-mortem: a run that started at
+  * loadavg 2.94 ended at 10.29 and inflated two untouched ANN queries
+  * 5-20× while self-labeling "not contended"):
+  *  - the quiet-box gate re-arms BETWEEN queries, not just at the start
+  *    — when the 1-min loadavg has climbed past the threshold, the
+  *    harness waits (bounded) for it to drop before the next query;
+  *  - the loadavg at measurement time is recorded PER QUERY
+  *    (`query_load`), so any one number can be audited for contention
+  *    after the fact;
+  *  - each query is checked against the previous round's time (parsed
+  *    from the newest BENCH_r*.json in the working directory, or
+  *    SPARK_GRAFT_PREV_BENCH): a result >3× its prior-round value
+  *    triggers an automatic quiet-wait + re-run (up to
+  *    SPARK_GRAFT_MAX_RERUNS, default 2), keeping the minimum across
+  *    all passes. A genuine plan regression reproduces on a quiet box;
+  *    a load spike does not.
   */
 object Bench {
+
+  /** Per-query seconds from a prior bench JSON line. The file is this
+    * harness's own output (flat `"queries":{"name":sec,...}`), so a
+    * scoped regex parse is exact — no JSON library needed.
+    */
+  def parsePrevQueries(text: String): Map[String, Double] = {
+    val qObj = """"queries"\s*:\s*\{([^}]*)\}""".r
+    val pair = """"([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
+    qObj.findFirstMatchIn(text).map { m =>
+      pair.findAllMatchIn(m.group(1)).flatMap { p =>
+        scala.util.Try(p.group(1) -> p.group(2).toDouble).toOption
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Newest BENCH_r{N}.json in `dir` by round number, if any. */
+  def newestBench(dir: java.io.File): Option[java.io.File] = {
+    val pat = """BENCH_r(\d+)\.json""".r
+    Option(dir.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      f.getName match {
+        case pat(n) => Some(n.toInt -> f)
+        case _ => None
+      }
+    }.sortBy(-_._1).headOption.map(_._2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_MAX_RERUNS", "2").toInt
+    val rerunFactor =
+      sys.env.getOrElse("SPARK_GRAFT_RERUN_FACTOR", "3.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,6 +69,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.SargableDates
+
+    // prior-round per-query times: the rerun oracle. Absent file or
+    // query → no rerun trigger (first round, renamed query).
+    val prev: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
+        .orElse(newestBench(new java.io.File(".")))
+        .flatMap { f =>
+          scala.util.Try {
+            val src = scala.io.Source.fromFile(f)
+            try parsePrevQueries(src.mkString) finally src.close()
+          }.toOption
+        }.getOrElse(Map.empty)
 
     // a query failure must FAIL the bench (errors listed + nonzero
     // exit), not silently vanish from the total and make a regression
@@ -47,10 +105,41 @@ object Bench {
     // compilation (up to 3x the steady-state time at this data size),
     // and steady-state throughput is the quantity that scales to the
     // cluster. Cold-start cost is amortized over a job's lifetime.
-    def run(name: String): Double = {
+    def minOf2(name: String): Double = {
       val a = once(name)
       val b = once(name)
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
+
+    val queryLoad =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var everContended = false
+
+    // Re-armed quiet gate + outlier re-run: measure, and while the
+    // result is >rerunFactor× the previous round's time, wait for a
+    // quiet box and measure again (bounded by maxReruns). The minimum
+    // across passes is reported — min-of-N under contention converges
+    // on the steady-state number a quiet box would have produced.
+    def run(name: String): Double = {
+      if (BenchEnv.load1() >=
+          sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "3.0").toDouble)
+        everContended |= !BenchEnv.awaitQuiet()
+      queryLoad(name) = BenchEnv.load1()
+      var best = minOf2(name)
+      var tries = 0
+      while (best > 0 && prev.get(name).exists(p => p > 0 &&
+          best > p * rerunFactor) && tries < maxReruns) {
+        tries += 1
+        System.err.println(f"[bench] $name%s ${best}%.2f s > " +
+          f"$rerunFactor%.0fx prev ${prev(name)}%.2f s - rerun $tries")
+        everContended |= !BenchEnv.awaitQuiet()
+        queryLoad(name) = BenchEnv.load1()
+        val again = minOf2(name)
+        if (again > 0) best = math.min(best, again)
+      }
+      if (tries > 0) reruns(name) = tries
+      best
     }
 
     // quiet-box gate: wait (bounded) for the 1-min loadavg to drop
@@ -58,6 +147,7 @@ object Bench {
     // on timeout — a loaded-box number must never read as a plan
     // regression (round 6: loadavg 5.35 measured a 1.3 s query at 6.2 s)
     val quiet = BenchEnv.awaitQuiet()
+    everContended = !quiet
     val loadStart = BenchEnv.loadavg()
 
     // global warm-up covering the distinct infrastructure paths:
@@ -75,7 +165,11 @@ object Bench {
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val errJson = errors.map { case (k, v) => s""""$k":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","contended":${!quiet},"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","passes":"min_of_2"}""")
+    val loadJson = queryLoad.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val rerunJson = reruns.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","contended":$everContended,"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","query_load":$loadJson,"reruns":$rerunJson,"passes":"min_of_2"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -384,22 +384,63 @@ object Queries {
              | CAST(unnest(range(0, (n_chars % 100) + 1, 10)) AS INTEGER) AS frame_idx
              |FROM documents""".stripMargin)),
 
-    // Resize/transcode stub: payload deterministically truncated to a
-    // quarter; the corpus is ASCII so the oracle's substr reproduces
-    // the byte truncation and the md5 fingerprints match exactly.
+    // REAL resize/transcode over mixed media: document text bytes are
+    // image-kinded but never decode, so they take the sentinel
+    // passthrough (dst == src, byte-identical); audio/video take the
+    // deterministic truncation fallback. The corpus is ASCII so the
+    // oracle reproduces both branches with substr and the md5
+    // fingerprints match exactly.
     "mm_resize" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions._
-        Multimodal.resizeStub(Multimodal.fromDocuments(docs(s, d)), 4)
+        Multimodal.resizeMedia(Multimodal.fromDocuments(docs(s, d)),
+            16, 16, 4)
           .toDF().select(col("media_id"), col("kind"), col("src_bytes"),
             col("dst_bytes"), md5(col("content")).as("fp"))
       },
       Some("""SELECT doc_id AS media_id,
              | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              | CAST(length(text) AS BIGINT) AS src_bytes,
-             | CAST((length(text) + 3) // 4 AS BIGINT) AS dst_bytes,
-             | md5(substr(text, 1, CAST((length(text) + 3) // 4 AS INTEGER))) AS fp
+             | CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) AS BIGINT)
+             |      ELSE CAST((length(text) + 3) // 4 AS BIGINT) END AS dst_bytes,
+             | CASE WHEN doc_id % 3 = 0 THEN md5(text)
+             |      ELSE md5(substr(text, 1, CAST((length(text) + 3) // 4 AS INTEGER))) END AS fp
              |FROM documents""".stripMargin)),
+
+    // REAL image resize end-to-end, exact-oracle-gated: a deterministic
+    // solid-color PNG per doc (dims 8..32 and RGB fill derived from
+    // doc_id by fixed moduli), box-fit downscaled into 16x16 via
+    // Graphics2D, PNG re-encoded, then RE-DECODED — output dims follow
+    // fitDims's IEEE-754 floor arithmetic and a solid color survives
+    // bilinear + lossless PNG bit-exactly, so DuckDB recomputes every
+    // column from doc_id alone.
+    "mm_resize_real" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val resized = Multimodal.resizeMedia(
+          Multimodal.syntheticPngs(docs(s, d)), 16, 16, 4)
+        Multimodal.decodeImages(
+            resized.map(r =>
+              Multimodal.MediaRow(r.media_id, "image", r.content, 1)))
+          .toDF().select(col("media_id"),
+            col("width").as("dst_w"), col("height").as("dst_h"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  8 + (doc_id % 25) AS w, 8 + ((doc_id * 7) % 25) AS h,
+             |  (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g,
+             |  (doc_id * 83) % 256 AS b
+             | FROM documents)
+             |SELECT doc_id AS media_id,
+             | CAST(CASE WHEN w <= 16 AND h <= 16 THEN w
+             |  ELSE GREATEST(1, CAST(floor(w * LEAST(16.0 / w, 16.0 / h)) AS BIGINT)) END
+             |  AS INTEGER) AS dst_w,
+             | CAST(CASE WHEN w <= 16 AND h <= 16 THEN h
+             |  ELSE GREATEST(1, CAST(floor(h * LEAST(16.0 / w, 16.0 / h)) AS BIGINT)) END
+             |  AS INTEGER) AS dst_h,
+             | r / 255.0 AS mean_r, g / 255.0 AS mean_g, b / 255.0 AS mean_b
+             |FROM p""".stripMargin)),
   )
 
   // ------------------------------------------------------------- relational
@@ -2894,5 +2935,9 @@ object Queries {
     // handful of driver rounds — the claim is it completes in seconds),
     // the dump-intake capstone (quality → cross-LSH → decontaminate),
     // and the greedy subword encode
-    "pipeline_bpe_train256", "pipeline_intake_dump", "pipeline_wordpiece")
+    "pipeline_bpe_train256", "pipeline_intake_dump", "pipeline_wordpiece",
+    // round-8 addition: real image resize end-to-end (PNG decode →
+    // Graphics2D box-fit → re-encode → re-decode), the last transcode
+    // verb gone real
+    "mm_resize_real")
 }

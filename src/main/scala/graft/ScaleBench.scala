@@ -28,11 +28,17 @@ object ScaleBench {
 
   /** The queries whose scale behavior carries the 100 TB claims:
     * MinHash+LSH near-dup, SimHash near-dup, cross-corpus LSH, the
-    * full intake capstone, and IVF ANN search.
+    * full intake capstone, and IVF ANN search — plus (round 8) the
+    * heavy shapes whose driver-bench numbers kept drifting without a
+    * quiet-box curve to exonerate them: the ExactSubstr positional-gram
+    * pass, the SimHash bit-sum fold, the triangle wedge join, the
+    * curate→tokenize composite, and batched BPE training.
     */
   val ScaleQueries: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_simhash_neardup", "dedup_cross_corpus_lsh",
-    "pipeline_intake_dump", "sim_topk_ivf")
+    "pipeline_intake_dump", "sim_topk_ivf",
+    "dedup_exact_substr", "dedup_simhash", "rel_triangles",
+    "pipeline_curate_tokenize", "pipeline_bpe_train256")
 
   def main(args: Array[String]): Unit = {
     val testdata =
@@ -66,12 +72,17 @@ object ScaleBench {
       "sf1" -> sf1Dir)
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def once(name: String, dir: String): Double = {
+    // warm-up failures key under "warmup:" so a transient warm-up error
+    // never shadows (getOrElseUpdate) the real measured failure, and a
+    // warm-up-only blip doesn't fail a run whose measured passes are
+    // clean — warmup keys are excluded from the exit-code decision
+    def once(name: String, dir: String, warmup: Boolean = false): Double = {
       val t0 = System.nanoTime()
       try Queries.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        errors.getOrElseUpdate(s"$name@$dir",
+        val key = (if (warmup) "warmup:" else "") + s"$name@$dir"
+        errors.getOrElseUpdate(key,
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         return -1.0
       }
@@ -83,11 +94,17 @@ object ScaleBench {
     }
 
     // warm codegen/broadcast machinery on the small point first
-    ScaleQueries.foreach(q => once(q, s"$testdata/sf0.01"))
+    ScaleQueries.foreach(q => once(q, s"$testdata/sf0.01", warmup = true))
 
     // measure smallest-to-largest so JIT state only ever favors the
-    // SMALL points (biasing ratios conservative, not optimistic)
+    // SMALL points (biasing ratios conservative, not optimistic); the
+    // quiet gate re-arms per query so load arriving mid-run shows up
+    // as a wait, not a poisoned ratio (round 7's driver-bench lesson)
+    var midRunContended = false
     val times: Map[String, Map[String, Double]] = ScaleQueries.map { q =>
+      if (BenchEnv.load1() >=
+          sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "3.0").toDouble)
+        midRunContended |= !BenchEnv.awaitQuiet()
       q -> points.map { case (label, dir) => label -> minOf2(q, dir) }.toMap
     }.toMap
 
@@ -109,11 +126,33 @@ object ScaleBench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val vJson = violations.map(v => s""""$v"""").mkString("[", ",", "]")
-    println(s"""{"metric":"scale","queries":$qJson,"bound":$bound,""" +
-      s""""violations":$vJson,"contended":${!quiet},"errors":$errJson,""" +
+    val contended = !quiet || midRunContended
+    val line = s"""{"metric":"scale","queries":$qJson,"bound":$bound,""" +
+      s""""violations":$vJson,"contended":$contended,"errors":$errJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}",""" +
-      s""""passes":"min_of_2","sf1_docs":$docRows,"sf1_vecs":$embRows}""")
+      s""""passes":"min_of_2","sf1_docs":$docRows,"sf1_vecs":$embRows}"""
+    println(line)
+    // land the curves beside BENCH_r{N}.json so scaling regressions are
+    // caught per-round: round number from SPARK_GRAFT_ROUND, else
+    // newest BENCH_r{N} + 1 (the driver writes BENCH at round end, so
+    // mid-round the newest one is the PREVIOUS round's)
+    val outPath = sys.env.get("SPARK_GRAFT_SCALING_OUT").getOrElse {
+      val n = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        Bench.newestBench(new java.io.File("."))
+          .map(_.getName.replaceAll("""\D""", "").toInt + 1).getOrElse(0)
+      }
+      f"SCALING_r$n%02d.json"
+    }
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(line) finally w.close()
+      System.err.println(s"[scale] wrote $outPath")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[scale] could not write $outPath: $e")
+    }
     spark.stop()
-    if (violations.nonEmpty) sys.exit(if (quiet) 1 else 2)
+    // warm-up-only failures don't gate; measured failures do
+    if (errors.keys.exists(!_.startsWith("warmup:")) || violations.nonEmpty)
+      sys.exit(if (quiet && !midRunContended) 1 else 2)
   }
 }

@@ -30,12 +30,28 @@ import graft.core.Tables
   *    perturbation (keeps ANN cell assignment work honest; replica-0
   *    rows are bit-identical originals so fixed anchor/centroid sets
   *    `vec_id < k` stay constant across scale points).
+  *  - events are replicated with event_id offset by r·10⁷: the graph
+  *    queries hash event_id into a fixed node universe (mod 1000/997),
+  *    so the offset preserves the node set while rotating the edge set
+  *    per replica — edge volume grows R-fold, node count stays fixed,
+  *    which is the regime a bigger event log actually produces.
   *
   * Everything is a pure projection over a union — Spark reads the base
   * parquet once per replica, no shuffle, and the write re-partitions so
   * downstream scans see uniform splits.
+  *
+  * A content fingerprint (`_SYNTH_FINGERPRINT`: scheme version +
+  * parameters) is written beside the tables; `synthesize` rebuilds when
+  * it mismatches, so a stale scale point from an older replication
+  * scheme — which can have the SAME row count — is never silently
+  * reused by ScaleBench/ScalingSpec.
   */
 object ScaleSynth {
+
+  /** Bump whenever the replication scheme changes (alphabet, rotation,
+    * perturbation, id offsets, table set) — forces sf-point rebuild.
+    */
+  val SynthVersion = 2
 
   /** Ten high-frequency letters: rotating these changes most words of
     * English-ish text, so distinct rotations produce dissimilar texts.
@@ -75,27 +91,64 @@ object ScaleSynth {
     }.reduce(_ unionAll _)
   }
 
+  /** R-fold replicated events: ids offset r·10⁷ (node-set-preserving
+    * under the graph queries' mod-1000/997 hashing), other columns
+    * verbatim — R× the edge volume over the same node universe.
+    */
+  def replicateEvents(events: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 1 && replicas <= 10)
+    (0 until replicas).map { r =>
+      events.select(
+        (col("event_id") + lit(r.toLong * 10000000L)).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The scheme identity for `outDir/_SYNTH_FINGERPRINT`. Encodes every
+    * parameter whose change would alter the synthesized bytes while
+    * keeping row counts identical.
+    */
+  def fingerprint(replicas: Int): String =
+    s"v$SynthVersion|replicas=$replicas|alphabet=$Alphabet|" +
+      "perturb=0.003*((i%7)-3)|offset=1e7|tables=documents,embeddings,events"
+
   /** Materialize an R× scale point from `fromDir` into `outDir`
-    * (documents + embeddings — the tables the dedup/ANN/intake
-    * headline reads). Idempotent: skips tables whose row count already
-    * matches. Returns (docRows, embRows).
+    * (documents + embeddings + events — the tables the
+    * dedup/ANN/intake/graph headline reads). Idempotent via the
+    * `_SYNTH_FINGERPRINT` marker plus per-table row counts: a marker
+    * mismatch (older scheme, different parameters) rebuilds everything
+    * even when counts coincide. Returns (docRows, embRows).
     */
   def synthesize(spark: SparkSession, fromDir: String, outDir: String,
                  replicas: Int): (Long, Long) = {
     val parts = spark.sparkContext.defaultParallelism
+    val want = fingerprint(replicas)
+    val marker = new java.io.File(outDir, "_SYNTH_FINGERPRINT")
+    val fresh =
+      try {
+        val src = scala.io.Source.fromFile(marker)
+        try src.mkString.trim == want finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
     def materialize(name: String, build: DataFrame => DataFrame): Long = {
-      val want = Tables.read(spark, fromDir, name).count() * replicas
+      val wantRows = Tables.read(spark, fromDir, name).count() * replicas
       val path = s"$outDir/$name.parquet"
-      val have =
-        try spark.read.parquet(path).count()
+      val haveRows =
+        if (!fresh) -1L
+        else try spark.read.parquet(path).count()
         catch { case scala.util.control.NonFatal(_) => -1L }
-      if (have != want)
+      if (haveRows != wantRows)
         build(Tables.read(spark, fromDir, name))
           .repartition(parts)
           .write.mode("overwrite").parquet(path)
-      want
+      wantRows
     }
-    (materialize("documents", replicateDocs(_, replicas)),
+    val out = (materialize("documents", replicateDocs(_, replicas)),
       materialize("embeddings", replicateEmbeddings(_, replicas)))
+    materialize("events", replicateEvents(_, replicas))
+    marker.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(marker, "UTF-8")
+    try w.print(want) finally w.close()
+    out
   }
 }

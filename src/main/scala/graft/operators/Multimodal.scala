@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * codec decodable without native libraries. [[decodeFeatures]] is the
   * unified per-modality feature extractor dispatching on `kind`;
   * non-decodable bytes always fall through to `decoded=false`
-  * sentinels, never task failures. The remaining stub is
-  * [[resizeStub]] (transcode/re-encode — needs an encoder).
+  * sentinels, never task failures. [[resizeMedia]] closes the
+  * transcode verb for real on the image modality (ImageIO decode →
+  * Graphics2D box-fit downscale → PNG re-encode); audio/video
+  * payloads keep the deterministic byte-truncation fallback (the JDK
+  * ships no encoder for them).
   * The Spark shape everywhere is the one a 100 TB media pipeline
   * needs: typed `mapPartitions` with per-partition codec init, pure
   * narrow maps (zero shuffles), metadata-driven frame sampling, and
@@ -110,9 +113,9 @@ object Multimodal {
     * Same zero-shuffle narrow-map shape as [[decodeFeatures]]; the
     * per-partition init disables ImageIO's temp-FILE cache (decode
     * stays in-memory on executors — a disk write per blob would be a
-    * 100 TB-scale own goal). The audio/video modalities remain
-    * honestly stubbed ([[decodeFeatures]]); this is the one modality
-    * the JDK can decode for real.
+    * 100 TB-scale own goal). All three modalities decode real bytes
+    * ([[decodeFeatures]] dispatches image/WAV-PCM/MJPEG-AVI); this is
+    * the image-specialized projection with exact dims + channel means.
     */
   def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
@@ -504,25 +507,107 @@ object Multimodal {
                                 src_bytes: Long, dst_bytes: Long,
                                 content: Array[Byte])
 
-  /** STUB RESIZE — the transcode/downscale verb of the modality set
-    * (image resize, audio resample, video re-encode). The stub derives
-    * the "resized" payload deterministically: the first
-    * `ceil(len / factor)` bytes of the source (a real implementation
-    * replaces only that line with the codec's scaled re-encode; the
-    * per-partition init sits exactly where a real transcoder's context
-    * would). Shape is the same zero-shuffle narrow map as
-    * [[decodeFeatures]] — at 100 TB resize cost is pure CPU on the
-    * scan, and the output column is smaller than the input, so the
+  /** Aspect-preserving fit of (w, h) into (boxW, boxH): never
+    * upscales; on downscale both dims floor from the same double
+    * scale, with a 1 px floor. The arithmetic (IEEE-754 min of two
+    * quotients, multiply, floor) is reproduced verbatim by the
+    * `mm_resize_real` DuckDB oracle, so output dims are exact-match
+    * gateable.
+    */
+  def fitDims(w: Int, h: Int, boxW: Int, boxH: Int): (Int, Int) =
+    if (w <= boxW && h <= boxH) (w, h)
+    else {
+      val s = math.min(boxW.toDouble / w, boxH.toDouble / h)
+      (math.max(1, math.floor(w * s).toInt),
+        math.max(1, math.floor(h * s).toInt))
+    }
+
+  /** Decode → Graphics2D bilinear downscale into the (boxW, boxH) box
+    * → PNG re-encode. None when the bytes don't decode as an image
+    * (any non-fatal codec throw included — sentinel, never a task
+    * failure).
+    */
+  def resizeImageBlob(bytes: Array[Byte], boxW: Int,
+                      boxH: Int): Option[Array[Byte]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    try img.collect { case i if i.getWidth > 0 && i.getHeight > 0 =>
+      val (dw, dh) = fitDims(i.getWidth, i.getHeight, boxW, boxH)
+      val dst = new java.awt.image.BufferedImage(
+        dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(i, 0, 0, dw, dh, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL resize/transcode of the modality set. Images are decoded
+    * (ImageIO), box-fit downscaled ([[fitDims]], Graphics2D bilinear),
+    * and re-encoded as PNG; image bytes that don't decode pass through
+    * UNCHANGED (sentinel — visible as dst_bytes == src_bytes); the
+    * audio/video modalities, which the JDK cannot re-encode, keep the
+    * deterministic byte-truncation fallback (first `ceil(len /
+    * fallbackFactor)` bytes). Shape is the same zero-shuffle narrow
+    * map as [[decodeFeatures]] — at 100 TB resize cost is pure CPU on
+    * the scan, and the output column is smaller than the input, so the
     * stage SHRINKS the data in flight.
     */
-  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
-    require(factor >= 1, "factor must be >= 1")
+  def resizeMedia(media: Dataset[MediaRow], boxW: Int, boxH: Int,
+                  fallbackFactor: Int): Dataset[ResizedMedia] = {
+    require(boxW >= 1 && boxH >= 1, "target box must be >= 1x1")
+    require(fallbackFactor >= 1, "fallbackFactor must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { m =>
-        val dstLen = (m.content.length + factor - 1) / factor
+        val out = m.kind match {
+          case "image" =>
+            resizeImageBlob(m.content, boxW, boxH).getOrElse(m.content)
+          case _ =>
+            m.content.take((m.content.length + fallbackFactor - 1) /
+              fallbackFactor)
+        }
         ResizedMedia(m.media_id, m.kind, m.content.length.toLong,
-          dstLen.toLong, m.content.take(dstLen))
+          out.length.toLong, out)
+      }
+    }
+  }
+
+  /** Deterministic solid-color PNG per document — the self-generating
+    * fixture behind `mm_resize_real`: dims 8..32 and an RGB fill
+    * derived from doc_id by fixed moduli, so a DuckDB oracle can
+    * recompute the EXPECTED post-resize dims ([[fitDims]] arithmetic)
+    * and channel means (solid color survives bilinear downscale and a
+    * lossless PNG roundtrip bit-exactly) from doc_id alone. Encoding
+    * happens executor-side in the same narrow-map shape as the
+    * decoders.
+    */
+  def syntheticPngs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val w = 8 + (id % 25).toInt
+        val h = 8 + ((id * 7) % 25).toInt
+        val rgb = (((id * 37) % 256).toInt << 16) |
+          (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray, 1)
       }
     }
   }

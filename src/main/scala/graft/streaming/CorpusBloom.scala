@@ -101,13 +101,26 @@ final class CorpusBloom(fpp: Double = 0.01, headroom: Long = 4,
     synchronized {
       if (filter != null) {
         val pinned = appended.select(key.as("k")).localCheckpoint(true)
-        val n = pinned.count()
-        if (n > 0) {
-          val bf = pinned.stat.bloomFilter("k", capacity, fpp)
-          filter.mergeInPlace(bf)
-          tracked += n
+        try {
+          val n = pinned.count()
+          if (n > 0) {
+            val bf = pinned.stat.bloomFilter("k", capacity, fpp)
+            filter.mergeInPlace(bf)
+            tracked += n
+          }
+        } finally {
+          // free the checkpointed RDD's persisted blocks directly:
+          // Dataset.unpersist on a localCheckpoint'ed frame does not
+          // drop the underlying RDD's storage (it would linger until
+          // the ContextCleaner GCs the RDD), but that RDD is reachable
+          // as the LogicalRDD leaf the checkpoint plan wraps
+          pinned.queryExecution.analyzed match {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+          pinned.unpersist()
         }
-        pinned.unpersist()
       }
     }
 

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contention-proofing pieces of the [[Bench]] harness (round 7
+  * post-mortem: a run that started quiet ended at loadavg 10.29 and
+  * inflated two untouched queries 5-20× while self-labeling "not
+  * contended"): prior-round parsing drives the >3× auto-rerun, and
+  * newest-BENCH selection must pick the highest round, not the
+  * lexicographically last file.
+  */
+class BenchHarnessSpec extends AnyFunSuite {
+
+  test("parsePrevQueries reads this harness's own output line") {
+    val line = """{"metric":"total","value":27.05,"unit":"sec","queries":""" +
+      """{"o08_select_range":0.21,"sim_topk_ivf":8.82,"neg":-1.0,""" +
+      """"sci":1.2e-2},"errors":{},"sf":"/root/testdata/sf0.1"}"""
+    val got = Bench.parsePrevQueries(line)
+    assert(got("o08_select_range") === 0.21)
+    assert(got("sim_topk_ivf") === 8.82)
+    assert(got("neg") === -1.0)
+    assert(got("sci") === 0.012)
+    assert(got.size === 4)
+  }
+
+  test("parsePrevQueries is empty on junk or missing queries object") {
+    assert(Bench.parsePrevQueries("""{"metric":"total"}""").isEmpty)
+    assert(Bench.parsePrevQueries("not json at all").isEmpty)
+  }
+
+  test("newestBench picks the highest round number") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    try {
+      for (n <- Seq("01", "02", "10", "09")) {
+        val f = new java.io.File(dir, s"BENCH_r$n.json")
+        val w = new java.io.PrintWriter(f); try w.print("{}") finally w.close()
+      }
+      // decoys that must not match
+      new java.io.File(dir, "BENCH_rXX.json").createNewFile()
+      new java.io.File(dir, "SCALING_r11.json").createNewFile()
+      assert(Bench.newestBench(dir).map(_.getName) ===
+        Some("BENCH_r10.json"))
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  test("newestBench is None when no bench files exist") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec2").toFile
+    try assert(Bench.newestBench(dir).isEmpty)
+    finally dir.delete()
+  }
+}

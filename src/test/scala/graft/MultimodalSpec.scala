@@ -335,20 +335,72 @@ class MultimodalSpec extends SparkSpec {
     assert(balanced.rdd.getNumPartitions === 4)
   }
 
-  test("resize stub truncates payloads by the factor, shuffle-free") {
-    val resized = Multimodal.resizeStub(media, 4)
+  test("resizeMedia: non-image fallback truncates, undecodable images pass through") {
+    val resized = Multimodal.resizeMedia(media, 16, 16, 4)
     val rows = resized.collect()
     assert(rows.length === media.count())
     rows.foreach { r =>
-      assert(r.dst_bytes === (r.src_bytes + 3) / 4)
+      if (r.kind == "image") {
+        // document text bytes never decode as an image → sentinel
+        // passthrough, visible as dst_bytes == src_bytes
+        assert(r.dst_bytes === r.src_bytes, r.media_id.toString)
+      } else {
+        // audio/video keep the deterministic truncation fallback
+        assert(r.dst_bytes === (r.src_bytes + 3) / 4, r.media_id.toString)
+      }
       assert(r.content.length.toLong === r.dst_bytes)
     }
-    // prefix property: the resized payload is a prefix of the source
-    val src = media.filter(_.media_id == 1L).head().content
-    val dst = resized.filter(_.media_id == 1L).head().content
-    assert(src.take(dst.length).sameElements(dst))
     // narrow map: no exchange in the plan
     val plan = resized.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("resizeMedia downscales a real PNG into the box with exact dims and color") {
+    // 20x10 solid orange: fit into 8x8 → scale 0.4 → exactly 8x4
+    val png = pngBytes(Array.fill(10)(Array.fill(20)(0xc86414)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, 1),
+      // smaller than the box on both axes: never upscaled
+      Multimodal.MediaRow(2L, "image",
+        pngBytes(Array.fill(4)(Array.fill(3)(0x102030))), 1)
+    ).toDS()
+    val out = Multimodal.resizeMedia(rows, 8, 8, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    // re-decode the resized payloads: dims follow fitDims, and a solid
+    // color survives bilinear downscale + lossless PNG bit-exactly
+    val re = Multimodal.decodeImages(
+      out.values.toSeq.map(r =>
+        Multimodal.MediaRow(r.media_id, "image", r.content, 1)).toDS())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(re(1L).decoded && re(1L).width === 8 && re(1L).height === 4)
+    assert(re(1L).mean_r === 0xc8 / 255.0)
+    assert(re(1L).mean_g === 0x64 / 255.0)
+    assert(re(1L).mean_b === 0x14 / 255.0)
+    assert(re(2L).decoded && re(2L).width === 3 && re(2L).height === 4)
+    assert(re(2L).mean_b === 0x30 / 255.0)
+  }
+
+  test("fitDims floors from one shared scale and never upscales") {
+    assert(Multimodal.fitDims(20, 10, 8, 8) === ((8, 4)))
+    assert(Multimodal.fitDims(10, 20, 8, 8) === ((4, 8)))
+    assert(Multimodal.fitDims(3, 4, 8, 8) === ((3, 4)))
+    assert(Multimodal.fitDims(1000, 1, 8, 8) === ((8, 1)))
+    assert(Multimodal.fitDims(16, 16, 16, 16) === ((16, 16)))
+  }
+
+  test("syntheticPngs roundtrip: oracle-predicted dims and channel means") {
+    val fixture = Multimodal.syntheticPngs(
+      docs.filter($"doc_id".isin(0L, 7L, 123L)))
+    val got = Multimodal.decodeImages(fixture).collect()
+      .map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 7L, 123L)) {
+      val f = got(id)
+      assert(f.decoded, id.toString)
+      assert(f.width === 8 + (id % 25).toInt, id.toString)
+      assert(f.height === 8 + ((id * 7) % 25).toInt, id.toString)
+      assert(f.mean_r === ((id * 37) % 256).toDouble / 255.0, id.toString)
+      assert(f.mean_g === ((id * 59) % 256).toDouble / 255.0, id.toString)
+      assert(f.mean_b === ((id * 83) % 256).toDouble / 255.0, id.toString)
+    }
   }
 }

@@ -264,10 +264,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     // codegen stages print as "*(n)" in the finalized adaptive plan;
-    // the json_tuple parse, validation, UA parse, and the hash join
-    // all carry the marker (the ipv4ToLong projection uses
-    // higher-order builtins — interpreted-eval expressions, still
-    // columnar Catalyst, not a UDF boundary)
+    // the json_tuple parse, validation, UA parse, ipv4ToLong (a flat
+    // split/element_at projection since round 7 — no higher-order
+    // fold), and the hash join all run inside those stages
     assert(p.contains("*("), p.take(2000))
   }
 

@@ -101,6 +101,12 @@ class ScalingSpec extends SparkSpec {
 
   test("intake wall-time grows near-linearly at 10x docs (coarse)") {
     synthesized
+    // wall-time in the shared 4-thread test JVM is machine-load
+    // sensitive and this suite has no quiet-box gate (ScaleBench owns
+    // the enforced curves, behind BenchEnv.awaitQuiet): on a contended
+    // box run the passes anyway (they exercise the plans) but demote
+    // the ratio assertion to a warning instead of a flake
+    val contended = BenchEnv.load1() >= 8.0
     def timed(dir: String): Double = {
       val t0 = System.nanoTime()
       Queries.queries("pipeline_intake_dump")(spark, dir)
@@ -112,7 +118,10 @@ class ScalingSpec extends SparkSpec {
     val t10 = math.min(timed(bigDir), timed(bigDir))
     // generous for the shared 4-thread test JVM: quadratic work would
     // exceed this by an order of magnitude; fixed overheads only help
-    assert(t10 / t1 < 25.0,
-      f"intake t(10x)/t(1x) = ${t10 / t1}%.1f (t1=$t1%.2fs t10=$t10%.2fs)")
+    val msg =
+      f"intake t(10x)/t(1x) = ${t10 / t1}%.1f (t1=$t1%.2fs t10=$t10%.2fs)"
+    if (contended)
+      info(s"SKIPPED ratio assertion (loadavg ${BenchEnv.load1()}): $msg")
+    else assert(t10 / t1 < 25.0, msg)
   }
 }
