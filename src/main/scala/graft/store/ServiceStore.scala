@@ -207,9 +207,19 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
     * observed on the rewrite pass itself — no extra store scans.
     */
   def expire(service: String, keepSince: java.sql.Timestamp,
-             tsCol: String = "datetime"): (Long, Long) = {
+             tsCol: String = "datetime"): (Long, Long) =
+    expire(service, keepSince, tsCol, () => ())
+
+  /** Test seam twin of [[compact]]'s: `beforeSwap` runs in expire's
+    * scan→swap window (CompactionSpec drives a racing compact through
+    * it — the lifecycle pair serialized by the per-service rewrite
+    * lock).
+    */
+  private[graft] def expire(service: String, keepSince: java.sql.Timestamp,
+                            tsCol: String,
+                            beforeSwap: () => Unit): (Long, Long) = {
     val kept = org.apache.spark.sql.Observation()
-    val (_, snapshotRows) = rewritePartition(service, () => ()) { (df, _) =>
+    val (_, snapshotRows) = rewritePartition(service, beforeSwap) { (df, _) =>
       df.filter(col(tsCol) >= lit(keepSince))
         .observe(kept, count(lit(1)).as("kept"))
     }
@@ -217,13 +227,36 @@ final class ServiceStore(spark: SparkSession, warehouse: String) {
     (k, snapshotRows - k)
   }
 
+  /** One lock object per service: lifecycle REWRITES (compact /
+    * compactSorted / expire) serialize against each other — they share
+    * the staging and retired paths, so two running at once on one
+    * service would collide on those directories and can strand or drop
+    * the partition. Appends never take the lock (they only ever ADD
+    * files to the live dir; the snapshot-scoped retirement in
+    * [[rewritePartition]] carries mid-rewrite appends across the swap
+    * — the tested contract). Per-service granularity keeps unrelated
+    * services' maintenance fully concurrent.
+    */
+  private val rewriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def rewriteLock(service: String): Object =
+    rewriteLocks.computeIfAbsent(service, _ => new Object)
+
   /** Shared snapshot→rewrite→swap core ([[compact]]'s concurrency
     * contract). `build` receives the snapshot read (with a row-count
     * observation already attached below it) and the snapshot file
     * list, and returns the frame to write. Returns (files after the
-    * swap, snapshot rows).
+    * swap, snapshot rows). Holds the service's rewrite lock end-to-end
+    * (`beforeSwap` included — a racing rewrite launched there blocks
+    * until this one's swap completes).
     */
   private def rewritePartition(service: String, beforeSwap: () => Unit)(
+      build: (DataFrame, Seq[Path]) => DataFrame): (Int, Long) =
+    rewriteLock(service).synchronized {
+      rewritePartitionLocked(service, beforeSwap)(build)
+    }
+
+  private def rewritePartitionLocked(service: String, beforeSwap: () => Unit)(
       build: (DataFrame, Seq[Path]) => DataFrame): (Int, Long) = {
     val dir = servicePath(service)
     val retired = new Path(warehouse, s".retired-service=$service")

@@ -133,6 +133,82 @@ class CompactionSpec extends SparkSpec {
     assert(store.read("api").count() === 200L)
   }
 
+  // --- expire racing compact (round-6 advice #8): the two lifecycle
+  // REWRITES share the staging/retired paths, so the per-service
+  // rewrite lock must serialize them in either launch order with no
+  // lost, duplicated, or resurrected rows. Each case launches the
+  // racing op on its own thread from inside the other's beforeSwap
+  // seam (the widest race window), then joins and audits the store.
+
+  private def expireRaceStore(wh: String): ServiceStore = {
+    val store = new ServiceStore(spark, wh)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // several files so compact has real work; ids 0..5 old, 10..12 new
+    (0 until 6).foreach { i =>
+      store.append(Seq((i.toLong, t(s"2020-01-0${i + 1} 10:00:00"), i * 1.0))
+        .toDF("id", "datetime", "value").withColumn("service", lit("api")))
+    }
+    (10 until 13).foreach { i =>
+      store.append(Seq((i.toLong, t(s"2020-02-0${i - 9} 10:00:00"), i * 1.0))
+        .toDF("id", "datetime", "value").withColumn("service", lit("api")))
+    }
+    store
+  }
+  private val cutoff = java.sql.Timestamp.valueOf("2020-01-20 00:00:00")
+
+  private def auditSurvivors(store: ServiceStore, wh: String): Unit = {
+    // exactly the three post-cutoff rows, once each — nothing lost,
+    // duplicated, or resurrected from a retired snapshot
+    assert(store.read("api").select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L))
+    assert(store.list() === Seq("api"))
+    // no staging/retired debris on disk either
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+      .map(_.getPath.getName).toSet - "_SUCCESS" // append's write marker
+    assert(dirs === Set("service=api"), dirs.toString)
+  }
+
+  test("expire launched inside compact's swap window serializes after it") {
+    val wh = Files.createTempDirectory("graft-expire-race1").toString
+    val store = expireRaceStore(wh)
+    @volatile var expired: (Long, Long) = null
+    var racer: Thread = null
+    store.compact("api", 128L * 1024 * 1024, () => {
+      racer = new Thread(() => { expired = store.expire("api", cutoff) })
+      racer.start()
+      // give the racer time to reach (and block on) the rewrite lock
+      // while compact still owns it — the actual collision window
+      Thread.sleep(300)
+    })
+    racer.join(60000)
+    assert(!racer.isAlive, "racing expire never finished")
+    // expire saw the post-compact snapshot: all 9 rows, dropped 6 old
+    assert(expired === ((3L, 6L)))
+    auditSurvivors(store, wh)
+  }
+
+  test("compact launched inside expire's swap window serializes after it") {
+    val wh = Files.createTempDirectory("graft-expire-race2").toString
+    val store = expireRaceStore(wh)
+    @volatile var compacted: (Int, Int) = null
+    var racer: Thread = null
+    val (kept, dropped) = store.expire("api", cutoff, "datetime", () => {
+      racer = new Thread(() => {
+        compacted = store.compact("api", 128L * 1024 * 1024, () => ())
+      })
+      racer.start()
+      Thread.sleep(300)
+    })
+    racer.join(60000)
+    assert(!racer.isAlive, "racing compact never finished")
+    assert((kept, dropped) === ((3L, 6L)))
+    // compact saw the post-expire partition and merged it to one file
+    assert(compacted._2 === 1, compacted.toString)
+    auditSurvivors(store, wh)
+  }
+
   test("compact refuses unknown services and leaves no staging debris") {
     val wh = Files.createTempDirectory("graft-compact2").toString
     val store = new ServiceStore(spark, wh)
