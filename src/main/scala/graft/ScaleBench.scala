@@ -40,6 +40,16 @@ object ScaleBench {
     "dedup_exact_substr", "dedup_simhash", "rel_triangles",
     "pipeline_curate_tokenize", "pipeline_bpe_train256")
 
+  /** The subset also measured at the SECOND synthesized decade (sf10 =
+    * 100× sf0.1 via the two-level substitution) — the original five
+    * headliners. Two consecutive decades each under the bound is far
+    * stronger evidence than one: a log-linear or quadratic term that
+    * hides in decade one's fixed overheads shows in decade two.
+    */
+  val Sf10Queries: Set[String] = Set(
+    "dedup_minhash_lsh", "dedup_simhash_neardup", "dedup_cross_corpus_lsh",
+    "pipeline_intake_dump", "sim_topk_ivf")
+
   def main(args: Array[String]): Unit = {
     val testdata =
       sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
@@ -62,6 +72,18 @@ object ScaleBench {
       ScaleSynth.synthesize(spark, s"$testdata/sf0.1", sf1Dir, replicas = 10)
     System.err.println(s"[scale] sf1 ready: $docRows docs, $embRows vecs")
 
+    // second decade: sf10 = 100 replicas of sf0.1 (SPARK_GRAFT_SF10=0
+    // skips it — halves harness runtime when only decade one matters)
+    val withSf10 = sys.env.getOrElse("SPARK_GRAFT_SF10", "1") != "0"
+    val sf10Dir =
+      sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft-scale/sf10")
+    if (withSf10) {
+      val (d10, e10) =
+        ScaleSynth.synthesize(spark, s"$testdata/sf0.1", sf10Dir,
+          replicas = 100)
+      System.err.println(s"[scale] sf10 ready: $d10 docs, $e10 vecs")
+    }
+
     val quiet = BenchEnv.awaitQuiet()
     val loadStart = BenchEnv.loadavg()
 
@@ -70,6 +92,9 @@ object ScaleBench {
       "sf0.01" -> s"$testdata/sf0.01",
       "sf0.1" -> s"$testdata/sf0.1",
       "sf1" -> sf1Dir)
+    def pointsFor(q: String): Seq[(String, String)] =
+      if (withSf10 && Sf10Queries(q)) points :+ ("sf10" -> sf10Dir)
+      else points
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // warm-up failures key under "warmup:" so a transient warm-up error
@@ -105,20 +130,33 @@ object ScaleBench {
       if (BenchEnv.load1() >=
           sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "3.0").toDouble)
         midRunContended |= !BenchEnv.awaitQuiet()
-      q -> points.map { case (label, dir) => label -> minOf2(q, dir) }.toMap
+      q -> pointsFor(q).map { case (label, dir) =>
+        label -> minOf2(q, dir) }.toMap
     }.toMap
 
+    // the gate is PER DECADE: sf0.1→sf1 for every query, and sf1→sf10
+    // for the five second-decade queries — each 10× in rows must stay
+    // under the same bound
     val ratios: Map[String, Double] = ScaleQueries.map { q =>
       val t1 = times(q)("sf0.1"); val t10 = times(q)("sf1")
       q -> (if (t1 > 0 && t10 > 0) t10 / t1 else -1.0)
     }.toMap
+    val ratios2: Map[String, Double] = ScaleQueries.flatMap { q =>
+      times(q).get("sf10").map { t100 =>
+        val t10 = times(q)("sf1")
+        q -> (if (t10 > 0 && t100 > 0) t100 / t10 else -1.0)
+      }
+    }.toMap
     val violations =
-      ratios.filter { case (_, r) => r < 0 || r >= bound }.keys.toSeq.sorted
+      (ratios.filter { case (_, r) => r < 0 || r >= bound }.keys ++
+        ratios2.filter { case (_, r) => r < 0 || r >= bound }.keys
+          .map(_ + "@decade2")).toSeq.sorted
 
     val qJson = ScaleQueries.map { q =>
-      val pts = points.map { case (l, _) => s""""$l":${times(q)(l)}""" }
-        .mkString(",")
-      s""""$q":{$pts,"ratio_10x":${ratios(q)}}"""
+      val pts = pointsFor(q).map { case (l, _) =>
+        s""""$l":${times(q)(l)}""" }.mkString(",")
+      val d2 = ratios2.get(q).map(r => s""","ratio_decade2":$r""").getOrElse("")
+      s""""$q":{$pts,"ratio_10x":${ratios(q)}$d2}"""
     }.mkString("{", ",", "}")
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -51,25 +51,45 @@ object ScaleSynth {
   /** Bump whenever the replication scheme changes (alphabet, rotation,
     * perturbation, id offsets, table set) — forces sf-point rebuild.
     */
-  val SynthVersion = 2
+  val SynthVersion = 3
 
   /** Ten high-frequency letters: rotating these changes most words of
     * English-ish text, so distinct rotations produce dissimilar texts.
     */
   val Alphabet = "etaoinsrhl"
 
+  /** Second-level alphabet, disjoint from [[Alphabet]]: rotations over
+    * disjoint letter sets compose into 10×10 = 100 pairwise-distinct
+    * bijective substitutions, extending the scheme to a SECOND scale
+    * decade (sf10) without weakening per-replica dissimilarity.
+    */
+  val Alphabet2 = "dcumfpgwyb"
+
+  /** The replica-r text substitution: first-level rotation a = r%10 of
+    * [[Alphabet]], second-level rotation b = r/10 of [[Alphabet2]].
+    * r < 10 ⇒ b = 0, so the first decade's substitutions are EXACTLY
+    * the original single-level scheme (scale points stay comparable
+    * across rounds).
+    */
+  def substituted(text: Column, r: Int): Column = {
+    val a = r % 10; val b = r / 10
+    val first =
+      if (a == 0) text
+      else translate(text, Alphabet, Alphabet.drop(a) + Alphabet.take(a))
+    if (b == 0) first
+    else translate(first, Alphabet2, Alphabet2.drop(b) + Alphabet2.take(b))
+  }
+
   /** R-fold replicated documents: replica 0 verbatim, replica r>0 with
-    * the r-rotated alphabet substitution and ids offset by r·10⁷.
+    * the r-indexed two-level substitution and ids offset by r·10⁷.
     */
   def replicateDocs(docs: DataFrame, replicas: Int): DataFrame = {
-    require(replicas >= 1 && replicas <= 10,
-      "alphabet rotations are pairwise distinct only up to 10 replicas")
+    require(replicas >= 1 && replicas <= 100,
+      "two-level alphabet rotations are pairwise distinct up to 100 replicas")
     (0 until replicas).map { r =>
-      val rot = Alphabet.drop(r) + Alphabet.take(r)
       docs.select(
         (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
-        (if (r == 0) col("text")
-         else translate(col("text"), Alphabet, rot)).as("text"),
+        substituted(col("text"), r).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
   }
@@ -79,12 +99,16 @@ object ScaleSynth {
     * a small deterministic per-dimension offset and ids offset r·10⁷.
     */
   def replicateEmbeddings(emb: DataFrame, replicas: Int): DataFrame = {
-    require(replicas >= 1 && replicas <= 10)
+    require(replicas >= 1 && replicas <= 100)
     (0 until replicas).map { r =>
+      // r < 10 reproduces the original first-decade perturbation
+      // exactly; the second-level term keeps all 100 replica offsets
+      // distinct while staying small against unit-norm-ish vectors
+      val mag = (r % 10) * 0.003 + (r / 10) * 0.0007
       val vec =
         if (r == 0) col("embedding")
         else transform(col("embedding"), (x, i) =>
-          (x + lit(r * 0.003) * ((i % 7) - lit(3.0))).cast("float"))
+          (x + lit(mag) * ((i % 7) - lit(3.0))).cast("float"))
       emb.select(
         (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
         vec.as("embedding"), col("label"))
@@ -96,7 +120,7 @@ object ScaleSynth {
     * verbatim — R× the edge volume over the same node universe.
     */
   def replicateEvents(events: DataFrame, replicas: Int): DataFrame = {
-    require(replicas >= 1 && replicas <= 10)
+    require(replicas >= 1 && replicas <= 100)
     (0 until replicas).map { r =>
       events.select(
         (col("event_id") + lit(r.toLong * 10000000L)).as("event_id"),
@@ -110,8 +134,9 @@ object ScaleSynth {
     * keeping row counts identical.
     */
   def fingerprint(replicas: Int): String =
-    s"v$SynthVersion|replicas=$replicas|alphabet=$Alphabet|" +
-      "perturb=0.003*((i%7)-3)|offset=1e7|tables=documents,embeddings,events"
+    s"v$SynthVersion|replicas=$replicas|alphabets=$Alphabet+$Alphabet2|" +
+      "perturb=(r%10*0.003+r/10*0.0007)*((i%7)-3)|offset=1e7|" +
+      "tables=documents,embeddings,events"
 
   /** Materialize an R× scale point from `fromDir` into `outDir`
     * (documents + embeddings + events — the tables the

@@ -181,9 +181,9 @@ object Multimodal {
     * bytes without a well-formed RIFF/WAVE+PCM structure fall through
     * to `decoded=false` sentinels, exactly like [[decodeImages]].
     * Same zero-shuffle narrow map; RMS iterates each blob's samples in
-    * fixed order, so the double is deterministic. With this, two of
-    * the three modalities decode real bytes; video remains the
-    * honestly-stubbed one ([[decodeFeatures]]).
+    * fixed order, so the double is deterministic. All three modalities
+    * decode real bytes — video via the MJPEG-in-AVI RIFF walk
+    * ([[decodeVideoFrames]]).
     */
   def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._

@@ -45,6 +45,28 @@ class ScalingSpec extends SparkSpec {
       "replica substitutions must be pairwise distinct")
   }
 
+  test("two-level substitutions are pairwise distinct across both decades") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one doc through 40 replicas (spanning both alphabet levels) must
+    // yield 40 pairwise-distinct texts, with replica 0 verbatim and
+    // replicas 1..9 matching the original single-level scheme
+    val one = Seq((7L, "the rain in spain stays mainly on the plain",
+      "en", "web", 43L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val reps = ScaleSynth.replicateDocs(one, 40)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(reps.size === 40)
+    assert(reps.values.toSeq.distinct.size === 40,
+      "substitutions must be pairwise distinct")
+    assert(reps(7L) === "the rain in spain stays mainly on the plain")
+    val firstDecade = one.select(
+      translate(col("text"), ScaleSynth.Alphabet,
+        ScaleSynth.Alphabet.drop(3) + ScaleSynth.Alphabet.take(3)))
+      .as[String].head()
+    assert(reps(7L + 3L * 10000000L) === firstDecade,
+      "replicas < 10 must reproduce the single-level scheme exactly")
+  }
+
   test("dedup pair outputs grow linearly, not quadratically, at 10x docs") {
     synthesized
     // (query, sf0.01 rows pinned by CORRECTNESS_r06, cross-replica
