@@ -54,6 +54,27 @@ object Bench {
     }.sortBy(-_._1).headOption.map(_._2)
   }
 
+  /** Per-query MINIMUM seconds across every BENCH_r*.json in `dir` —
+    * the rerun reference. Using the min over history (not just the
+    * newest round) keeps the >3× outlier check sharp even when the
+    * previous round's numbers were themselves contention-inflated
+    * (round 7: sim_topk_ivf recorded 8.82 s vs a 0.44 s quiet-box
+    * truth — a newest-only reference would have let a 26 s measurement
+    * through unchallenged). Errored entries (-1) are ignored.
+    */
+  def bestKnown(dir: java.io.File): Map[String, Double] = {
+    val pat = """BENCH_r(\d+)\.json""".r
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => pat.findFirstIn(f.getName).contains(f.getName))
+    files.flatMap { f =>
+      scala.util.Try {
+        val src = scala.io.Source.fromFile(f)
+        try parsePrevQueries(src.mkString) finally src.close()
+      }.getOrElse(Map.empty).toSeq
+    }.filter(_._2 > 0)
+      .groupMapReduce(_._1)(_._2)(math.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,17 +91,17 @@ object Bench {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.SargableDates
 
-    // prior-round per-query times: the rerun oracle. Absent file or
+    // per-query best-known times: the rerun oracle. Absent history or
     // query → no rerun trigger (first round, renamed query).
+    // SPARK_GRAFT_PREV_BENCH pins a single reference file instead.
     val prev: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
-        .orElse(newestBench(new java.io.File(".")))
-        .flatMap { f =>
+        .map { f =>
           scala.util.Try {
             val src = scala.io.Source.fromFile(f)
             try parsePrevQueries(src.mkString) finally src.close()
-          }.toOption
-        }.getOrElse(Map.empty)
+          }.getOrElse(Map.empty[String, Double])
+        }.getOrElse(bestKnown(new java.io.File(".")))
 
     // a query failure must FAIL the bench (errors listed + nonzero
     // exit), not silently vanish from the total and make a regression

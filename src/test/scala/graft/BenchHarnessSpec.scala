@@ -51,4 +51,24 @@ class BenchHarnessSpec extends AnyFunSuite {
     try assert(Bench.newestBench(dir).isEmpty)
     finally dir.delete()
   }
+
+  test("bestKnown merges per-query minima across rounds, ignoring errors") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec3").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try w.print(body) finally w.close()
+    }
+    try {
+      // r7 contention-inflated a (8.82 vs r6's 0.61); b errored in r6;
+      // c only exists in r7
+      write("BENCH_r06.json", """{"queries":{"a":0.61,"b":-1.0}}""")
+      write("BENCH_r07.json", """{"queries":{"a":8.82,"b":3.37,"c":1.0}}""")
+      write("notes.txt", """{"queries":{"a":0.001}}""")
+      val got = Bench.bestKnown(dir)
+      assert(got === Map("a" -> 0.61, "b" -> 3.37, "c" -> 1.0))
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
 }
