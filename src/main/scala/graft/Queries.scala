@@ -640,6 +640,96 @@ object Queries {
              |     AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Q12-style (adapted: shipping-LAG class instead of the absent
+    // l_shipmode; no commit/receipt dates in the generator): the
+    // CASE-sum priority audit, fact join SHUFFLE_HASH-hinted.
+    "tpch_q12_ship_priority" -> Decl(
+      (s, d) => Relational.shippingPriority12(
+        Tables.read(s, d, "orders"), Tables.read(s, d, "lineitem"),
+        "1996-01-01", "1997-01-01", 90),
+      Some("""SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+             |  THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+             | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem, orders
+             |WHERE l_orderkey = o_orderkey
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q13-style (adapted: no o_comment to exclude): zero-inclusive
+    // customer order-count distribution via LEFT join — the
+    // outer-join + double-aggregate shape verbatim.
+    "tpch_q13_order_dist" -> Decl(
+      (s, d) => Relational.custOrderDistribution(
+        Tables.read(s, d, "customer"), Tables.read(s, d, "orders")),
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) c_orders
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q15: top supplier by quarterly revenue — view + scalar-MAX
+    // subquery, tie-safe because the revenue equality compares exact
+    // DECIMAL(38,6), not doubles.
+    "tpch_q15_top_supplier" -> Decl(
+      (s, d) => Relational.topSupplier(
+        Tables.read(s, d, "supplier"), Tables.read(s, d, "lineitem"),
+        "1996-01-01", "1996-04-01"),
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |   SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+             |FROM supplier, revenue
+             |WHERE s_suppkey = supplier_no
+             |  AND rev = (SELECT MAX(rev) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q19-style (adapted: brand/size/quantity bands — the generator
+    // has no container/shipmode/shipinstruct): disjunctive predicate
+    // branches over a conjunctive broadcast join key.
+    "tpch_q19_branded_revenue" -> Decl(
+      (s, d) => Relational.brandedRevenue(
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "part")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey AND (
+             |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |    AND l_quantity BETWEEN 1 AND 11)
+             |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |    AND l_quantity BETWEEN 10 AND 20)
+             |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin)),
+
+    // Q21-style (adapted lateness = ship lag > 90 days): the
+    // EXISTS / NOT-EXISTS correlated pair, decorrelated Spark-side
+    // into one per-order aggregate; the oracle keeps the correlated
+    // form so the two derivations check each other.
+    "tpch_q21_waiting_supplier" -> Decl(
+      (s, d) => Relational.waitingSuppliers(
+        Tables.read(s, d, "supplier"), Tables.read(s, d, "orders"),
+        Tables.read(s, d, "lineitem"), 90),
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM supplier, lineitem l1, orders
+             |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             |  AND date_diff('day', o_orderdate, l1.l_shipdate) > 90
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND date_diff('day', o_orderdate, l3.l_shipdate) > 90)
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name""".stripMargin)),
+
     // Q14: promotion revenue share for a month; exact sums, the
     // division happens in doubles after.
     "tpch_q14_promo" -> Decl(

@@ -410,6 +410,133 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q12-style shipping-priority audit (adapted: the generator
+    * has no l_shipmode/l_commitdate/l_receiptdate, so the class is
+    * shipping LAG — days between order and ship date over/under
+    * `lagDays` — instead of ship mode): per class, how many
+    * high-priority (URGENT/HIGH) vs other lineitems shipped in the
+    * window. The CASE-sum shape of the official query is intact. The
+    * orders join is fact⨝fact → SHUFFLE_HASH (a broadcast would not
+    * survive 100 TB; the date filter prunes the probe side first).
+    */
+  def shippingPriority12(orders: DataFrame, lineitem: DataFrame,
+                         from: String, until: String,
+                         lagDays: Int): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(orders.hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_class",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > lagDays,
+          "LATE").otherwise("ONTIME"))
+      .groupBy(col("ship_class"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  /** TPC-H Q13-style customer order-count distribution (adapted: no
+    * o_comment column, so no comment exclusion): LEFT join keeps
+    * zero-order customers, first aggregate counts orders per customer
+    * (one shuffle on custkey), second collapses to the tiny
+    * distribution table. count(o_orderkey) counts non-null keys only,
+    * so empty customers land in bucket 0 — same as the official
+    * outer-join semantics.
+    */
+  def custOrderDistribution(customer: DataFrame,
+                            orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15: top supplier(s) by revenue over a quarter — the
+    * view + scalar-MAX-subquery shape, decorrelated Spark-side into a
+    * 1-row aggregate broadcast joined back on EXACT DECIMAL(38,6)
+    * equality (a double comparison could disagree across engines on
+    * ties; decimals cannot). Revenue per supplier is one map-side
+    * partial-aggregated shuffle over the date-pruned fact; supplier
+    * is a broadcast dim.
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  from: String, until: String): DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,6)")).as("rev"))
+    val best = revenue.agg(max(col("rev")).as("max_rev"))
+    revenue
+      .join(broadcast(best), col("rev") === col("max_rev"))
+      .join(broadcast(supplier), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q19-style discounted revenue across OR'd predicate branches
+    * (adapted: no p_container/l_shipmode/l_shipinstruct columns, so
+    * the branches pair brand with size and quantity bands only). The
+    * disjunctive join predicate stays CONJUNCTIVE on the join key —
+    * the part side broadcasts and the OR branches evaluate inside the
+    * probe's codegen stage, never as a fallback nested loop.
+    */
+  def brandedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def branch(brand: String, maxSize: Int, qtyLo: Int, qtyHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, maxSize) &&
+        col("l_quantity").between(qtyLo, qtyHi)
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 5, 1, 11) ||
+        branch("Brand#23", 10, 10, 20) ||
+        branch("Brand#34", 15, 20, 30))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,6)")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q21-style suppliers who kept orders waiting (adapted: no
+    * l_receiptdate/l_commitdate — "late" is shipping more than
+    * `lagDays` after the order date): late lineitems in MULTI-supplier
+    * orders where this supplier was the ONLY late one. The official
+    * EXISTS / NOT-EXISTS pair decorrelates into ONE per-order
+    * aggregate (distinct suppliers, distinct late suppliers) — the
+    * order relation is scanned once, where the correlated form would
+    * rescan lineitem twice per row; the oracle keeps the correlated
+    * shape, so the two derivations check each other.
+    */
+  def waitingSuppliers(supplier: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, lagDays: Int): DataFrame = {
+    val flagged = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"))
+          .hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        datediff(col("l_shipdate"), col("o_orderdate")) > lagDays)
+    val perOrder = flagged.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    flagged.filter(col("late"))
+      .join(perOrder.hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("po_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   def topCustomers(customer: DataFrame, orders: DataFrame, n: Int): DataFrame =
     orders
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
