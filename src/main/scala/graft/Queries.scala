@@ -2103,6 +2103,29 @@ object Queries {
              |  CAST('0x'||substr(md5(doc_id::VARCHAR || ':' || '42'),1,15) AS BIGINT) AS skey
              | FROM documents)""".stripMargin)),
 
+    // CCNet-style LM quality score: corpus-trained add-one-smoothed
+    // CONDITIONAL bigram model, mean p(w2|w1) per doc in ppm — the
+    // in-engine analog of KenLM perplexity filtering. Per-bigram
+    // ratios quantize to DECIMAL(38,18) before the exact sum, so both
+    // engines agree bit-for-bit despite the float division.
+    "text_bigram_lm" -> Decl(
+      (s, d) => TextAnalysis.bigramLmScore(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+             |  FROM (SELECT doc_id,
+             |    unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(len(w)-1)]) AS u
+             |   FROM toks WHERE len(w) >= 2)),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1 AS cw1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+             |v AS (SELECT COUNT(DISTINCT word) AS v
+             |  FROM (SELECT unnest(w) AS word FROM toks))
+             |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CAST((c12.c12 + 1.0) / (c1.c1 + v.v) AS DECIMAL(38,18))) AS DOUBLE)
+             |    * 1000000.0 / COUNT(*) AS lm_ppm
+             |FROM bg, c12, c1, v
+             |WHERE bg.w1 = c12.w1 AND bg.w2 = c12.w2 AND bg.w1 = c1.cw1
+             |GROUP BY bg.doc_id""".stripMargin)),
+
     // Corpus-frequency content score (exact-arithmetic CCNet
     // perplexity-bucket analog): mean corpus bigram frequency per doc.
     "pipeline_ngram_freq_score" -> Decl(
@@ -3026,8 +3049,9 @@ object Queries {
     // the dump-intake capstone (quality → cross-LSH → decontaminate),
     // and the greedy subword encode
     "pipeline_bpe_train256", "pipeline_intake_dump", "pipeline_wordpiece",
-    // round-8 addition: real image resize end-to-end (PNG decode →
-    // Graphics2D box-fit → re-encode → re-decode), the last transcode
-    // verb gone real
-    "mm_resize_real")
+    // round-8 additions: real image resize end-to-end (PNG decode →
+    // Graphics2D box-fit → re-encode → re-decode), and the conditional
+    // bigram LM quality score (two count shuffles + gram-keyed join +
+    // doc re-agg — a representative multi-shuffle curation shape)
+    "mm_resize_real", "text_bigram_lm")
 }

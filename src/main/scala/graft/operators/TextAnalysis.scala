@@ -564,4 +564,53 @@ object TextAnalysis {
         sum(col("n_pieces")).as("n_pieces"),
         sum(col("n_unk")).as("n_unk"))
   }
+
+  /** CCNet-style LM quality score (Wenzek et al. 2020 filter corpora
+    * by KenLM perplexity; this is the in-engine analog with exact
+    * cross-engine arithmetic): a corpus-trained add-one-smoothed
+    * CONDITIONAL bigram model, scoring each doc by its mean
+    * p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), reported in parts-per-million.
+    * Unlike [[graft.operators.Curation.ngramFrequencyScore]] (mean
+    * UNCONDITIONAL gram frequency), conditioning on the context
+    * separates fluent word sequences from merely-common words — the
+    * property an LM filter actually tests. Gibberish scores near
+    * 1/V·1e6; natural text orders of magnitude higher.
+    *
+    * Determinism: each per-bigram ratio is one IEEE double division
+    * (identical in any engine), then quantized to DECIMAL(38,18)
+    * BEFORE summing — the sum is exact-decimal and order-independent,
+    * so the final double division matches DuckDB bit-for-bit.
+    *
+    * Scale shape: two corpus-linear count aggregates (map-side
+    * partials), one 1-row vocab aggregate broadcast, and a gram-keyed
+    * join back to the per-doc gram stream before the doc_id re-agg —
+    * all shuffles key on gram or doc_id, nothing quadratic. Stopword
+    * contexts are heavy hitters on the c(w₁·) join; the counts side
+    * is pre-aggregated (broadcasts at small SF, shuffle-joins at
+    * scale) and AQE's skew split covers the probe.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val bg = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1").as("cw1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("w")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, col("w1") === col("cw1"))
+      .crossJoin(broadcast(vocab)) // 1-row aggregate, broadcast
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(((col("c12") + lit(1.0)) / (col("c1") + col("v")))
+          .cast("decimal(38,18)")).cast("double") * lit(1000000.0) /
+          count(lit(1))).as("lm_ppm"))
+  }
 }

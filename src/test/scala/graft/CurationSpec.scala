@@ -189,6 +189,27 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) === ((2L, 4L, 2.0)))       // grams: ab, bc -> 3+1
   }
 
+  test("bigramLmScore: hand-computed conditional probabilities, fluent > gibberish") {
+    // corpus: doc 1 repeats one bigram ("a b" fluent), doc 2 is four
+    // distinct words seen once each (gibberish). V = 6 distinct words.
+    // bigram counts: (a,b)=3, (b,a)=2, (c,d)=(d,e)=(e,f)=1
+    // context counts: a·=3, b·=2, c·=d·=e·=1
+    val docs = Seq(1L -> "a b a b a b", 2L -> "c d e f")
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def q(x: Double) = BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    // doc 1: bigrams ab,ba,ab,ba,ab -> 3x (3+1)/(3+6) + 2x (2+1)/(2+6)
+    val d1 = ((q(4.0 / 9.0) * 3 + q(3.0 / 8.0) * 2).toDouble * 1000000.0) / 5
+    // doc 2: cd,de,ef -> 3x (1+1)/(1+6)
+    val d2 = (q(2.0 / 7.0) * 3).toDouble * 1000000.0 / 3
+    assert(got(1L)._1 === 5L && got(2L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - d1) < 1e-6, got(1L).toString)
+    assert(math.abs(got(2L)._2 - d2) < 1e-6, got(2L).toString)
+    // the LM property: fluent repetition outscores one-off word salad
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("gopherRepetition: duplicate lines and duplicated n-grams trip thresholds") {
     val clean = "one two three four five six seven eight nine ten"
     val dupLines = Seq.fill(10)("the same line again").mkString("\n")
