@@ -310,6 +310,45 @@ class PropertySpec extends SparkSpec {
     assert(one._1 > 0)
   }
 
+  test("fitDims: never upscales, fits the box, preserves aspect within a floor step") {
+    val dims = for {
+      w <- Gen.chooseNum(1, 5000); h <- Gen.chooseNum(1, 5000)
+      bw <- Gen.chooseNum(1, 512); bh <- Gen.chooseNum(1, 512)
+    } yield (w, h, bw, bh)
+    samples(dims, 500).foreach { case (w, h, bw, bh) =>
+      val (dw, dh) = graft.operators.Multimodal.fitDims(w, h, bw, bh)
+      assert(dw >= 1 && dh >= 1, s"($w,$h)->($dw,$dh) box ($bw,$bh)")
+      assert(dw <= math.max(w, bw) && dh <= math.max(h, bh),
+        s"upscaled: ($w,$h)->($dw,$dh) box ($bw,$bh)")
+      if (w <= bw && h <= bh) assert((dw, dh) === ((w, h)))
+      else {
+        assert(dw <= bw && dh <= bh, s"($w,$h)->($dw,$dh) !fit ($bw,$bh)")
+        // both dims floor from ONE shared scale s: dw = floor(w*s) and
+        // dh = floor(h*s) (modulo the 1px floor), so the aspect ratio
+        // distorts by at most one floor step on each axis
+        val s = math.min(bw.toDouble / w, bh.toDouble / h)
+        assert(dw === math.max(1, math.floor(w * s).toInt))
+        assert(dh === math.max(1, math.floor(h * s).toInt))
+      }
+    }
+  }
+
+  test("bigramLmScore is invariant to input partitioning (exact-decimal sum)") {
+    val docs = (0 until 120).map { i =>
+      val ws = (0 until 6 + i % 9).map(k => s"w${(i * 7 + k * k) % 40}")
+      (i.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(parts: Int) =
+      graft.operators.TextAnalysis.bigramLmScore(docs.repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val one = run(1)
+    assert(one.size === 120)
+    // a double-summed score would drift across partitionings; the
+    // DECIMAL(38,18) quantize-then-sum makes it bit-identical
+    assert(run(8) === one && run(32) === one)
+  }
+
   test("greedyPieces and simhashDedup are partitioning-invariant") {
     // the greedy segmenter's mapPartitions walk and the simhash star's
     // bucket aggregates must not depend on row placement: the vocab
