@@ -1385,9 +1385,17 @@ object Queries {
         val dump = all.filter(slice === 1)
         val evalSet = all.filter(slice === 2)
           .select(col("doc_id"), col("text"))
-        val dumpQ = dump
-          .join(TextAnalysis.qualityScore(dump)
-            .filter(col("verdict") === "keep").select("doc_id"), "doc_id")
+        // The gate-survivor id set feeds THREE consumers (near-dup,
+        // decontamination, the final anti-joins); left inline, Spark
+        // re-tokenizes the whole dump once per consumer (8 scans, 0
+        // reused exchanges measured). Ids are tiny relative to the
+        // corpus — ~8 bytes/doc, cluster-memory-resident even at
+        // 100 TB — so one eager materialization of the id frame is
+        // the honest trade at every scale.
+        val keepIds = TextAnalysis.qualityScore(dump)
+          .filter(col("verdict") === "keep").select("doc_id")
+          .localCheckpoint(true)
+        val dumpQ = dump.join(keepIds, "doc_id")
         val dupIds = Dedup.minhashLshAgainst(
             dumpQ.select(col("doc_id"), col("text")), corpus, 3, 0.5)
           .select(col("doc_b").as("doc_id")).distinct()
@@ -1448,7 +1456,10 @@ object Queries {
         val dump = all.filter(slice === 1)
         val evalSet = all.filter(slice === 2)
           .select(col("doc_id"), col("text"))
+        // same one-materialization trade as pipeline_intake_dump: the
+        // verdict table (id + verdict, tiny) feeds three consumers
         val verdicts = TextAnalysis.qualityScore(dump)
+          .select(col("doc_id"), col("verdict")).localCheckpoint(true)
         val qualityDrop = verdicts.filter(col("verdict") =!= "keep")
           .select(col("doc_id"), lit("quality").as("stage"))
         val dumpQ = dump.join(
