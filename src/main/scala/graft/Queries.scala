@@ -2733,6 +2733,31 @@ object Queries {
         | CAST(cume_dist() OVER (ORDER BY COUNT(*), event_type) AS DOUBLE) AS cd
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin),
+
+    // SQL:2003 aggregate FILTER clause + mixed DISTINCT aggregate in
+    // one grouping — both engines parse the standard syntax verbatim.
+    "sql_filter_clause" -> sqlParity(
+      """SELECT event_type,
+        | CAST(COUNT(*) FILTER (WHERE value > 0.5) AS BIGINT) AS hi_cnt,
+        | CAST(COUNT(*) FILTER (WHERE value <= 0.5) AS BIGINT) AS lo_cnt,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Correlated LATERAL derived table — the standard decorrelation
+    // surface (Spark plans it as a DomainJoin-rewritten aggregate).
+    "sql_lateral" -> sqlParity(
+      """SELECT n.n_name, t.cust_cnt FROM nation n,
+        | LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS cust_cnt
+        |          FROM customer c WHERE c.c_nationkey = n.n_nationkey) t
+        |ORDER BY n.n_name""".stripMargin),
+
+    // VALUES derived table joined against a fact — inline constant
+    // relations with a column-aliased row constructor.
+    "sql_values_join" -> sqlParity(
+      """SELECT v.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events e JOIN (VALUES (0, 'even'), (1, 'odd')) AS v(par, lbl)
+        |  ON e.user_id % 2 = v.par
+        |GROUP BY v.lbl ORDER BY v.lbl""".stripMargin),
   )
 
   // ------------------------------------------------------------ similarity
