@@ -2137,6 +2137,33 @@ object Queries {
              |WHERE bg.w1 = c12.w1 AND bg.w2 = c12.w2 AND bg.w1 = c1.cw1
              |GROUP BY bg.doc_id""".stripMargin)),
 
+    // CCNet's head/middle/tail corpus split by LM quality: NTILE(3)
+    // over the bigram LM score (best third = head, the tier models
+    // train on). Ties break on doc_id; the double scores are
+    // bit-identical across engines (text_bigram_lm), so the ordering
+    // and tiers match exactly.
+    "pipeline_ccnet_buckets" -> Decl(
+      (s, d) => TextAnalysis.ccnetBuckets(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+             |  FROM (SELECT doc_id,
+             |    unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(len(w)-1)]) AS u
+             |   FROM toks WHERE len(w) >= 2)),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1 AS cw1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+             |v AS (SELECT COUNT(DISTINCT word) AS v
+             |  FROM (SELECT unnest(w) AS word FROM toks)),
+             |lm AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CAST((c12.c12 + 1.0) / (c1.c1 + v.v) AS DECIMAL(38,18))) AS DOUBLE)
+             |    * 1000000.0 / COUNT(*) AS lm_ppm
+             | FROM bg, c12, c1, v
+             | WHERE bg.w1 = c12.w1 AND bg.w2 = c12.w2 AND bg.w1 = c1.cw1
+             | GROUP BY bg.doc_id)
+             |SELECT doc_id, n_bigrams, lm_ppm,
+             |  CASE NTILE(3) OVER (ORDER BY lm_ppm DESC, doc_id)
+             |   WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+             |FROM lm""".stripMargin)),
+
     // Corpus-frequency content score (exact-arithmetic CCNet
     // perplexity-bucket analog): mean corpus bigram frequency per doc.
     "pipeline_ngram_freq_score" -> Decl(
@@ -2839,6 +2866,62 @@ object Queries {
               |SELECT q_id, vec_id, cos_sim, rn FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
               |WHERE rn <= 10""".stripMargin)),
+
+    // ANN self-evaluation: recall@10 of the IVF index against the
+    // brute-force truth, per query — the measurement a production
+    // vector index ships with (FAISS-style recall benchmarks). Both
+    // sides are the SAME deterministic operators gated above, so the
+    // oracle recomputes truth and approximation in SQL and the recall
+    // fractions are exact rationals. The truth side's n² stays
+    // query-side-bounded (broadcast ≤4096 anchors), the ivf side is
+    // cell-pruned — evaluating recall costs no more than running both
+    // queries.
+    "sim_ivf_recall" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val truth = Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+            e.filter(col("vec_id") < 8), nProbe = 2, k = 10)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        truth.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+          .withColumn("recall_at_k",
+            col("hits").cast("double") / col("k"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |bs AS (SELECT q_id, vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |       FROM c, q WHERE vec_id <> q_id),
+              |truth AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
+              |  WHERE rn <= 10),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+              |scored AS (SELECT c.vec_id, c.v, c_id,
+              |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+              |assign AS (SELECT vec_id, v, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM scored)
+              |   WHERE rn = 1),
+              |qprobe AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn
+              |   FROM scored WHERE vec_id < 10)
+              |   WHERE rn <= 2),
+              |ivs AS (SELECT q_id, vec_id, ${duckCosine("qv", "av")} AS cos_sim FROM (
+              |      SELECT q.q_id, a.vec_id, q.qv, a.v AS av
+              |      FROM qprobe q JOIN assign a USING (cell) WHERE a.vec_id <> q.q_id)),
+              |approx AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM ivs)
+              |  WHERE rn <= 10)
+              |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+              |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+              |FROM truth t LEFT JOIN approx a
+              |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+              |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
 
     "sim_topk_lsh" -> Decl(
       (s, d) => {

@@ -613,4 +613,24 @@ object TextAnalysis {
           .cast("decimal(38,18)")).cast("double") * lit(1000000.0) /
           count(lit(1))).as("lm_ppm"))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: corpora
+    * are partitioned into thirds by LM perplexity, and models train on
+    * the best tier): NTILE(3) over the [[bigramLmScore]] quality score,
+    * best-scoring third labeled `head`. Ties break on doc_id, so the
+    * split is deterministic and engine-portable. The window is global
+    * but carries only (doc_id, score) — at 100 TB this is the classic
+    * two-pass quantile: the heavy lifting is the LM scoring; the final
+    * rank is a sort of an id+double relation, the same shape as the
+    * deterministic-shuffle operator.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bigramLmScore(docs)
+      .withColumn("tier",
+        element_at(lit(Array("head", "middle", "tail")),
+          ntile(3).over(
+            Window.orderBy(col("lm_ppm").desc, col("doc_id")))))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_ppm"), col("tier"))
+  }
 }
