@@ -1312,6 +1312,25 @@ object Queries {
              |  FROM documents)
              |WHERE rn <= 25""".stripMargin)),
 
+    // Temperature-scaled multilingual sampling (mT5/UniMax): quotas
+    // ∝ ⌊√n_lang⌋ over a 40% budget, integer-quantized end-to-end so
+    // both engines agree bit-for-bit; within-language membership is
+    // the shared md5-rank order. The oracle keeps the one-reducer
+    // ROW_NUMBER form while Spark ranks via the two-level bucket
+    // offsets — the derivations check each other.
+    "pipeline_sample_temperature" -> Decl(
+      (s, d) => Sampling.temperatureSample(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id", 40),
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY 1),
+             |w AS (SELECT lang, n_l, CAST(FLOOR(SQRT(CAST(n_l AS DOUBLE))) AS BIGINT) AS s_l FROM c),
+             |t AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n_total, CAST(SUM(s_l) AS BIGINT) AS s_total FROM w),
+             |tg AS (SELECT lang, ((t.n_total * 40) // 100) * s_l // t.s_total AS target_n FROM w, t),
+             |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+             |        ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT), doc_id) AS rk
+             |      FROM documents)
+             |SELECT r.doc_id, r.lang, CAST(rk AS BIGINT) AS sample_rank, tg.target_n
+             |FROM r JOIN tg USING (lang) WHERE rk <= tg.target_n""".stripMargin)),
+
     // Decontamination: train docs sharing >= 2 trigrams with a
     // hash-held-out "benchmark" slice (~4% of docs). The eval shingles
     // broadcast; the train corpus streams past map-side; only real
@@ -1805,6 +1824,24 @@ object Queries {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |  string_agg(tid, ',' ORDER BY pos) AS ids
              |FROM m GROUP BY doc_id""".stripMargin)),
+
+    // Vocabulary-coverage audit: per-language OOV rate under the same
+    // top-20 vocabulary pipeline_tokenize freezes — the mT5/XLM-R
+    // coverage table that catches a head-language vocab starving the
+    // tail. Rates are exact BIGINT/BIGINT doubles.
+    "pipeline_oov_rate" -> Decl(
+      (s, d) => TextAnalysis.oovRate(docs(s, d), 20),
+      Some("""WITH vc AS (SELECT term FROM (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+             |  GROUP BY term ORDER BY cnt DESC, term LIMIT 20)),
+             |e AS (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents),
+             |m AS (SELECT lang, tok, (vc.term IS NULL) AS oov FROM e LEFT JOIN vc ON e.tok = vc.term)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) FILTER (WHERE oov) AS BIGINT) AS n_oov,
+             |  CAST(COUNT(DISTINCT CASE WHEN oov THEN tok END) AS BIGINT) AS n_oov_terms,
+             |  CAST(COUNT(*) FILTER (WHERE oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+             |FROM m GROUP BY lang""".stripMargin)),
 
     // BPE tokenizer TRAINING (Sennrich et al. 2016): 8 merge rounds over
     // the word-count table — highest pair count wins, ties to the

@@ -32,6 +32,64 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Temperature-scaled multilingual sampling — the mT5/UniMax mixing
+    * pattern: draw languages proportionally to n_l^(1/τ) with τ = 2,
+    * flattening the head so low-resource languages keep
+    * representation instead of being drowned by the dominant one.
+    * Quantized to INTEGER arithmetic end-to-end so the sample is
+    * bit-reproducible, not merely statistically similar:
+    * s_l = ⌊√n_l⌋ (IEEE-754 sqrt is correctly rounded, so the floor
+    * is engine-deterministic for any BIGINT count), and the
+    * per-language quota is
+    * t_l = ((N · budgetPct) div 100) · s_l div Σ s_m — every step a
+    * BIGINT op. Membership within a language is the same md5-rank
+    * order every sampler here uses, so quotas compose with the other
+    * samplers and with re-runs.
+    *
+    * Scale shape: the per-language count table is |languages| rows —
+    * a one-row-per-key aggregate crossed with a 1-row total, both
+    * broadcast back. The within-language rank uses the SAME
+    * two-level bucket trick as [[deterministicShuffle]] (a plain
+    * `row_number over (partition by lang)` would funnel each
+    * language — billions of rows at corpus scale — through one
+    * reducer): hash high-bits range-bucket each language
+    * order-preservingly, per-(lang, bucket) counts cumulate into
+    * start offsets over a |langs|·nBuckets-row table (bounded,
+    * broadcast), and the global per-language rank is offset +
+    * bucket-local row_number. Bit-identical to the one-reducer form.
+    */
+  def temperatureSample(df: DataFrame, langCol: String, idCol: String,
+                        budgetPct: Int, nBuckets: Int = 4096): DataFrame = {
+    val counts = df.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("s_l", floor(sqrt(col("n_l").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("n_l")).as("n_total"),
+      sum(col("s_l")).as("s_total"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .withColumn("target_n",
+        expr(s"((n_total * $budgetPct) div 100) * s_l div s_total"))
+      .select(col(langCol), col("target_n"))
+    val width = (1L << 60) / nBuckets + 1
+    val keyed = df.select(col(idCol), col(langCol))
+      .withColumn("__skey", hash60(col(idCol).cast("string")))
+      .withColumn("__bucket", expr(s"__skey div $width"))
+    val offsets = keyed.groupBy(col(langCol), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.partitionBy(col(langCol))
+          .orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val within = Window.partitionBy(col(langCol), col("__bucket"))
+      .orderBy(col("__skey"), col(idCol))
+    keyed.join(broadcast(offsets), Seq(langCol, "__bucket"))
+      .withColumn("sample_rank",
+        (col("__off") + row_number().over(within)).cast("long"))
+      .join(broadcast(targets), Seq(langCol))
+      .filter(col("sample_rank") <= col("target_n"))
+      .select(col(idCol), col(langCol), col("sample_rank"), col("target_n"))
+  }
+
   /** Per-source rate sampling — the data-mixing knob (Pile/DoReMi
     * style): each source keeps a deterministic `rate_permille / 1000`
     * fraction of its documents, so the training mix hits target

@@ -341,6 +341,36 @@ object TextAnalysis {
           .as("ids"))
   }
 
+  /** Vocabulary-coverage report — the per-language OOV audit a
+    * tokenizer team runs before freezing a vocabulary: for each
+    * language, total tokens, tokens outside the corpus top-k
+    * vocabulary, distinct OOV terms, and the OOV rate as an exact
+    * BIGINT/BIGINT double. A vocabulary trained on a head-heavy
+    * multilingual corpus quietly starves tail languages (the
+    * coverage/fertility tables in the mT5 and XLM-R papers exist to
+    * catch exactly this); this is that audit as one query.
+    *
+    * Scale shape: the vocabulary is k rows by construction and
+    * BROADCASTS, so membership is a map-side hash lookup over the
+    * token explode; everything then collapses into a
+    * |languages|-row aggregate (partial map-side, one tiny shuffle).
+    * One corpus scan total — the explode never persists and nothing
+    * is ever collected.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val vocab = vocabTopK(docs, vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(vocab), col("tok") === col("term"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"),
+        countDistinct(when(col("__in_vocab").isNull, col("tok")))
+          .as("n_oov_terms"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Document fingerprint: full md5 plus a 60-bit integer form usable as
     * a join/partition key.
     */

@@ -33,6 +33,58 @@ class CurationSpec extends SparkSpec {
     assert(Sampling.stratified(docs, "lang", "doc_id", 10).count() === 3L)
   }
 
+  test("temperatureSample flattens the head: integer quotas, exact ranks") {
+    // 100 "big" + 9 "small": s = (10, 3), Σs = 13, N = 109,
+    // B = 109·40 div 100 = 43 → t_big = 43·10 div 13 = 33,
+    // t_small = 43·3 div 13 = 9 (the whole small stratum survives —
+    // the τ=2 flattening at work: big keeps 33%, small keeps 100%)
+    val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 109).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val got = Sampling.temperatureSample(docs, "lang", "doc_id", 40,
+      nBuckets = 8)
+    val per = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per === Map("big" -> 33L, "small" -> 9L))
+    assert(got.select("lang", "target_n").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("big" -> 33L, "small" -> 9L))
+    // the two-level bucket rank is bit-identical to the one-reducer
+    // window form (the oracle's shape)
+    import org.apache.spark.sql.expressions.Window
+    val plain = docs.withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(
+          graft.functions.TextFunctions.hash60(col("doc_id").cast("string")),
+          col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r"))
+    val mismatch = got.join(plain, "doc_id")
+      .filter(col("sample_rank") =!= col("r")).count()
+    assert(mismatch === 0L)
+    // partitioning-invariant: same member set from a 13-way repartition
+    val again = Sampling.temperatureSample(docs.repartition(13), "lang",
+      "doc_id", 40, nBuckets = 8)
+    assert(got.select("doc_id").except(again.select("doc_id")).count() === 0L
+      && again.count() === got.count())
+  }
+
+  test("oovRate: per-language counts and exact rates under a tiny vocab") {
+    // corpus term counts: a:2 b:2 d:2 c:1 → top-2 vocab (cnt desc,
+    // term asc tiebreak) = {a, b}
+    val docs = Seq((1L, "en", "a a b c"), (2L, "de", "b d d"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.oovRate(docs, 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("n_tokens") === 4L)
+    assert(en.getAs[Long]("n_oov") === 1L)      // c
+    assert(en.getAs[Long]("n_oov_terms") === 1L)
+    assert(en.getAs[Double]("oov_rate") === 0.25)
+    val de = got("de")
+    assert(de.getAs[Long]("n_tokens") === 3L)
+    assert(de.getAs[Long]("n_oov") === 2L)      // d, d
+    assert(de.getAs[Long]("n_oov_terms") === 1L)
+    assert(de.getAs[Double]("oov_rate") === 2.0 / 3.0)
+  }
+
   test("repetitionStats flags a repeated-bigram doc, keeps a clean one") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),          // one bigram repeated 4x
