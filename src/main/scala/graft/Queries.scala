@@ -1331,6 +1331,42 @@ object Queries {
              |SELECT r.doc_id, r.lang, CAST(rk AS BIGINT) AS sample_rank, tg.target_n
              |FROM r JOIN tg USING (lang) WHERE rk <= tg.target_n""".stripMargin)),
 
+    // UniMax mixing (Chung et al. 2023): cap every language at 2
+    // epochs and water-fill a 150%-of-corpus token budget smallest
+    // capacity first — tail languages repeat their FULL data exactly
+    // twice (n_copies = 2), the head language absorbs the leftover
+    // without repetition. The oracle replays the sequential
+    // water-filling recurrence as a recursive CTE over the
+    // |languages|-row histogram (the same bounded fold Spark runs
+    // driver-side); membership and remainder assignment reuse the
+    // shared md5-rank order, so both engines agree bit-for-bit.
+    "pipeline_sample_unimax" -> Decl(
+      (s, d) => Sampling.unimaxSample(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id",
+        budgetPct = 150, epochs = 2),
+      Some("""WITH RECURSIVE c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY 1),
+             |caps AS (SELECT lang, n_l, 2 * n_l AS cap,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY 2 * n_l, lang) AS BIGINT) AS i FROM c),
+             |tot AS (SELECT CAST(SUM(n_l) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS m FROM c),
+             |alloc(i, lang, n_l, quota, b_rem, m_rem) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |         (SELECT total * 150 // 100 FROM tot), (SELECT m FROM tot)
+             |  UNION ALL
+             |  SELECT caps.i, caps.lang, caps.n_l,
+             |         LEAST(caps.cap, alloc.b_rem // alloc.m_rem),
+             |         alloc.b_rem - LEAST(caps.cap, alloc.b_rem // alloc.m_rem),
+             |         alloc.m_rem - 1
+             |  FROM alloc JOIN caps ON caps.i = alloc.i + 1),
+             |q AS (SELECT lang, n_l, quota FROM alloc WHERE i > 0),
+             |r AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             |        ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT), doc_id) AS BIGINT) AS sample_rank
+             |      FROM documents)
+             |SELECT r.doc_id, r.lang, r.sample_rank,
+             |  (q.quota // q.n_l) + CASE WHEN r.sample_rank <= q.quota % q.n_l THEN 1 ELSE 0 END AS n_copies,
+             |  q.quota
+             |FROM r JOIN q USING (lang)
+             |WHERE (q.quota // q.n_l) + CASE WHEN r.sample_rank <= q.quota % q.n_l THEN 1 ELSE 0 END >= 1""".stripMargin)),
+
     // Decontamination: train docs sharing >= 2 trigrams with a
     // hash-held-out "benchmark" slice (~4% of docs). The eval shingles
     // broadcast; the train corpus streams past map-side; only real
@@ -1943,6 +1979,32 @@ object Queries {
              |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
              |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
              |GROUP BY term ORDER BY cnt DESC, term LIMIT 100""".stripMargin)),
+
+    // Feature-hashing document embeddings (Weinberger et al. 2009):
+    // signed token counts over 64 hash buckets, sparse (doc_id, dim,
+    // val) form with zero-sum buckets dropped — the no-trained-model
+    // text→vector bridge into the ANN tier, exact BIGINTs end-to-end.
+    "text_hash_embed" -> Decl(
+      (s, d) => TextAnalysis.hashEmbed(docs(s, d), 64),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id,
+             |        CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim,
+             |        CASE WHEN CAST('0x'||substr(md5('s:'||tok),1,15) AS BIGINT) % 2 = 0
+             |             THEN 1 ELSE -1 END AS sgn
+             |      FROM t)
+             |SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS val
+             |FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0""".stripMargin)),
+
+    // Token frequency-of-frequencies (the Good–Turing input table):
+    // for each occurrence count c, the number of distinct terms seen
+    // exactly c times — the hapax count N₁ is its first row.
+    "text_freq_spectrum" -> Decl(
+      (s, d) => TextAnalysis.freqSpectrum(docs(s, d)),
+      Some("""WITH tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+             |  GROUP BY 1)
+             |SELECT c AS occurrences, CAST(COUNT(*) AS BIGINT) AS n_terms
+             |FROM tc GROUP BY c""".stripMargin)),
   )
 
   // ----------------------------------------------------------------- dedup

@@ -69,6 +69,23 @@ object Sampling {
       .withColumn("target_n",
         expr(s"((n_total * $budgetPct) div 100) * s_l div s_total"))
       .select(col(langCol), col("target_n"))
+    langRanked(df, langCol, idCol, nBuckets)
+      .join(broadcast(targets), Seq(langCol))
+      .filter(col("sample_rank") <= col("target_n"))
+      .select(col(idCol), col(langCol), col("sample_rank"), col("target_n"))
+  }
+
+  /** Global per-language md5-rank without a per-language single
+    * reducer: hash high-bits range-bucket each language
+    * order-preservingly, per-(lang, bucket) counts cumulate into start
+    * offsets over a |langs|·nBuckets-row table (bounded, broadcast),
+    * and the global rank is offset + bucket-local row_number —
+    * bit-identical to `row_number over (partition by lang)` while every
+    * sort stays bucket-local. Shared by [[temperatureSample]] and
+    * [[unimaxSample]].
+    */
+  private def langRanked(df: DataFrame, langCol: String, idCol: String,
+                         nBuckets: Int): DataFrame = {
     val width = (1L << 60) / nBuckets + 1
     val keyed = df.select(col(idCol), col(langCol))
       .withColumn("__skey", hash60(col(idCol).cast("string")))
@@ -85,9 +102,67 @@ object Sampling {
     keyed.join(broadcast(offsets), Seq(langCol, "__bucket"))
       .withColumn("sample_rank",
         (col("__off") + row_number().over(within)).cast("long"))
+      .drop("__skey", "__bucket", "__off")
+  }
+
+  /** UniMax multilingual mixing (Chung et al. 2023): instead of a
+    * temperature, cap each language at `epochs` passes over its data
+    * and water-fill the document budget across languages — smallest
+    * capacity first, each language taking
+    * `min(epochs·n_l, ⌊remaining budget / remaining languages⌋)`, the
+    * leftover redistributing to the larger languages. The result is
+    * UniMax's signature shape: tail languages get ALL their data (up
+    * to the epoch cap, never more repetition than that), head
+    * languages split what's left near-uniformly.
+    *
+    * Output is one row per SELECTED document with `n_copies` — the
+    * number of times it appears in the mix (quota div n_l full epochs
+    * for everyone, +1 for the docs whose md5-rank falls inside the
+    * remainder) — so quota = Σ n_copies per language exactly, in pure
+    * BIGINT arithmetic, bit-reproducible across engines.
+    *
+    * Scale shape: the allocation recurrence is inherently sequential
+    * but runs over the per-language COUNT table — |languages| rows, a
+    * bounded driver-side fold (ISO gives ~200 languages; the corpus
+    * never leaves the cluster) whose result broadcasts back. Document
+    * membership is the same two-level bucketed md5-rank as every
+    * sampler here ([[langRanked]]) — no per-language single-reducer
+    * window, no collect of anything row-scaled.
+    */
+  def unimaxSample(df: DataFrame, langCol: String, idCol: String,
+                   budgetPct: Int, epochs: Int,
+                   nBuckets: Int = 4096): DataFrame = {
+    require(epochs >= 1 && budgetPct >= 1)
+    // |languages|-row bounded collect: the water-filling recurrence is
+    // sequential by definition; its input is the language histogram,
+    // never the corpus
+    val langCounts = df.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_l"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = langCounts.map(_._2).sum
+    var bRem = total * budgetPct / 100
+    var mRem = langCounts.length.toLong
+    val quotas = langCounts
+      .map { case (l, n) => (l, n, epochs.toLong * n) }
+      .sortBy { case (l, _, cap) => (cap, l) }
+      .map { case (l, n, cap) =>
+        val quota = math.min(cap, bRem / mRem)
+        bRem -= quota; mRem -= 1
+        (l, n, quota)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = quotas.toSeq.toDF(langCol, "n_l", "quota")
+    langRanked(df, langCol, idCol, nBuckets)
       .join(broadcast(targets), Seq(langCol))
-      .filter(col("sample_rank") <= col("target_n"))
-      .select(col(idCol), col(langCol), col("sample_rank"), col("target_n"))
+      .withColumn("n_copies",
+        expr("quota div n_l") +
+          when(col("sample_rank") <= col("quota") % col("n_l"), 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col(idCol), col(langCol), col("sample_rank"),
+        col("n_copies"), col("quota"))
   }
 
   /** Per-source rate sampling — the data-mixing knob (Pile/DoReMi

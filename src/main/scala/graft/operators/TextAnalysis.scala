@@ -663,4 +663,54 @@ object TextAnalysis {
             Window.orderBy(col("lm_ppm").desc, col("doc_id")))))
       .select(col("doc_id"), col("n_bigrams"), col("lm_ppm"), col("tier"))
   }
+
+  /** Feature-hashing document embeddings (the "hashing trick",
+    * Weinberger et al. 2009): every token hashes to one of `dims`
+    * buckets with a ±1 sign drawn from an independent hash, and the
+    * document's vector is the signed count per bucket — the classic
+    * cheap text→vector bridge (Vowpal Wabbit / fastText-bucket style)
+    * that turns raw text into something the ANN tier can index with no
+    * trained model in the loop. Output is the SPARSE form
+    * (doc_id, dim, val): zero-sum buckets are dropped, and values are
+    * exact BIGINTs, so the embedding is bit-reproducible across
+    * engines, runs, and partitionings.
+    *
+    * Scale shape: one token explode (codegen) into one
+    * (doc_id, dim)-keyed hash aggregation — map-side partials collapse
+    * repeated tokens before the single shuffle, and the shuffle key
+    * cardinality is ≤ docs·dims, independent of corpus token count.
+    * No vocabulary, no fit step, no driver state.
+    */
+  def hashEmbed(docs: DataFrame, dims: Int): DataFrame = {
+    require(dims > 0 && dims <= 4096, "bucket count must stay executor-sane")
+    val tok = explode(tokens(col("text")))
+    docs.select(col("doc_id"), tok.as("tok"))
+      .select(col("doc_id"),
+        pmod(hash60(col("tok")), lit(dims.toLong)).as("dim"),
+        when(pmod(hash60(concat(lit("s:"), col("tok"))), lit(2L)) === 0,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("val"))
+      .filter(col("val") =!= 0)
+  }
+
+  /** Token frequency-of-frequencies spectrum — for each occurrence
+    * count c, how many distinct terms occur exactly c times. This is
+    * the input table to Good–Turing smoothing and the standard
+    * vocabulary-health snapshot (the hapax-legomena count N₁ is its
+    * first row; a corpus whose N₁ share balloons after a bad OCR batch
+    * shows it here first).
+    *
+    * Scale shape: one term-count aggregation (the same shuffle
+    * [[vocabTopK]] pays) collapsed into a second aggregate whose key
+    * cardinality is the number of DISTINCT frequencies — O(√tokens)
+    * by Zipf, a few thousand rows at any corpus size.
+    */
+  def freqSpectrum(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_terms"))
+      .select(col("c").as("occurrences"), col("n_terms"))
 }

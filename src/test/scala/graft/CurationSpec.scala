@@ -540,4 +540,82 @@ class CurationSpec extends SparkSpec {
       .orderBy("rn").select("vec_id").as[Long].collect()
     assert(got.toSeq === Seq(10L, 12L))
   }
+
+  test("unimaxSample water-fills: tails repeat to the epoch cap, head absorbs the rest") {
+    // 100 "big" + 10 "small", epochs = 2, budget = 150% → B = 165,
+    // sorted by cap: small (cap 20) takes min(20, 165 div 2 = 82) = 20
+    // — its WHOLE data twice, never more (the UniMax signature) —
+    // then big takes min(200, 145 div 1) = 145: one full epoch
+    // (n_copies ≥ 1 for all 100) + 45 remainder docs at n_copies = 2.
+    val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val got = Sampling.unimaxSample(docs, "lang", "doc_id",
+      budgetPct = 150, epochs = 2, nBuckets = 8)
+    val copies = got.groupBy("lang").agg(
+        sum("n_copies").as("c"), count(lit(1)).as("n"),
+        max("n_copies").as("mx"), min("n_copies").as("mn"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // quota is met EXACTLY by Σ n_copies; every small doc selected twice
+    assert(copies("small") === ((20L, 10L, 2L, 2L)))
+    assert(copies("big") === ((145L, 100L, 2L, 1L)))
+    // remainder goes to the smallest md5-ranks: the 45 double-counted
+    // big docs are exactly ranks 1..45
+    val doubled = got.filter(col("lang") === "big" && col("n_copies") === 2)
+      .agg(min("sample_rank"), max("sample_rank"), count(lit(1))).head()
+    assert(doubled.toSeq === Seq(1L, 45L, 45L))
+    // partitioning-invariant
+    val again = Sampling.unimaxSample(docs.repartition(13), "lang",
+      "doc_id", budgetPct = 150, epochs = 2, nBuckets = 8)
+    assert(got.select("doc_id", "n_copies")
+      .except(again.select("doc_id", "n_copies")).count() === 0L
+      && again.count() === got.count())
+  }
+
+  test("unimaxSample never exceeds the epoch cap even with surplus budget") {
+    // budget 1000% of a 10-doc corpus, epochs 3 → every language is
+    // capped at 3 passes; surplus budget goes unspent
+    val docs = (0 until 10).map(i => (i.toLong, s"l${i % 2}"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.unimaxSample(docs, "lang", "doc_id",
+      budgetPct = 1000, epochs = 3, nBuckets = 4)
+    assert(got.agg(max("n_copies")).head().getLong(0) === 3L)
+    assert(got.agg(sum("n_copies")).head().getLong(0) === 30L)
+  }
+
+  test("hashEmbed: signed bucket counts reconstruct exactly and drop zero sums") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashEmbed(docs, 16)
+    // reference computation: same hashes, driver-side
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def sgn(t: String): Long = if (h60("s:" + t) % 2 == 0) 1L else -1L
+    val expect = Seq(1L -> Seq("a", "a", "b"), 2L -> Seq("a", "c"))
+      .flatMap { case (id, ts) => ts.map(t => ((id, h60(t) % 16), sgn(t))) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+      .filter(_._2 != 0L)
+      .map { case ((id, dim), v) => (id, dim, v) }.toSet
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSet === expect)
+    // partitioning-invariant (hash-agg order never leaks)
+    val again = TextAnalysis.hashEmbed(docs.repartition(7), 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === gotSet)
+  }
+
+  test("freqSpectrum conserves tokens and distinct terms") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "c d")).toDF("doc_id", "text")
+    // counts: a:3 b:2 c:2 d:1 → spectrum {1→1, 2→2, 3→1}
+    val got = TextAnalysis.freqSpectrum(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // invariants any corpus must satisfy: Σ c·n_terms = total tokens,
+    // Σ n_terms = |vocab|
+    assert(got.map { case (c, n) => c * n }.sum === 8L)
+    assert(got.values.sum === 4L)
+  }
 }
