@@ -23,6 +23,34 @@ object Queries {
   // arrive in many splits and this is a no-op by construction
   private def docs(s: SparkSession, dir: String) =
     Tables.read(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  /** Weak label for the declared NB-classifier queries: the Gopher
+    * word-count band (the rule that splits the synthetic corpus —
+    * the full battery's stopword rule fails every synthetic doc, which
+    * would train a single-class model).
+    */
+  private def nbWcLabel: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    size(split(col("text"), " ", -1)).cast("long").between(50L, 100000L)
+  }
+
+  /** Shared oracle CTE chain for the NB classifier: token labeling →
+    * per-bucket class counts `c` → totals `t` → vote table `v`.
+    * HUGEINT cross-multiplies mirror Spark's DECIMAL(38,0).
+    */
+  private val nbModelCtes: String =
+    """lt AS (SELECT len(string_split(text,' ')) BETWEEN 50 AND 100000 AS verdict,
+      |       unnest(string_split(text,' ')) AS tok FROM documents),
+      |c AS (SELECT CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim,
+      |        CAST(SUM(CASE WHEN verdict THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |        CAST(SUM(CASE WHEN verdict THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      |      FROM lt GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+      |             CAST(SUM(n_neg) AS BIGINT) AS t_neg FROM c),
+      |v AS (SELECT dim, n_pos, n_neg,
+      |  CAST(CASE WHEN CAST(n_pos+1 AS HUGEINT)*(t_neg+64) > CAST(n_neg+1 AS HUGEINT)*(t_pos+64) THEN 1
+      |            WHEN CAST(n_pos+1 AS HUGEINT)*(t_neg+64) < CAST(n_neg+1 AS HUGEINT)*(t_pos+64) THEN -1
+      |            ELSE 0 END AS BIGINT) AS vote FROM c, t)""".stripMargin
   private def emb(s: SparkSession, dir: String) =
     Tables.read(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
@@ -1754,6 +1782,48 @@ object Queries {
              |c AS (SELECT quantile_cont(ttr, 0.25) AS cutoff FROM s)
              |SELECT doc_id, ttr, cutoff FROM s, c WHERE ttr >= cutoff""".stripMargin)),
 
+    // In-engine weak-supervision quality classifier, train step:
+    // multinomial NB over 64 hashed token buckets, weak label
+    // evaluated inline (here the Gopher word-count band — the rule
+    // that splits the synthetic corpus, so BOTH classes train; on
+    // real data the full battery is the default). The bucket vote is
+    // the SIGN of the Laplace-smoothed log-odds via a
+    // cross-multiplied integer compare (DECIMAL(38,0) / HUGEINT — no
+    // float log), so the model is bit-identical across engines.
+    "pipeline_nb_model" -> Decl(
+      (s, d) => Curation.nbQualityModel(docs(s, d), 64, label = nbWcLabel),
+      Some(s"""WITH $nbModelCtes
+              |SELECT dim, n_pos, n_neg, vote FROM v""".stripMargin)),
+
+    // Score step: per-doc sum of bucket votes, predicted_keep =
+    // score > 0 — the distilled gate that generalizes past the hard
+    // rule conjunction, the role shipped fastText classifiers play.
+    "pipeline_nb_score" -> Decl(
+      (s, d) => Curation.nbQualityScore(docs(s, d), 64, label = nbWcLabel),
+      Some(s"""WITH $nbModelCtes,
+              |sc AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim
+              |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents))
+              |SELECT sc.doc_id, CAST(SUM(v.vote) AS BIGINT) AS score,
+              |  CAST(COUNT(*) AS BIGINT) AS n_tok, SUM(v.vote) > 0 AS predicted_keep
+              |FROM sc JOIN v USING (dim) GROUP BY 1""".stripMargin)),
+
+    // Classifier-vs-labeler confusion matrix: the 4-row audit a
+    // curation run publishes before swapping the rule gate for the
+    // learned one.
+    "pipeline_nb_confusion" -> Decl(
+      (s, d) => Curation.nbConfusion(docs(s, d), 64, label = nbWcLabel),
+      Some(s"""WITH $nbModelCtes,
+              |sc AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim
+              |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
+              |pred AS (SELECT sc.doc_id, SUM(v.vote) > 0 AS predicted_keep
+              |         FROM sc JOIN v USING (dim) GROUP BY 1),
+              |lbl AS (SELECT doc_id,
+              |        len(string_split(text,' ')) BETWEEN 50 AND 100000 AS label_keep
+              |        FROM documents)
+              |SELECT lbl.label_keep, pred.predicted_keep,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs
+              |FROM pred JOIN lbl USING (doc_id) GROUP BY 1, 2""".stripMargin)),
+
     // The 100 TB tier of the same gate: approx_percentile partial
     // sketches instead of the one-reducer exact sort. No SQL oracle
     // (engine-specific sketch boundary), driver records the weaker
@@ -2005,6 +2075,40 @@ object Queries {
              |  GROUP BY 1)
              |SELECT c AS occurrences, CAST(COUNT(*) AS BIGINT) AS n_terms
              |FROM tc GROUP BY c""".stripMargin)),
+
+    // Good–Turing adjusted counts as exact rationals over the
+    // frequency spectrum: r* = (r+1)·N_{r+1}/N_r, numerator and
+    // denominator kept as BIGINTs so no float division is compared.
+    "text_good_turing" -> Decl(
+      (s, d) => TextAnalysis.goodTuring(docs(s, d)),
+      Some("""WITH tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+             |  GROUP BY 1),
+             |sp AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM tc GROUP BY c)
+             |SELECT a.c AS r, a.n AS n_r, b.n AS n_r1, (a.c+1)*b.n AS r_star_num
+             |FROM sp a JOIN sp b ON b.c = a.c + 1""".stripMargin)),
+
+    // Count–min sketch (4×1024, md5-seeded rows) self-evaluated
+    // against the exact top-20 terms: cms_est = min over depth
+    // buckets, always ≥ exact (the CMS one-sided error bound) — the
+    // sketch is the 100 TB path, the exact count the audit.
+    "text_cms_topk" -> Decl(
+      (s, d) => TextAnalysis.cmsEstimate(docs(s, d), width = 1024,
+        depth = 4, k = 20),
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS term FROM documents),
+             |rws AS (SELECT unnest([0,1,2,3]) AS r),
+             |b AS (SELECT rws.r,
+             |        CAST('0x'||substr(md5('cms'||CAST(rws.r AS VARCHAR)||':'||tok.term),1,15) AS BIGINT) % 1024 AS bucket
+             |      FROM tok CROSS JOIN rws),
+             |sk AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+             |tk AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact FROM tok GROUP BY 1
+             |       ORDER BY exact DESC, term LIMIT 20),
+             |cand AS (SELECT tk.term, tk.exact, rws.r,
+             |        CAST('0x'||substr(md5('cms'||CAST(rws.r AS VARCHAR)||':'||tk.term),1,15) AS BIGINT) % 1024 AS bucket
+             |      FROM tk CROSS JOIN rws)
+             |SELECT cand.term, cand.exact, CAST(MIN(sk.cnt) AS BIGINT) AS cms_est
+             |FROM cand JOIN sk ON sk.r = cand.r AND sk.bucket = cand.bucket
+             |GROUP BY 1, 2""".stripMargin)),
   )
 
   // ----------------------------------------------------------------- dedup

@@ -240,4 +240,90 @@ object Curation {
         (col("n_target") * col("n_r") > col("n_grams") * col("n_t"))
           .as("selected"))
   }
+
+  /** Weak-supervision quality classifier, train step: a multinomial
+    * Naive Bayes model over hashed token features (the fastText-style
+    * distillation every large curation stack runs — CCNet's LM filter,
+    * Llama's "quality classifier" — here trained IN-ENGINE on weak
+    * labels from the Gopher rule battery rather than on a shipped
+    * model). Per hash bucket, token occurrences under pass/fail labels
+    * are counted, and the bucket's `vote` is the SIGN of its
+    * Laplace-smoothed log-odds — computed as a cross-multiplied
+    * integer comparison (`(n_pos+1)·(t_neg+D) ⋛ (n_neg+1)·(t_pos+D)`,
+    * in DECIMAL(38,0) so corpus-scale token counts cannot overflow),
+    * so no float log enters the model and both engines agree
+    * bit-for-bit.
+    *
+    * The weak label is any boolean Column over the document row
+    * (default: the full Gopher battery; the declared queries use the
+    * word-count band so the synthetic corpus trains both classes).
+    *
+    * Scale shape: ONE pass — the label is evaluated inline in
+    * the same projection that explodes tokens (no doc-keyed label
+    * join), then one hash aggregation whose key space is `dims`. The
+    * finished model is a dims-row table; the totals ride a 1-row
+    * aggregate crossJoin. No iteration, no driver state, no collect.
+    */
+  def nbQualityModel(docs: DataFrame, dims: Int,
+                     label: Column = TextAnalysis.gopherVerdict): DataFrame = {
+    require(dims > 0 && dims <= 65536, "model must stay broadcast-sized")
+    val labeled = docs.select(
+        label.as("verdict"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("verdict"),
+        pmod(hash60(col("tok")), lit(dims.toLong)).as("dim"))
+    val counts = labeled.groupBy(col("dim"))
+      .agg(sum(when(col("verdict"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("verdict"), 0L).otherwise(1L)).as("n_neg"))
+    val totals = counts.agg(
+      sum(col("n_pos")).as("t_pos"), sum(col("n_neg")).as("t_neg"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val lhs = dec(col("n_pos") + 1L) * dec(col("t_neg") + dims.toLong)
+    val rhs = dec(col("n_neg") + 1L) * dec(col("t_pos") + dims.toLong)
+    counts.crossJoin(broadcast(totals))
+      .select(col("dim"), col("n_pos"), col("n_neg"),
+        when(lhs > rhs, 1L).when(lhs < rhs, -1L).otherwise(0L).as("vote"))
+  }
+
+  /** Weak-supervision quality classifier, score step: every document's
+    * score is the sum of its tokens' bucket votes under the
+    * [[nbQualityModel]] trained on the same corpus — the binarized-NB
+    * decision rule. `predicted_keep = score > 0` is the distilled
+    * gate: unlike the rule battery it generalizes (a doc full of
+    * pass-leaning vocabulary scores positive even where a single hard
+    * rule would kill it), which is exactly the role the shipped
+    * fastText classifiers play in public pipelines.
+    *
+    * Scale shape: the model is a dims-row broadcast; scoring is one
+    * token explode joined map-side against it and one doc-keyed sum.
+    * Two corpus scans total (train + score), both shuffle-light.
+    */
+  def nbQualityScore(docs: DataFrame, dims: Int,
+                     label: Column = TextAnalysis.gopherVerdict): DataFrame = {
+    val model = nbQualityModel(docs, dims, label)
+      .select(col("dim"), col("vote"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(hash60(col("tok")), lit(dims.toLong)).as("dim"))
+      .join(broadcast(model), Seq("dim"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("vote")).as("score"), count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("score"), col("n_tok"),
+        (col("score") > 0L).as("predicted_keep"))
+  }
+
+  /** Classifier-vs-labeler confusion matrix: how the distilled NB gate
+    * ([[nbQualityScore]]) disagrees with the Gopher weak labels that
+    * trained it — the 4-row audit table a curation run publishes
+    * before swapping a rule gate for a learned one. A heavy
+    * false-keep row means the classifier is letting rule-rejected
+    * vocabulary through; at 100 TB this table is the whole decision.
+    */
+  def nbConfusion(docs: DataFrame, dims: Int,
+                  label: Column = TextAnalysis.gopherVerdict): DataFrame =
+    docs.select(col("doc_id"), label.as("label_keep"))
+      .join(nbQualityScore(docs, dims, label)
+        .select(col("doc_id"), col("predicted_keep")), "doc_id")
+      .groupBy(col("label_keep"), col("predicted_keep"))
+      .agg(count(lit(1)).as("n_docs"))
 }

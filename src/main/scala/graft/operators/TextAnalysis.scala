@@ -245,6 +245,20 @@ object TextAnalysis {
     * parallel at any scale.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
+    val (nW, rules) = gopherRuleExprs
+    docs.select(
+      (col("doc_id") +: nW.as("n_words") +:
+        rules.map { case (n, c) => c.as(n) }) :+
+        rules.map(_._2).reduce(_ && _).as("verdict"): _*)
+  }
+
+  /** The rule expressions behind [[gopherRules]], over `col("text")`:
+    * (word count, named rule columns). Factored so the NB weak-labeler
+    * ([[Curation.nbQualityModel]]) can evaluate the verdict inline in
+    * the same projection that explodes tokens — no doc-keyed label
+    * join at all.
+    */
+  private[operators] def gopherRuleExprs: (Column, Seq[(String, Column)]) = {
     val toks = tokens(col("text"))
     val nW = size(toks).cast("long")
     val sumLen = (length(col("text")).cast("long") - nW + 1L)
@@ -267,11 +281,13 @@ object TextAnalysis {
       "r_ellipsis" -> (ellipsis * 10L <= nLines * 3L),
       "r_alpha" -> ((nW - noAlpha) * 5L >= nW * 4L),
       "r_stop" -> (stops >= 2L))
-    docs.select(
-      (col("doc_id") +: nW.as("n_words") +:
-        rules.map { case (n, c) => c.as(n) }) :+
-        rules.map(_._2).reduce(_ && _).as("verdict"): _*)
+    (nW, rules)
   }
+
+  /** The Gopher verdict (all seven rules) as one Column over
+    * `col("text")`. */
+  private[operators] def gopherVerdict: Column =
+    gopherRuleExprs._2.map(_._2).reduce(_ && _)
 
   /** Corpus composition report: per (language, log₂ size class) doc
     * counts, token totals, and char totals — the histogram a curation
@@ -713,4 +729,67 @@ object TextAnalysis {
       .groupBy(col("c"))
       .agg(count(lit(1)).as("n_terms"))
       .select(col("c").as("occurrences"), col("n_terms"))
+
+  /** Good–Turing adjusted counts (Good 1953) over the frequency
+    * spectrum: for each occurrence class r with a populated successor
+    * class, the adjusted count r* = (r+1)·N_{r+1} / N_r — emitted as
+    * an EXACT rational (`r_star_num` = (r+1)·N_{r+1}, denominator
+    * `n_r`), so no float division enters the comparison and both
+    * engines agree bit-for-bit. The r=1 row's numerator over the
+    * total token count is the classic unseen-mass estimate P₀.
+    *
+    * Scale shape: [[freqSpectrum]]'s two aggregations plus a self-join
+    * over the O(√tokens)-row spectrum — the successor side broadcasts.
+    */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val spec = freqSpectrum(docs)
+    spec.as("a")
+      .join(broadcast(spec.as("b")),
+        col("b.occurrences") === col("a.occurrences") + 1L)
+      .select(col("a.occurrences").as("r"),
+        col("a.n_terms").as("n_r"),
+        col("b.n_terms").as("n_r1"),
+        ((col("a.occurrences") + 1L) * col("b.n_terms")).as("r_star_num"))
+  }
+
+  /** Count–min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005) self-evaluated against exact counts: build a depth×width
+    * counter sketch from one pass over the tokens, then estimate the
+    * exact top-k terms' counts as the min over their depth buckets.
+    * Output (term, exact, cms_est) — `cms_est ≥ exact` always (the CMS
+    * one-sided guarantee), with equality when no collision touched all
+    * depth rows. All hashes are the engine-portable md5-based
+    * [[TextFunctions.hash60]] with per-row seeds, so the sketch —
+    * unlike a real deployment's — is bit-reproducible and
+    * oracle-checkable.
+    *
+    * Scale shape: one token scan exploding into depth narrow
+    * (row, bucket) keys whose cardinality is depth·width regardless of
+    * corpus size — map-side partials collapse almost everything before
+    * the one tiny shuffle, and the finished sketch broadcasts to the
+    * estimation join. The exact top-k pays the same term aggregation
+    * [[vocabTopK]] does; at 100 TB the sketch path is the one you keep
+    * and the exact path is the audit.
+    */
+  def cmsEstimate(docs: DataFrame, width: Int, depth: Int,
+                  k: Int): DataFrame = {
+    require(width > 0 && depth > 0 && width.toLong * depth <= (1 << 20),
+      "sketch must stay broadcast-sized")
+    val terms = docs.select(explode(tokens(col("text"))).as("term"))
+    def buckets(term: Column): Column = array((0 until depth).map(r =>
+      pmod(hash60(concat(lit(s"cms$r:"), term)), lit(width.toLong))): _*)
+    val sketch = terms
+      .select(posexplode(buckets(col("term"))).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val topk = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term"))
+      .limit(k)
+    topk.select(col("term"), col("exact"),
+        posexplode(buckets(col("term"))).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("term"), col("exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
 }

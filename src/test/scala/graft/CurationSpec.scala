@@ -607,6 +607,115 @@ class CurationSpec extends SparkSpec {
     assert(again === gotSet)
   }
 
+  test("nbQualityModel votes match a driver-side reconstruction, both classes") {
+    // two sharply separated vocabularies under an explicit label
+    val docs = Seq(
+      (1L, "good fine nice good", true), (2L, "good nice fine", true),
+      (3L, "bad ugly junk bad junk", false), (4L, "bad ugly", false),
+      (5L, "good bad", true)).toDF("doc_id", "text", "lbl")
+    val dims = 16
+    val got = Curation.nbQualityModel(docs, dims, label = col("lbl"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val toks = Seq(
+      (Seq("good", "fine", "nice", "good"), true),
+      (Seq("good", "nice", "fine"), true),
+      (Seq("bad", "ugly", "junk", "bad", "junk"), false),
+      (Seq("bad", "ugly"), false),
+      (Seq("good", "bad"), true))
+    val counts = toks.flatMap { case (ts, l) => ts.map(t => (h60(t) % dims, l)) }
+      .groupBy(_._1).map { case (dim, xs) =>
+        dim -> (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val tPos = counts.values.map(_._1).sum
+    val tNeg = counts.values.map(_._2).sum
+    val expect = counts.map { case (dim, (p, n)) =>
+      val l = BigInt(p + 1) * BigInt(tNeg + dims)
+      val r = BigInt(n + 1) * BigInt(tPos + dims)
+      dim -> (p, n, l.compare(r).toLong)
+    }
+    assert(got === expect)
+    // a pure-"good" bucket votes +1, a pure-"bad" bucket votes -1
+    assert(got(h60("fine") % dims)._3 === 1L)
+    assert(got(h60("junk") % dims)._3 === -1L)
+  }
+
+  test("nbQualityScore sums votes per doc and Σ(n_pos+n_neg) = total tokens") {
+    val docs = Seq(
+      (1L, "good fine nice good", true), (2L, "good nice fine", true),
+      (3L, "bad ugly junk bad junk", false), (4L, "bad ugly", false),
+      (5L, "good bad", true)).toDF("doc_id", "text", "lbl")
+    val model = Curation.nbQualityModel(docs, 16, label = col("lbl"))
+    assert(model.agg(sum(col("n_pos") + col("n_neg"))).head().getLong(0)
+      === 16L) // 4+3+5+2+2 tokens
+    // expected score = Σ model votes over each doc's token buckets
+    // (votes read back from the model, so hash collisions at dims=16
+    // are accounted for, not assumed away)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val votes = model.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val toks = Map(1L -> Seq("good", "fine", "nice", "good"),
+      2L -> Seq("good", "nice", "fine"),
+      3L -> Seq("bad", "ugly", "junk", "bad", "junk"),
+      4L -> Seq("bad", "ugly"), 5L -> Seq("good", "bad"))
+    val expect = toks.map { case (id, ts) =>
+      id -> ts.map(t => votes(h60(t) % 16)).sum }
+    val scored = Curation.nbQualityScore(docs, 16, label = col("lbl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored === expect)
+    // n_tok conservation: Σ n_tok = corpus tokens
+    val nTok = Curation.nbQualityScore(docs, 16, label = col("lbl"))
+      .agg(sum("n_tok")).head().getLong(0)
+    assert(nTok === 16L)
+    // partitioning invariance
+    val again = Curation.nbQualityScore(docs.repartition(7), 16,
+      label = col("lbl")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === scored)
+  }
+
+  test("nbConfusion on a separable corpus recovers the labels exactly") {
+    val docs = Seq(
+      (1L, "good fine nice good", true), (2L, "good nice fine", true),
+      (3L, "bad ugly junk bad junk", false), (4L, "bad ugly", false))
+      .toDF("doc_id", "text", "lbl")
+    val got = Curation.nbConfusion(docs, 16, label = col("lbl"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map((true, true) -> 2L, (false, false) -> 2L))
+  }
+
+  test("cmsEstimate is a one-sided overestimate, exact when collision-free") {
+    val docs = Seq((1L, "a a a b b c d"), (2L, "a b e f")).toDF("doc_id", "text")
+    // wide sketch: no collisions plausible over 6 terms → est == exact
+    val wide = TextAnalysis.cmsEstimate(docs, width = 4096, depth = 4, k = 6)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    assert(wide.forall { case (_, (exact, est)) => est === exact })
+    assert(wide.toMap.apply("a")._1 === 4L)
+    // brutally narrow sketch: still never underestimates
+    val narrow = TextAnalysis.cmsEstimate(docs, width = 2, depth = 2, k = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(narrow.forall { case (exact, est) => est >= exact })
+  }
+
+  test("goodTuring emits exact rationals over the spectrum") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "c d")).toDF("doc_id", "text")
+    // counts a:3 b:2 c:2 d:1 → spectrum {1→1, 2→2, 3→1}
+    // r=1: n_r=1, n_r1=2, num=(1+1)·2=4;  r=2: n_r=2, n_r1=1, num=3
+    val got = TextAnalysis.goodTuring(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(1L -> (1L, 2L, 4L), 2L -> (2L, 1L, 3L)))
+  }
+
   test("freqSpectrum conserves tokens and distinct terms") {
     val docs = Seq((1L, "a a a b b c"), (2L, "c d")).toDF("doc_id", "text")
     // counts: a:3 b:2 c:2 d:1 → spectrum {1→1, 2→2, 3→1}
