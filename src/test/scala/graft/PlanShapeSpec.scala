@@ -170,6 +170,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("NB classifier: model broadcasts to the scoring join, no sorts or cartesians") {
+    // train is one hash aggregation over dims keys; scoring joins the
+    // dims-row model broadcast against the token stream — the only
+    // shape that holds when the corpus is 100 TB and the model is 64
+    // rows. A SortMergeJoin or cartesian here means the broadcast hint
+    // was lost; a rangepartitioning exchange means something sorted
+    // the token stream.
+    for (q <- Seq("pipeline_nb_score", "pipeline_nb_confusion")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("Exchange rangepartitioning"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("CMS sketch and spectrum stay hash-aggregated, broadcast-joined") {
+    val p = plan("text_cms_topk")
+    // the sketch (depth·width rows) broadcasts to the candidate join
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val gt = plan("text_good_turing")
+    // the spectrum self-join broadcasts its successor side
+    assert(gt.contains("BroadcastHashJoin"), gt.take(2000))
+    assert(!gt.contains("SortMergeJoin"), gt.take(2000))
+  }
+
   test("ngram frequency score: hash joins and aggregates, no sorts") {
     // counts aggregate BEFORE the join (broadcastable at this SF); the
     // raw gram stream must never be sorted or cross-joined
