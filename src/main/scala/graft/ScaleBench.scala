@@ -33,14 +33,17 @@ object ScaleBench {
     * quiet-box curve to exonerate them: the ExactSubstr positional-gram
     * pass, the SimHash bit-sum fold, the triangle wedge join, the
     * curate→tokenize composite, batched BPE training, and the
-    * sign-LSH ANN search (the other r7 "weak on measurement" query).
+    * sign-LSH ANN search (the other r7 "weak on measurement" query);
+    * plus the late-round-8 classifier tier: NB train+score (two corpus
+    * scans, dims-row broadcast model) and the feature-hashing
+    * embedding (one explode + one docs·dims-keyed aggregation).
     */
   val ScaleQueries: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_simhash_neardup", "dedup_cross_corpus_lsh",
     "pipeline_intake_dump", "sim_topk_ivf",
     "dedup_exact_substr", "dedup_simhash", "rel_triangles",
     "pipeline_curate_tokenize", "pipeline_bpe_train256",
-    "sim_topk_lsh")
+    "sim_topk_lsh", "pipeline_nb_score", "text_hash_embed")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution) — the original five
