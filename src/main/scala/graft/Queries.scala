@@ -2109,6 +2109,73 @@ object Queries {
              |SELECT cand.term, cand.exact, CAST(MIN(sk.cnt) AS BIGINT) AS cms_est
              |FROM cand JOIN sk ON sk.r = cand.r AND sk.bucket = cand.bucket
              |GROUP BY 1, 2""".stripMargin)),
+
+    // BM25 retrieval scoring (Robertson/Walker; Lucene 1+odds idf)
+    // against a 3-term query mixing the corpus's one rare term with
+    // two common ones — per-(doc,term) weights quantized to
+    // DECIMAL(38,18) before the doc sum so both engines agree.
+    "text_bm25" -> Decl(
+      (s, d) => TextAnalysis.bm25(docs(s, d),
+        Seq("dup", "spark", "vector")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+             |h AS (SELECT doc_id, term FROM tok WHERE term IN ('dup','spark','vector')),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM h GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM h GROUP BY 1),
+             |w AS (SELECT tf.doc_id, tf.tf,
+             |        CAST(ln(1.0 + (st.n_docs - df.df + 0.5)/(df.df + 0.5))
+             |             * (tf.tf*2.2)
+             |             / (tf.tf + 1.2*(0.25 + 0.75*(dl.dl/(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
+             |          AS DECIMAL(38,18)) AS w
+             |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             |  CAST(SUM(tf) AS BIGINT) AS n_hits, CAST(SUM(w) AS DOUBLE) AS bm25
+             |FROM w GROUP BY 1""".stripMargin)),
+
+    // Inverted-index posting-list heads: the 25 highest-df terms with
+    // df, total count, and the first 20 doc_ids of each posting list —
+    // the rank-capped window is the same WindowGroupLimit hot-key
+    // discipline as the dedup bucket caps.
+    "text_posting_heads" -> Decl(
+      (s, d) => TextAnalysis.postingHeads(docs(s, d), k = 25,
+        headLen = 20),
+      Some("""WITH p AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+             |  GROUP BY 1, 2),
+             |tp AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS cnt
+             |       FROM p GROUP BY 1 ORDER BY df DESC, term LIMIT 25),
+             |h AS (SELECT p.term, p.doc_id,
+             |        row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id) AS rn
+             |      FROM p JOIN tp USING (term))
+             |SELECT tp.term, tp.df, tp.cnt,
+             |  string_agg(CAST(h.doc_id AS VARCHAR), ',' ORDER BY h.doc_id) AS head
+             |FROM tp JOIN h USING (term) WHERE h.rn <= 20
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // RAG-style token chunking: 64-token windows every 48 tokens
+    // (16-token overlap), trailing chunk short — a pure per-row
+    // explode, no shuffle at any scale.
+    "pipeline_chunk_stride" -> Decl(
+      (s, d) => TextAnalysis.chunkStride(docs(s, d), chunk = 64,
+        stride = 48),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |s AS (SELECT doc_id, w, unnest(generate_series(0, len(w)-1, 48)) AS st FROM t)
+             |SELECT doc_id, CAST(st//48 AS BIGINT) AS chunk_id,
+             |  CAST(len(w[st+1:st+64]) AS BIGINT) AS n_tokens,
+             |  array_to_string(w[st+1:st+64], ' ') AS chunk_text
+             |FROM s""".stripMargin)),
+
+    // k-anonymity audit (Sweeney 2002) on the released-metadata
+    // quasi-identifiers (lang, source, 256-char length band): every
+    // equivalence class with its size, classes under k=5 flagged —
+    // the metadata-side privacy gate that pairs with the PII scrub.
+    "pipeline_k_anon" -> Decl(
+      (s, d) => Curation.kAnonymityAudit(docs(s, d), k = 5, band = 256),
+      Some("""SELECT lang, source, CAST(n_chars//256 AS BIGINT) AS len_band,
+             |  CAST(COUNT(*) AS BIGINT) AS class_size,
+             |  COUNT(*) < 5 AS risky
+             |FROM documents GROUP BY 1, 2, 3""".stripMargin)),
   )
 
   // ----------------------------------------------------------------- dedup

@@ -16,14 +16,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver's events table carries TIMESTAMP(NANOS) parquet columns,
-    // which Spark's reader rejects. Read nanos as raw longs and truncate
-    // to microsecond timestamps — exactly what DuckDB's reader does —
-    // so both engines see identical values.
+    // The driver's events table has shipped ts as TIMESTAMP(NANOS)
+    // (which Spark's reader rejects — read nanos as raw longs and
+    // truncate to micros, exactly what DuckDB does) and, since the
+    // 2026-08-13 regeneration, as TIMESTAMP(MICROS) without timezone
+    // (Spark reads TIMESTAMP_NTZ). Both normalize here to session-tz
+    // TIMESTAMP — the session is pinned UTC, so wall-clock values are
+    // bit-identical to DuckDB's naive reading either way, and every
+    // operator keeps one ts type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 

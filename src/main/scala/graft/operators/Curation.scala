@@ -326,4 +326,30 @@ object Curation {
         .select(col("doc_id"), col("predicted_keep")), "doc_id")
       .groupBy(col("label_keep"), col("predicted_keep"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** k-anonymity audit over quasi-identifiers (Sweeney 2002): group
+    * the corpus into equivalence classes on (lang, source,
+    * ⌊n_chars/band⌋) — the released-metadata columns an attacker could
+    * link on — and flag every class smaller than `k`. A row in a
+    * `risky` class is re-identifiable to within class_size candidates;
+    * the publish step either suppresses those rows or coarsens the
+    * bands until the audit is clean. This is the privacy gate that
+    * pairs with the PII text scrub: the scrub removes identifiers
+    * INSIDE documents, this audit bounds what the metadata itself
+    * leaks.
+    *
+    * Scale shape: one hash aggregation keyed on the quasi-identifier
+    * tuple (map-side partials collapse everything; the output is
+    * |classes| rows, bounded by the identifier-domain product, not the
+    * corpus). Nothing else — the cheapest pass in the pipeline.
+    */
+  def kAnonymityAudit(docs: DataFrame, k: Int, band: Int): DataFrame = {
+    require(k > 0 && band > 0)
+    docs.select(col("lang"), col("source"),
+        (col("n_chars").cast("long") / lit(band)).cast("long")
+          .as("len_band"))
+      .groupBy(col("lang"), col("source"), col("len_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("risky", col("class_size") < k)
+  }
 }

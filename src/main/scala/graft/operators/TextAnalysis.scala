@@ -792,4 +792,121 @@ object TextAnalysis {
       .groupBy(col("term"), col("exact"))
       .agg(min(col("cnt")).as("cms_est"))
   }
+
+  /** BM25 retrieval scoring (Robertson & Walker 1994; the Lucene
+    * `1 + odds` idf variant that keeps every weight positive): score
+    * each document containing at least one query term by
+    * Σ_t idf(t) · tf·(k₁+1) / (tf + k₁·(1−b+b·dl/avgdl)) with
+    * k₁=1.2, b=0.75 — the ranking function behind the lexical half of
+    * every retrieval/RAG stack, and the relevance gate a
+    * training-data pipeline uses to mine topic-targeted subsets.
+    *
+    * Determinism: each per-(doc,term) weight is a fixed tree of IEEE
+    * double ops mirrored operation-for-operation in the oracle SQL,
+    * quantized to DECIMAL(38,18) BEFORE the per-doc sum, so the sum
+    * is exact-decimal and partitioning-invariant; the only
+    * cross-engine wobble is ≤1 ulp in `ln`, absorbed by the gate's
+    * 6-decimal rounding.
+    *
+    * Scale shape: the query-term filter is a literal in-set predicate
+    * evaluated map-side at the scan (the corpus never shuffles rows
+    * that miss the query), tf aggregates on (doc, term) with map-side
+    * partials, df and the corpus stats are |Q|-row and 1-row
+    * broadcasts, and the doc-length join keys on doc_id. Nothing is
+    * quadratic; output is bounded by docs-with-a-hit.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 64,
+      "query terms are a literal broadcast set")
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+    val tf = hits.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = hits.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // 1-row aggregate, broadcast
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("w",
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+          .cast("decimal(38,18)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("tf")).as("n_hits"),
+        sum(col("w")).cast("double").as("bm25"))
+  }
+
+  /** Inverted-index posting-list heads: for the `k` highest-df terms,
+    * the document frequency, total occurrence count, and the first
+    * `headLen` doc_ids of the posting list (ascending, comma-joined) —
+    * the index page a retrieval engine materializes per term, with the
+    * head capped exactly the way a real index paginates.
+    *
+    * Scale shape: (term, doc) counts aggregate with map-side partials;
+    * the top-k term table is a k-row broadcast; the head cap is a
+    * rank-filtered window (Spark pushes it as WindowGroupLimit, so hot
+    * stopword postings truncate map-side before the sort — the same
+    * hot-key discipline as the dedup bucket caps). The bounded
+    * collect_list holds ≤ headLen ids per group by construction.
+    */
+  def postingHeads(docs: DataFrame, k: Int, headLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && headLen > 0 && k.toLong * headLen <= (1 << 20),
+      "the materialized head pages must stay driver-bounded")
+    val pairs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val top = pairs.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cnt"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+    val rn = row_number().over(
+      Window.partitionBy(col("term")).orderBy(col("doc_id")))
+    pairs.join(broadcast(top), Seq("term"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= headLen)
+      .groupBy(col("term"), col("df"), col("cnt"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("head"))
+  }
+
+  /** Fixed-size token chunking with stride (the RAG/embedding-prep
+    * split: windows of `chunk` tokens starting every `stride` tokens,
+    * so consecutive chunks overlap by `chunk − stride`): emits
+    * (doc_id, chunk_id, n_tokens, chunk_text) with the trailing chunk
+    * short when the document ends mid-window. `stride = chunk` is
+    * exact partitioning (token conservation, spec-pinned); smaller
+    * strides give the overlap an embedding pipeline wants so no
+    * semantic span straddles a hard cut.
+    *
+    * Scale shape: a pure per-row explode — starts come from a
+    * `sequence` over the doc's own length, so output rows are
+    * Σ ⌈dl/stride⌉ with no shuffle at all; chunk slicing is codegen
+    * array arithmetic. Embarrassingly parallel at any corpus size.
+    */
+  def chunkStride(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      "stride beyond the chunk size would drop tokens")
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(stride)))
+          .as("st"))
+      .select(col("doc_id"),
+        (col("st").cast("long") / lit(stride)).cast("long").as("chunk_id"),
+        size(slice(col("w"), col("st") + 1, lit(chunk))).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("w"), col("st") + 1, lit(chunk)), " ")
+          .as("chunk_text"))
+  }
 }
