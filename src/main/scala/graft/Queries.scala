@@ -2176,6 +2176,46 @@ object Queries {
              |  CAST(COUNT(*) AS BIGINT) AS class_size,
              |  COUNT(*) < 5 AS risky
              |FROM documents GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Heaps'-law vocabulary-growth curve: per first-seen doc, new
+    // terms contributed and cumulative vocabulary — the cumulative
+    // window runs over ≤|vocabulary| rows, never corpus rows.
+    "text_vocab_growth" -> Decl(
+      (s, d) => TextAnalysis.vocabGrowth(docs(s, d)),
+      Some("""WITH fs AS (SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+             |  GROUP BY 1),
+             |g AS (SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS new_terms FROM fs GROUP BY 1)
+             |SELECT first_doc, new_terms,
+             |  CAST(SUM(new_terms) OVER (ORDER BY first_doc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+             |FROM g""".stripMargin)),
+
+    // Pairwise language vocabulary overlap: exact intersection and
+    // per-side vocabulary sizes for every unordered language pair —
+    // the corpus-similarity table behind multilingual mixing.
+    "pipeline_lang_overlap" -> Decl(
+      (s, d) => Curation.langVocabOverlap(docs(s, d)),
+      Some("""WITH v AS (SELECT DISTINCT lang, term
+             |  FROM (SELECT lang, unnest(string_split(text,' ')) AS term FROM documents)),
+             |s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS v_size FROM v GROUP BY 1),
+             |i AS (SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS BIGINT) AS inter
+             |      FROM v a JOIN v b ON a.term = b.term AND a.lang < b.lang GROUP BY 1, 2)
+             |SELECT i.lang_a, i.lang_b, i.inter, sa.v_size AS size_a, sb.v_size AS size_b
+             |FROM i JOIN s sa ON sa.lang = i.lang_a JOIN s sb ON sb.lang = i.lang_b""".stripMargin)),
+
+    // Seeded Laplace-mechanism noisy histogram (Dwork et al. 2006),
+    // ε=1: per-language counts with md5-seeded inverse-CDF noise —
+    // reproducible by construction (which a REAL DP release must never
+    // be; swap the seed for a secure RNG in deployment).
+    "pipeline_dp_counts" -> Decl(
+      (s, d) => Curation.dpCounts(docs(s, d), epsilon = 1.0),
+      Some("""WITH h AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+             |u AS (SELECT lang, n_docs,
+             |  CAST(CAST('0x'||substr(md5('dp:'||lang),1,15) AS BIGINT) AS DOUBLE)/1152921504606846976.0 AS u
+             |  FROM h)
+             |SELECT lang, n_docs,
+             |  n_docs + (-sign(u-0.5) * ln(1.0 - 2.0*abs(u-0.5))) / 1.0 AS noisy_n
+             |FROM u""".stripMargin)),
   )
 
   // ----------------------------------------------------------------- dedup

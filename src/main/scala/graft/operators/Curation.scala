@@ -352,4 +352,69 @@ object Curation {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("risky", col("class_size") < k)
   }
+
+  /** Pairwise language vocabulary overlap: for every unordered pair of
+    * languages, the intersection size of their distinct-term
+    * vocabularies plus each side's vocabulary size — the corpus-
+    * similarity table behind multilingual mixing decisions (two
+    * languages whose vocabularies barely intersect share little
+    * transfer; a near-total overlap flags mislabeled language IDs).
+    * All three numbers are exact BIGINTs; Jaccard is the caller's one
+    * division, kept out of the engine so the comparison stays
+    * integer-exact.
+    *
+    * Scale shape: one (lang, term) distinct (map-side partials), a
+    * term-keyed self-join whose output is bounded by
+    * |vocabulary|·|langs|² — vocabulary-scaled, never corpus-scaled —
+    * and a |langs|²-row aggregate joined against the |langs|-row size
+    * table (broadcast).
+    */
+  def langVocabOverlap(docs: DataFrame): DataFrame = {
+    val v = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val sizes = v.groupBy(col("lang")).agg(count(lit(1)).as("v_size"))
+    v.as("a").join(v.as("b"),
+        col("a.term") === col("b.term") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("lang", "lang_a")
+        .withColumnRenamed("v_size", "size_a")), "lang_a")
+      .join(broadcast(sizes.withColumnRenamed("lang", "lang_b")
+        .withColumnRenamed("v_size", "size_b")), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("inter"),
+        col("size_a"), col("size_b"))
+  }
+
+  /** Differentially-private-mechanism noisy histogram (Dwork et al.
+    * 2006 Laplace mechanism, SEEDED): per-language document counts
+    * with additive Laplace(1/ε) noise whose uniform draw comes from
+    * the md5 of the class key instead of a real RNG. The seeding makes
+    * the release bit-reproducible (and oracle-checkable) — which is
+    * exactly what a REAL ε-DP release must never do: a deployment
+    * replaces [[graft.functions.TextFunctions.hash60]] with a secure
+    * random source and keeps everything else. This operator documents
+    * the mechanism's dataflow (exact counts never leave the engine —
+    * only the noised column does) rather than claiming a privacy
+    * guarantee.
+    *
+    * Noise derivation: u = hash60("dp:"+lang)/2⁶⁰ ∈ [0,1), then the
+    * Laplace inverse CDF −sign(u−½)·ln(1−2·|u−½|)/ε — a fixed tree of
+    * IEEE double ops mirrored in the oracle, ≤1 ulp wobble in ln
+    * absorbed by the gate's 6-decimal rounding.
+    *
+    * Scale shape: one |langs|-row hash aggregation; the noise is a
+    * per-group projection. Nothing else.
+    */
+  def dpCounts(docs: DataFrame, epsilon: Double): DataFrame = {
+    require(epsilon > 0.0)
+    val u = hash60(concat(lit("dp:"), col("lang"))).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val half = u - lit(0.5)
+    val noise = (-signum(half)) * log(lit(1.0) - lit(2.0) * abs(half)) /
+      lit(epsilon)
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("noisy_n", col("n_docs") + noise)
+  }
 }

@@ -881,6 +881,34 @@ object TextAnalysis {
           _.cast("string")), ",").as("head"))
   }
 
+  /** Vocabulary-growth curve (the Heaps'-law audit): for each document
+    * that introduces at least one never-seen-before term (by doc_id
+    * order), the number of new terms it contributes and the cumulative
+    * vocabulary size after it. Curation uses the curve two ways: a
+    * flattening tail says the corpus has stopped teaching the
+    * tokenizer new types (diminishing returns for vocab training), and
+    * a sudden jump flags a contamination/format break mid-corpus.
+    *
+    * Scale shape: one (term, doc) distinct + a term-keyed min — both
+    * map-side-partial aggregations — then a per-first-doc count. The
+    * cumulative window is unpartitioned but runs over AT MOST
+    * |vocabulary| rows (one per first-seen doc), the same provably-tiny
+    * relation class as the daily series — never corpus-scaled.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    firstSeen.groupBy(col("first_doc"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_vocab",
+        sum(col("new_terms")).over(
+          Window.orderBy(col("first_doc"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Fixed-size token chunking with stride (the RAG/embedding-prep
     * split: windows of `chunk` tokens starting every `stride` tokens,
     * so consecutive chunks overlap by `chunk − stride`): emits

@@ -727,4 +727,44 @@ class CurationSpec extends SparkSpec {
     assert(got.map { case (c, n) => c * n }.sum === 8L)
     assert(got.values.sum === 4L)
   }
+
+  test("vocabGrowth: first-seen attribution, monotone cumulative, totals") {
+    // doc 1 brings {a,b}; doc 2 brings {c}; doc 3 brings nothing new;
+    // doc 4 brings {d}
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c"), (4L, "d a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs).orderBy("first_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 3L), (4L, 1L, 4L)))
+  }
+
+  test("langVocabOverlap: exact intersections, unordered pairs once") {
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "c d"),
+      (3L, "de", "c d e"), (4L, "fr", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.langVocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // en∩de = {c,d}; fr shares nothing → no fr rows at all
+    assert(got === Map(("de", "en") -> (2L, 3L, 4L)))
+    // a < b ordering means the (en,de) pair appears exactly once
+    assert(got.keySet.forall { case (a, b) => a < b })
+  }
+
+  test("dpCounts: exact counts intact, noise deterministic and finite") {
+    val docs = (0 until 60).map(i => (i.toLong, s"lang${i % 3}", "x"))
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.dpCounts(docs, epsilon = 1.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.values.map(_._1).sum === 60L)
+    got.values.foreach { case (n, noisy) =>
+      assert(!noisy.isNaN && !noisy.isInfinite)
+      assert(noisy !== n.toDouble) // Laplace noise is a.s. nonzero
+    }
+    // seeded: a re-run and a repartitioned run release identical noise
+    val again = Curation.dpCounts(docs.repartition(5), epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got.foreach { case (l, (_, noisy)) => assert(again(l) === noisy) }
+  }
 }
