@@ -29,18 +29,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query seconds from a prior bench JSON line. The file is this
-    * harness's own output (flat `"queries":{"name":sec,...}`), so a
-    * scoped regex parse is exact — no JSON library needed.
+  /** Per-query seconds from a prior bench file. Two formats exist:
+    * this harness's own output line (flat `"queries":{"name":sec,...}`)
+    * and the driver's `BENCH_r*.json`, which wraps that line ESCAPED
+    * inside a `"tail"` field (`\"queries\":{\"name\":sec,...`). The raw
+    * text is tried first; when the flat object is absent the text is
+    * JSON-unescaped (`\"` → `"`) and re-tried — so the historical-
+    * minimum reference is populated from either format. (Round 8
+    * shipped a raw-only parse: the >3× rerun guard silently never
+    * fired against driver files.)
     */
   def parsePrevQueries(text: String): Map[String, Double] = {
     val qObj = """"queries"\s*:\s*\{([^}]*)\}""".r
     val pair = """"([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
-    qObj.findFirstMatchIn(text).map { m =>
-      pair.findAllMatchIn(m.group(1)).flatMap { p =>
-        scala.util.Try(p.group(1) -> p.group(2).toDouble).toOption
-      }.toMap
-    }.getOrElse(Map.empty)
+    def parse(t: String): Map[String, Double] =
+      qObj.findFirstMatchIn(t).map { m =>
+        pair.findAllMatchIn(m.group(1)).flatMap { p =>
+          scala.util.Try(p.group(1) -> p.group(2).toDouble).toOption
+        }.toMap
+      }.getOrElse(Map.empty)
+    val raw = parse(text)
+    if (raw.nonEmpty) raw else parse(text.replace("\\\"", "\""))
   }
 
   /** Newest BENCH_r{N}.json in `dir` by round number, if any. */

@@ -28,6 +28,29 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(Bench.parsePrevQueries("not json at all").isEmpty)
   }
 
+  test("parsePrevQueries reads the driver's BENCH_r*.json format " +
+       "(queries escaped inside the tail field)") {
+    // byte-exact copy of the real round-7 driver file — the round-8
+    // guard parsed this to an EMPTY map (regex expected the harness's
+    // raw line, the driver escapes it inside "tail"), so the >3×
+    // auto-rerun silently never fired
+    val in = getClass.getResourceAsStream("/graft/BENCH_r07_driver.json")
+    assert(in != null, "fixture /graft/BENCH_r07_driver.json missing")
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val got = Bench.parsePrevQueries(text)
+    assert(got.size === 28)
+    assert(got("o08_select_range") === 0.196295938)
+    assert(got("sim_topk_ivf") === 8.820059949)
+    assert(got("pipeline_curate_tokenize") === 1.708367589)
+    assert(got("dedup_minhash_lsh") === 2.204837928)
+    // the guard condition that was dead in round 8: with this history
+    // a 5.49 s pipeline_curate_tokenize measurement MUST trigger
+    // (5.49 > 3 × 1.71)
+    assert(5.49 > got("pipeline_curate_tokenize") * 3.0)
+  }
+
   test("newestBench picks the highest round number") {
     val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
     try {
@@ -63,9 +86,13 @@ class BenchHarnessSpec extends AnyFunSuite {
       // c only exists in r7
       write("BENCH_r06.json", """{"queries":{"a":0.61,"b":-1.0}}""")
       write("BENCH_r07.json", """{"queries":{"a":8.82,"b":3.37,"c":1.0}}""")
+      // driver format: harness line escaped inside "tail"
+      write("BENCH_r08.json",
+        """{"n":8,"rc":0,"tail":"[info] {\"metric\":\"total\",""" +
+        """\"queries\":{\"a\":0.5,\"d\":2.0},\"errors\":{}}\n"}""")
       write("notes.txt", """{"queries":{"a":0.001}}""")
       val got = Bench.bestKnown(dir)
-      assert(got === Map("a" -> 0.61, "b" -> 3.37, "c" -> 1.0))
+      assert(got === Map("a" -> 0.5, "b" -> 3.37, "c" -> 1.0, "d" -> 2.0))
     } finally {
       Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       dir.delete()
