@@ -28,26 +28,35 @@ import graft.operators.TextAnalysis
   * deterministic.
   *
   * 100 TB shape: the model is two hash maps totalling
-  * O(maxBigrams + contexts) — megabytes, broadcast once, resident on
-  * every executor; scoring is a typed narrow map (zero shuffles,
+  * O(maxBigrams + maxContexts) — BOTH tables are capped (round 8
+  * collected every distinct w1, which is vocabulary-scaled and
+  * unbounded on web text), so the broadcast stays megabytes no matter
+  * the training corpus; scoring is a typed narrow map (zero shuffles,
   * zero state store); the gate verdict rides the same micro-batch
   * append discipline as the other door streams.
   */
 object LmGateStream {
 
-  /** A shipped bigram LM: pruned (w1,w2)→count, full context→count,
+  /** A shipped bigram LM: pruned (w1,w2)→count, pruned context→count,
     * vocabulary size. Built offline, broadcast to score streams.
     */
   final case class BigramModel(bigrams: Map[(String, String), Long],
                                contexts: Map[String, Long],
                                vocab: Long) extends Serializable
 
-  /** Train the model on a static corpus and prune to the
-    * top-`maxBigrams` bigrams by (count desc, w1, w2) — deterministic
-    * truncation. Contexts and vocab stay exact (they are the
-    * denominators; pruning them would change every retained score).
+  /** Train the model on a static corpus with BOTH tables capped:
+    * bigrams pruned to the top-`maxBigrams` by (count desc, w1, w2),
+    * contexts pruned to the top-`maxContexts` by (count desc, w1) —
+    * deterministic truncations — UNIONED with the w1 set of retained
+    * bigrams, so every retained bigram still scores with its EXACT
+    * denominator (a retained numerator over a pruned denominator
+    * would silently change the score). Model size is therefore
+    * O(maxBigrams + maxContexts) regardless of corpus vocabulary; a
+    * pruned-away context scores its bigrams at the documented 1/V
+    * floor (c12 and c1 both read 0).
     */
-  def train(docs: DataFrame, maxBigrams: Int): BigramModel = {
+  def train(docs: DataFrame, maxBigrams: Int,
+            maxContexts: Int): BigramModel = {
     val toks = docs.select(col("doc_id"),
       graft.functions.TextFunctions.tokens(col("text")).as("w"))
     val bg = toks.filter(size(col("w")) >= 2)
@@ -62,11 +71,21 @@ object LmGateStream {
       .limit(maxBigrams)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val ctxAll = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val ctxHead = ctxAll.orderBy(col("c1").desc, col("w1"))
+      .limit(maxContexts)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact denominators for retained bigrams whose context fell
+    // outside the head: ≤ maxBigrams extra entries, fetched with a
+    // map-side InSet filter (no shuffle, no extra pass over bg)
+    val missing = top.keysIterator.map(_._1).toSet.diff(ctxHead.keySet)
+    val ctxTail =
+      if (missing.isEmpty) Map.empty[String, Long]
+      else ctxAll.filter(col("w1").isInCollection(missing))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val v = toks.select(explode(col("w")).as("word"))
       .agg(countDistinct(col("word"))).head().getLong(0)
-    BigramModel(top, ctx, math.max(v, 1L))
+    BigramModel(top, ctxHead ++ ctxTail, math.max(v, 1L))
   }
 
   /** Score one batch against the broadcast model: (doc_id, n_bigrams,

@@ -26,7 +26,8 @@ class LmGateStreamSpec extends SparkSpec {
 
   test("unpruned shipped model reproduces the batch operator bit-for-bit") {
     val docs = corpusDocs.toDF("doc_id", "text")
-    val model = LmGateStream.train(docs, maxBigrams = 1000000)
+    val model =
+      LmGateStream.train(docs, maxBigrams = 1000000, maxContexts = 1000000)
     val bc = spark.sparkContext.broadcast(model)
     val batchScores = TextAnalysis.bigramLmScore(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
@@ -42,15 +43,17 @@ class LmGateStreamSpec extends SparkSpec {
 
   test("pruning keeps denominators exact and only floors pruned bigrams") {
     val docs = corpusDocs.toDF("doc_id", "text")
-    val full = LmGateStream.train(docs, maxBigrams = 1000000)
-    val pruned = LmGateStream.train(docs, maxBigrams = 3)
+    val full =
+      LmGateStream.train(docs, maxBigrams = 1000000, maxContexts = 1000000)
+    val pruned =
+      LmGateStream.train(docs, maxBigrams = 3, maxContexts = 1000000)
     assert(pruned.bigrams.size === 3)
     // four bigrams tie at count 2 ("the cat", "cat sat", "sat on",
     // "on the"); the (count desc, w1, w2) tie-break keeps the first
     // three alphabetically by w1 — deterministic truncation
     assert(pruned.bigrams.keySet ===
       Set(("cat", "sat"), ("on", "the"), ("sat", "on")))
-    // contexts and vocab are NOT pruned (they are the denominators)
+    // with an uncapped context budget the denominators stay exact
     assert(pruned.contexts === full.contexts)
     assert(pruned.vocab === full.vocab)
     // a pruned-model score never exceeds the full model's
@@ -63,13 +66,60 @@ class LmGateStreamSpec extends SparkSpec {
     f.keys.foreach(id => assert(p(id) <= f(id), s"doc $id"))
   }
 
+  test("capped contexts keep exact denominators for retained bigrams, " +
+       "floor pruned contexts at 1/V, and the stream agrees with the " +
+       "shipped-batch scorer exactly") {
+    val docs = corpusDocs.toDF("doc_id", "text")
+    val m = LmGateStream.train(docs, maxBigrams = 3, maxContexts = 1)
+    // context head keeps only "the" (count 5); the w1 set of the three
+    // retained bigrams is unioned in with EXACT counts — model size is
+    // bounded by maxBigrams + maxContexts, not vocabulary
+    assert(m.contexts ===
+      Map("the" -> 5L, "cat" -> 2L, "on" -> 2L, "sat" -> 2L))
+    assert(m.vocab === 16L)
+    val bc = spark.sparkContext.broadcast(m)
+    val scored = LmGateStream.scoreBatch(docs, bc, 0.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 4: every bigram AND every context pruned → each of its 4
+    // bigrams scores the documented 1/V floor exactly:
+    // 4 × (1/16) × 1e6 / 4 = 62500 ppm, exact in binary
+    assert(scored(4L) === 62500.0)
+    // doc 3 mixes pruned contexts (1/V) with a retained context whose
+    // bigram was pruned ((0+1)/(5+16)) — strictly below doc 4
+    assert(scored(3L) < scored(4L))
+
+    // the STREAM with the same capped model must land the identical
+    // scores (the degradation is deterministic, not path-dependent)
+    val in = tmp("graft-lmctx-in")
+    val corpus = tmp("graft-lmctx-c") + "/c"
+    val quarantine = tmp("graft-lmctx-q") + "/q"
+    val ckpt = tmp("graft-lmctx-ck")
+    val lines = Seq(3L -> "a dog ran in the park",
+        4L -> "colorless green ideas sleep furiously")
+      .map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+      .mkString("", "\n", "\n")
+    Files.write(Paths.get(in, "b1.json"), lines.getBytes("UTF-8"),
+      StandardOpenOption.CREATE)
+    LmGateStream.start(spark, in, m, minPpm = 60000.0, corpus,
+        quarantine, ckpt, Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val kept = spark.read.parquet(corpus)
+      .select("doc_id", "lm_ppm").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rejected = spark.read.parquet(quarantine)
+      .select("doc_id", "lm_ppm").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kept === Map(4L -> scored(4L)))
+    assert(rejected === Map(3L -> scored(3L)))
+  }
+
   test("stream gates docs into corpus and quarantine across two runs") {
     val in = tmp("graft-lm-in")
     val corpus = tmp("graft-lm-corpus") + "/corpus"
     val quarantine = tmp("graft-lm-q") + "/q"
     val ckpt = tmp("graft-lm-ckpt")
     val model = LmGateStream.train(
-      corpusDocs.toDF("doc_id", "text"), 1000000)
+      corpusDocs.toDF("doc_id", "text"), 1000000, 1000000)
     // threshold between the in-distribution docs and word salad:
     // score the training docs offline to pick it
     val bc = spark.sparkContext.broadcast(model)
