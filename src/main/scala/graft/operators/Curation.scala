@@ -346,7 +346,10 @@ object Curation {
   def kAnonymityAudit(docs: DataFrame, k: Int, band: Int): DataFrame = {
     require(k > 0 && band > 0)
     docs.select(col("lang"), col("source"),
-        (col("n_chars").cast("long") / lit(band)).cast("long")
+        // floor division, matching the oracle's `n_chars//band`
+        // unconditionally (a bare double-divide-then-cast truncates
+        // toward zero, diverging on negative inputs)
+        floor(col("n_chars").cast("long") / lit(band)).cast("long")
           .as("len_band"))
       .groupBy(col("lang"), col("source"), col("len_band"))
       .agg(count(lit(1)).as("class_size"))
@@ -354,7 +357,10 @@ object Curation {
   }
 
   /** Pairwise language vocabulary overlap: for every unordered pair of
-    * languages, the intersection size of their distinct-term
+    * languages WITH A NONZERO INTERSECTION (the inner self-join emits
+    * nothing for disjoint vocabularies — callers wanting inter=0 rows
+    * left-join this against a language cross product), the
+    * intersection size of their distinct-term
     * vocabularies plus each side's vocabulary size — the corpus-
     * similarity table behind multilingual mixing decisions (two
     * languages whose vocabularies barely intersect share little
@@ -398,7 +404,9 @@ object Curation {
     * only the noised column does) rather than claiming a privacy
     * guarantee.
     *
-    * Noise derivation: u = hash60("dp:"+lang)/2⁶⁰ ∈ [0,1), then the
+    * Noise derivation: u = max(hash60("dp:"+lang)/2⁶⁰, 2⁻⁶⁰) ∈ (0,1)
+    * (the clamp keeps the 2⁻⁶⁰-probability hash60=0 draw from landing
+    * ln(0) = −∞ in noisy_n), then the
     * Laplace inverse CDF −sign(u−½)·ln(1−2·|u−½|)/ε — a fixed tree of
     * IEEE double ops mirrored in the oracle, ≤1 ulp wobble in ln
     * absorbed by the gate's 6-decimal rounding.
@@ -408,8 +416,10 @@ object Curation {
     */
   def dpCounts(docs: DataFrame, epsilon: Double): DataFrame = {
     require(epsilon > 0.0)
-    val u = hash60(concat(lit("dp:"), col("lang"))).cast("double") /
-      lit(1152921504606846976.0) // 2^60
+    val u = greatest(
+      hash60(concat(lit("dp:"), col("lang"))).cast("double") /
+        lit(1152921504606846976.0), // 2^60
+      lit(8.673617379884035e-19))   // 2^-60: keep u > 0 so ln stays finite
     val half = u - lit(0.5)
     val noise = (-signum(half)) * log(lit(1.0) - lit(2.0) * abs(half)) /
       lit(epsilon)

@@ -928,8 +928,12 @@ object TextAnalysis {
       "stride beyond the chunk size would drop tokens")
     docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), size(col("w")) - 1, lit(stride)))
-          .as("st"))
+        // greatest(…, 0) guards the sequence upper bound: tokens()
+        // never returns an empty array today (split keeps the empty
+        // string), but a tokenizer that filtered empties would
+        // otherwise throw "illegal sequence boundaries" at runtime
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))).as("st"))
       .select(col("doc_id"),
         (col("st").cast("long") / lit(stride)).cast("long").as("chunk_id"),
         size(slice(col("w"), col("st") + 1, lit(chunk))).cast("long")

@@ -69,6 +69,19 @@ class RetrievalSpec extends SparkSpec {
       (0 until 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("chunkStride on empty text emits one empty chunk, not an error") {
+    // tokens() splits with limit -1, so "" tokenizes to [""] (size 1)
+    // and the guarded sequence upper bound stays 0 — this pins both
+    // today's behavior and the greatest(size-1, 0) guard that keeps a
+    // future empty-filtering tokenizer from throwing "illegal
+    // sequence boundaries"
+    val got = TextAnalysis.chunkStride(
+        Seq((1L, "")).toDF("doc_id", "text"), chunk = 4, stride = 4)
+      .collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq === Seq((0L, 1L, "")))
+  }
+
   test("chunkStride overlap covers every token and repeats the seam") {
     val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
