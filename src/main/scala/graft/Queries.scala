@@ -758,6 +758,41 @@ object Queries {
              |GROUP BY s_name
              |ORDER BY numwait DESC, s_name""".stripMargin)),
 
+    // Q11-style (adapted: no partsupp — "stock value" is per-part
+    // discounted revenue): parts above a global-total fraction, the
+    // group-then-global-threshold HAVING-subquery shape. DECIMAL
+    // per-part sums; the threshold compares doubles derived from
+    // those exact decimals, identically in both engines.
+    "tpch_q11_important_parts" -> Decl(
+      (s, d) => Relational.importantParts(
+        Tables.read(s, d, "lineitem"), 0.0005),
+      Some("""WITH pp AS (
+             |  SELECT l_partkey,
+             |    SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS value
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+             |FROM pp
+             |WHERE CAST(value AS DOUBLE) >
+             |  (SELECT CAST(SUM(value) AS DOUBLE) FROM pp) * 0.0005
+             |ORDER BY part_value DESC, p_partkey""".stripMargin)),
+
+    // Q16-style (adapted: suppliers from lineitem, no partsupp or
+    // s_comment): distinct-supplier count per retained
+    // (brand, type, size) bucket — part dim filtered then broadcast,
+    // partial-distinct map-side.
+    "tpch_q16_supplier_cnt" -> Decl(
+      (s, d) => Relational.partSupplierCount(
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "part"),
+        "Brand#45", Seq(1, 4, 9, 16, 25, 36, 49)),
+      Some("""SELECT p_brand, p_type, p_size,
+             |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND p_brand <> 'Brand#45'
+             |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
     // Q14: promotion revenue share for a month; exact sums, the
     // division happens in doubles after.
     "tpch_q14_promo" -> Decl(
@@ -2211,7 +2246,8 @@ object Queries {
       (s, d) => Curation.dpCounts(docs(s, d), epsilon = 1.0),
       Some("""WITH h AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
              |u AS (SELECT lang, n_docs,
-             |  CAST(CAST('0x'||substr(md5('dp:'||lang),1,15) AS BIGINT) AS DOUBLE)/1152921504606846976.0 AS u
+             |  greatest(CAST(CAST('0x'||substr(md5('dp:'||lang),1,15) AS BIGINT) AS DOUBLE)/1152921504606846976.0,
+             |           8.673617379884035e-19) AS u
              |  FROM h)
              |SELECT lang, n_docs,
              |  n_docs + (-sign(u-0.5) * ln(1.0 - 2.0*abs(u-0.5))) / 1.0 AS noisy_n
@@ -3095,6 +3131,26 @@ object Queries {
         |FROM events e JOIN (VALUES (0, 'even'), (1, 'odd')) AS v(par, lbl)
         |  ON e.user_id % 2 = v.par
         |GROUP BY v.lbl ORDER BY v.lbl""".stripMargin),
+
+    // Named-window clause (WINDOW w AS …): one definition shared by
+    // several over-clauses — both engines parse the SQL:2003 syntax
+    // verbatim. (QUALIFY, the other candidate, is a Databricks/DuckDB
+    // extension NOT in the OSS Spark 4.1 lexer — excluded by test.)
+    "sql_named_window" -> sqlParity(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        | CAST(SUM(COUNT(*)) OVER w AS BIGINT) AS running,
+        | rank() OVER w AS rnk
+        |FROM events GROUP BY event_type
+        |WINDOW w AS (ORDER BY COUNT(*), event_type)
+        |ORDER BY event_type""".stripMargin),
+
+    // GROUP BY ALL / ORDER BY ALL — the infer-the-keys shorthand both
+    // engines added (Spark 3.4+, DuckDB): non-aggregate select items
+    // become the grouping key, ALL orders by the full select list.
+    "sql_group_by_all" -> sqlParity(
+      """SELECT event_type, CAST(ts AS DATE) AS d,
+        | CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin),
   )
 
   // ------------------------------------------------------------ similarity

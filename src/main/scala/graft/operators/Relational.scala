@@ -537,6 +537,62 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** TPC-H Q11-style important-stock identification (adapted: the
+    * generator has no partsupp, so "stock value" is each part's
+    * discounted lineitem revenue): parts whose value exceeds
+    * `fraction` of the corpus-wide total — the group-then-
+    * global-threshold HAVING-subquery shape. Per-part sums are
+    * DECIMAL(38,6)-exact (order-free, engine-identical); the global
+    * total is a 1-row aggregate broadcast back, and the threshold
+    * compare runs on doubles derived from those exact decimals — the
+    * same fixed IEEE expression in both engines, so inclusion cannot
+    * flip on accumulation order.
+    *
+    * Scale shape: one map-side-combined shuffle on l_partkey, a
+    * 1-row broadcast, a codegen filter. No second fact scan — the
+    * official correlated form would rescan lineitem for the total.
+    */
+  def importantParts(lineitem: DataFrame, fraction: Double): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,6)")).as("value"))
+    val total = perPart.agg(sum(col("value")).as("total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value").cast("double") >
+        col("total").cast("double") * lit(fraction))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16-style supplier diversity per part attribute (adapted:
+    * suppliers come from lineitem rather than partsupp, and the
+    * generator has no s_comment for the complaints exclusion): for
+    * every retained (brand, type, size) bucket, the number of
+    * DISTINCT suppliers that shipped such a part, excluding one brand
+    * and restricting to a size in-list.
+    *
+    * Scale shape: the part dim filters FIRST (brand/size pushdown)
+    * and broadcasts — the fact table never shuffles for the join;
+    * countDistinct runs partial-distinct map-side, so the one
+    * shuffle carries (bucket, suppkey) pairs, not lineitems.
+    */
+  def partSupplierCount(lineitem: DataFrame, part: DataFrame,
+                        excludeBrand: String,
+                        sizes: Seq[Int]): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part
+          .filter(col("p_brand") =!= excludeBrand &&
+            col("p_size").isin(sizes.map(Integer.valueOf): _*))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
   def topCustomers(customer: DataFrame, orders: DataFrame, n: Int): DataFrame =
     orders
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
