@@ -2188,6 +2188,40 @@ object Queries {
              |FROM tp JOIN h USING (term) WHERE h.rn <= 20
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    // 2009): BM25 top-50 and dense-cosine top-50 fused by
+    // Σ 1/(60+rank), top-20 kept. Only RANKS cross the fence, so no
+    // score calibration; both rank windows run over ≤50 rows.
+    "text_hybrid_rrf" -> Decl(
+      (s, d) => TextAnalysis.hybridRrf(docs(s, d), emb(s, d),
+        Seq("dup", "spark", "vector"), queryVecId = 0L, n = 50, k = 20),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+              |dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+              |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+              |h AS (SELECT doc_id, term FROM tok WHERE term IN ('dup','spark','vector')),
+              |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM h GROUP BY 1, 2),
+              |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM h GROUP BY 1),
+              |w AS (SELECT tf.doc_id, tf.tf,
+              |        CAST(ln(1.0 + (st.n_docs - df.df + 0.5)/(df.df + 0.5))
+              |             * (tf.tf*2.2)
+              |             / (tf.tf + 1.2*(0.25 + 0.75*(dl.dl/(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
+              |          AS DECIMAL(38,18)) AS w
+              |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+              |b AS (SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS bm25 FROM w GROUP BY 1),
+              |lex AS (SELECT doc_id, bm25 FROM b ORDER BY bm25 DESC, doc_id LIMIT 50),
+              |lexr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank FROM lex),
+              |c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+              |den AS (SELECT vec_id AS doc_id, ${duckCosine("qv", "v")} AS cos_sim
+              |        FROM c, q WHERE vec_id <> 0
+              |        ORDER BY cos_sim DESC, doc_id LIMIT 50),
+              |denr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank FROM den)
+              |SELECT doc_id, bm25_rank, cos_rank,
+              |  coalesce(CAST(1.0 AS DOUBLE)/(bm25_rank+60), 0.0) +
+              |  coalesce(CAST(1.0 AS DOUBLE)/(cos_rank+60), 0.0) AS rrf
+              |FROM lexr FULL OUTER JOIN denr USING (doc_id)
+              |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
     // RAG-style token chunking: 64-token windows every 48 tokens
     // (16-token overlap), trailing chunk short — a pure per-row
     // explode, no shuffle at any scale.

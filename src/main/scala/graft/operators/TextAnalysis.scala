@@ -923,6 +923,61 @@ object TextAnalysis {
     * Σ ⌈dl/stride⌉ with no shuffle at all; chunk slicing is codegen
     * array arithmetic. Embarrassingly parallel at any corpus size.
     */
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * the lexical [[bm25]] ranking and the dense cosine ranking each
+    * nominate their top-`n`, and a candidate's fused score is
+    * Σ 1/(kRrf + rank) over the lists that contain it — the standard
+    * zero-tuning way to combine heterogeneous retrievers (RRF needs no
+    * score calibration because only RANKS cross the fence).
+    *
+    * The dense query is an in-corpus vector (`queryVecId`, the same
+    * convention as the sim_topk oracles); embeddings join documents on
+    * the shared id space. Ranks use (score desc, id) ordering so ties
+    * are deterministic, and the fused score is a fixed two-term IEEE
+    * expression — both engines agree bit-for-bit.
+    *
+    * Scale shape: each side reduces to its top-`n` with
+    * TakeOrderedAndProject BEFORE any window (the rank windows run
+    * over ≤n rows, never the corpus); the fusion is an n-row full
+    * outer join. The corpus is scanned once per retriever — exactly
+    * the fan-in a production hybrid does per query batch.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                queryTerms: Seq[String], queryVecId: Long,
+                n: Int, k: Int, kRrf: Int = 60): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, dot, norm}
+    require(n > 0 && k > 0 && kRrf > 0)
+    val lexTop = bm25(docs, queryTerms)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(n)
+    val lexRanked = lexTop.withColumn("bm25_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))))
+    val c = embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = c.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val denTop = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id").as("doc_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(n)
+    val denRanked = denTop.withColumn("cos_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos_sim").desc, col("doc_id"))))
+    lexRanked.join(denRanked, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (coalesce(lit(1.0) / (col("bm25_rank") + lit(kRrf)), lit(0.0)) +
+          coalesce(lit(1.0) / (col("cos_rank") + lit(kRrf)), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def chunkStride(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
     require(chunk > 0 && stride > 0 && stride <= chunk,
       "stride beyond the chunk size would drop tokens")
