@@ -36,24 +36,34 @@ object ScaleBench {
     * sign-LSH ANN search (the other r7 "weak on measurement" query);
     * plus the late-round-8 classifier tier: NB train+score (two corpus
     * scans, dims-row broadcast model) and the feature-hashing
-    * embedding (one explode + one docs·dims-keyed aggregation).
+    * embedding (one explode + one docs·dims-keyed aggregation); plus
+    * (round 9) the two newest headline SHAPES, which had driver
+    * numbers but no curve: the per-row codec roundtrip
+    * (mm_resize_real) and the multi-shuffle conditional LM
+    * (text_bigram_lm).
     */
   val ScaleQueries: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_simhash_neardup", "dedup_cross_corpus_lsh",
     "pipeline_intake_dump", "sim_topk_ivf",
     "dedup_exact_substr", "dedup_simhash", "rel_triangles",
     "pipeline_curate_tokenize", "pipeline_bpe_train256",
-    "sim_topk_lsh", "pipeline_nb_score", "text_hash_embed")
+    "sim_topk_lsh", "pipeline_nb_score", "text_hash_embed",
+    "mm_resize_real", "text_bigram_lm")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
-    * 100× sf0.1 via the two-level substitution) — the original five
-    * headliners. Two consecutive decades each under the bound is far
-    * stronger evidence than one: a log-linear or quadratic term that
-    * hides in decade one's fixed overheads shows in decade two.
+    * 100× sf0.1 via the two-level substitution). Two consecutive
+    * decades each under the bound is far stronger evidence than one:
+    * a log-linear or quadratic term that hides in decade one's fixed
+    * overheads shows in decade two. Round 9 extends the set from the
+    * original five headliners to the six r8 single-decade queries —
+    * rel_triangles especially, whose 6.59× decade-1 ratio needs a
+    * second point to distinguish m^1.5 wedge growth from a cliff.
     */
   val Sf10Queries: Set[String] = Set(
     "dedup_minhash_lsh", "dedup_simhash_neardup", "dedup_cross_corpus_lsh",
-    "pipeline_intake_dump", "sim_topk_ivf")
+    "pipeline_intake_dump", "sim_topk_ivf",
+    "dedup_exact_substr", "dedup_simhash", "rel_triangles",
+    "pipeline_curate_tokenize", "pipeline_bpe_train256", "sim_topk_lsh")
 
   def main(args: Array[String]): Unit = {
     val testdata =
