@@ -549,8 +549,12 @@ object Relational {
     * flip on accumulation order.
     *
     * Scale shape: one map-side-combined shuffle on l_partkey, a
-    * 1-row broadcast, a codegen filter. No second fact scan — the
-    * official correlated form would rescan lineitem for the total.
+    * 1-row broadcast, a codegen filter. The aggregate feeds both the
+    * total and the join (a diamond); AQE's exchange reuse collapses
+    * the two consumers onto ONE materialized shuffle stage at
+    * runtime, so lineitem is scanned once — `PlanShapeSpec` executes
+    * the query and pins the `Reused` node so a config or version
+    * change that breaks the reuse fails in CI, not at 100 TB.
     */
   def importantParts(lineitem: DataFrame, fraction: Double): DataFrame = {
     val perPart = lineitem

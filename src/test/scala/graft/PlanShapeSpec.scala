@@ -302,6 +302,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*("), p.take(2000))
   }
 
+  test("q11 reuses the per-part shuffle for its global total at runtime") {
+    // importantParts feeds one aggregate to BOTH the threshold total
+    // and the join — a naive plan scans lineitem twice. The static
+    // plan shows two scans, but AQE's exchange reuse (default on)
+    // collapses them into ONE materialized shuffle stage; this pin
+    // executes the query and asserts the finalized adaptive plan
+    // actually contains a Reused node, so a config or Spark upgrade
+    // that silently breaks the reuse fails here, not at 100 TB.
+    val df = Queries.queries("tpch_q11_important_parts")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan"), p.take(500))
+    assert(p.contains("Reused"), "per-part exchange not reused:\n" +
+      p.take(3000))
+  }
+
+  test("q16 broadcasts the filtered part dim; distinct is partial") {
+    val p = plan("tpch_q16_supplier_cnt")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // countDistinct plans as a two-level aggregate: the (bucket,
+    // suppkey) de-dup happens with map-side partials before the final
+    // count — the fact never funnels through one reducer
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("hybrid RRF reduces each retriever with distributed top-k") {
+    val p = plan("text_hybrid_rrf")
+    // both sides must cut to n rows with TakeOrderedAndProject BEFORE
+    // their rank windows — a global sort here would be corpus-scaled
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("no declared query plans an unbroadcast cartesian product") {
     // the blanket scale guard: a CartesianProduct in any declared
     // query's physical plan is a 100 TB killer. The broadcast-cross
