@@ -390,6 +390,27 @@ object Queries {
              | CAST(-1.0 AS DOUBLE) AS duration_s, CAST(-1.0 AS DOUBLE) AS rms
              |FROM documents""".stripMargin)),
 
+    // Per-frame audio features over deterministic 8-bit PCM WAVs
+    // (audio twin of mm_resize_real's self-generating fixtures):
+    // 64-sample frames, RMS over centered samples and zero-crossing
+    // counts — every PCM value recomputable from doc_id, so DuckDB
+    // re-derives the whole frame table in SQL.
+    "mm_audio_frames" -> Decl(
+      (s, d) => Multimodal.audioFrames(
+        Multimodal.syntheticWavs(docs(s, d)), frameLen = 64).toDF(),
+      Some("""WITH d AS (SELECT doc_id, CAST(256 + doc_id % 256 AS BIGINT) AS n FROM documents),
+             |f AS (SELECT doc_id, n, unnest(range(CAST((n + 63) // 64 AS INT))) AS frame_id FROM d),
+             |s AS (SELECT doc_id, frame_id,
+             |        [ (CAST((doc_id*31 + i*17) % 256 AS DOUBLE) - 128.0) / 128.0
+             |          for i in range(CAST(frame_id*64 AS INT), CAST(least((frame_id+1)*64, n) AS INT)) ] AS c
+             |      FROM f)
+             |SELECT doc_id AS media_id, CAST(frame_id AS INTEGER) AS frame_id,
+             |  CAST(len(c) AS BIGINT) AS n_samples,
+             |  sqrt(list_sum([x*x for x in c]) / len(c)) AS rms,
+             |  CAST(coalesce(list_sum([CASE WHEN c[i+1]*c[i+2] < 0 THEN 1 ELSE 0 END
+             |                          for i in range(len(c)-1)]), 0) AS BIGINT) AS zcross
+             |FROM s""".stripMargin)),
+
     // Video container probe over the mixed media table: text bytes
     // have no box structure → probed=false passthrough, oracle-gated;
     // the real ISO-BMFF branch is spec-pinned on generated fixtures.
@@ -3572,5 +3593,9 @@ object Queries {
     // Graphics2D box-fit → re-encode → re-decode), and the conditional
     // bigram LM quality score (two count shuffles + gram-keyed join +
     // doc re-agg — a representative multi-shuffle curation shape)
-    "mm_resize_real", "text_bigram_lm")
+    "mm_resize_real", "text_bigram_lm",
+    // round-9 additions: hybrid RRF (two retriever top-n reductions +
+    // an n-row fusion join), and the two new TPC-H shapes (diamond
+    // aggregate with runtime exchange reuse; broadcast-dim distinct)
+    "text_hybrid_rrf", "tpch_q11_important_parts", "tpch_q16_supplier_cnt")
 }

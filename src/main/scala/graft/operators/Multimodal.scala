@@ -612,6 +612,92 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 8-bit mono PCM WAV per document — the audio twin
+    * of [[syntheticPngs]]: sample i of doc d is (d·31 + i·17) mod 256
+    * (unsigned), n = 256 + d mod 256 samples at 8 kHz, so a DuckDB
+    * oracle can recompute every PCM value — and therefore every frame
+    * feature — from doc_id alone. Container bytes come from
+    * [[wavBytes]], which [[parseWav]] round-trips.
+    */
+  def syntheticWavs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long].map { id =>
+      val n = 256 + (id % 256).toInt
+      val pcm = Array.tabulate(n)(i =>
+        ((id * 31 + i.toLong * 17) % 256).toByte)
+      MediaRow(id, "audio", wavBytes(8000, 1, 8, pcm), 1)
+    }
+  }
+
+  /** Minimal RIFF/WAVE container around integer PCM (the inverse of
+    * [[parseWav]]'s accepted subset): RIFF header, 16-byte fmt chunk
+    * (format 1), word-aligned data chunk.
+    */
+  private[operators] def wavBytes(rate: Int, channels: Int, bits: Int,
+                                  pcm: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(44 + pcm.length + 1)
+    def w32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); w32(36 + pcm.length + (pcm.length & 1)); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(channels); w32(rate)
+    w32(rate * channels * bits / 8); w16(channels * bits / 8); w16(bits)
+    tag("data"); w32(pcm.length); bos.write(pcm)
+    if ((pcm.length & 1) == 1) bos.write(0) // word alignment
+    bos.toByteArray
+  }
+
+  final case class AudioFrame(media_id: Long, frame_id: Int,
+                              n_samples: Long, rms: Double, zcross: Long)
+
+  /** Per-frame audio features — the windowed signal statistics an
+    * audio-curation pipeline gates on before any model sees the clip:
+    * fixed `frameLen`-sample frames (trailing frame short), each with
+    * its RMS energy over centered samples ((v−128)/128 for 8-bit
+    * unsigned PCM) and its zero-crossing count (adjacent centered
+    * samples with a strictly negative product). Only 8-bit MONO PCM
+    * frames here (multi-channel would interleave; 16-bit needs a
+    * different centering) — anything else contributes no rows, the
+    * natural sentinel for a FRAME table.
+    *
+    * RMS is a sequential index-order fold and the crossing test a
+    * fixed IEEE product compare, both reproduced verbatim by the
+    * DuckDB oracle (same discipline as the cosine fold).
+    *
+    * Scale shape: a typed narrow flatMap (the codec forces the
+    * imperative parse, same as [[decodeAudio]]); output rows are
+    * Σ ⌈samples/frameLen⌉ with no shuffle at any corpus size.
+    */
+  def audioFrames(media: Dataset[MediaRow], frameLen: Int): Dataset[AudioFrame] = {
+    require(frameLen > 0, "frameLen must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      (if (m.kind == "audio") parseWav(m.content) else None) match {
+        case Some((_, 1, 8, data)) if data.nonEmpty =>
+          val nFrames = (data.length + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { f =>
+            val lo = f * frameLen
+            val hi = math.min(lo + frameLen, data.length)
+            var acc = 0.0
+            var zc = 0L
+            var prev = 0.0
+            var i = lo
+            while (i < hi) {
+              val c = ((data(i) & 0xff) - 128) / 128.0
+              acc += c * c
+              if (i > lo && prev * c < 0) zc += 1
+              prev = c
+              i += 1
+            }
+            AudioFrame(m.media_id, f, (hi - lo).toLong,
+              math.sqrt(acc / (hi - lo)), zc)
+          }
+        case _ => Iterator.empty
+      }
+    }
+  }
+
   /** Balance partitions by payload size so one executor doesn't draw
     * all the 4K videos while another gets thumbnails: range-partition
     * on content length. At 100 TB this is the difference between a

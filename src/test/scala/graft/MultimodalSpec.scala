@@ -403,4 +403,38 @@ class MultimodalSpec extends SparkSpec {
       assert(f.mean_b === ((id * 83) % 256).toDouble / 255.0, id.toString)
     }
   }
+
+  test("audioFrames: hand-recomputed RMS/zero-crossings, short tail frame") {
+    // doc 1: n = 257 samples → 5 frames of 64,64,64,64,1; recompute
+    // every feature independently from the synthetic-PCM formula
+    val frames = Multimodal.audioFrames(
+        Multimodal.syntheticWavs(docs.filter($"doc_id" === 1L)), 64)
+      .collect().sortBy(_.frame_id)
+    assert(frames.map(_.n_samples).toSeq === Seq(64L, 64L, 64L, 64L, 1L))
+    val pcm = Array.tabulate(257)(i => ((31 + i.toLong * 17) % 256).toInt)
+    for (f <- frames) {
+      val lo = f.frame_id * 64
+      val c = pcm.slice(lo, math.min(lo + 64, 257))
+        .map(v => (v - 128) / 128.0)
+      var acc = 0.0; c.foreach(x => acc += x * x)
+      assert(f.rms === math.sqrt(acc / c.length), s"frame ${f.frame_id}")
+      assert(f.zcross ===
+        c.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0).toLong,
+        s"frame ${f.frame_id}")
+    }
+    // tail frame of one sample can have no crossings
+    assert(frames.last.zcross === 0L)
+  }
+
+  test("audioFrames emits no rows for non-audio or undecodable bytes") {
+    val junk = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3), 1),
+      Multimodal.MediaRow(2L, "audio", "not a wav at all".getBytes, 1),
+      Multimodal.MediaRow(3L, "audio", Array.empty[Byte], 1)).toDS()
+    assert(Multimodal.audioFrames(junk, 64).isEmpty)
+    // and the plan stays a narrow map — no exchange
+    val plan = Multimodal.audioFrames(junk, 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
 }
