@@ -368,4 +368,34 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(star(13) === star(1))
   }
+
+  test("audioFrames: fuzz-safe on arbitrary bytes, conserves samples") {
+    import graft.operators.Multimodal
+    // fuzz: random byte blobs — some RIFF/WAVE-prefixed so the chunk
+    // walk actually engages — must never surface a task failure; junk
+    // yields zero frames (the frame-table sentinel), never a throw
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      bytes <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+      riff <- Gen.oneOf(true, false)
+    } yield if (riff) ("RIFF????WAVE".getBytes("US-ASCII") ++ bytes)
+            else bytes.toArray
+    val blobs = samples(gen, 40).zipWithIndex.map { case (b, i) =>
+      Multimodal.MediaRow(i.toLong, "audio", b, 1) }.toDS()
+    val fuzzFrames = Multimodal.audioFrames(blobs, 64).collect()
+    assert(fuzzFrames.forall(_.n_samples > 0))
+    // conservation on real fixtures: per media, frame sample counts
+    // sum to the synthetic length 256 + id % 256, and every frame but
+    // the last is exactly frameLen
+    val docs = Seq(0L, 5L, 131L, 255L).toDF("doc_id")
+    val real = Multimodal.audioFrames(Multimodal.syntheticWavs(docs), 64)
+      .collect().groupBy(_.media_id)
+    for ((id, fs) <- real) {
+      val sorted = fs.sortBy(_.frame_id)
+      assert(sorted.map(_.n_samples).sum === 256 + id % 256, id.toString)
+      assert(sorted.init.forall(_.n_samples === 64L), id.toString)
+      assert(sorted.map(_.frame_id).toSeq === sorted.indices.toSeq,
+        id.toString)
+    }
+  }
 }
