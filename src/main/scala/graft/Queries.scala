@@ -2307,6 +2307,137 @@ object Queries {
              |SELECT lang, n_docs,
              |  n_docs + (-sign(u-0.5) * ln(1.0 - 2.0*abs(u-0.5))) / 1.0 AS noisy_n
              |FROM u""".stripMargin)),
+
+    // Per-SOURCE boilerplate stripping (RefinedWeb/trafilatura
+    // content extraction): a line present in ≥3 of a source's 25 docs
+    // (minDocs=2 AND ≥10% by integer cross-multiply) is template
+    // chrome — ALL its occurrences are removed, first included.
+    // Same ' scan ' → newline line derivation as dedup_lines.
+    "pipeline_boilerplate_strip" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mt = docs(s, d).select(col("doc_id"), col("source"),
+          expr("replace(concat(' ', text, ' '), ' scan ', '\n')").as("mt"))
+        Curation.boilerplateStrip(mt, "doc_id", "source", "mt",
+          fracNum = 1, fracDen = 10, minDocs = 2)
+      },
+      Some("""WITH t AS (SELECT doc_id, source, replace(' '||text||' ', ' scan ', chr(10)) AS mt FROM documents),
+             |ll AS (SELECT doc_id, source, string_split(mt, chr(10)) AS l FROM t),
+             |e AS (SELECT doc_id, source, CAST(unnest(range(len(l))) AS BIGINT) AS pos, unnest(l) AS line FROM ll),
+             |ld AS (SELECT source, md5(line) AS h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_with
+             |       FROM e GROUP BY 1, 2),
+             |sd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src_docs FROM documents GROUP BY 1),
+             |b AS (SELECT ld.source, h FROM ld JOIN sd USING (source)
+             |      WHERE n_with >= 2 AND n_with * 10 >= 1 * n_src_docs),
+             |f AS (SELECT e.doc_id, e.pos, e.line, (b.h IS NOT NULL) AS is_b
+             |      FROM e LEFT JOIN b ON b.source = e.source AND b.h = md5(e.line))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             |  CAST(SUM(CASE WHEN NOT is_b THEN len(line) ELSE 0 END) AS BIGINT) AS n_chars_kept,
+             |  COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos), '') AS cleaned
+             |FROM f GROUP BY doc_id""".stripMargin)),
+
+    // Per-source corpus audit: doc counts, exact-dup counts, language
+    // spread, size — the keep/downweight/drop decision table at
+    // domain granularity (the C4/Gopher gate unit).
+    "pipeline_source_audit" -> Decl(
+      (s, d) => Curation.sourceAudit(docs(s, d)),
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+             |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+             |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+             |  CAST(SUM(len(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // NB-classifier reliability diagram: 10 equal-width confidence
+    // bins (positive-vote token fraction, all-integer binning), with
+    // label/prediction/agreement counts per bin — the ECE input table.
+    "pipeline_nb_calibration" -> Decl(
+      (s, d) => Curation.nbCalibration(docs(s, d), 64, 10, label = nbWcLabel),
+      Some(s"""WITH $nbModelCtes,
+              |sc AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim
+              |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
+              |p AS (SELECT sc.doc_id, CAST(SUM(v.vote) AS BIGINT) AS score,
+              |        CAST(COUNT(*) AS BIGINT) AS n_tok, SUM(v.vote) > 0 AS pk
+              |      FROM sc JOIN v USING (dim) GROUP BY 1),
+              |lbl AS (SELECT doc_id, len(string_split(text,' ')) BETWEEN 50 AND 100000 AS lk FROM documents),
+              |cb AS (SELECT CAST(LEAST(((score + n_tok) * 10) // (n_tok * 2), 9) AS BIGINT) AS bin, lk, pk
+              |       FROM p JOIN lbl USING (doc_id))
+              |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN lk THEN 1 ELSE 0 END) AS BIGINT) AS n_label_keep,
+              |  CAST(SUM(CASE WHEN pk THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_keep,
+              |  CAST(SUM(CASE WHEN lk = pk THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+              |FROM cb GROUP BY bin""".stripMargin)),
+
+    // Deterministic salted-hash train/val/test assignment (5%/5%):
+    // stable under corpus growth, independent of every other
+    // hash-derived decision via the 'split:' salt namespace.
+    "pipeline_split_assign" -> Decl(
+      (s, d) => Sampling.assignSplits(docs(s, d), valPermille = 50,
+          testPermille = 50)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("split")),
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000 < 50 THEN 'test'
+             |       WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000 < 100 THEN 'val'
+             |       ELSE 'train' END AS split
+             |FROM documents""".stripMargin)),
+
+    // Split-balance audit: per (lang, split) doc and char totals —
+    // where a starved small-language eval slice becomes visible.
+    "pipeline_split_audit" -> Decl(
+      (s, d) => Sampling.splitAudit(docs(s, d), valPermille = 50,
+        testPermille = 50),
+      Some("""WITH a AS (SELECT lang, len(text) AS n_ch,
+             |  CASE WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000 < 50 THEN 'test'
+             |       WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000 < 100 THEN 'val'
+             |       ELSE 'train' END AS split
+             |  FROM documents)
+             |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_ch) AS BIGINT) AS total_chars
+             |FROM a GROUP BY 1, 2""".stripMargin)),
+
+    // Per-language tokenizer fertility: subword pieces per word and
+    // chars per piece under the greedy WordPiece segmenter — the
+    // multilingual tokenizer-parity audit. Shares the wordpiece
+    // oracle's recursive segmentation CTE.
+    "pipeline_piece_fertility" -> Decl(
+      (s, d) => TextAnalysis.pieceFertility(docs(s, d), 20),
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+             |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY word),
+             |vw AS (SELECT word AS v FROM wc ORDER BY cnt DESC, word LIMIT 20),
+             |vp AS (SELECT prefix AS v FROM (
+             |    SELECT substr(word, 1, 3) AS prefix, SUM(cnt) AS freq FROM wc WHERE len(word) >= 3 GROUP BY 1)
+             |  ORDER BY freq DESC, prefix LIMIT 20),
+             |vocab AS (SELECT DISTINCT v FROM (SELECT v FROM vw UNION SELECT v FROM vp)),
+             |ws AS (SELECT DISTINCT word FROM wc),
+             |p AS (SELECT word, CAST(unnest(range(len(word))) AS INTEGER) AS pos FROM ws),
+             |j AS (SELECT word, pos,
+             |   (SELECT len(v) FROM vocab WHERE substr(word, pos+1, len(v)) = v ORDER BY len(v) DESC, v LIMIT 1) AS step
+             |  FROM p),
+             |seg AS (
+             |  SELECT word, 0 AS pos, 0 AS n_pieces, 0 AS n_unk FROM ws
+             |  UNION ALL
+             |  SELECT s.word, s.pos + CAST(COALESCE(j.step, 1) AS INTEGER),
+             |    s.n_pieces + 1, s.n_unk + CASE WHEN j.step IS NULL THEN 1 ELSE 0 END
+             |  FROM seg s JOIN j ON j.word = s.word AND j.pos = s.pos
+             |  WHERE s.pos < len(s.word)),
+             |fin AS (SELECT word, n_pieces, n_unk FROM seg WHERE pos = len(word)),
+             |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+             |       CAST(SUM(n_unk) AS BIGINT) AS n_unk
+             |       FROM d JOIN fin USING (word) GROUP BY doc_id)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
+             |  CAST(SUM(pd.n_pieces) AS BIGINT) AS n_pieces,
+             |  CAST(SUM(pd.n_unk) AS BIGINT) AS n_unk,
+             |  CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+             |  CAST(SUM(pd.n_pieces) AS DOUBLE) / CAST(SUM(pd.n_words) AS DOUBLE) AS pieces_per_word,
+             |  CAST(SUM(len(text)) AS DOUBLE) / CAST(SUM(pd.n_pieces) AS DOUBLE) AS chars_per_piece
+             |FROM documents JOIN pd USING (doc_id) GROUP BY lang""".stripMargin)),
   )
 
   // ----------------------------------------------------------------- dedup

@@ -117,6 +117,90 @@ object Curation {
       array_join(kept, "\n").as("cleaned"))
   }
 
+  /** Per-SOURCE boilerplate stripping (the RefinedWeb / trafilatura
+    * content-extraction pass): a line that recurs across a large
+    * fraction of a source's documents is template chrome (nav bars,
+    * cookie banners, footers), not content — strip every occurrence
+    * and keep lines unique to their page. Unlike [[dedupLines]]
+    * (first occurrence survives GLOBALLY), boilerplate is judged
+    * per source and removes ALL occurrences, including the first:
+    * the template itself carries no training signal.
+    *
+    * A line is boilerplate within source `s` iff it occurs in at
+    * least `minDocs` distinct documents of `s` AND in at least
+    * `fracNum/fracDen` of them — the threshold compare is an integer
+    * cross-multiply (`n_with * fracDen >= fracNum * n_src_docs`), so
+    * both engines agree bit-exactly with no float boundary.
+    *
+    * Output: one row per document — `n_lines`, `n_boiler` (occurrences
+    * stripped), `n_chars_kept` (separator-free), and the reassembled
+    * `cleaned` text.
+    *
+    * Scale shape: one posexplode; the per-(source, line-hash) distinct
+    * doc count is two hash aggregations (the distinct's partials
+    * collapse within-doc repeats map-side); the per-source doc count
+    * is a |sources|-row aggregate joined in broadcast. The flagged
+    * set is filtered BEFORE joining back — only boilerplate hashes
+    * (bounded by template vocabulary, not corpus size) cross the
+    * wire, and the join back to the line stream is a hash join on
+    * (source, hash). The reassembly is the same ordered collect_list
+    * as [[dedupLines]], one doc_id shuffle.
+    */
+  def boilerplateStrip(df: DataFrame, idCol: String, srcCol: String,
+                       textCol: String, fracNum: Int = 1, fracDen: Int = 2,
+                       minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    val lines = df
+      .select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+        posexplode(split(col(textCol), q, -1)).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    val lineDocs = lines.select(col("src"), col("h"), col("doc_id"))
+      .distinct()
+      .groupBy(col("src"), col("h"))
+      .agg(count(lit(1)).as("n_with"))
+    val srcDocs = df.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("n_src_docs"))
+    val boiler = lineDocs
+      .join(broadcast(srcDocs), "src")
+      .filter(col("n_with") >= minDocs &&
+        col("n_with") * fracDen >= lit(fracNum.toLong) * col("n_src_docs"))
+      .select(col("src"), col("h"), lit(true).as("is_boiler"))
+    lines
+      .join(boiler, Seq("src", "h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("is_boiler").isNull, length(col("line")))
+          .otherwise(0L)).cast("long").as("n_chars_kept"),
+        concat_ws(sep, expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN is_boiler IS NULL THEN struct(pos, line) END)), " +
+            "x -> x.line)")).as("cleaned"))
+  }
+
+  /** Per-source corpus audit: the table a curation run publishes
+    * before deciding which sources to keep, downweight, or drop
+    * (C4 and Gopher both gate at domain granularity). Per source:
+    * document count, exact-duplicate count (docs minus distinct
+    * texts — the within-source redundancy that inflates a source's
+    * apparent size), distinct languages, total and mean characters.
+    * One hash aggregation over (source, text-hash) partials then a
+    * |sources|-row rollup — never corpus-scale state.
+    */
+  def sourceAudit(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("source"), md5(col("text")).as("h"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars"))
+  }
+
   /** URL canonicalization: lowercase scheme and host, strip default
     * ports (:80/:443), drop the fragment, strip tracking (utm_*) query
     * parameters, and collapse trailing slashes — so crawl variants of
@@ -326,6 +410,39 @@ object Curation {
         .select(col("doc_id"), col("predicted_keep")), "doc_id")
       .groupBy(col("label_keep"), col("predicted_keep"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Classifier calibration table (the reliability diagram behind an
+    * expected-calibration-error readout, Guo et al. 2017): bucket each
+    * document's NB confidence into `bins` equal-width bins and emit,
+    * per bin, the document count, the weak-label keep count, the
+    * predicted-keep count, and the count where prediction and label
+    * agree. A well-calibrated gate has label-keep fraction tracking
+    * the bin midpoint; a cliff at the extremes means the vote-sum
+    * score is overconfident and the keep threshold needs a margin.
+    *
+    * The confidence proxy is the positive-vote token fraction
+    * `(score + n_tok) / (2·n_tok)` in [0,1]; the bin index is the
+    * all-integer `min((score + n_tok)·bins div (2·n_tok), bins-1)`
+    * so both engines bin identically with no float boundary.
+    * Scale shape: [[nbQualityScore]]'s two shuffle-light scans plus
+    * one `bins`-row hash aggregation.
+    */
+  def nbCalibration(docs: DataFrame, dims: Int, bins: Int,
+                    label: Column = TextAnalysis.gopherVerdict): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val scored = nbQualityScore(docs, dims, label)
+    val conf = docs.select(col("doc_id"), label.as("label_keep"))
+      .join(scored, "doc_id")
+      .withColumn("bin", least(
+        expr(s"((score + n_tok) * cast($bins as bigint)) div (n_tok * 2)"),
+        lit(bins.toLong - 1L)))
+    conf.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_keep"), 1L).otherwise(0L)).as("n_label_keep"),
+        sum(when(col("predicted_keep"), 1L).otherwise(0L)).as("n_pred_keep"),
+        sum(when(col("label_keep") === col("predicted_keep"), 1L)
+          .otherwise(0L)).as("n_correct"))
+  }
 
   /** k-anonymity audit over quasi-identifiers (Sweeney 2002): group
     * the corpus into equivalence classes on (lang, source,

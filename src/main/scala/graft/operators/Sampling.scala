@@ -219,4 +219,39 @@ object Sampling {
         (col("__off") + row_number().over(within)).cast("long"))
       .select(col(idCol), col("skey"), col("shuffle_rank"))
   }
+
+  /** Deterministic train/val/test assignment: each document lands in a
+    * split by a salted hash of its id modulo 1000 — `[0, testPermille)`
+    * → test, `[testPermille, testPermille+valPermille)` → val, rest →
+    * train. Hash-based (never random, never positional) so the split
+    * is stable under corpus growth — a document keeps its split when
+    * new data arrives, which is what keeps eval sets uncontaminated
+    * across dataset versions. Pure map-side projection; the salt
+    * namespaces this split from every other hash-derived decision
+    * (shuffle keys, sampling) so splits stay independent of them.
+    */
+  def assignSplits(docs: DataFrame, valPermille: Int, testPermille: Int,
+                   idCol: String = "doc_id",
+                   salt: String = "split"): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille < 1000, "val+test must leave train room")
+    val h = hash60(concat(lit(salt + ":"), col(idCol).cast("string"))) % 1000L
+    docs.withColumn("split",
+      when(h < testPermille.toLong, "test")
+        .when(h < (testPermille + valPermille).toLong, "val")
+        .otherwise("train"))
+  }
+
+  /** Split-balance audit: per (lang, split), document count and total
+    * characters — the table that verifies the hash split didn't
+    * starve a language's eval slice (small languages can lose their
+    * test set entirely to hash variance; this is where you notice).
+    * One hash aggregation over |langs|·3 output rows.
+    */
+  def splitAudit(docs: DataFrame, valPermille: Int,
+                 testPermille: Int): DataFrame =
+    assignSplits(docs, valPermille, testPermille)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
 }

@@ -996,4 +996,33 @@ object TextAnalysis {
         array_join(slice(col("w"), col("st") + 1, lit(chunk)), " ")
           .as("chunk_text"))
   }
+
+  /** Per-language tokenizer fertility audit: how many subword pieces
+    * the [[greedyPieces]] segmenter spends per word, and how many
+    * characters each piece covers, aggregated by language. Fertility
+    * parity is the multilingual-tokenizer health check (a language
+    * whose words shatter into 2-3× more pieces than English pays
+    * 2-3× the sequence length for the same content — the standard
+    * argument for rebalancing the tokenizer training mix). Ratios are
+    * exact bigint-over-bigint double divisions; everything else is
+    * BIGINT, so the table is oracle-exact.
+    *
+    * Scale shape: [[greedyPieces]]'s word-distinct segmentation (its
+    * vocab is a bounded ≤2k collect) plus one doc_id-keyed join
+    * against the (lang, chars) projection and a |langs|-row rollup.
+    */
+  def pieceFertility(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_ch"))
+      .join(greedyPieces(docs, k), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"),
+        sum(col("n_ch")).as("n_chars"),
+        (sum(col("n_pieces")).cast("double") /
+          sum(col("n_words")).cast("double")).as("pieces_per_word"),
+        (sum(col("n_ch")).cast("double") /
+          sum(col("n_pieces")).cast("double")).as("chars_per_piece"))
 }

@@ -767,4 +767,121 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     got.foreach { case (l, (_, noisy)) => assert(again(l) === noisy) }
   }
+
+  test("boilerplateStrip removes ALL occurrences per source, first included") {
+    // srcA: "NAV" appears in 3/4 docs (≥ half, ≥ 2 docs) → boilerplate.
+    // srcB has ONE doc containing "NAV" → below both thresholds there:
+    // the same line text survives in srcB (per-source scoping).
+    val docs = Seq(
+      (1L, "srcA", "NAV\nalpha"), (2L, "srcA", "NAV\nbeta"),
+      (3L, "srcA", "gamma\nNAV"), (4L, "srcA", "delta\nepsilon"),
+      (5L, "srcB", "NAV\nzeta"), (6L, "srcB", "eta\ntheta"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.boilerplateStrip(docs, "doc_id", "source", "text",
+        fracNum = 1, fracDen = 2, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // unlike first-seen dedup, doc 1 (the FIRST occurrence) loses NAV too
+    assert(got(1L) === ((2L, 1L, 5L, "alpha")))
+    assert(got(2L) === ((2L, 1L, 4L, "beta")))
+    assert(got(3L) === ((2L, 1L, 5L, "gamma")))
+    assert(got(4L) === ((2L, 0L, 12L, "delta\nepsilon")))
+    // srcB keeps its NAV: 1 of 2 docs is below minDocs=2
+    assert(got(5L) === ((2L, 0L, 7L, "NAV\nzeta")))
+    assert(got(6L) === ((2L, 0L, 8L, "eta\ntheta")))
+  }
+
+  test("boilerplateStrip: doc of pure boilerplate emits cleaned = ''") {
+    val docs = Seq(
+      (1L, "s", "NAV"), (2L, "s", "NAV"), (3L, "s", "NAV\nreal"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.boilerplateStrip(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(4)))
+      .toMap
+    assert(got(1L) === ((1L, "")))
+    assert(got(3L) === ((1L, "real")))
+  }
+
+  test("sourceAudit counts exact dups and language spread per source") {
+    val docs = Seq(
+      (1L, "sA", "en", "same text"), (2L, "sA", "de", "same text"),
+      (3L, "sA", "en", "other"), (4L, "sB", "fr", "unique"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = Curation.sourceAudit(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("sA") === ((3L, 2L, 1L, 2L, 23L)))
+    assert(got("sB") === ((1L, 1L, 0L, 1L, 6L)))
+  }
+
+  test("nbCalibration: bins partition the corpus, counts reconcile") {
+    val docs = (0 until 80).map { i =>
+      val words = if (i % 2 == 0) ("w" + (i % 7) + " ") * 60 else "short text"
+      (i.toLong, words.trim)
+    }.toDF("doc_id", "text")
+    val label = size(split(col("text"), " ", -1)).cast("long") >= 50L
+    val bins = 10
+    val got = Curation.nbCalibration(docs, 16, bins, label).collect()
+    assert(got.map(_.getLong(1)).sum === 80L)
+    got.foreach { r =>
+      val (bin, n, lk, pk, ok) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bin >= 0L && bin < bins.toLong)
+      assert(lk <= n && pk <= n && ok <= n)
+    }
+    // agreement total matches the confusion matrix's diagonal
+    val conf = Curation.nbConfusion(docs, 16, label).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val diag = conf.collect { case ((a, b), c) if a == b => c }.sum
+    assert(got.map(_.getLong(4)).sum === diag)
+  }
+
+  test("assignSplits is hash-stable: membership survives corpus growth") {
+    val small = (0 until 200).map(i => (i.toLong, "en", "t"))
+      .toDF("doc_id", "lang", "text")
+    val large = (0 until 400).map(i => (i.toLong, "en", "t"))
+      .toDF("doc_id", "lang", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplits(df, 100, 100).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val (ms, ml) = (m(small), m(large))
+    // every original doc keeps its split when the corpus doubles
+    ms.foreach { case (id, s) => assert(ml(id) === s) }
+    assert(ms.values.toSet.subsetOf(Set("train", "val", "test")))
+    // a different salt namespace reshuffles membership
+    val other = Sampling.assignSplits(small, 100, 100, salt = "other")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(ms.exists { case (id, s) => other(id) != s })
+  }
+
+  test("splitAudit totals reconcile with the corpus") {
+    val docs = (0 until 300).map(i => (i.toLong, "lang" + (i % 3), "abcd"))
+      .toDF("doc_id", "lang", "text")
+    val got = Sampling.splitAudit(docs, 50, 50).collect()
+    assert(got.map(_.getLong(2)).sum === 300L)
+    assert(got.map(_.getLong(3)).sum === 1200L)
+  }
+
+  test("pieceFertility reconciles with greedyPieces per-doc sums") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox"), (2L, "en", "the the the"),
+      (3L, "de", "der schnelle fuchs"))
+      .toDF("doc_id", "lang", "text")
+    val fert = TextAnalysis.pieceFertility(docs, 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val gp = TextAnalysis.greedyPieces(docs, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fert("en")._1 === 2L)
+    assert(fert("en")._2 === gp(1L)._1 + gp(2L)._1)
+    assert(fert("en")._3 === gp(1L)._2 + gp(2L)._2)
+    assert(fert("de")._1 === 1L)
+    // fertility ratio is pieces/words exactly
+    val row = TextAnalysis.pieceFertility(docs, 5)
+      .filter(col("lang") === "en").head()
+    assert(row.getAs[Double]("pieces_per_word") ===
+      row.getAs[Long]("n_pieces").toDouble / row.getAs[Long]("n_words"))
+  }
 }
