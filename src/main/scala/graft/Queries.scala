@@ -2696,6 +2696,42 @@ object Queries {
              |   WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
              |FROM lm""".stripMargin)),
 
+    // Cross-corpus LM scoring — the deployed CCNet shape: the bigram
+    // model trains on the reference slice (sources src0-src9) and
+    // scores the REST, with explicit unseen-bigram backoff counting.
+    // The slice predicate is shared string arithmetic on the source
+    // name, so both engines split identically.
+    "text_lm_cross_score" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        val isTrain = expr("cast(substr(source, 4) as int) < 10")
+        TextAnalysis.bigramLmCrossScore(
+          all.filter(isTrain), all.filter(!isTrain))
+      },
+      Some("""WITH tr AS (SELECT * FROM documents WHERE CAST(substr(source,4) AS INTEGER) < 10),
+             |sc AS (SELECT * FROM documents WHERE CAST(substr(source,4) AS INTEGER) >= 10),
+             |tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+             |st AS (SELECT doc_id, string_split(text, ' ') AS w FROM sc),
+             |tb AS (SELECT u.w1 AS w1, u.w2 AS w2
+             |  FROM (SELECT unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(len(w)-1)]) AS u
+             |   FROM tt WHERE len(w) >= 2)),
+             |sb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+             |  FROM (SELECT doc_id,
+             |    unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(len(w)-1)]) AS u
+             |   FROM st WHERE len(w) >= 2)),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tb GROUP BY w1, w2),
+             |c1 AS (SELECT w1 AS cw1, COUNT(*) AS c1 FROM tb GROUP BY w1),
+             |v AS (SELECT COUNT(DISTINCT word) AS v
+             |  FROM (SELECT unnest(w) AS word FROM tt))
+             |SELECT sb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+             |  CAST(SUM(CAST((COALESCE(c12.c12, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v) AS DECIMAL(38,18))) AS DOUBLE)
+             |    * 1000000.0 / COUNT(*) AS lm_ppm
+             |FROM sb LEFT JOIN c12 ON sb.w1 = c12.w1 AND sb.w2 = c12.w2
+             |  LEFT JOIN c1 ON sb.w1 = c1.cw1 CROSS JOIN v
+             |GROUP BY sb.doc_id""".stripMargin)),
+
     // Corpus-frequency content score (exact-arithmetic CCNet
     // perplexity-bucket analog): mean corpus bigram frequency per doc.
     "pipeline_ngram_freq_score" -> Decl(

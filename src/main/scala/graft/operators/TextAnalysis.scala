@@ -660,6 +660,55 @@ object TextAnalysis {
           count(lit(1))).as("lm_ppm"))
   }
 
+  /** Cross-corpus LM scoring — the shape CCNet actually ships (Wenzek
+    * et al. 2020 train KenLM on *Wikipedia* and score the *crawl*):
+    * bigram counts and vocabulary come from `train` only, and `score`
+    * documents are rated against that fixed model. Unseen mass is
+    * explicit: an unseen bigram backs off to the Laplace floor
+    * `(0+1)/(c1+V)` (and `c1 = 0` when even the context is novel), and
+    * `n_unseen` counts them — the domain-shift readout (a score slice
+    * whose unseen rate spikes is out-of-distribution for the reference
+    * corpus, regardless of its lm_ppm).
+    *
+    * Per-bigram terms are double-rounded then summed as
+    * DECIMAL(38,18), so the total is partitioning-order-invariant and
+    * oracle-exact. Scale shape: two count aggregations over the TRAIN
+    * slice only, one 1-row vocab broadcast, then the score-side gram
+    * stream left-joins the count tables (model-sized, not
+    * corpus-sized) and re-aggregates per doc — the same
+    * model-broadcast discipline as the streaming LM gate, expressed
+    * relationally.
+    */
+  def bigramLmCrossScore(train: DataFrame, score: DataFrame): DataFrame = {
+    def pairs(df: DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val tb = pairs(train)
+    val c12 = tb.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = tb.groupBy(col("w1").as("cw1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode(tokens(col("text"))).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    pairs(score)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, col("w1") === col("cw1"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row aggregate, broadcast
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        (sum(((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v")))
+          .cast("decimal(38,18)")).cast("double") * lit(1000000.0) /
+          count(lit(1))).as("lm_ppm"))
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: corpora
     * are partitioned into thirds by LM perplexity, and models train on
     * the best tier): NTILE(3) over the [[bigramLmScore]] quality score,

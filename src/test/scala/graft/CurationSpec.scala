@@ -768,6 +768,27 @@ class CurationSpec extends SparkSpec {
     got.foreach { case (l, (_, noisy)) => assert(again(l) === noisy) }
   }
 
+  test("bigramLmCrossScore: train-only counts, explicit unseen backoff") {
+    // train: "a b a b" → c12(a,b)=2, c12(b,a)=1; c1(a)=2, c1(b)=1; V=2
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c"), (11L, "c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmCrossScore(train, score).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc10: (a,b) seen → (2+1)/(2+2)=0.75; (b,c) unseen → (0+1)/(1+2)
+    assert(got(10L)._1 === 2L)
+    assert(got(10L)._2 === 1L)
+    assert(math.abs(got(10L)._3 - (0.75 + 1.0 / 3) / 2 * 1e6) < 1e-6)
+    // doc11: (c,d) unseen AND novel context → (0+1)/(0+2) = 0.5
+    assert(got(11L) === ((1L, 1L, 500000.0)))
+    // the model never learns from the score side: re-scoring with the
+    // score docs appended to train changes doc10's probability
+    val self = TextAnalysis.bigramLmCrossScore(
+      train.union(score), score).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(self(10L) !== got(10L)._3)
+  }
+
   test("boilerplateStrip removes ALL occurrences per source, first included") {
     // srcA: "NAV" appears in 3/4 docs (≥ half, ≥ 2 docs) → boilerplate.
     // srcB has ONE doc containing "NAV" → below both thresholds there:
