@@ -1272,6 +1272,58 @@ object Queries {
              |  CAST(len(regexp_extract_all(b, '\d{7,}')) AS BIGINT) AS n_digit_runs,
              |  regexp_replace(b, '\d{7,}', '<NUM>', 'g') AS scrubbed
              |FROM s2""".stripMargin)),
+
+    // PMI collocations: the cutoff is an exact integer
+    // cross-multiplication (c12·N ≥ 2·c1·c2), so no float comparison
+    // decides the row set; the ln-ratio pmi is a value column only.
+    "text_pmi_colloc" -> Decl(
+      (s, d) => TextAnalysis.pmiCollocations(docs(s, d), 3, 2),
+      Some("""WITH toks AS (SELECT string_split(text,' ') AS w FROM documents),
+             |e AS (SELECT w, unnest(range(len(w)-1)) AS i FROM toks WHERE len(w) >= 2),
+             |p AS (SELECT w[i+1] AS w1, w[i+2] AS w2 FROM e),
+             |uc AS (SELECT t, COUNT(*) AS c
+             |       FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+             |tot AS (SELECT SUM(c) AS n FROM uc),
+             |pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2
+             |       HAVING COUNT(*) >= 3)
+             |SELECT pc.w1, pc.w2, c12, a.c AS c1, b.c AS c2,
+             |  ln(CAST(c12 AS DOUBLE) * CAST(tot.n AS DOUBLE) /
+             |     (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))) AS pmi
+             |FROM pc JOIN uc a ON a.t = pc.w1 JOIN uc b ON b.t = pc.w2, tot
+             |WHERE c12 * tot.n >= 2 * a.c * b.c""".stripMargin)),
+
+    // Flesch reading ease from regex-countable proxies (vowel-group
+    // syllables with a min of 1 per word) — a pure codegen projection.
+    "text_readability" -> Decl(
+      (s, d) => TextAnalysis.readability(docs(s, d)),
+      Some("""WITH c AS (SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+             |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |    + len([x for x in string_split(text,' ')
+             |           if NOT regexp_matches(lower(x), '[aeiouy]')]) AS BIGINT) AS n_syllables
+             |FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  206.835 - 1.015 * (CAST(n_words AS DOUBLE)/CAST(n_sentences AS DOUBLE))
+             |          - 84.6 * (CAST(n_syllables AS DOUBLE)/CAST(n_words AS DOUBLE)) AS flesch
+             |FROM c""".stripMargin)),
+
+    // Zipf's-law fit: distributed top-200 vocabulary (rank ties break
+    // on the term) then an O(k) least-squares regression of ln(count)
+    // on ln(rank). Doubles agree to the compare's 6-decimal rounding.
+    "text_zipf_slope" -> Decl(
+      (s, d) => TextAnalysis.zipfSlope(docs(s, d), 200),
+      Some("""WITH uc AS (SELECT t, COUNT(*) AS c
+             |  FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents) GROUP BY t),
+             |top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk
+             |        FROM uc ORDER BY c DESC, t LIMIT 200),
+             |xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top),
+             |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |             SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM xy)
+             |SELECT CAST(n AS BIGINT) AS n_terms,
+             |  (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope,
+             |  (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS intercept
+             |FROM s""".stripMargin)),
   )
 
   // ------------------------------------------------------------- composite
@@ -2611,6 +2663,39 @@ object Queries {
               |      GROUP BY 1, 2, 3, 4)
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) AS jaccard
               |FROM p WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // EXACT set-similarity join via prefix filtering (AllPairs/PPJoin).
+    // Losslessness is the whole point, so the ORACLE is deliberately
+    // the brute-force all-pairs Jaccard at the same threshold — the
+    // prefix-pruned Spark plan must reproduce it row-for-row. The
+    // Spark side never forms the all-pairs join: candidates come only
+    // from each doc's (|d|−⌈t·|d|⌉+1) globally-rarest shingles.
+    "dedup_ppjoin" -> Decl(
+      (s, d) => Dedup.ppjoin(docs(s, d), 3, 0.6),
+      Some(s"""WITH $shinglesCte,
+              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
+              |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2, 3, 4)
+              |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) AS jaccard
+              |FROM p WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.6""".stripMargin)),
+
+    // Record-linkage near-dup: exact Levenshtein ≤ 8 on the lowercased
+    // text, candidates blocked by (length band, first char) with the
+    // adjacent band probed (length-lossless since bandWidth 16 > 8)
+    // and each block rank-capped at the 64 smallest doc_ids — the
+    // oracle mirrors the identical candidate rule via QUALIFY.
+    "dedup_edit_blocked" -> Decl(
+      (s, d) => Dedup.editDistancePairs(docs(s, d), 8, 16, 64),
+      Some("""WITH k AS (SELECT doc_id, lower(text) AS k FROM documents),
+             |b AS (SELECT doc_id, k, CAST(floor(strlen(k)/16.0) AS BIGINT) AS band, substr(k,1,1) AS c1 FROM k),
+             |pr AS (SELECT doc_id, k, c1, band + d AS band FROM b, (VALUES (0),(1)) t(d)),
+             |pk AS (SELECT * FROM pr QUALIFY ROW_NUMBER() OVER (PARTITION BY band, c1 ORDER BY doc_id) <= 64)
+             |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             |  levenshtein(a.k, b2.k) AS dist
+             |FROM pk a JOIN pk b2
+             |  ON a.band = b2.band AND a.c1 = b2.c1 AND a.doc_id < b2.doc_id
+             |WHERE levenshtein(a.k, b2.k) <= 8""".stripMargin)),
 
     // Band buckets are capped at the MaxBucket smallest doc_ids on
     // BOTH sides (Spark row_number ≤ K, DuckDB QUALIFY ≤ K) — the

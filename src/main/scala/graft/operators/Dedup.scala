@@ -851,4 +851,117 @@ object Dedup {
           when(col(s"b$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
           .as("simhash"))
   }
+
+  /** EXACT set-similarity join via prefix filtering (the AllPairs /
+    * PPJoin family — Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Xiao et al., PPJoin, WWW'08): returns exactly
+    * the pairs with shingle-set Jaccard ≥ `minJaccard`, identical to
+    * [[ngramJaccard]], but WITHOUT the all-pairs shingle self-join.
+    *
+    * Candidate generation joins only on each document's PREFIX — its
+    * |d| − ⌈t·|d|⌉ + 1 globally-rarest shingles under the total order
+    * (document frequency asc, shingle asc). The filter is LOSSLESS:
+    * J(A,B) ≥ t implies overlap ≥ t·max(|A|,|B|), so two qualifying
+    * sets must share a token within both prefixes — every true pair
+    * survives, and the verify step re-checks exact Jaccard so no false
+    * pair leaks. Unlike MinHash/LSH this has NO false negatives; it is
+    * the scale path when the dedup must be provably exact.
+    *
+    * Scale design: the prefix keeps only rare shingles, so bucket
+    * sizes in the candidate self-join are bounded by document
+    * frequency of the rarest tokens (common shingles — the quadratic
+    * blowup in the naive join — never generate candidates). The
+    * symmetric length filter t·|a| ≤ |b| ≤ |a|/t prunes further
+    * before the verify join. No global rank is materialized: the
+    * order key (df, shingle) is attached by one broadcast-free
+    * equi-join on shingle and compared directly, so no single-reducer
+    * window exists anywhere. Shuffles: shingle agg (df), per-doc
+    * prefix window (partitioned by doc_id), candidate equi-join on
+    * prefix shingle, verify join keyed (doc, shingle).
+    */
+  def ppjoin(docs: DataFrame, n: Int = 3,
+             minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = shingleRows(docs, n)
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val dfreq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ordered = rows.join(dfreq, "shingle").join(sizes, "doc_id")
+    // prefix length p = nsh - ceil(t*nsh) + 1, per-doc window only
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = ordered
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("nsh") - ceil(col("nsh") * lit(minJaccard)) + lit(1))
+      .select(col("doc_id"), col("shingle"), col("nsh"))
+    // candidates: shared prefix shingle + symmetric length filter
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.nsh") * lit(minJaccard) <= col("a.nsh") &&
+          col("a.nsh") * lit(minJaccard) <= col("b.nsh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
+      .distinct()
+    // verify: exact overlap for candidate pairs only
+    val common = cand
+      .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
+      .join(rows.as("rb"),
+        col("doc_b") === col("rb.doc_id") &&
+          col("ra.shingle") === col("rb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Blocked edit-distance dedup (record-linkage style): document
+    * pairs whose lowercased text is within exact Levenshtein distance
+    * `maxDist`, with the pair space pruned by blocking instead of an
+    * all-pairs cross.
+    *
+    * Block key = (⌊len/bandWidth⌋, first char). A pair within
+    * distance d differs in length by at most d < bandWidth, so the two
+    * lengths land in the same or adjacent bands — each side probes
+    * {band, band+1}, making the length blocking LOSSLESS. The
+    * first-char block is a deliberate, documented approximation (an
+    * edit at position 0 escapes it; multi-pass blocking would union
+    * more passes) and each (band, char) block is rank-capped at the
+    * `maxBlock` smallest doc_ids — the same deterministic hot-bucket
+    * truncation as the LSH paths, mirrored in the oracle with QUALIFY
+    * so parity is exact by construction.
+    *
+    * Scale: each text emits 2 probe keys; the self-join shuffles on
+    * the block key; O(n·m) levenshtein runs only inside capped blocks,
+    * so per-task cost is bounded by maxBlock² regardless of skew.
+    */
+  def editDistancePairs(docs: DataFrame,
+                        maxDist: Int = 8,
+                        bandWidth: Int = 16,
+                        maxBlock: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bandWidth > maxDist, "band blocking is lossless only when " +
+      s"bandWidth ($bandWidth) > maxDist ($maxDist)")
+    val keyed = docs.select(col("doc_id"), lower(col("text")).as("k"))
+      .withColumn("band", floor(length(col("k")) / lit(bandWidth)))
+      .withColumn("c1", substring(col("k"), 1, 1))
+    val probes = keyed.select(col("doc_id"), col("k"), col("c1"),
+        explode(array(col("band"), col("band") + 1)).as("band"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("c1")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= maxBlock)
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.band") === col("b.band") && col("a.c1") === col("b.c1") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.k"), col("b.k")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 }

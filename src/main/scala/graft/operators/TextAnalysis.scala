@@ -1074,4 +1074,102 @@ object TextAnalysis {
           sum(col("n_words")).cast("double")).as("pieces_per_word"),
         (sum(col("n_ch")).cast("double") /
           sum(col("n_pieces")).cast("double")).as("chars_per_piece"))
+
+  /** PMI collocations (Church & Hanks 1990): adjacent token pairs
+    * whose joint probability beats independence by at least
+    * `minRatio`, with a minimum pair count. The PMI cutoff is applied
+    * as an EXACT integer cross-multiplication — c₁₂·N ≥ minRatio·c₁·c₂
+    * with integral `minRatio` — so the filter never compares floats
+    * across engines; the emitted `pmi` double (ln of the ratio) is a
+    * value column only.
+    *
+    * Scale shape: one explode over adjacent positions → three hash
+    * aggs (pair counts, left counts, right counts) → two broadcastable
+    * joins keyed on single tokens (unigram tables are O(vocab), tiny
+    * next to the pair table); the total-N scalar joins as a 1-row
+    * broadcast cross. No windows, no collects.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 3,
+                      minRatio: Long = 2): DataFrame = {
+    val w = docs.select(tokens(col("text")).as("w"))
+    val pairs = w.filter(size(col("w")) >= 2)
+      .select(explode(sequence(lit(0), size(col("w")) - 2)).as("i"), col("w"))
+      .select(element_at(col("w"), col("i") + 1).as("w1"),
+        element_at(col("w"), col("i") + 2).as("w2"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val pc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    pc.join(broadcast(uni.withColumnRenamed("t", "w1")
+          .withColumnRenamed("c", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("t", "w2")
+          .withColumnRenamed("c", "c2")), "w2")
+      .crossJoin(broadcast(total))
+      .filter(col("c12") * col("n") >= lit(minRatio) * col("c1") * col("c2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        log(col("c12").cast("double") * col("n").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))).as("pmi"))
+  }
+
+  /** Flesch reading-ease per document from three regex-countable
+    * proxies: words (whitespace tokens), sentences (runs of `.!?`,
+    * min 1), and syllables (runs of `aeiouy` per word, min 1 per word
+    * — the standard heuristic; both engines count via
+    * regexp_extract_all so the proxy is reproduced exactly).
+    * FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    *
+    * Pure per-row projection — zero shuffles, fully codegen,
+    * embarrassingly parallel at any scale.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val nw = size(tokens(col("text")))
+    val ns = greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+    // min-1-per-word: count vowel groups, then add 1 for each word
+    // with none — equivalently words + max(0, groups - wordsWithVowel)
+    val groups = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    val wordsNoVowel = size(
+      expr("filter(split(text, ' ', -1), x -> lower(x) NOT RLIKE '[aeiouy]')"))
+    val syl = groups + wordsNoVowel
+    docs.select(col("doc_id"),
+      nw.cast("long").as("n_words"),
+      ns.cast("long").as("n_sentences"),
+      syl.cast("long").as("n_syllables"),
+      (lit(206.835)
+        - lit(1.015) * (nw.cast("double") / ns.cast("double"))
+        - lit(84.6) * (syl.cast("double") / nw.cast("double"))).as("flesch"))
+  }
+
+  /** Zipf's-law fit over the top-`k` vocabulary: least-squares slope
+    * and intercept of ln(count) against ln(rank) (Zipf 1949 predicts
+    * slope ≈ −1). Rank ties break on the term so both engines agree on
+    * the exact top-k set and ordering.
+    *
+    * Scale shape: one token hash-agg, then a DISTRIBUTED top-k
+    * (orderBy+limit = TakeOrderedAndProject — no global sort
+    * materializes), and only then a window + regression over the k
+    * surviving rows. The single-partition window is over ≤ k rows by
+    * construction, never over the vocabulary.
+    */
+  def zipfSlope(docs: DataFrame, k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t"))
+      .limit(k)
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy(col("c").desc, col("t"))))
+    val xy = ranked.select(log(col("rk").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val sums = xy.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n").cast("long").as("n_terms"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Prefix-filtered set-similarity join (PPJoin), blocked edit-distance
+  * pairs, and the round-9 text metrics (PMI, readability, Zipf).
+  */
+class PpjoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b, math.rint(j * 1e9) / 1e9) }.toSet
+
+  test("ppjoin equals the all-pairs Jaccard reference exactly") {
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      val exact = pairSet(Dedup.ngramJaccard(docs, 3, t))
+      val pp = pairSet(Dedup.ppjoin(docs, 3, t))
+      assert(pp === exact, s"threshold $t: prefix filtering must be lossless")
+      assert(exact.nonEmpty || t > 0.7,
+        s"fixture degenerate: no pairs at threshold $t")
+    }
+  }
+
+  test("ppjoin never forms the all-pairs candidate space") {
+    // identical docs (jaccard 1.0) plus unrelated filler: the prefix is
+    // a single shingle, so candidates come only from that collision
+    val corpus = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "acht neun zehn elf zwoelf dreizehn")) ++
+      (10 to 40).map(i => (i.toLong, s"filler$i a$i b$i c$i d$i e$i")))
+      .toDF("doc_id", "text")
+    val got = pairSet(Dedup.ppjoin(corpus, 3, 0.9))
+    assert(got === Set((1L, 2L, 1.0)))
+  }
+
+  test("edit-distance pairs find planted near-duplicates inside blocks") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")),       // dist 1
+      (3L, base.replace("today", "tonite")),      // dist 4 tail edit
+      (4L, "a completely different sentence that shares nothing with the fox story"),
+      (5L, "Zebra " + base)                        // first char escapes the block
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(corpus, maxDist = 8, bandWidth = 16,
+      maxBlock = 64)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 1)))
+    assert(got.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+    assert(!got.exists { case (a, b, _) => b == 4L || a == 4L })
+    // doc 5 differs at position 0: documented first-char blocking miss
+    assert(!got.exists { case (a, b, _) => b == 5L || a == 5L })
+  }
+
+  test("edit-distance blocking requires bandWidth > maxDist") {
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs, maxDist = 16, bandWidth = 16)
+    }
+  }
+
+  test("pmi collocations apply the integer cross-multiplied cutoff") {
+    // "new york" always adjacent: c12=4, c1=c2=4, N=15 tokens
+    // 4*15 = 60 >= 2*4*4 = 32 -> kept, pmi = ln(60/16) = ln 3.75
+    val corpus = Seq(
+      (1L, "new york is big"), (2L, "new york is old"),
+      (3L, "new york won today"), (4L, "visit new york")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(corpus, minCount = 3, minRatio = 2)
+      .filter(col("w1") === "new" && col("w2") === "york")
+      .select(col("c12"), col("c1"), col("c2"), col("pmi"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length === 1)
+    val (c12, c1, c2, pmi) = got.head
+    assert((c12, c1, c2) === (4L, 4L, 4L))
+    assert(math.abs(pmi - math.log(3.75)) < 1e-12)
+  }
+
+  test("readability counts words, sentences, and vowel-group syllables") {
+    val corpus = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
+    val row = TextAnalysis.readability(corpus)
+      .select(col("n_words"), col("n_sentences"), col("n_syllables"),
+        col("flesch"))
+      .as[(Long, Long, Long, Double)].collect().head
+    // 6 words; "sat." + "ran!" = 2 sentence runs; one vowel group each
+    assert(row._1 === 6L)
+    assert(row._2 === 2L)
+    assert(row._3 === 6L)
+    val expected = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert(math.abs(row._4 - expected) < 1e-9)
+  }
+
+  test("readability gives vowel-less words one syllable") {
+    val corpus = Seq((1L, "psst brr hmm")).toDF("doc_id", "text")
+    val syl = TextAnalysis.readability(corpus)
+      .select(col("n_syllables")).as[Long].collect().head
+    assert(syl === 3L)
+  }
+
+  test("zipf slope recovers a planted power law") {
+    // term k repeated round(1000/k) times: ln c = ln 1000 - ln rank,
+    // slope -1 up to rounding
+    val rows = (1 to 50).flatMap { k =>
+      Seq.fill(math.round(1000.0 / k).toInt)(s"term${"%02d".format(k)}")
+    }
+    val corpus = Seq((1L, rows.mkString(" "))).toDF("doc_id", "text")
+    val (n, slope, icept) = TextAnalysis.zipfSlope(corpus, 200)
+      .select(col("n_terms"), col("slope"), col("intercept"))
+      .as[(Long, Double, Double)].collect().head
+    assert(n === 50L)
+    assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope")
+    assert(math.abs(icept - math.log(1000.0)) < 0.02, s"intercept $icept")
+  }
+}
