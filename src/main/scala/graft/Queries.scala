@@ -2360,6 +2360,23 @@ object Queries {
              |  n_docs + (-sign(u-0.5) * ln(1.0 - 2.0*abs(u-0.5))) / 1.0 AS noisy_n
              |FROM u""".stripMargin)),
 
+    // Per-source token-distribution drift: exact KL(P_source||P_corpus)
+    // — every source token is in the corpus, so no smoothing term
+    // exists and the sum is over the (source, token) table only.
+    "pipeline_source_kl" -> Decl(
+      (s, d) => Curation.sourceKl(docs(s, d)),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS t FROM documents),
+             |st AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+             |gt AS (SELECT t, COUNT(*) AS c_t FROM tok GROUP BY 1),
+             |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM gt)
+             |SELECT st.source, MAX(n_s) AS n_tokens,
+             |  SUM(CAST(c_st AS DOUBLE)/CAST(n_s AS DOUBLE) *
+             |      ln(CAST(c_st AS DOUBLE)*CAST(tot.n AS DOUBLE) /
+             |         (CAST(n_s AS DOUBLE)*CAST(c_t AS DOUBLE)))) AS kl
+             |FROM st JOIN gt USING (t) JOIN ns USING (source), tot
+             |GROUP BY 1""".stripMargin)),
+
     // Per-SOURCE boilerplate stripping (RefinedWeb/trafilatura
     // content extraction): a line present in ≥3 of a source's 25 docs
     // (minDocs=2 AND ≥10% by integer cross-multiply) is template
@@ -3800,6 +3817,60 @@ object Queries {
              |SELECT q_id, vec_id, cos_sim, rn FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
              |WHERE rn <= 10""".stripMargin)),
+
+    // EXACT cosine silhouette at LINEAR cost: mean distance to a cell
+    // is a dot with the cell's summed unit vectors, so no pairwise
+    // join exists — one assignment projection, one (cell, dim) agg,
+    // one k-row broadcast. The oracle mirrors the same sum trick.
+    "sim_silhouette" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.silhouette(e, e.filter(col("vec_id") < 8))
+      },
+      Some("""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+             |scored AS (SELECT c.vec_id, c.v, c_id,
+             |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+             |assign AS (SELECT vec_id, v, c_id AS cell FROM (
+             |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM scored)
+             |   WHERE rn = 1),
+             |uv AS (SELECT vec_id, cell,
+             |   [x / sqrt(list_sum([y*y for y in v])) for x in v] AS u FROM assign),
+             |e AS (SELECT cell, i, u[i+1] AS x FROM uv, range(64) t(i)),
+             |cd AS (SELECT cell, i, SUM(x) AS sx FROM e GROUP BY 1, 2),
+             |csl AS (SELECT cell, list(sx ORDER BY i) AS s_vec FROM cd GROUP BY cell),
+             |cm AS (SELECT cell, COUNT(*) AS m FROM uv GROUP BY cell),
+             |md AS (SELECT uv.vec_id, uv.cell, csl.cell AS s_cell, cm.m,
+             |   list_sum([uv.u[i+1]*csl.s_vec[i+1] for i in range(64)]) AS us
+             |   FROM uv, csl JOIN cm ON csl.cell = cm.cell),
+             |vals AS (SELECT vec_id, cell,
+             |   MAX(CASE WHEN s_cell = cell AND m > 1 THEN 1.0 - (us - 1.0)/(m - 1) END) AS a,
+             |   MIN(CASE WHEN s_cell <> cell THEN 1.0 - us/m END) AS b
+             |   FROM md GROUP BY 1, 2)
+             |SELECT vec_id, CAST(cell AS INTEGER) AS cell, a, b,
+             |  CASE WHEN a IS NULL OR b IS NULL OR greatest(a, b) <= 0.0 THEN 0.0
+             |       ELSE (b - a) / greatest(a, b) END AS s
+             |FROM vals""".stripMargin)),
+
+    // Johnson-Lindenstrauss random projection 64 -> 16 dims with an
+    // md5-derived +-1 sign matrix both engines regenerate from (i, j);
+    // per-vector norms and anchor distances in both spaces are the
+    // O(n) self-evaluation of the distance-preservation claim.
+    "sim_rand_proj" -> Decl(
+      (s, d) => Similarity.randomProjection(emb(s, d), 64, 16),
+      Some("""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+             |p AS (SELECT vec_id, v,
+             |  [ list_sum([ v[i+1] * (CASE WHEN CAST('0x'||substr(md5('rp:'||i||':'||j),1,15) AS BIGINT) % 2 = 0
+             |                         THEN 1.0 ELSE -1.0 END) for i in range(64)]) / sqrt(16.0)
+             |    for j in range(16)] AS y FROM c),
+             |a AS (SELECT v AS av, y AS ay FROM p WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  list_sum([x*x for x in v]) AS n2_orig,
+             |  list_sum([x*x for x in y]) AS n2_proj,
+             |  list_sum([(v[i+1]-av[i+1])*(v[i+1]-av[i+1]) for i in range(64)]) AS d2_anchor_orig,
+             |  list_sum([(y[j+1]-ay[j+1])*(y[j+1]-ay[j+1]) for j in range(16)]) AS d2_anchor_proj
+             |FROM p, a""".stripMargin)),
   )
 
   // -------------------------------------------------------------- registry

@@ -544,4 +544,40 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("noisy_n", col("n_docs") + noise)
   }
+
+  /** Per-source token-distribution drift: KL(P_source ‖ P_corpus) for
+    * every source — the audit that flags a crawl snapshot or domain
+    * whose vocabulary usage diverges from the corpus it is about to be
+    * mixed into (the distribution-shift counterpart of
+    * [[Sampling]]'s mixing weights). Every source token is by
+    * definition in the corpus, so no zero-denominator smoothing is
+    * needed and the sum is exact:
+    * KL = Σ_t (c_st/N_s)·ln((c_st/N_s)/(c_t/N)).
+    *
+    * Scale shape: one (source, token) hash aggregate, one token hash
+    * aggregate, a shuffle equi-join on the token key (vocabulary scale,
+    * NOT corpus scale — at web scale the global token table is the
+    * small side and broadcasts), and a |sources|-row rollup. The
+    * per-source and global totals ride along as window-free rollup
+    * joins on tiny keys.
+    */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(tokens(col("text"))).as("t"))
+    val st = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+    val gt = tok.groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = broadcast(gt.agg(sum(col("c_t")).as("n")))
+    st.join(broadcast(gt), "t")
+      .join(broadcast(ns), "source")
+      .crossJoin(n)
+      .select(col("source"), col("n_s"),
+        (col("c_st").cast("double") / col("n_s").cast("double") *
+          log((col("c_st").cast("double") * col("n").cast("double")) /
+            (col("n_s").cast("double") * col("c_t").cast("double"))))
+          .as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("kl"))
+  }
 }

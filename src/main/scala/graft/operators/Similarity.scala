@@ -521,4 +521,109 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
   }
+
+  /** EXACT mean silhouette per vector (Rousseeuw 1987) under cosine
+    * distance, at LINEAR cost — no pairwise join exists in the plan.
+    *
+    * The trick: with unit vectors uᵢ = vᵢ/‖vᵢ‖, the mean cosine
+    * distance from i to a cell C is 1 − uᵢ·(Σ_{j∈C} uⱼ)/|C| — a dot
+    * product with the cell's SUMMED unit vector. So a(i) (own cell,
+    * self excluded: (uᵢ·S_c − 1)/(m_c − 1)) and b(i) (min over other
+    * cells) all come from one k-row broadcast of (cell, sum-vector,
+    * count). A quadratic silhouette over 100 TB is unrunnable; this
+    * shape is one argmax-assignment projection + one (cell, dim) hash
+    * aggregate + one broadcast join.
+    *
+    * Cells are the [[semDedup]]/[[ivfTopK]] assignment: argmax dot
+    * against `centroids`, deterministic tie-break on centroid id.
+    * Singleton cells get s = 0 (the sklearn convention), as does the
+    * max(a,b) = 0 degenerate.
+    */
+  def silhouette(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = collectVectors(centroids)
+    val scores = array(cent.map { case (id, cv) =>
+      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+    }: _*)
+    val assigned = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scores_arr", scores)
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .drop("scores_arr")
+      .withColumn("u", transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))))
+      .drop("v")
+    // (cell, dim) hash aggregate: k x dims rows cross the shuffle
+    val cellSums = assigned
+      .select(col("cell"), posexplode(col("u")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("sx")))).as("ps"))
+      .select(col("cell").as("s_cell"),
+        expr("transform(ps, p -> p.sx)").as("s_vec"))
+    val cellCounts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("m"))
+      .select(col("cell").as("s_cell"), col("m"))
+    val cellTable = cellSums.join(cellCounts, "s_cell")
+    // every vector against the k-row broadcast cell table
+    val meanD = assigned.crossJoin(broadcast(cellTable))
+      .select(col("vec_id"), col("cell"), col("s_cell"), col("m"),
+        dot(col("u"), col("s_vec")).as("us"))
+      .select(col("vec_id"), col("cell"), col("s_cell"), col("m"),
+        when(col("s_cell") === col("cell"),
+          when(col("m") > 1,
+            lit(1.0) - (col("us") - 1.0) / (col("m") - 1).cast("double"))
+            .otherwise(lit(null)))
+          .otherwise(lit(1.0) - col("us") / col("m").cast("double"))
+          .as("md"))
+    meanD.groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("s_cell") === col("cell"), col("md"))).as("a"),
+        min(when(col("s_cell") =!= col("cell"), col("md"))).as("b"))
+      .select(col("vec_id"), col("cell"), col("a"), col("b"),
+        when(col("a").isNull || col("b").isNull ||
+            greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+          .as("s"))
+  }
+
+  /** Johnson–Lindenstrauss random projection: 64-dim floats down to
+    * `dOut` dims via a ±1 sign matrix scaled 1/√dOut (Achlioptas 2003,
+    * "Database-friendly random projections"), self-evaluated by
+    * emitting each vector's squared norm and squared distance to the
+    * vec_id-0 anchor in BOTH spaces (JL says they agree in
+    * expectation; distances are norms of differences, so the anchor
+    * column is the pairwise-distance check in O(n) rather than O(n²)).
+    *
+    * The sign matrix is md5-derived from (i, j) ONLY — both engines
+    * regenerate it from the formula, and the Spark side inlines the
+    * signs as literals at plan time, so each output dim is a pure
+    * codegen'd literal-weighted sum. Zero shuffles, zero state.
+    */
+  def randomProjection(corpus: DataFrame, dIn: Int = 64,
+                       dOut: Int = 16): DataFrame = {
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    def proj(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until dOut).map { j =>
+      (0 until dIn).map { i =>
+        element_at(v, i + 1) * lit(sign(i, j))
+      }.reduce(_ + _) * lit(scale)
+    }: _*)
+    val base = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("y", proj(col("v")))
+    val anchor = broadcast(base.filter(col("vec_id") === 0)
+      .select(col("v").as("av"), col("y").as("ay")))
+    base.crossJoin(anchor)
+      .select(col("vec_id"),
+        dot(col("v"), col("v")).as("n2_orig"),
+        dot(col("y"), col("y")).as("n2_proj"),
+        dot(zip_with(col("v"), col("av"), (a, b) => a - b),
+          zip_with(col("v"), col("av"), (a, b) => a - b)).as("d2_anchor_orig"),
+        dot(zip_with(col("y"), col("ay"), (a, b) => a - b),
+          zip_with(col("y"), col("ay"), (a, b) => a - b)).as("d2_anchor_proj"))
+  }
 }
