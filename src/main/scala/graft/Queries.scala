@@ -3920,5 +3920,9 @@ object Queries {
     // round-9 additions: hybrid RRF (two retriever top-n reductions +
     // an n-row fusion join), and the two new TPC-H shapes (diamond
     // aggregate with runtime exchange reuse; broadcast-dim distinct)
-    "text_hybrid_rrf", "tpch_q11_important_parts", "tpch_q16_supplier_cnt")
+    "text_hybrid_rrf", "tpch_q11_important_parts", "tpch_q16_supplier_cnt",
+    // round-9 batch 2: the exact prefix-filtered set join, the
+    // capped-block thresholded-levenshtein join, and the linear
+    // silhouette — the three newest shapes with real per-row cost
+    "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette")
 }

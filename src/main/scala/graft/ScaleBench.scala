@@ -48,7 +48,14 @@ object ScaleBench {
     "dedup_exact_substr", "dedup_simhash", "rel_triangles",
     "pipeline_curate_tokenize", "pipeline_bpe_train256",
     "sim_topk_lsh", "pipeline_nb_score", "text_hash_embed",
-    "mm_resize_real", "text_bigram_lm")
+    "mm_resize_real", "text_bigram_lm",
+    // round-9 additions whose 100 TB claims need curves: the exact
+    // prefix-filtered set join (candidate space rides the shingle df
+    // distribution), the capped-block edit-distance join (per-task
+    // cost bounded by maxBlock^2 — the curve proves the cap holds as
+    // blocks multiply), and the linear-cost silhouette (the claim IS
+    // the linearity)
+    "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
