@@ -337,6 +337,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("linear silhouette plans NO pairwise join — broadcasts only") {
+    // the whole point of the sum-vector trick: the only joins are the
+    // k-row cell table arriving broadcast (one hash, one nested-loop
+    // for the keyless cross). A shuffled join or a window here would
+    // mean a corpus-scaled pair structure crept back in.
+    val p = plan("sim_silhouette")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("WindowExec"), p.take(2000))
+    // JL projection: literal sign sums are a pure projection — the
+    // anchor row is the only join, arriving broadcast
+    val pr = plan("sim_rand_proj")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pr).size === 1,
+      pr.take(2000))
+    assert(!pr.contains("SortMergeJoin") && !pr.contains("ShuffledHashJoin"),
+      pr.take(2000))
+  }
+
+  test("ppjoin and blocked edit-distance never degrade to sorts or crosses") {
+    // ppjoin: candidate + verify joins are hash equi-joins (broadcast
+    // at this SF, shuffled-hash at scale); the only windows are the
+    // per-doc prefix ranks — a global range sort would be corpus-scaled
+    val p = plan("dedup_ppjoin")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    val pe = plan("dedup_edit_blocked")
+    assert(!pe.contains("SortMergeJoin"), pe.take(2000))
+    assert(!pe.contains("CartesianProduct"), pe.take(2000))
+    // the thresholded levenshtein must be in the join output, not the
+    // full-table form (the 70x early-abandon win at sf0.1)
+    assert(pe.contains("levenshtein"), pe.take(2000))
+  }
+
   test("no declared query plans an unbroadcast cartesian product") {
     // the blanket scale guard: a CartesianProduct in any declared
     // query's physical plan is a 100 TB killer. The broadcast-cross
