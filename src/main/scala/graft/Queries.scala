@@ -490,6 +490,30 @@ object Queries {
              |  AS INTEGER) AS dst_h,
              | r / 255.0 AS mean_r, g / 255.0 AS mean_g, b / 255.0 AS mean_b
              |FROM p""".stripMargin)),
+
+    // Perceptual image dedup: REAL PNG encode -> ImageIO decode ->
+    // 8x8 average-hash (bit = gray*64 > sum, exact integer compare)
+    // -> one hash-groupBy on the hex fingerprint. The gray pattern is
+    // recomputable from doc_id, so the oracle re-derives every pixel,
+    // every bit, and the full dedup WITHOUT touching a codec — the
+    // Spark side's decode must round-trip bit-faithfully to match.
+    "mm_phash_dedup" -> Decl(
+      (s, d) => Multimodal.aHashDedup(
+        Multimodal.syntheticGrayPngs(docs(s, d))),
+      Some("""WITH g AS (SELECT doc_id,
+             |  [ ((doc_id % 256) * (1 + 7*(j%8) + 13*(j//8)) + 31*(j%8) + 57*(j//8)) % 256
+             |    for j in range(64) ] AS gr FROM documents),
+             |s AS (SELECT doc_id, gr, list_sum(gr) AS total FROM g),
+             |b AS (SELECT doc_id,
+             |  [ CASE WHEN gr[j+1]*64 > total THEN 1 ELSE 0 END for j in range(64) ] AS bits FROM s),
+             |hx AS (SELECT doc_id, array_to_string(
+             |  [ substr('0123456789abcdef',
+             |      CAST(bits[4*(15-k)+1] + 2*bits[4*(15-k)+2] + 4*bits[4*(15-k)+3]
+             |           + 8*bits[4*(15-k)+4] AS INTEGER) + 1, 1)
+             |    for k in range(16) ], '') AS ahash FROM b)
+             |SELECT ahash, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  MIN(doc_id) AS keeper
+             |FROM hx GROUP BY 1""".stripMargin)),
   )
 
   // ------------------------------------------------------------- relational

@@ -705,4 +705,108 @@ object Multimodal {
     */
   def sizeBalanced(media: Dataset[MediaRow], partitions: Int): Dataset[MediaRow] =
     media.repartitionByRange(partitions, length(col("content")))
+
+  final case class AHashRow(media_id: Long, decoded: Boolean, ahash: String)
+
+  /** Deterministic 8×8 grayscale-pattern PNG per document — the
+    * perceptual-hash twin of [[syntheticPngs]]'s solid fixtures: cell
+    * (x, y) holds gray g(id,x,y) = (id·(1+7x+13y) + 31x + 57y) mod 256
+    * written as R=G=B, so every pixel byte (and therefore the whole
+    * average-hash below) is recomputable from doc_id alone by a DuckDB
+    * oracle that never touches a codec. Lossless PNG + an exact-gray
+    * pattern keep the decode bit-faithful.
+    */
+  def syntheticGrayPngs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val g = (((id % 256) * (1 + 7 * x + 13 * y) + 31 * x + 57 * y)
+              % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray, 1)
+      }
+    }
+  }
+
+  /** Average-hash (aHash — the classic perceptual image fingerprint):
+    * REAL ImageIO decode of each blob, the 8×8 gray plane read back
+    * pixel-by-pixel, bit j = y·8+x set iff gray·64 > Σ gray (the mean
+    * comparison cross-multiplied so both engines decide every bit in
+    * exact integer arithmetic). Undecodable blobs emit ahash −1 with
+    * decoded = false — sentinel, never a task failure.
+    *
+    * Scale shape: a pure typed narrow map (per-partition codec init,
+    * zero shuffles) — the hash is the 8-byte surrogate that the dedup
+    * GROUPs on afterwards, which is the entire point: at 100 TB the
+    * image bytes never shuffle, only the 64-bit hashes do.
+    */
+  def aHash(media: Dataset[MediaRow]): Dataset[AHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(i) if i.getWidth == 8 && i.getHeight == 8 =>
+            val gray = new Array[Int](64)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                gray(y * 8 + x) = i.getRGB(x, y) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val total = gray.sum
+            // 16 hex chars, most-significant nibble (bits 60..63)
+            // first — a STRING key sidesteps the signed-BIGINT bit-63
+            // hazard entirely and groups just as well
+            val sb = new StringBuilder(16)
+            var k = 15
+            while (k >= 0) {
+              var v = 0
+              var b = 3
+              while (b >= 0) {
+                val j = 4 * k + b
+                v = (v << 1) | (if (gray(j).toLong * 64L > total) 1 else 0)
+                b -= 1
+              }
+              sb.append("0123456789abcdef".charAt(v))
+              k -= 1
+            }
+            AHashRow(m.media_id, decoded = true, sb.toString)
+          case _ => AHashRow(m.media_id, decoded = false, "")
+        }
+      }
+    }
+  }
+
+  /** Perceptual dedup over [[aHash]] fingerprints: one hash-groupBy on
+    * the 64-bit surrogate — count plus the smallest media_id keeper,
+    * exactly the [[graft.operators.Dedup.exact]] discipline but with a
+    * perceptual key, so re-encoded/metadata-stripped copies of the
+    * same image collapse while visually distinct images don't.
+    */
+  def aHashDedup(media: Dataset[MediaRow]): DataFrame =
+    aHash(media).toDF()
+      .filter(col("decoded"))
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("cnt"), min(col("media_id")).as("keeper"))
 }

@@ -437,4 +437,47 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
+
+  test("aHash: hand-built 8x8 image hashes to the predicted bits") {
+    // top half gray 10, bottom half gray 200: total = 32*10 + 32*200
+    // = 6720; bit set iff gray*64 > 6720 -> only the 200s (rows 4-7,
+    // bits 32..63) -> hex ffffffff00000000
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = if (y < 4) 10 else 200
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Multimodal.aHash(
+      Seq(Multimodal.MediaRow(7L, "image", bos.toByteArray, 1)).toDS())
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.decoded)
+    assert(rows.head.ahash === "ffffffff00000000")
+  }
+
+  test("aHash sentinels undecodable or wrong-size blobs; dedup drops them") {
+    val junk = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](9, 9, 9), 1),
+      Multimodal.MediaRow(2L, "image", Array.empty[Byte], 1)).toDS()
+    val rows = Multimodal.aHash(junk).collect()
+    assert(rows.forall(r => !r.decoded && r.ahash == ""))
+    assert(Multimodal.aHashDedup(junk).count() === 0L)
+  }
+
+  test("aHash groups re-encoded copies of the same pixels together") {
+    val docs = (0L until 600L).map(i => (i, s"d$i"))
+      .toDF("doc_id", "text")
+    val dedup = Multimodal.aHashDedup(Multimodal.syntheticGrayPngs(docs))
+      .collect()
+    // ids congruent mod 256 share a pattern: 256 perceptual groups at
+    // most (fewer when two residues collide on the same bit pattern)
+    assert(dedup.length <= 256)
+    assert(dedup.map(_.getLong(1)).sum === 600L)
+    // keeper is the smallest id in its group; groups of >= 2 exist
+    assert(dedup.exists(_.getLong(1) >= 2L))
+    dedup.foreach(r => assert(r.getLong(2) < 256L))
+  }
 }
