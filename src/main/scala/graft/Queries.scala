@@ -1348,6 +1348,23 @@ object Queries {
              |  (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope,
              |  (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS intercept
              |FROM s""".stripMargin)),
+
+    // Per-doc token Shannon entropy + type-normalized form: the
+    // position-blind lexical-diversity gate (low entropy = few tokens
+    // looping). All shuffles ride the doc_id key.
+    "text_token_entropy" -> Decl(
+      (s, d) => TextAnalysis.tokenEntropy(docs(s, d)),
+      Some("""WITH tc AS (SELECT doc_id, t, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             |        CAST(COUNT(*) AS BIGINT) AS n_types FROM tc GROUP BY 1),
+             |e AS (SELECT tc.doc_id, MAX(n) AS n_tokens, MAX(n_types) AS n_types,
+             |  -SUM(CAST(c AS DOUBLE)/CAST(n AS DOUBLE) * ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))) AS entropy
+             |  FROM tc JOIN tot USING (doc_id) GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_types, entropy,
+             |  CASE WHEN n_types > 1 THEN entropy / ln(CAST(n_types AS DOUBLE)) ELSE 0.0 END AS norm_entropy
+             |FROM e""".stripMargin)),
   )
 
   // ------------------------------------------------------------- composite
@@ -1459,6 +1476,25 @@ object Queries {
       },
       Some("""SELECT doc_id, n_chars FROM documents
              |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 < 10""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis):
+    // md5-derived u, rank key ln(u)/w, k survivors via the
+    // distributed top-k. Longer documents are proportionally likelier
+    // but nothing is guaranteed a slot — the standard corpus
+    // subsampling that respects document mass.
+    "pipeline_sample_weighted" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Sampling.weightedSample(
+          docs(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), 100)
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) AS w,
+             |  ln(greatest(CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) + 1 AS DOUBLE)
+             |               / 1152921504606846976.0,
+             |              8.673617379884035e-19)) / CAST(n_chars AS DOUBLE) AS es_key
+             |FROM documents WHERE n_chars > 0)
+             |SELECT * FROM b ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin)),
 
     // Stratified sampling: a fixed-size, class-balanced subset — the
     // 25 smallest hash ranks per language. WindowGroupLimit truncates
@@ -3499,6 +3535,25 @@ object Queries {
       """SELECT event_type, CAST(ts AS DATE) AS d,
         | CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin),
+
+    // PIVOT — the relational-to-crosstab rotation, verbatim in both
+    // engines (Spark 2.4+ FROM ... PIVOT; DuckDB supports the same
+    // SQL-standard-ish form alongside its own PIVOT statement). The
+    // IN list pins the output columns so the schemas agree exactly.
+    // (the inner projection casts to DOUBLE so SUM agrees — DuckDB's
+    // SUM(BIGINT) is HUGEINT, the one type the hasher can't compare)
+    "sql_pivot" -> sqlParity(
+      """SELECT * FROM (SELECT lang, source, CAST(n_chars AS DOUBLE) AS n_chars FROM documents)
+        |PIVOT (SUM(n_chars) FOR lang IN ('en', 'de', 'fr'))
+        |ORDER BY source""".stripMargin),
+
+    // UNPIVOT — the inverse rotation (wide metrics to tall rows),
+    // verbatim in both engines (Spark 3.4+, DuckDB).
+    "sql_unpivot" -> sqlParity(
+      """SELECT * FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+        |               CAST(length(text) AS BIGINT) AS bytes FROM documents)
+        |UNPIVOT (val FOR metric IN (chars, bytes))
+        |ORDER BY doc_id, metric""".stripMargin),
   )
 
   // ------------------------------------------------------------ similarity

@@ -254,4 +254,32 @@ object Sampling {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("total_chars"))
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): each row
+    * draws u ∈ (0,1) and keeps key u^(1/w); the k largest keys are a
+    * weighted sample. The draw is md5-derived (u = (hash60(id)+1)/2⁶⁰,
+    * clamped off zero) so both engines regenerate identical keys, and
+    * the rank key is the monotone ln-transform ln(u)/w (largest
+    * u^(1/w) ⟺ largest ln(u)/w since w > 0) — one fewer transcendental
+    * in the fixed IEEE tree. Ties break on doc_id.
+    *
+    * Scale shape: the key is a pure projection; the k survivors come
+    * from orderBy+limit = TakeOrderedAndProject — the distributed
+    * top-k, never a global sort. One pass, O(k) driver memory, exactly
+    * the property the reservoir paper is about.
+    */
+  def weightedSample(df: DataFrame, idCol: String,
+                     weight: org.apache.spark.sql.Column,
+                     k: Int): DataFrame = {
+    val u = greatest(
+      (hash60(col(idCol).cast("string")) + 1L).cast("double") /
+        lit(1152921504606846976.0), // 2^60
+      lit(8.673617379884035e-19))
+    df.withColumn("w", weight.cast("double"))
+      .filter(col("w") > 0.0)
+      .withColumn("es_key", log(u) / col("w"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -1172,4 +1172,33 @@ object TextAnalysis {
       slope.as("slope"),
       ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
   }
+
+  /** Per-document token Shannon entropy H = −Σ p·ln p plus the
+    * type-normalized form H/ln(types) ∈ [0,1] — the lexical-diversity
+    * metric that separates natural prose from keyword-stuffed or
+    * looping machine output (low-entropy docs repeat few tokens;
+    * norm_entropy 1 means perfectly uniform usage). Complements
+    * [[repetitionStats]]' positional repetition with a
+    * position-blind distributional measure.
+    *
+    * Scale shape: one (doc_id, token) hash aggregate, a doc_id-keyed
+    * rollup riding the same partitioning, and a final doc_id group —
+    * all three shuffles on the document key, nothing corpus-global.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    tc.join(tot, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        (-sum(col("c").cast("double") / col("n").cast("double") *
+          log(col("c").cast("double") / col("n").cast("double"))))
+          .as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_types") > 1L,
+          col("entropy") / log(col("n_types").cast("double")))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -905,4 +905,40 @@ class CurationSpec extends SparkSpec {
     assert(row.getAs[Double]("pieces_per_word") ===
       row.getAs[Long]("n_pieces").toDouble / row.getAs[Long]("n_words"))
   }
+
+  test("weightedSample: heavy rows effectively always win; zero-weight dies") {
+    import spark.implicits._
+    // one row a million times heavier than 999 peers: key ln(u)/w is
+    // ~0 for it, so it must be in any top-100; weight 0 is excluded
+    val df = ((1L to 999L).map(i => (i, 10L)) :+ (1000L, 10000000L) :+
+      (1001L, 0L)).toDF("doc_id", "wt")
+    val got = Sampling.weightedSample(df, "doc_id", col("wt"), 100)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got.contains(1000L))
+    assert(!got.contains(1001L))
+    assert(got.size === 100)
+    // determinism: same input order-independent
+    val again = Sampling.weightedSample(df.repartition(7), "doc_id",
+      col("wt"), 100).select(col("doc_id")).as[Long].collect().toSet
+    assert(again === got)
+  }
+
+  test("tokenEntropy: uniform tokens hit ln(n), repeats drop entropy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // uniform over 4 types: H = ln 4, norm = 1
+      (2L, "a a a a"),   // single type: H = 0, norm = 0
+      (3L, "a a b b")    // uniform over 2: H = ln 2, norm = 1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(docs)
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("entropy"), col("norm_entropy"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L)._2 === 4L && r(1L)._3 === 4L)
+    assert(math.abs(r(1L)._4 - math.log(4.0)) < 1e-12)
+    assert(math.abs(r(1L)._5 - 1.0) < 1e-12)
+    assert(r(2L)._4 === 0.0 && r(2L)._5 === 0.0)
+    assert(math.abs(r(3L)._4 - math.log(2.0)) < 1e-12)
+  }
 }
