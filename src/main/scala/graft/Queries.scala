@@ -853,6 +853,26 @@ object Queries {
              |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
 
+    // Q9 SHAPE on available columns (partsupp is absent from this
+    // star): per-(nation, year) profit over the 5-way
+    // lineitem⨝orders⨝supplier⨝nation⨝part join with a part-name
+    // pattern filter; unit cost substituted by the deterministic
+    // 0.6·p_retailprice. Sums DECIMAL-quantized (the Q14 discipline).
+    "tpch_q9_profit_shape" -> Decl(
+      (s, d) => Relational.profitShape(
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "orders"),
+        Tables.read(s, d, "supplier"), Tables.read(s, d, "nation"),
+        Tables.read(s, d, "part"), "bolt"),
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+             |       - 0.6*p_retailprice*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS profit_proxy
+             |FROM lineitem, orders, supplier, nation, part
+             |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+             |  AND s_nationkey = n_nationkey AND l_partkey = p_partkey
+             |  AND p_name LIKE '%bolt%'
+             |GROUP BY 1, 2
+             |ORDER BY nation, o_year DESC""".stripMargin)),
+
     // AS-OF join (composed union+window) checked against DuckDB's
     // NATIVE ASOF JOIN — an independent implementation of the same
     // semantics: for each purchase, the latest preceding (or equal)
@@ -1365,6 +1385,15 @@ object Queries {
              |SELECT doc_id, n_tokens, n_types, entropy,
              |  CASE WHEN n_types > 1 THEN entropy / ln(CAST(n_types AS DOUBLE)) ELSE 0.0 END AS norm_entropy
              |FROM e""".stripMargin)),
+
+    // DEFLATE compression ratio (the Gopher/RefinedWeb quality gate):
+    // REAL zlib in a typed narrow map. ROWS-ONLY tier — SQL engines
+    // don't expose zlib, so like the HLL and approx-percentile rows
+    // this is driver rows-checked and spec-pinned (CompressRatioSpec:
+    // determinism across partitionings, template-vs-prose-vs-junk
+    // ordering, exact empty/tiny cases).
+    "text_compress_ratio" -> Decl(
+      (s, d) => TextAnalysis.compressionRatio(docs(s, d)), None),
   )
 
   // ------------------------------------------------------------- composite

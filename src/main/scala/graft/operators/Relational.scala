@@ -605,4 +605,45 @@ object Relational {
            count(lit(1)).as("n_orders"))
       .orderBy(col("total_spent").desc, col("c_custkey"))
       .limit(n)
+
+  /** TPC-H Q9 SHAPE on the available columns: product-type profit by
+    * (supplier nation, order year). The official query prices cost
+    * from `partsupp.ps_supplycost`, a table absent from this star —
+    * the documented substitution is a deterministic unit cost of
+    * 0.6·p_retailprice, which preserves the SHAPE the query exists to
+    * exercise: the 5-way lineitem⨝orders⨝supplier⨝nation⨝part join
+    * with a name-pattern part filter and a (nation, year) rollup.
+    *
+    * Plan discipline (matches Q5/Q7/Q8): the filtered part dim, the
+    * supplier→nation chain arrive BROADCAST; lineitem⨝orders is the
+    * one fact-fact join and is hinted SHUFFLE_HASH — lineitem never
+    * sorts, orders never broadcasts.
+    */
+  def profitShape(lineitem: DataFrame, orders: DataFrame,
+                  supplier: DataFrame, nation: DataFrame,
+                  part: DataFrame, namePattern: String): DataFrame = {
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("nation"))
+    val ord = orders.select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"))
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(namePattern))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      // DECIMAL(38,6)-quantized sum (the Q14 discipline): per-row
+      // doubles follow the same fixed IEEE tree in both engines, and
+      // the decimal sum is exact, so combine order cannot drift the
+      // group totals past the gate's 6-decimal rounding
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(38,6)")).cast("double")
+        .as("profit_proxy"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
 }

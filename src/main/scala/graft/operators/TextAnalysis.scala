@@ -1201,4 +1201,37 @@ object TextAnalysis {
           col("entropy") / log(col("n_types").cast("double")))
           .otherwise(lit(0.0)))
   }
+
+  /** Per-document DEFLATE compression ratio — the quality signal the
+    * Gopher/RefinedWeb pipelines gate on (machine-generated or
+    * template text compresses far better than natural prose; binary
+    * junk barely compresses at all). REAL zlib (java.util.zip
+    * .Deflater, level 6, raw stream), run as a typed narrow map with
+    * per-row finish — zero shuffles, embarrassingly parallel.
+    *
+    * ROWS-ONLY TIER (no DuckDB oracle — SQL engines don't expose
+    * zlib): determinism and the discriminating behavior are pinned by
+    * `CompressRatioSpec` instead, the same treatment as the HLL and
+    * approx-percentile tiers.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val d = new java.util.zip.Deflater(6, true)
+          d.setInput(raw); d.finish()
+          var buf = new Array[Byte](raw.length + 64)
+          var n = 0
+          while (!d.finished()) {
+            if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+            n += d.deflate(buf, n, buf.length - n)
+          }
+          d.end()
+          (id, raw.length.toLong, n.toLong,
+            n.toDouble / math.max(1, raw.length).toDouble)
+        }
+      }.toDF("doc_id", "n_raw", "n_deflate", "ratio")
+  }
 }
