@@ -970,6 +970,20 @@ object Queries {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Inter-arrival gap log2 histogram: the traffic-shape audit whose
+    // knee picks the sessionize gap threshold. Buckets via BIGINT bit
+    // length (conv/bin string length), never a floating log.
+    "rel_interarrival" -> Decl(
+      (s, d) => Temporal.interArrival(ev(s, d), "user_id", "ts", "event_id"),
+      Some("""WITH g AS (
+             |  SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |f AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL)
+             |SELECT CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bucket,
+             |  COUNT(*) AS n_gaps, MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+             |FROM f GROUP BY 1""".stripMargin)),
+
     // Retention triangle: cohort = first-seen day, distinct actives
     // per day offset.
     "rel_retention_cohorts" -> Decl(

@@ -98,4 +98,38 @@ object Temporal {
            min(col(ts)).as("sess_start"), max(col(ts)).as("sess_end"))
       .orderBy(col(key), col("session_id"))
   }
+
+  /** Inter-arrival gap distribution: per-key lag deltas (microsecond
+    * arithmetic, same discipline as [[sessionize]]) bucketed into a
+    * log₂ histogram of gap seconds — the traffic-shape audit behind
+    * session-gap threshold choices (the knee in this histogram IS the
+    * right `gapSeconds`). Bucket = floor(log₂(gap_s + 1)) computed by
+    * BIGINT bit-length, not floating log, so both engines agree on
+    * every boundary exactly.
+    *
+    * Scale shape: one per-key window (partitioned, never global), one
+    * hash aggregate over ≤ 64 buckets per key-universe — output is
+    * O(buckets), corpus-independent.
+    */
+  def interArrival(events: DataFrame, key: String, ts: String,
+                   idCol: String): DataFrame = {
+    val order = Window.partitionBy(col(key)).orderBy(col(ts), col(idCol))
+    // Spark long/long is DOUBLE division: cast back to long (truncate
+    // == floor for the non-negative ordered-ts deltas), matching the
+    // oracle's `//`
+    val gapS = ((unix_micros(col(ts)) -
+      unix_micros(lag(col(ts), 1).over(order))) / lit(1000000L))
+      .cast("long")
+    // floor(log2(n+1)) via the bit length of (gap_s + 1): BIGINT-exact
+    // (Spark conv(x,10,2) and DuckDB bin(x) both render without
+    // leading zeros, so string length IS the bit length)
+    val bucket = expr("length(conv(gap_s + 1, 10, 2))") - lit(1L)
+    events
+      .withColumn("gap_s", gapS)
+      .filter(col("gap_s").isNotNull)
+      .withColumn("bucket", bucket.cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+  }
 }
