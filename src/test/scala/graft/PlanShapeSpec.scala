@@ -373,6 +373,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(pe.contains("levenshtein"), pe.take(2000))
   }
 
+  test("q9 shape: one fact-fact shuffle hash, three broadcasts, no SMJ") {
+    val p = plan("tpch_q9_profit_shape")
+    assert("ShuffledHashJoin".r.findAllIn(p).size === 1, p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("round-9 narrow shapes stay join-free and sort-free") {
+    // interarrival: per-key window + hash agg; phash: typed narrow map
+    // + one hash agg; compress: pure narrow map; weighted sample: one
+    // TakeOrderedAndProject, never a global sort exchange
+    for (q <- Seq("rel_interarrival", "mm_phash_dedup",
+        "text_compress_ratio")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$q: ${p.take(2000)}")
+    }
+    val ws = plan("pipeline_sample_weighted")
+    assert("TakeOrderedAndProject".r.findAllIn(ws).size === 1,
+      ws.take(2000))
+    assert(!ws.contains("Exchange rangepartitioning"), ws.take(2000))
+  }
+
   test("no declared query plans an unbroadcast cartesian product") {
     // the blanket scale guard: a CartesianProduct in any declared
     // query's physical plan is a 100 TB killer. The broadcast-cross

@@ -398,4 +398,67 @@ class PropertySpec extends SparkSpec {
         id.toString)
     }
   }
+
+  test("ppjoin equals brute-force Jaccard on random corpora (lossless prefix)") {
+    import org.apache.spark.sql.functions.col
+    // small vocab + short docs force heavy shingle collisions — the
+    // adversarial regime for prefix filtering
+    val word = Gen.oneOf("ax", "by", "cz", "dw", "ev", "fu")
+    val doc = Gen.choose(3, 9).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.choose(5, 14).flatMap(n => Gen.listOfN(n, doc))
+    for ((docsList, ci) <- samples(corpusGen, 6).zipWithIndex) {
+      val df = docsList.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      for (t <- Seq(0.4, 0.7)) {
+        def pairs(r: org.apache.spark.sql.DataFrame) =
+          r.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+            .collect().toSet
+        val exact = pairs(graft.operators.Dedup.ngramJaccard(df, 2, t))
+        val pp = pairs(graft.operators.Dedup.ppjoin(df, 2, t))
+        assert(pp === exact, s"case $ci threshold $t")
+      }
+    }
+  }
+
+  test("edit-distance pairs carry true distances and respect the block rule") {
+    import org.apache.spark.sql.functions.col
+    val charGen = Gen.oneOf('a', 'b', 'c')
+    val strGen = Gen.choose(20, 60).flatMap(n => Gen.listOfN(n, charGen))
+      .map(_.mkString)
+    val corpusGen = Gen.choose(6, 12).flatMap(n => Gen.listOfN(n, strGen))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (docsList <- samples(corpusGen, 5)) {
+      val byId = docsList.zipWithIndex
+        .map { case (s, i) => i.toLong -> s }.toMap
+      val df = byId.toSeq.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .editDistancePairs(df, maxDist = 8, bandWidth = 16, maxBlock = 64)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .as[(Long, Long, Int)].collect()
+      // soundness: every emitted pair's dist is the TRUE levenshtein
+      for ((a, b, dist) <- got) {
+        assert(dist === lev(byId(a), byId(b)), s"pair ($a,$b)")
+        assert(dist <= 8)
+        assert(a < b)
+      }
+      // completeness within the block rule: any pair with dist <= 8,
+      // same first char, and |band diff| <= 1 must be emitted
+      val gotSet = got.map(p => (p._1, p._2)).toSet
+      for (a <- byId.keys; b <- byId.keys if a < b) {
+        val (sa, sb) = (byId(a), byId(b))
+        val sameBlock = sa.head == sb.head &&
+          math.abs(sa.length / 16 - sb.length / 16) <= 1
+        if (sameBlock && lev(sa, sb) <= 8)
+          assert(gotSet.contains((a, b)), s"missing ($a,$b)")
+      }
+    }
+  }
 }
