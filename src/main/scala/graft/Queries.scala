@@ -3975,6 +3975,33 @@ object Queries {
              |       ELSE (b - a) / greatest(a, b) END AS s
              |FROM vals""".stripMargin)),
 
+    // Two-stage retrieval (the production ANN serving pattern):
+    // int8-coarse top-40 over the corpus, then exact double-precision
+    // re-rank of ONLY those candidates to the final 10. The oracle
+    // composes the int8 pipeline with an exact re-scoring CTE.
+    "sim_topk_rerank" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.rerankTopK(e, e.filter(col("vec_id") < 10), 40, 10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |m AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS ma FROM c),
+              |qt AS (SELECT vec_id, CASE WHEN ma = 0 THEN [CAST(0 AS DOUBLE) for x in v]
+              |   ELSE [CAST(floor(x / (ma/127) + 0.5) AS DOUBLE) for x in v] END AS q FROM m),
+              |qs AS (SELECT vec_id AS q_id, q AS qv FROM qt WHERE vec_id < 10),
+              |s AS (SELECT q_id, qt.vec_id, ${duckCosine("qv", "q")} AS cos_sim
+              | FROM qt, qs WHERE qt.vec_id <> q_id),
+              |coarse AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+              |  WHERE rn <= 40),
+              |ex AS (SELECT co.q_id, co.vec_id, ${duckCosine("qc.v", "cc.v")} AS cos_sim
+              | FROM coarse co JOIN c cc ON cc.vec_id = co.vec_id
+              |                JOIN c qc ON qc.vec_id = co.q_id)
+              |SELECT q_id, vec_id, cos_sim, rn FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM ex)
+              |WHERE rn <= 10""".stripMargin)),
+
     // Johnson-Lindenstrauss random projection 64 -> 16 dims with an
     // md5-derived +-1 sign matrix both engines regenerate from (i, j);
     // per-vector norms and anchor distances in both spaces are the

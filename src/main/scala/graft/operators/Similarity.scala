@@ -105,6 +105,41 @@ object Similarity {
     bruteForceTopK(quantized(corpus), quantized(queries), k)
   }
 
+  /** Two-stage retrieval — the production ANN serving pattern: an
+    * int8-quantized COARSE pass over the whole corpus proposes
+    * `coarseK` candidates per query (4-8× less memory traffic, the
+    * [[quantizeInt8]] rationale), then ONLY those candidates are
+    * re-scored in full double precision and re-ranked to the final
+    * `k`. Recall loss is confined to candidates the quantizer ranked
+    * below `coarseK` — the knob every vector store exposes.
+    *
+    * Scale shape: stage 1 is [[int8TopK]]'s broadcast-cross scan
+    * (corpus never shuffles); stage 2 touches |queries|·coarseK rows —
+    * candidate-sized, not corpus-sized — re-fetching full-precision
+    * vectors by an equi-join on vec_id and windowing per query over
+    * ≤ coarseK rows.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame,
+                 coarseK: Int, k: Int): DataFrame = {
+    val coarse = int8TopK(corpus, queries, coarseK)
+      .select(col("q_id"), col("vec_id"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val rescored = coarse
+      .join(c, "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** Triplet mining for contrastive-embedding training: for each
     * anchor, the `kPos` nearest corpus vectors become positives and
     * `kNeg` DETERMINISTIC hash-sampled vectors OUTSIDE the positive
