@@ -4073,5 +4073,7 @@ object Queries {
     // round-9 batch 2: the exact prefix-filtered set join, the
     // capped-block thresholded-levenshtein join, and the linear
     // silhouette — the three newest shapes with real per-row cost
-    "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette")
+    "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette",
+    // round-9 batch 3: the two-stage coarse+rerank ANN
+    "sim_topk_rerank")
 }

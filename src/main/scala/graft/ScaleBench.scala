@@ -53,9 +53,10 @@ object ScaleBench {
     // prefix-filtered set join (candidate space rides the shingle df
     // distribution), the capped-block edit-distance join (per-task
     // cost bounded by maxBlock^2 — the curve proves the cap holds as
-    // blocks multiply), and the linear-cost silhouette (the claim IS
-    // the linearity)
-    "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette")
+    // blocks multiply), the linear-cost silhouette (the claim IS the
+    // linearity), and the two-stage int8-coarse + exact-rerank ANN
+    "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette",
+    "sim_topk_rerank")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -70,7 +71,14 @@ object ScaleBench {
     "dedup_minhash_lsh", "dedup_simhash_neardup", "dedup_cross_corpus_lsh",
     "pipeline_intake_dump", "sim_topk_ivf",
     "dedup_exact_substr", "dedup_simhash", "rel_triangles",
-    "pipeline_curate_tokenize", "pipeline_bpe_train256", "sim_topk_lsh")
+    "pipeline_curate_tokenize", "pipeline_bpe_train256", "sim_topk_lsh",
+    // round 9: second decade for the new curves too — edit_blocked's
+    // cap saturation and silhouette's linearity both predict flat
+    // decade-2 ratios; ppjoin's df-densification superlinearity needs
+    // the second point to see whether synthesis' novel substituted
+    // tokens re-thin the shingle frequency tail (rel_triangles
+    // decade-2 measured 0.86 for exactly that reason)
+    "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette")
 
   def main(args: Array[String]): Unit = {
     val testdata =
