@@ -72,13 +72,17 @@ object ScaleBench {
     "pipeline_intake_dump", "sim_topk_ivf",
     "dedup_exact_substr", "dedup_simhash", "rel_triangles",
     "pipeline_curate_tokenize", "pipeline_bpe_train256", "sim_topk_lsh",
-    // round 9: second decade for the new curves too — edit_blocked's
-    // cap saturation and silhouette's linearity both predict flat
-    // decade-2 ratios; ppjoin's df-densification superlinearity needs
-    // the second point to see whether synthesis' novel substituted
-    // tokens re-thin the shingle frequency tail (rel_triangles
-    // decade-2 measured 0.86 for exactly that reason)
-    "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette")
+    // round 9: second decade for edit_blocked (cap saturation
+    // predicts a flat ratio) and silhouette (the linearity claim).
+    // dedup_ppjoin is deliberately NOT here: the sf10 synthesis holds
+    // ~100 near-identical replicas per base doc, so the TRUE
+    // >=0.6-Jaccard pair set is itself Theta(replicas^2) — an 8 GiB
+    // driver OOMs enumerating output any exact pair join MUST emit
+    // (measured: OOM at sf10, fine at sf1). Exact pair ENUMERATION is
+    // output-bound there; the production representation at that dup
+    // rate is duplicateClusters' keeper table, and the approximate
+    // scale path (minhash_lsh, rank-capped) covers decade 2.
+    "dedup_edit_blocked", "sim_silhouette")
 
   def main(args: Array[String]): Unit = {
     val testdata =
