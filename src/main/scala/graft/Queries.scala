@@ -2800,6 +2800,30 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) AS jaccard
               |FROM p WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.6""".stripMargin)),
 
+    // The production representation of an exact dedup at high
+    // duplicate rates: ppjoin's provably-complete pair set collapsed
+    // to connected components (smallest-id keeper per cluster) — the
+    // keeper table is corpus-sized, never pair-sized, which is what a
+    // 100 TB job materializes instead of the quadratic pair list
+    // (see SCALING.md on the sf10 output-cardinality bound).
+    "dedup_ppjoin_clusters" -> Decl(
+      (s, d) => Dedup.duplicateClusters(Dedup.ppjoin(docs(s, d), 3, 0.6)),
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+              |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
+              |       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2, 3, 4),
+              |p AS (SELECT doc_a, doc_b FROM pp
+              |      WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.6),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT src AS doc_id, dst AS r FROM edges
+              |          UNION SELECT rr.doc_id, e2.dst FROM reach rr JOIN edges e2 ON e2.src = rr.r)
+              |SELECT doc_id, MIN(r) AS cluster FROM (
+              |  SELECT src AS doc_id, src AS r FROM edges
+              |  UNION ALL SELECT doc_id, r FROM reach)
+              |GROUP BY doc_id""".stripMargin)),
+
     // Record-linkage near-dup: exact Levenshtein ≤ 8 on the lowercased
     // text, candidates blocked by (length band, first char) with the
     // adjacent band probed (length-lossless since bandWidth 16 > 8)
