@@ -136,6 +136,19 @@ object Queries {
       (s, d) => Reports.dailyCount(ev(s, d), "ts"),
       Some("SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d ORDER BY d")),
 
+    // Day-of-week seasonality: weekday via epoch-day arithmetic
+    // (0 = Monday) because Spark and DuckDB dayofweek() builtins
+    // disagree on the Sunday convention.
+    "o11_dow_profile" -> Decl(
+      (s, d) => Reports.dowProfile(ev(s, d), "ts"),
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+             |               FROM events GROUP BY 1)
+             |SELECT CAST((d - DATE '1970-01-01' + 3) % 7 AS BIGINT) AS dow,
+             |  COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS total,
+             |  MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt,
+             |  CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt
+             |FROM daily GROUP BY 1""".stripMargin)),
+
     "o11_daily_unique" -> Decl(
       (s, d) => Reports.dailyCount(ev(s, d), "ts", Some("user_id")),
       Some("SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d ORDER BY d")),
@@ -514,6 +527,32 @@ object Queries {
              |SELECT ahash, CAST(COUNT(*) AS BIGINT) AS cnt,
              |  MIN(doc_id) AS keeper
              |FROM hx GROUP BY 1""".stripMargin)),
+
+    // Gradient-hash near-dup pairs: 56-bit dHash from the REAL decode,
+    // 4x14-bit band blocking (lossless for hamming <= 3 by
+    // pigeonhole), rank-capped buckets, exact popcount verify. The
+    // oracle re-derives every gradient bit from doc_id codec-free
+    // (integer shifts only — no double ever holds the 56-bit key).
+    "mm_dhash_pairs" -> Decl(
+      (s, d) => Multimodal.dHashPairs(
+        Multimodal.syntheticGrayPngs(docs(s, d)), 3, 64),
+      Some("""WITH g AS (SELECT doc_id,
+             |  [ ((doc_id % 256) * (1 + 7*(j%8) + 13*(j//8)) + 31*(j%8) + 57*(j//8)) % 256
+             |    for j in range(64) ] AS gr FROM documents),
+             |dh AS (SELECT doc_id, CAST(list_sum(
+             |  [ CASE WHEN gr[(j//7)*8 + (j%7) + 2] > gr[(j//7)*8 + (j%7) + 1]
+             |         THEN CAST(1 AS BIGINT) << j ELSE 0 END for j in range(56)]) AS BIGINT) AS dhash
+             | FROM g),
+             |bands AS (SELECT doc_id, dhash, b AS band,
+             |   (dhash >> (14*b)) % 16384 AS bkey
+             | FROM dh, range(4) t(b)),
+             |bk AS (SELECT * FROM bands
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 64)
+             |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS INTEGER) AS hamming
+             |FROM bk a JOIN bk b2
+             |  ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+             |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3""".stripMargin)),
   )
 
   // ------------------------------------------------------------- relational

@@ -809,4 +809,77 @@ object Multimodal {
       .filter(col("decoded"))
       .groupBy(col("ahash"))
       .agg(count(lit(1)).as("cnt"), min(col("media_id")).as("keeper"))
+
+  final case class DHashRow(media_id: Long, decoded: Boolean, dhash: Long)
+
+  /** Difference-hash (dHash — the gradient twin of [[aHash]]): REAL
+    * decode, bit y·7+x set iff gray(x+1,y) > gray(x,y) over the 8×8
+    * plane — 56 bits, which keeps the key inside a non-negative
+    * BIGINT (no bit-63 sign hazard). Gradients survive global
+    * brightness shifts that flip every aHash mean-comparison at once,
+    * the standard reason real pipelines run both.
+    */
+  def dHash(media: Dataset[MediaRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(i) if i.getWidth == 8 && i.getHeight == 8 =>
+            var h = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 7) {
+                if ((i.getRGB(x + 1, y) & 0xFF) > (i.getRGB(x, y) & 0xFF))
+                  h |= 1L << (y * 7 + x)
+                x += 1
+              }
+              y += 1
+            }
+            DHashRow(m.media_id, decoded = true, h)
+          case _ => DHashRow(m.media_id, decoded = false, -1L)
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance ≤ `maxHam`,
+    * found WITHOUT an all-pairs join: the 56-bit key splits into 4
+    * bands of 14 bits, and a pair within Hamming 3 must agree exactly
+    * on at least one band (pigeonhole — the blocking is LOSSLESS for
+    * maxHam ≤ 3). Band buckets are rank-capped at the `maxBucket`
+    * smallest media_ids, the same deterministic hot-bucket truncation
+    * as every LSH path here, mirrored in the oracle via QUALIFY; the
+    * final bit_count(xor) verify kills band-collision false positives.
+    */
+  def dHashPairs(media: Dataset[MediaRow], maxHam: Int = 3,
+                 maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxHam <= 3, "4-band blocking is lossless only for maxHam <= 3")
+    val h = dHash(media).toDF().filter(col("decoded"))
+    val bands = h.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("dhash"), 14 * b) % 16384L).as("bkey"))): _*))
+          .as("bb"))
+      .select(col("media_id"), col("dhash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("bkey"))
+          .orderBy(col("media_id"))))
+      .filter(col("rk") <= maxBucket)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
+  }
 }

@@ -209,4 +209,26 @@ object Reports {
       .groupBy(col(serviceCol).as("service"))
       .agg(count_distinct(col(field)).as("cnt"))
       .orderBy(col("cnt").desc, col("service"))
+
+  /** Day-of-week seasonal profile over the daily-visit series: per
+    * weekday, how many days were observed and the min/max/mean daily
+    * count — the seasonality view behind "is Monday always this
+    * quiet". The weekday index is EPOCH-DAY ARITHMETIC ((days since
+    * 1970-01-01 + 3) mod 7 → 0 = Monday), not a dayofweek() builtin,
+    * because Spark (1 = Sunday) and DuckDB (0 = Sunday) disagree on
+    * the convention — the formula is engine-neutral by construction.
+    *
+    * Scale shape: rides [[dailyCount]]'s per-day aggregate; the
+    * profile is a second hash agg over ≤ 7 output rows.
+    */
+  def dowProfile(df: DataFrame, tsCol: String): DataFrame =
+    dailyCount(df, tsCol)
+      .withColumn("dow",
+        ((datediff(col("d"), lit("1970-01-01")) + 3) % 7).cast("long"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("total"),
+        min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"),
+        (sum(col("cnt")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_cnt"))
 }

@@ -467,6 +467,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHashDedup(junk).count() === 0L)
   }
 
+  test("dHash reads gradients and survives a global brightness shift") {
+    def png(shift: Int): Array[Byte] = {
+      // gray ramp 8*x + shift: every horizontal gradient positive
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = math.min(255, 8 * x + shift)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Multimodal.dHash(Seq(
+      Multimodal.MediaRow(1L, "image", png(0), 1),
+      Multimodal.MediaRow(2L, "image", png(40), 1), // brighter copy
+      Multimodal.MediaRow(3L, "image", Array[Byte](1, 2), 1)).toDS())
+      .collect().map(r => r.media_id -> r).toMap
+    // all 56 gradient bits set: (1 << 56) - 1
+    assert(rows(1L).dhash === (1L << 56) - 1L)
+    // aHash of the two WOULD differ per-pixel; dHash is shift-invariant
+    assert(rows(2L).dhash === rows(1L).dhash)
+    assert(!rows(3L).decoded && rows(3L).dhash === -1L)
+    // and the pair search finds the brightness-shifted copy at ham 0
+    val pairs = Multimodal.dHashPairs(Seq(
+      Multimodal.MediaRow(1L, "image", png(0), 1),
+      Multimodal.MediaRow(2L, "image", png(40), 1)).toDS(), 3, 64)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getInt(2) === 0)
+  }
+
   test("aHash groups re-encoded copies of the same pixels together") {
     val docs = (0L until 600L).map(i => (i, s"d$i"))
       .toDF("doc_id", "text")
