@@ -1439,6 +1439,34 @@ object Queries {
              |  CASE WHEN n_types > 1 THEN entropy / ln(CAST(n_types AS DOUBLE)) ELSE 0.0 END AS norm_entropy
              |FROM e""".stripMargin)),
 
+    // RAKE keyword extraction: the integer frequency cutoff decides
+    // the row set; the degree/frequency score is a value column.
+    "text_rake_phrases" -> Decl(
+      (s, d) => TextAnalysis.rakePhrases(docs(s, d),
+        Seq("a", "the", "of", "and", "to"), 2),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |e AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t),
+             |f AS (SELECT doc_id, pos, w[pos+1] AS word,
+             |       w[pos+1] IN ('a','the','of','and','to') AS is_stop FROM e),
+             |p AS (SELECT doc_id, pos, word, is_stop,
+             |  SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id FROM f),
+             |ph AS (SELECT doc_id, phrase_id,
+             |  string_agg(word, ' ' ORDER BY pos) AS phrase,
+             |  CAST(COUNT(*) AS BIGINT) AS n_words
+             | FROM p WHERE NOT is_stop GROUP BY 1, 2),
+             |wr AS (SELECT unnest(string_split(phrase,' ')) AS word, n_words FROM ph),
+             |ws AS (SELECT word, COUNT(*) AS freq, CAST(SUM(n_words) AS BIGINT) AS deg
+             |       FROM wr GROUP BY 1),
+             |dp AS (SELECT DISTINCT phrase FROM ph),
+             |pw AS (SELECT phrase, unnest(string_split(phrase,' ')) AS word FROM dp),
+             |sc AS (SELECT phrase, SUM(CAST(deg AS DOUBLE)/CAST(freq AS DOUBLE)) AS score
+             |       FROM pw JOIN ws USING (word) GROUP BY 1),
+             |pc AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS freq_phrase,
+             |       MAX(n_words) AS n_words FROM ph GROUP BY 1)
+             |SELECT pc.phrase, pc.n_words, freq_phrase, score
+             |FROM pc JOIN sc USING (phrase) WHERE freq_phrase >= 2""".stripMargin)),
+
     // DEFLATE compression ratio (the Gopher/RefinedWeb quality gate):
     // REAL zlib in a typed narrow map. ROWS-ONLY tier — SQL engines
     // don't expose zlib, so like the HLL and approx-percentile rows

@@ -1202,6 +1202,58 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are
+    * maximal token runs between stopword delimiters; each word scores
+    * degree/frequency (degree = Σ lengths of phrases containing it,
+    * frequency = its occurrence count), and a phrase scores the sum
+    * of its words' scores. Emits every distinct phrase occurring at
+    * least `minCount` times with its length, corpus frequency, and
+    * score — the ROW SET is decided by the integer frequency cutoff
+    * (the float score is a value column only, the same discipline as
+    * PMI: no double comparison picks rows).
+    *
+    * Scale shape: one posexplode, a per-doc window for the running
+    * stopword count (partitioned by doc_id, never global), phrase and
+    * word hash aggregates (vocabulary/phrase-universe scaled), and a
+    * broadcastable word-stats join. Nothing quadratic, no top-k over
+    * floats.
+    */
+  def rakePhrases(docs: DataFrame,
+                  stop: Seq[String] = Seq("a", "the", "of", "and", "to"),
+                  minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = e
+      .withColumn("is_stop", col("word").isInCollection(stop))
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(win))
+      .filter(!col("is_stop"))
+    val phrases = marked.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("word"))))
+        .as("ws"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ws, x -> x.word), ' ')").as("phrase"),
+        size(col("ws")).cast("long").as("n_words"))
+    val wordStats = phrases
+      .select(explode(split(col("phrase"), " ")).as("word"), col("n_words"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+    val scores = phrases.select(col("phrase")).distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(broadcast(wordStats), "word")
+      .groupBy(col("phrase"))
+      .agg(sum(col("deg").cast("double") / col("freq").cast("double"))
+        .as("score"))
+    phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("freq_phrase"), max(col("n_words")).as("n_words"))
+      .filter(col("freq_phrase") >= minCount)
+      .join(scores, "phrase")
+      .select(col("phrase"), col("n_words"), col("freq_phrase"), col("score"))
+  }
+
   /** Per-document DEFLATE compression ratio — the quality signal the
     * Gopher/RefinedWeb pipelines gate on (machine-generated or
     * template text compresses far better than natural prose; binary

@@ -105,6 +105,24 @@ class PpjoinSpec extends SparkSpec {
     assert(syl === 3L)
   }
 
+  test("rake phrases score degree over frequency, hand case") {
+    val corpus = Seq(
+      (1L, "red apple the red apple"),
+      (2L, "green pear the red apple")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.rakePhrases(corpus, Seq("the"), 2)
+      .select(col("phrase"), col("n_words"), col("freq_phrase"),
+        col("score"))
+      .as[(String, Long, Long, Double)].collect()
+    // only "red apple" reaches the frequency cutoff (3 occurrences);
+    // red: freq 3 deg 6, apple: freq 3 deg 6 -> score 2 + 2 = 4
+    assert(rows.length === 1)
+    val (phrase, nw, fp, score) = rows.head
+    assert(phrase === "red apple")
+    assert(nw === 2L && fp === 3L)
+    assert(math.abs(score - 4.0) < 1e-12)
+  }
+
   test("zipf slope recovers a planted power law") {
     // term k repeated round(1000/k) times: ln c = ln 1000 - ln rank,
     // slope -1 up to rounding
