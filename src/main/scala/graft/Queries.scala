@@ -136,6 +136,16 @@ object Queries {
       (s, d) => Reports.dailyCount(ev(s, d), "ts"),
       Some("SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d ORDER BY d")),
 
+    // Per-user lifespan: the churn/engagement base table.
+    "rel_user_lifespan" -> Decl(
+      (s, d) => Reports.userLifespan(ev(s, d), "user_id", "ts"),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+             |  MIN(CAST(ts AS DATE)) AS first_day,
+             |  MAX(CAST(ts AS DATE)) AS last_day,
+             |  CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) + 1 AS BIGINT) AS span_days
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // Day-of-week seasonality: weekday via epoch-day arithmetic
     // (0 = Monday) because Spark and DuckDB dayofweek() builtins
     // disagree on the Sunday convention.

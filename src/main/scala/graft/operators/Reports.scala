@@ -221,6 +221,21 @@ object Reports {
     * Scale shape: rides [[dailyCount]]'s per-day aggregate; the
     * profile is a second hash agg over ≤ 7 output rows.
     */
+  /** Per-user lifespan rollup: first/last seen, distinct active days,
+    * event count, and span in days — the base table for churn and
+    * engagement cuts. One hash aggregate keyed on the user; the span
+    * is date arithmetic on the aggregated bounds (no second scan).
+    */
+  def userLifespan(df: DataFrame, userCol: String,
+                   tsCol: String): DataFrame =
+    df.groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(day(col(tsCol))).as("active_days"),
+        min(day(col(tsCol))).as("first_day"),
+        max(day(col(tsCol))).as("last_day"))
+      .withColumn("span_days",
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
+
   def dowProfile(df: DataFrame, tsCol: String): DataFrame =
     dailyCount(df, tsCol)
       .withColumn("dow",
