@@ -2941,6 +2941,35 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // MinHash estimator self-eval: exact Jaccard vs the
+    // 32-component signature agreement fraction per verified pair
+    // (Broder's identity) — the signature-width justification table.
+    "dedup_minhash_estimate" -> Decl(
+      (s, d) => Dedup.minhashEstimate(docs(s, d), 3, 0.5),
+      Some(s"""WITH $minhashConstsCte,
+              |$shinglesCte,
+              |$lshBandsCte,
+              |bands_k AS (
+              |  SELECT * FROM bands
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM bands_k a JOIN bands_k b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |jac AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
+              |    len(sh_a) AS na, len(sh_b) AS nb
+              |  FROM cands),
+              |p AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
+              |      FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5),
+              |est AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+              |  CAST(len([i for i in range(${Dedup.NumHashes}) if a.sig[i+1] = b.sig[i+1]]) AS DOUBLE)
+              |    / ${Dedup.NumHashes}.0 AS est
+              | FROM p JOIN sigs a ON a.doc_id = p.doc_a
+              |        JOIN sigs b ON b.doc_id = p.doc_b)
+              |SELECT doc_a, doc_b, jaccard, est, abs(est - jaccard) AS est_err
+              |FROM est""".stripMargin)),
+
     // Deterministic global corpus shuffle: dense 1..N rank in hashed
     // order via two-level prefix sums, vs the oracle's single-reducer
     // row_number — identical permutation, distributed sort.

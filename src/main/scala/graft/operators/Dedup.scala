@@ -852,6 +852,37 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** MinHash estimator self-evaluation (the [[graft.operators
+    * .TextAnalysis.cmsEstimate]] / sim_ivf_recall pattern applied to
+    * dedup): for every pair the LSH path verifies, emit the EXACT
+    * Jaccard next to the MinHash ESTIMATE — the fraction of the 32
+    * signature components that agree, whose expectation IS the
+    * Jaccard (the Broder 1997 identity the whole MinHash family
+    * rests on). `est_err` quantifies how tight 32 components are at
+    * this corpus's similarity profile — the number that justifies
+    * (or indicts) the signature width.
+    *
+    * Scale shape: rides [[minhashLsh]]'s capped pipeline; the
+    * signature join adds two doc_id-keyed equi-joins of 32-long
+    * arrays over PAIR-count rows, never corpus-count.
+    */
+  def minhashEstimate(docs: DataFrame, n: Int = 3,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(docs, n, minJaccard)
+    val sigs = minhashSignatures(docs, n)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") /
+          lit(NumHashes.toDouble)).as("est"))
+      .withColumn("est_err", abs(col("est") - col("jaccard")))
+  }
+
   /** EXACT set-similarity join via prefix filtering (the AllPairs /
     * PPJoin family — Bayardo et al., "Scaling Up All Pairs Similarity
     * Search", WWW'07; Xiao et al., PPJoin, WWW'08): returns exactly
