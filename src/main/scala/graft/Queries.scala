@@ -2557,6 +2557,30 @@ object Queries {
              |FROM st JOIN gt USING (t) JOIN ns USING (source), tot
              |GROUP BY 1""".stripMargin)),
 
+    // Jensen-Shannon drift per source vs the leave-one-out rest:
+    // symmetric, bounded by ln 2; the out-of-source tail closes via
+    // 1 - sum(q) so only the (source, token) table is aggregated.
+    "pipeline_source_jsd" -> Decl(
+      (s, d) => Curation.sourceJsDrift(docs(s, d)),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS t FROM documents),
+             |st AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+             |gt AS (SELECT t, COUNT(*) AS c_t FROM tok GROUP BY 1),
+             |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM gt),
+             |j AS (SELECT st.source, n_s,
+             |  CAST(c_st AS DOUBLE)/CAST(n_s AS DOUBLE) AS p,
+             |  CAST(c_t - c_st AS DOUBLE)/CAST(tot.n - n_s AS DOUBLE) AS q
+             | FROM st JOIN gt USING (t) JOIN ns USING (source), tot),
+             |m AS (SELECT source, n_s, p, q, (p + q)/2.0 AS m FROM j),
+             |agg AS (SELECT source, MAX(n_s) AS n_tokens,
+             |  SUM(p * ln(p/m)) AS kl_p,
+             |  SUM(CASE WHEN q > 0.0 THEN q * ln(q/m) ELSE 0.0 END) AS kl_q_in,
+             |  SUM(q) AS q_mass_in
+             | FROM m GROUP BY 1)
+             |SELECT source, n_tokens,
+             |  0.5*kl_p + 0.5*(kl_q_in + ln(2.0)*(1.0 - q_mass_in)) AS jsd
+             |FROM agg""".stripMargin)),
+
     // Per-SOURCE boilerplate stripping (RefinedWeb/trafilatura
     // content extraction): a line present in ≥3 of a source's 25 docs
     // (minDocs=2 AND ≥10% by integer cross-multiply) is template

@@ -580,4 +580,48 @@ object Curation {
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("kl"))
   }
+
+  /** Jensen–Shannon drift per source against the REST of the corpus
+    * (Lin 1991): JSD = ½KL(P‖M) + ½KL(Q‖M) with M the midpoint —
+    * symmetric and bounded by ln 2, so sources are comparable on one
+    * scale where [[sourceKl]]'s asymmetric number is not. Q is the
+    * leave-one-out complement (c_t − c_st over n − n_s), not the full
+    * corpus, so a dominant source cannot mask its own drift.
+    *
+    * The sum never materializes the out-of-source vocabulary: tokens
+    * absent from the source contribute q·ln 2 each to KL(Q‖M), and
+    * their total mass is 1 − Σ_{t∈source} q_t — one subtraction
+    * closes the tail, keeping the aggregate on the (source, token)
+    * table only. Same shuffle shape as [[sourceKl]].
+    */
+  def sourceJsDrift(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(tokens(col("text"))).as("t"))
+    val st = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+    val gt = tok.groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = broadcast(gt.agg(sum(col("c_t")).as("n")))
+    val ln2 = math.log(2.0)
+    val joined = st.join(broadcast(gt), "t")
+      .join(broadcast(ns), "source")
+      .crossJoin(n)
+      .withColumn("p", col("c_st").cast("double") / col("n_s").cast("double"))
+      .withColumn("q",
+        (col("c_t") - col("c_st")).cast("double") /
+          (col("n") - col("n_s")).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+    joined
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("p") * log(col("p") / col("m"))).as("kl_p"),
+        sum(when(col("q") > 0.0,
+          col("q") * log(col("q") / col("m"))).otherwise(lit(0.0)))
+          .as("kl_q_in"),
+        sum(col("q")).as("q_mass_in"))
+      .select(col("source"), col("n_tokens"),
+        (lit(0.5) * col("kl_p") +
+          lit(0.5) * (col("kl_q_in") +
+            lit(ln2) * (lit(1.0) - col("q_mass_in")))).as("jsd"))
+  }
 }

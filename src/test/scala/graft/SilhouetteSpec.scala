@@ -78,6 +78,21 @@ class SilhouetteSpec extends SparkSpec {
     kl.values.foreach(v => assert(math.abs(v) < 1e-12, s"kl $v"))
   }
 
+  test("JS drift: zero for identical sources, ln 2 for disjoint ones") {
+    val same = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s2")
+    ).toDF("doc_id", "text", "source")
+    Curation.sourceJsDrift(same)
+      .select(col("jsd")).as[Double].collect()
+      .foreach(v => assert(math.abs(v) < 1e-12, s"jsd $v"))
+    val disjoint = Seq(
+      (1L, "a a b", "s1"), (2L, "c d d", "s2")
+    ).toDF("doc_id", "text", "source")
+    Curation.sourceJsDrift(disjoint)
+      .select(col("jsd")).as[Double].collect()
+      .foreach(v => assert(math.abs(v - math.log(2.0)) < 1e-12, s"jsd $v"))
+  }
+
   test("source KL matches a hand-computed drift") {
     // s1: a a b (P = 2/3, 1/3); corpus: a a b a b b (P = 1/2, 1/2)
     val docs = Seq(
