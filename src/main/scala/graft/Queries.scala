@@ -4156,6 +4156,37 @@ object Queries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM ex)
               |WHERE rn <= 10""".stripMargin)),
 
+    // PQ reconstruction distortion: per-vector squared error of the
+    // codebook reconstruction vs the original - the quantizer's
+    // self-evaluation, mirroring the codes CTE of sim_topk_pq.
+    "sim_pq_distortion" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.pqDistortion(e, e.filter(col("vec_id") < 16), 4)
+      },
+      Some("""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 16),
+             |sub AS (SELECT t.m, vec_id, v FROM c, range(4) t(m)),
+             |scored AS (SELECT m, s.vec_id, c_id,
+             |   list_sum([s.v[16*m+i+1]*cv[16*m+i+1] for i in range(16)]) AS cd
+             |  FROM sub s, cent),
+             |codes AS (SELECT vec_id, m, c_id FROM (
+             |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY cd DESC, c_id) AS rn FROM scored) WHERE rn = 1),
+             |err AS (SELECT codes.vec_id, codes.m,
+             |   list_sum([(c.v[16*codes.m+i+1]-cent.cv[16*codes.m+i+1])
+             |            *(c.v[16*codes.m+i+1]-cent.cv[16*codes.m+i+1]) for i in range(16)]) AS e
+             |  FROM codes JOIN c ON c.vec_id = codes.vec_id
+             |             JOIN cent ON cent.c_id = codes.c_id),
+             |agg AS (SELECT vec_id,
+             |   SUM(CASE WHEN m=0 THEN e END) + SUM(CASE WHEN m=1 THEN e END)
+             | + SUM(CASE WHEN m=2 THEN e END) + SUM(CASE WHEN m=3 THEN e END) AS dist2
+             |  FROM err GROUP BY 1),
+             |n2t AS (SELECT vec_id, list_sum([x*x for x in v]) AS n2 FROM c)
+             |SELECT n2t.vec_id, n2, dist2,
+             |  CASE WHEN n2 > 0.0 THEN dist2/n2 ELSE 0.0 END AS rel_dist2
+             |FROM n2t JOIN agg USING (vec_id)""".stripMargin)),
+
     // Johnson-Lindenstrauss random projection 64 -> 16 dims with an
     // md5-derived +-1 sign matrix both engines regenerate from (i, j);
     // per-vector norms and anchor distances in both spaces are the
