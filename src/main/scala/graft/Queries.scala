@@ -1380,6 +1380,34 @@ object Queries {
              |  regexp_replace(b, '\d{7,}', '<NUM>', 'g') AS scrubbed
              |FROM s2""".stripMargin)),
 
+    // Lang-ID confusion: the marker heuristic's predictions against
+    // the labeled lang column, with per-true-language fractions.
+    "text_langid_confusion" -> Decl(
+      (s, d) => TextAnalysis.langIdConfusion(docs(s, d)),
+      Some("""WITH s AS (SELECT doc_id,
+             |  CAST((length(p) - length(replace(p, '的', ''))) / 1 AS BIGINT) AS s_zh,
+             |  CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+             |  CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+             |  CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
+             |  CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT) AS s_es
+             | FROM (SELECT doc_id, ' '||text||' ' AS p FROM documents)),
+             |pred AS (SELECT doc_id,
+             | CASE WHEN s_zh > 0 THEN 'zh'
+             |      WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+             |      WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+             |      WHEN s_fr >= s_es THEN 'fr'
+             |      ELSE 'es' END AS lang_pred
+             | FROM s),
+             |j AS (SELECT d.lang AS lang_true, p.lang_pred
+             |      FROM pred p JOIN documents d USING (doc_id)),
+             |tot AS (SELECT lang_true, CAST(COUNT(*) AS BIGINT) AS n_true
+             |        FROM j GROUP BY 1)
+             |SELECT j.lang_true, j.lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+             |  MAX(n_true) AS n_true,
+             |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_true) AS DOUBLE) AS frac
+             |FROM j JOIN tot USING (lang_true)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // PMI collocations: the cutoff is an exact integer
     // cross-multiplication (c12·N ≥ 2·c1·c2), so no float comparison
     // decides the row set; the ln-ratio pmi is a value column only.
@@ -4155,6 +4183,29 @@ object Queries {
               |SELECT q_id, vec_id, cos_sim, rn FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM ex)
               |WHERE rn <= 10""".stripMargin)),
+
+    // IVF cell-balance histogram: the load-balance audit (hot cells
+    // are THE operational IVF failure at scale). Same assignment CTE
+    // as sim_semdedup; load factor 1.0 = perfectly even.
+    "sim_ivf_cells" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.ivfCellBalance(e, e.filter(col("vec_id") < 8))
+      },
+      Some("""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+             |scored AS (SELECT c.vec_id, c_id,
+             |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+             |assign AS (SELECT vec_id, c_id AS cell FROM (
+             |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM scored)
+             |   WHERE rn = 1),
+             |counts AS (SELECT CAST(cell AS INTEGER) AS cell,
+             |           CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM counts)
+             |SELECT cell, n_vecs, n_total,
+             |  CAST(n_vecs AS DOUBLE) * 8.0 / CAST(n_total AS DOUBLE) AS load_factor
+             |FROM counts, tot""".stripMargin)),
 
     // PQ reconstruction distortion: per-vector squared error of the
     // codebook reconstruction vs the original - the quantizer's

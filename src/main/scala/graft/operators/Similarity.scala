@@ -224,6 +224,34 @@ object Similarity {
         .as(s"code_$j")): _*)
   }
 
+  /** IVF cell-balance histogram — the load-balance audit behind the
+    * "partition the corpus BY CELL at rest" advice in [[ivfTopK]]:
+    * per cell, its vector count and load factor (count·k/N, 1.0 =
+    * perfectly even). Skewed cells are THE operational failure of IVF
+    * at scale — a 10× hot cell means 10× probe latency and a 10×
+    * partition — and this table is how you see it before it pages
+    * you. Assignment is the same map-side argmax projection as
+    * [[semDedup]]/[[ivfTopK]]; the histogram is one k-row aggregate.
+    */
+  def ivfCellBalance(corpus: DataFrame,
+                     centroids: DataFrame): DataFrame = {
+    val cent = collectVectors(centroids)
+    val scores = array(cent.map { case (id, cv) =>
+      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+    }: _*)
+    val assigned = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scores_arr", scores)
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+    val counts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val total = broadcast(counts.agg(sum(col("n_vecs")).as("n_total")))
+    counts.crossJoin(total)
+      .select(col("cell"), col("n_vecs"), col("n_total"),
+        (col("n_vecs").cast("double") * lit(cent.size.toDouble) /
+          col("n_total").cast("double")).as("load_factor"))
+  }
+
   /** PQ reconstruction distortion — the quantizer's self-evaluation
     * (the [[randomProjection]] / ANN-recall pattern applied to PQ):
     * per vector, the squared L2 error between the original and its

@@ -207,6 +207,28 @@ object TextAnalysis {
         .otherwise("es"))
   }
 
+  /** Lang-ID confusion matrix: [[langId]]'s heuristic prediction
+    * against the table's labeled `lang`, with per-true-language
+    * recall — the audit that says WHICH languages the marker
+    * heuristic confuses before anyone trusts its routing decisions.
+    * Two hash aggregates over ≤ |langs|² rows plus a broadcastable
+    * per-language total join; the ratio is an exact bigint-over-
+    * bigint double division.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val pred = langId(docs).select(col("doc_id"), col("lang_pred"))
+    val joined = pred.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val totals = joined.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+    joined.groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals.withColumnRenamed("lang", "lang_true")),
+        "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n"), col("n_true"),
+        (col("n").cast("double") / col("n_true").cast("double"))
+          .as("frac"))
+  }
+
   /** Quality scoring: type-token ratio, stopword ratio, length band.
     * Ratios are exact integer-over-integer double divisions — identical
     * bits in any IEEE-754 engine, so no rounding is needed for parity.
