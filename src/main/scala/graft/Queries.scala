@@ -136,6 +136,32 @@ object Queries {
       (s, d) => Reports.dailyCount(ev(s, d), "ts"),
       Some("SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d ORDER BY d")),
 
+    // NEAREST as-of (pandas direction="nearest"): smallest absolute
+    // gap, backward wins ties; composed from the two directional
+    // passes, checked against DuckDB's two native ASOF LEFT JOINs.
+    "rel_asof_nearest" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = ev(s, d)
+        Temporal.asOfNearest(
+          left = e.filter(col("event_type") === "purchase"),
+          right = e.filter(col("event_type") === "view"),
+          key = "user_id", ts = "ts", idCol = "event_id")
+      },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT * FROM events WHERE event_type = 'view'),
+             |b AS (SELECT p.event_id, p.user_id, p.ts, v.ts AS b_ts
+             |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+             |f AS (SELECT p.event_id, v.ts AS f_ts
+             |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+             |SELECT b.event_id, b.user_id, b.ts,
+             |  CASE WHEN b_ts IS NULL THEN f_ts
+             |       WHEN f_ts IS NULL THEN b_ts
+             |       WHEN epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)
+             |       THEN b_ts ELSE f_ts END AS nearest_ts
+             |FROM b JOIN f USING (event_id)
+             |WHERE b_ts IS NOT NULL OR f_ts IS NOT NULL""".stripMargin)),
+
     // Per-user lifespan: the churn/engagement base table.
     "rel_user_lifespan" -> Decl(
       (s, d) => Reports.userLifespan(ev(s, d), "user_id", "ts"),

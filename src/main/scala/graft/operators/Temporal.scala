@@ -63,6 +63,39 @@ object Temporal {
     bounded.select(col(idCol), col(key), col(ts), col("__asof").as(s"asof_$ts"))
   }
 
+  /** NEAREST as-of (the pandas `merge_asof(direction="nearest")`
+    * surface): for each left row, the right timestamp with the
+    * smallest absolute gap — backward wins ties, matching pandas.
+    * Composed from the backward and forward [[asOfJoinDir]] passes
+    * full-outer-joined on the left id, so a row matched in only one
+    * direction still appears; rows matched in neither direction drop
+    * (the inner semantics of the other as-of variants here).
+    *
+    * Scale: two as-of window passes (each one shuffle on the key) and
+    * one id-keyed join of left-sized results — no new quadratic term.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, idCol: String): DataFrame = {
+    val b = asOfJoinDir(left, right, key, ts, idCol, forward = false, None)
+      .select(col(idCol), col(key).as("__kb"), col(ts).as("__tb"),
+        col(s"asof_$ts").as("b_ts"))
+    val f = asOfJoinDir(left, right, key, ts, idCol, forward = true, None)
+      .select(col(idCol), col(key).as("__kf"), col(ts).as("__tf"),
+        col(s"asof_$ts").as("f_ts"))
+    b.join(f, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        coalesce(col("__kb"), col("__kf")).as(key),
+        coalesce(col("__tb"), col("__tf")).as(ts),
+        when(col("b_ts").isNull, col("f_ts"))
+          .when(col("f_ts").isNull, col("b_ts"))
+          .when(unix_micros(coalesce(col("__tb"), col("__tf"))) -
+              unix_micros(col("b_ts")) <=
+            unix_micros(col("f_ts")) -
+              unix_micros(coalesce(col("__tb"), col("__tf"))),
+            col("b_ts"))
+          .otherwise(col("f_ts")).as(s"nearest_$ts"))
+  }
+
   /** Range join: classify facts into [lo, hi) bands from a small
     * broadcast dimension — a BroadcastNestedLoopJoin where the inner
     * side is tiny by construction, so the fact table streams through
