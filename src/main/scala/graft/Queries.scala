@@ -1084,6 +1084,24 @@ object Queries {
              |FROM a LEFT JOIN b USING (user_id)
              |GROUP BY d ORDER BY d""".stripMargin)),
 
+    // Attribution-window funnel: converted-ever vs converted within
+    // one hour of the first view; microsecond gap arithmetic.
+    "rel_funnel_windowed" -> Decl(
+      (s, d) => Cohorts.funnelWindowed(ev(s, d), "user_id", "ts",
+        "event_type", "view", "purchase", 3600L),
+      Some("""WITH a AS (SELECT user_id, MIN(ts) AS t_a FROM events
+             |           WHERE event_type = 'view' GROUP BY user_id),
+             |b AS (SELECT user_id, ts AS t_b FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT a.user_id, t_a,
+             |        MIN(CASE WHEN t_b > t_a THEN t_b END) AS t_conv
+             |      FROM a LEFT JOIN b USING (user_id) GROUP BY 1, 2)
+             |SELECT CAST(t_a AS DATE) AS d, COUNT(*) AS entered,
+             |  COUNT(CASE WHEN t_conv IS NOT NULL THEN 1 END) AS converted_ever,
+             |  COUNT(CASE WHEN t_conv IS NOT NULL
+             |             AND epoch_us(t_conv) - epoch_us(t_a) <= 3600000000 THEN 1 END)
+             |    AS converted_in_window
+             |FROM u GROUP BY d ORDER BY d""".stripMargin)),
+
     // Three-step funnel (view → click → purchase): one conditional-min
     // aggregate per user, chained strict ordering, per-cohort-day depth.
     "rel_funnel3" -> Decl(
@@ -1161,6 +1179,40 @@ object Queries {
              |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles""".stripMargin)),
+
+    // Per-node local clustering coefficient over the same link graph:
+    // cc(v) = 2T(v)/(deg(deg-1)); triangles come from the identical
+    // degree-oriented closed-wedge set, fanned to each member node.
+    "rel_clustering_coeff" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.clusteringCoefficient(edges)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+             |                 'h'||((event_id * 3 + user_id) % 997) AS dst FROM events),
+             |und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+             |        FROM e0 WHERE src <> dst),
+             |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+             |        (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+             |o AS (SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS u,
+             |             CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS v,
+             |             CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg ELSE da.deg END AS vd
+             |      FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+             |w AS (SELECT o1.u, o1.v AS w1, o2.v AS w2
+             |      FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.vd, o1.v) < (o2.vd, o2.v)),
+             |t AS (SELECT * FROM w WHERE EXISTS
+             |      (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2)),
+             |tri3 AS (SELECT u AS node FROM t
+             |         UNION ALL SELECT w1 FROM t UNION ALL SELECT w2 FROM t),
+             |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM tri3 GROUP BY 1)
+             |SELECT deg.node, deg.deg, COALESCE(n_tri, 0) AS n_tri,
+             |  CASE WHEN deg.deg >= 2
+             |       THEN 2.0 * COALESCE(n_tri, 0) / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+             |       ELSE 0.0 END AS cc
+             |FROM deg LEFT JOIN tc USING (node)""".stripMargin)),
 
     // Degree-distribution survey of the same link graph: node counts
     // per power-of-two degree class — the skew check run before

@@ -128,4 +128,36 @@ object Cohorts {
           .as("bounce_rate"))
       .orderBy(col("d"))
   }
+
+  /** Time-constrained funnel: per cohort day, users who entered at
+    * their first `stepA`, converted EVER (first later `stepB`), and
+    * converted WITHIN `windowSeconds` of entering — the
+    * attribution-window variant every funnel consumer asks for next
+    * (a purchase three weeks after the view is a different product
+    * question than one within the hour). Gap arithmetic in
+    * microseconds, the [[graft.operators.Temporal]] discipline.
+    *
+    * Scale shape: one user-keyed min for entries, one user-keyed join
+    * against stepB events (per-user fanout only), a user-level
+    * conditional min, and a day rollup — every shuffle on user or
+    * day, nothing events².
+    */
+  def funnelWindowed(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, stepA: String, stepB: String,
+                     windowSeconds: Long): DataFrame = {
+    val a = events.filter(col(typeCol) === stepA)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_a"))
+    val b = events.filter(col(typeCol) === stepB)
+      .select(col(userCol), col(tsCol).as("t_b"))
+    a.join(b, Seq(userCol), "left")
+      .groupBy(col(userCol), col("t_a"))
+      .agg(min(when(col("t_b") > col("t_a"), col("t_b"))).as("t_conv"))
+      .groupBy(to_date(col("t_a")).as("d"))
+      .agg(count(lit(1)).as("entered"),
+        count(when(col("t_conv").isNotNull, 1)).as("converted_ever"),
+        count(when(col("t_conv").isNotNull &&
+            unix_micros(col("t_conv")) - unix_micros(col("t_a")) <=
+              windowSeconds * 1000000L, 1)).as("converted_in_window"))
+      .orderBy(col("d"))
+  }
 }

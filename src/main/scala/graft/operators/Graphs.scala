@@ -137,4 +137,55 @@ object Graphs {
       .agg(count(lit(1)).as("n_wedges"), count(col("closed")).as("n_triangles"))
     und.agg(count(lit(1)).as("n_edges")).crossJoin(counts)
   }
+
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles
+    * through v — the community-structure microscope the global
+    * [[triangleCount]] ratio averages away. Every node appears, with
+    * cc = 0 when deg < 2.
+    *
+    * Scale shape: the SAME degree-oriented wedge join as
+    * [[triangleCount]] (each triangle materializes once as a closed
+    * wedge), then each closed wedge fans to its THREE member nodes —
+    * a 3× explode of triangle-count rows, not wedge-count — and a
+    * node-keyed aggregate joins back to the degree table. No
+    * per-node neighborhood materialization ever happens.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ka = struct(col("da").as("d"), col("a").as("n"))
+    val kb = struct(col("db").as("d"), col("b").as("n"))
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("u"),
+        when(ka < kb, col("b")).otherwise(col("a")).as("v"),
+        when(ka < kb, kb).otherwise(ka).as("vkey"))
+      .localCheckpoint(eager = false)
+    val closed = o.select(col("u"), col("v").as("w1"), col("vkey").as("k1"))
+      .join(o.select(col("u"), col("v").as("w2"), col("vkey").as("k2")), "u")
+      .filter(col("k1") < col("k2"))
+      .join(o.select(col("u").as("w1"), col("v").as("w2")),
+        Seq("w1", "w2"), "left_semi")
+    val triPerNode = closed
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc",
+        when(col("deg") >= 2,
+          lit(2.0) * col("n_tri").cast("double") /
+            (col("deg").cast("double") * (col("deg").cast("double") - 1.0)))
+          .otherwise(lit(0.0)))
+  }
 }
