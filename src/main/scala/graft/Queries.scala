@@ -1180,6 +1180,31 @@ object Queries {
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles""".stripMargin)),
 
+    // Degree assortativity of the same link graph: integer-exact sums,
+    // one closed-form double division — hubs-link-hubs vs hubs-link-
+    // leaves in a single number.
+    "rel_assortativity" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.degreeAssortativity(edges)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+             |                 'h'||((event_id * 3 + user_id) % 997) AS dst FROM events),
+             |und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+             |        FROM e0 WHERE src <> dst),
+             |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+             |        (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+             |p AS (SELECT da.deg AS x, db.deg AS y
+             |      FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+             |s AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+             |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             |        CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx FROM s)
+             |SELECT n, CAST(n*sxy - sx*sx AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS assortativity
+             |FROM agg""".stripMargin)),
+
     // Per-node local clustering coefficient over the same link graph:
     // cc(v) = 2T(v)/(deg(deg-1)); triangles come from the identical
     // degree-oriented closed-wedge set, fanned to each member node.

@@ -151,6 +151,43 @@ object Graphs {
     * node-keyed aggregate joins back to the degree table. No
     * per-node neighborhood materialization ever happens.
     */
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every undirected edge counted in both
+    * directions — positive means hubs link hubs (social graphs),
+    * negative means hubs link leaves (the web, most event graphs).
+    * ALL sums are exact BIGINTs (degrees are integers), so the only
+    * float op is the final closed-form division — combine order
+    * cannot move the answer at any scale.
+    *
+    * Scale shape: the canonical edge set, a degree aggregate, two
+    * node-keyed joins to attach endpoint degrees, one 5-sum
+    * aggregate. Nothing quadratic, no windows.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val paired = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("da").as("x"), col("db").as("y"))
+    val sym = paired.unionByName(
+      paired.select(col("y").as("x"), col("x").as("y")))
+    sym.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
