@@ -1180,6 +1180,27 @@ object Queries {
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles""".stripMargin)),
 
+    // Directed reciprocity of the raw (pre-canonicalization) link
+    // graph: fraction of directed edges whose reverse exists.
+    "rel_reciprocity" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.reciprocity(edges)
+      },
+      Some("""WITH e AS (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+             |                 'h'||((event_id * 3 + user_id) % 997) AS dst
+             |        FROM events
+             |        WHERE 'h'||(event_id % 1000) <> 'h'||((event_id * 3 + user_id) % 997)),
+             |m AS (SELECT * FROM e WHERE EXISTS
+             |      (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
+             |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_mutual,
+             |       CAST((SELECT COUNT(*) FROM m) AS DOUBLE) /
+             |       CAST((SELECT COUNT(*) FROM e) AS DOUBLE) AS reciprocity""".stripMargin)),
+
     // Degree assortativity of the same link graph: integer-exact sums,
     // one closed-form double division — hubs-link-hubs vs hubs-link-
     // leaves in a single number.

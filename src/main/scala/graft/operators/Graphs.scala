@@ -151,6 +151,31 @@ object Graphs {
     * node-keyed aggregate joins back to the degree table. No
     * per-node neighborhood materialization ever happens.
     */
+  /** Directed reciprocity: the fraction of distinct directed edges
+    * whose reverse also exists — near 1 on conversational/social
+    * graphs, near 0 on broadcast or citation structures; the single
+    * number that says which regime a link graph is in before
+    * choosing between symmetric and directed algorithms.
+    *
+    * Scale shape: one distinct, one self-left-semi-join on the
+    * swapped key, two counts — everything keyed on the edge, nothing
+    * quadratic.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(
+        mutual.agg(count(lit(1)).as("n_mutual")))
+      .select(col("n_edges"), col("n_mutual"),
+        (col("n_mutual").cast("double") / col("n_edges").cast("double"))
+          .as("reciprocity"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over every undirected edge counted in both
     * directions — positive means hubs link hubs (social graphs),
