@@ -239,6 +239,18 @@ object Queries {
         distinct = true, ascending = true),
       Some("SELECT CAST(ts AS DATE) AS d, event_type AS grp, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d, grp ORDER BY d, cnt ASC, grp")),
 
+    // O12 + share-of-day: the proportion column every dashboard
+    // renders next to the count; one scan, day totals broadcast back.
+    "o12_group_share" -> Decl(
+      (s, d) => Reports.dailyGroupShare(ev(s, d), "ts", "event_type"),
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS d, event_type AS grp,
+             |           COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+             |t AS (SELECT d, CAST(SUM(cnt) AS BIGINT) AS day_total FROM c GROUP BY 1)
+             |SELECT c.d, grp, cnt, day_total,
+             |  CAST(cnt AS DOUBLE) / CAST(day_total AS DOUBLE) AS share
+             |FROM c JOIN t USING (d)
+             |ORDER BY d, cnt DESC, grp""".stripMargin)),
+
     "o13_top3_per_day" -> Decl(
       (s, d) => Reports.topNPerDay(ev(s, d), "ts", "user_id", "event_type",
         distinct = true, ascending = false, n = 3),

@@ -210,6 +210,26 @@ object Reports {
       .agg(count_distinct(col(field)).as("cnt"))
       .orderBy(col("cnt").desc, col("service"))
 
+  /** Per-(day, group) share of the day's total — the O12 family
+    * extended with the proportion every dashboard renders next to
+    * the count. The day total joins back from the same aggregate
+    * rolled up once more (day-count-sized, broadcastable), so the
+    * event stream is scanned and shuffled exactly once; the share is
+    * an exact bigint-over-bigint double division.
+    */
+  def dailyGroupShare(df: DataFrame, tsCol: String,
+                      groupCol: String): DataFrame = {
+    val counts = df.groupBy(day(col(tsCol)).as("d"),
+        col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("d")).agg(sum(col("cnt")).as("day_total"))
+    counts.join(broadcast(totals), "d")
+      .select(col("d"), col("grp"), col("cnt"), col("day_total"),
+        (col("cnt").cast("double") / col("day_total").cast("double"))
+          .as("share"))
+      .orderBy(col("d"), col("cnt").desc, col("grp"))
+  }
+
   /** Day-of-week seasonal profile over the daily-visit series: per
     * weekday, how many days were observed and the min/max/mean daily
     * count — the seasonality view behind "is Monday always this
