@@ -239,6 +239,22 @@ object Queries {
         distinct = true, ascending = true),
       Some("SELECT CAST(ts AS DATE) AS d, event_type AS grp, COUNT(DISTINCT user_id) AS cnt FROM events GROUP BY d, grp ORDER BY d, cnt ASC, grp")),
 
+    // O10 + dispersion: per-day sample stddev from explicit sums in
+    // one closed form (engine streaming variances disagree in
+    // low-order bits; the reduced-sums tree is deterministic).
+    "o10_daily_stddev" -> Decl(
+      (s, d) => Reports.dailyStddev(ev(s, d), "ts", "value"),
+      Some("""WITH a AS (SELECT CAST(ts AS DATE) AS d,
+             |  CAST(COUNT("value") AS BIGINT) AS n,
+             |  SUM("value") AS sx, SUM("value"*"value") AS sxx
+             | FROM events GROUP BY 1)
+             |SELECT d, n, sx / CAST(n AS DOUBLE) AS mean,
+             |  CASE WHEN n > 1 THEN sqrt(greatest(
+             |    (CAST(n AS DOUBLE) * sxx - sx * sx) /
+             |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0))
+             |  ELSE 0.0 END AS stddev
+             |FROM a ORDER BY d""".stripMargin)),
+
     // O12 + share-of-day: the proportion column every dashboard
     // renders next to the count; one scan, day totals broadcast back.
     "o12_group_share" -> Decl(
@@ -3128,6 +3144,22 @@ object Queries {
               |  FROM cands)
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) AS jaccard
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // Exact-dedup storage savings by source: the budget-number report
+    // (cross-source groups charge the saving to the copy's source).
+    "dedup_savings" -> Decl(
+      (s, d) => Dedup.dedupSavings(docs(s, d)),
+      Some("""WITH fp AS (SELECT doc_id, source,
+             |            CAST(length(text) AS BIGINT) AS n_bytes,
+             |            md5(lower(text)) AS h FROM documents),
+             |k AS (SELECT h, MIN(doc_id) AS keeper FROM fp GROUP BY 1)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(SUM(CASE WHEN doc_id = keeper THEN n_bytes ELSE 0 END) AS BIGINT) AS kept_bytes,
+             |  CAST(SUM(n_bytes) - SUM(CASE WHEN doc_id = keeper THEN n_bytes ELSE 0 END) AS BIGINT) AS saved_bytes,
+             |  CAST(SUM(n_bytes) - SUM(CASE WHEN doc_id = keeper THEN n_bytes ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(n_bytes) AS DOUBLE) AS saved_frac
+             |FROM fp JOIN k USING (h) GROUP BY 1""".stripMargin)),
 
     // MinHash estimator self-eval: exact Jaccard vs the
     // 32-component signature agreement fraction per verified pair

@@ -852,6 +852,35 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** Exact-dedup storage savings by source — the report that turns a
+    * dedup run into a budget number: per source, total bytes, bytes
+    * retained (each fingerprint's keeper = smallest doc_id, the
+    * [[exact]] policy), and bytes a 100 TB store would reclaim by
+    * keeping one copy per fingerprint. All BIGINT sums plus one exact
+    * ratio division.
+    *
+    * Scale shape: one fingerprint hash-agg for keepers (map-side
+    * partials), one fingerprint-keyed join back, one |sources|-row
+    * rollup — the same shuffles [[exact]] already pays.
+    */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("n_bytes"),
+      md5(lower(col("text"))).as("h"))
+    val keepers = fp.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    fp.join(keepers, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(when(col("doc_id") === col("keeper"), col("n_bytes"))
+          .otherwise(0L)).as("kept_bytes"))
+      .select(col("source"), col("n_docs"), col("total_bytes"),
+        col("kept_bytes"),
+        (col("total_bytes") - col("kept_bytes")).as("saved_bytes"),
+        ((col("total_bytes") - col("kept_bytes")).cast("double") /
+          col("total_bytes").cast("double")).as("saved_frac"))
+  }
+
   /** MinHash estimator self-evaluation (the [[graft.operators
     * .TextAnalysis.cmsEstimate]] / sim_ivf_recall pattern applied to
     * dedup): for every pair the LSH path verifies, emit the EXACT

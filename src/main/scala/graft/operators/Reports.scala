@@ -210,6 +210,30 @@ object Reports {
       .agg(count_distinct(col(field)).as("cnt"))
       .orderBy(col("cnt").desc, col("service"))
 
+  /** Daily dispersion of a numeric field: per-day count, mean, and
+    * SAMPLE standard deviation computed from explicit sums in a
+    * fixed closed form — sqrt((n·Σx² − (Σx)²) / (n·(n−1))) — rather
+    * than an engine's streaming variance (Welford vs naive disagree
+    * in low-order bits and combine order; the closed form over
+    * reduced sums is one deterministic IEEE tree on both sides).
+    * Single-day groups emit stddev 0.
+    */
+  def dailyStddev(df: DataFrame, tsCol: String,
+                  field: String): DataFrame =
+    df.groupBy(day(col(tsCol)).as("d"))
+      .agg(count(col(field)).as("n"),
+        sum(col(field)).as("sx"),
+        sum(col(field) * col(field)).as("sxx"))
+      .select(col("d"), col("n"),
+        (col("sx") / col("n").cast("double")).as("mean"),
+        when(col("n") > 1,
+          sqrt(greatest(
+            (col("n").cast("double") * col("sxx") - col("sx") * col("sx")) /
+              (col("n").cast("double") * (col("n").cast("double") - 1.0)),
+            lit(0.0))))
+          .otherwise(lit(0.0)).as("stddev"))
+      .orderBy(col("d"))
+
   /** Per-(day, group) share of the day's total — the O12 family
     * extended with the proportion every dashboard renders next to
     * the count. The day total joins back from the same aggregate
