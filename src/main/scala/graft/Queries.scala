@@ -1629,6 +1629,26 @@ object Queries {
              |  CASE WHEN n_types > 1 THEN entropy / ln(CAST(n_types AS DOUBLE)) ELSE 0.0 END AS norm_entropy
              |FROM e""".stripMargin)),
 
+    // Per-doc sentence-length profile: count / token total / longest
+    // sentence; empty segments and tokens dropped explicitly on both
+    // sides so split-semantics edge cases never decide a row.
+    "text_sentence_stats" -> Decl(
+      (s, d) => TextAnalysis.sentenceStats(docs(s, d)),
+      Some("""WITH l AS (SELECT doc_id,
+             |  [x for x in
+             |    [len([t for t in string_split(trim(seg), ' ') if t <> ''])
+             |     for seg in string_split_regex(text, '[.!?]+')]
+             |   if x > 0] AS lens
+             | FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(lens) AS BIGINT) AS n_sentences,
+             |  CAST(COALESCE(list_sum(lens), 0) AS BIGINT) AS sent_tokens,
+             |  CAST(COALESCE(list_max(lens), 0) AS BIGINT) AS max_sent_tokens,
+             |  CASE WHEN len(lens) > 0
+             |       THEN CAST(COALESCE(list_sum(lens), 0) AS DOUBLE) / len(lens)
+             |       ELSE 0.0 END AS mean_sent_tokens
+             |FROM l""".stripMargin)),
+
     // RAKE keyword extraction: the integer frequency cutoff decides
     // the row set; the degree/frequency score is a value column.
     "text_rake_phrases" -> Decl(

@@ -1276,6 +1276,33 @@ object TextAnalysis {
       .select(col("phrase"), col("n_words"), col("freq_phrase"), col("score"))
   }
 
+  /** Per-document sentence-length profile: sentence count (non-empty
+    * runs between `.!?` delimiters), token total over sentences, and
+    * the longest sentence in tokens — the granular companion to
+    * [[readability]]'s single score (a 400-token run-on fails a
+    * training-data gate that a mean alone would pass). Segment and
+    * token filters are mirrored EXPLICITLY in the oracle (empty
+    * segments and empty tokens dropped on both sides) so neither
+    * engine's split-semantics edge cases decide a row. Pure per-row
+    * higher-order array arithmetic — zero shuffles.
+    */
+  def sentenceStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        expr("filter(transform(split(text, '[.!?]+'), " +
+          "s -> size(filter(split(trim(s), ' ', -1), x -> x != ''))), " +
+          "n -> n > 0)").as("lens"))
+      .select(col("doc_id"),
+        size(col("lens")).cast("long").as("n_sentences"),
+        coalesce(expr("aggregate(lens, 0L, (a, x) -> a + x)"), lit(0L))
+          .as("sent_tokens"),
+        coalesce(expr("array_max(lens)"), lit(0)).cast("long")
+          .as("max_sent_tokens"))
+      .withColumn("mean_sent_tokens",
+        when(col("n_sentences") > 0,
+          col("sent_tokens").cast("double") /
+            col("n_sentences").cast("double"))
+          .otherwise(lit(0.0)))
+
   /** Per-document DEFLATE compression ratio — the quality signal the
     * Gopher/RefinedWeb pipelines gate on (machine-generated or
     * template text compresses far better than natural prose; binary
