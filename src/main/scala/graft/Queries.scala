@@ -3960,6 +3960,16 @@ object Queries {
         |PIVOT (SUM(n_chars) FOR lang IN ('en', 'de', 'fr'))
         |ORDER BY source""".stripMargin),
 
+    // GROUPING() markers under ROLLUP — the standard way to tell a
+    // subtotal row's NULL from a data NULL, verbatim in both engines
+    // (explicit INTEGER casts since the native grouping types differ).
+    "sql_grouping_fn" -> sqlParity(
+      """SELECT lang, source, CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+        |  CAST(GROUPING(source) AS INTEGER) AS g_src,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY g_lang, g_src, lang, source""".stripMargin),
+
     // UNPIVOT — the inverse rotation (wide metrics to tall rows),
     // verbatim in both engines (Spark 3.4+, DuckDB).
     "sql_unpivot" -> sqlParity(
