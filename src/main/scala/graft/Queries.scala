@@ -1561,8 +1561,10 @@ object Queries {
              |GROUP BY 1, 2""".stripMargin)),
 
     // PMI collocations: the cutoff is an exact integer
-    // cross-multiplication (c12·N ≥ 2·c1·c2), so no float comparison
-    // decides the row set; the ln-ratio pmi is a value column only.
+    // cross-multiplication (c12·N ≥ 2·c1·c2) carried in DECIMAL(38,0)
+    // on BOTH engines (BIGINT would overflow at 100 TB token counts —
+    // Spark wraps, DuckDB raises), so no float comparison decides the
+    // row set; the ln-ratio pmi is a value column only.
     "text_pmi_colloc" -> Decl(
       (s, d) => TextAnalysis.pmiCollocations(docs(s, d), 3, 2),
       Some("""WITH toks AS (SELECT string_split(text,' ') AS w FROM documents),
@@ -1577,7 +1579,8 @@ object Queries {
              |  ln(CAST(c12 AS DOUBLE) * CAST(tot.n AS DOUBLE) /
              |     (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))) AS pmi
              |FROM pc JOIN uc a ON a.t = pc.w1 JOIN uc b ON b.t = pc.w2, tot
-             |WHERE c12 * tot.n >= 2 * a.c * b.c""".stripMargin)),
+             |WHERE CAST(c12 AS DECIMAL(38,0)) * CAST(tot.n AS DECIMAL(38,0))
+             |  >= CAST(2 AS DECIMAL(38,0)) * CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))""".stripMargin)),
 
     // Flesch reading ease from regex-countable proxies (vowel-group
     // syllables with a min of 1 per word) — a pure codegen projection.
@@ -3170,7 +3173,7 @@ object Queries {
     "dedup_savings" -> Decl(
       (s, d) => Dedup.dedupSavings(docs(s, d)),
       Some("""WITH fp AS (SELECT doc_id, source,
-             |            CAST(length(text) AS BIGINT) AS n_bytes,
+             |            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |            md5(lower(text)) AS h FROM documents),
              |k AS (SELECT h, MIN(doc_id) AS keeper FROM fp GROUP BY 1)
              |SELECT source, COUNT(*) AS n_docs,

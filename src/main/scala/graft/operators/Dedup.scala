@@ -857,7 +857,10 @@ object Dedup {
     * retained (each fingerprint's keeper = smallest doc_id, the
     * [[exact]] policy), and bytes a 100 TB store would reclaim by
     * keeping one copy per fingerprint. All BIGINT sums plus one exact
-    * ratio division.
+    * ratio division. Sizes are UTF-8 octet counts (`octet_length`),
+    * not character counts — on a non-ASCII corpus the reclaimable
+    * bytes of a store are byte-sized, and char-counting would
+    * understate CJK text ~3×.
     *
     * Scale shape: one fingerprint hash-agg for keepers (map-side
     * partials), one fingerprint-keyed join back, one |sources|-row
@@ -865,7 +868,7 @@ object Dedup {
     */
   def dedupSavings(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), col("source"),
-      length(col("text")).cast("long").as("n_bytes"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
       md5(lower(col("text"))).as("h"))
     val keepers = fp.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     fp.join(keepers, "h")

@@ -138,19 +138,6 @@ object Graphs {
     und.agg(count(lit(1)).as("n_edges")).crossJoin(counts)
   }
 
-  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
-    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles
-    * through v — the community-structure microscope the global
-    * [[triangleCount]] ratio averages away. Every node appears, with
-    * cc = 0 when deg < 2.
-    *
-    * Scale shape: the SAME degree-oriented wedge join as
-    * [[triangleCount]] (each triangle materializes once as a closed
-    * wedge), then each closed wedge fans to its THREE member nodes —
-    * a 3× explode of triangle-count rows, not wedge-count — and a
-    * node-keyed aggregate joins back to the degree table. No
-    * per-node neighborhood materialization ever happens.
-    */
   /** Directed reciprocity: the fraction of distinct directed edges
     * whose reverse also exists — near 1 on conversational/social
     * graphs, near 0 on broadcast or citation structures; the single
@@ -213,6 +200,19 @@ object Graphs {
           .as("assortativity"))
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles
+    * through v — the community-structure microscope the global
+    * [[triangleCount]] ratio averages away. Every node appears, with
+    * cc = 0 when deg < 2.
+    *
+    * Scale shape: the SAME degree-oriented wedge join as
+    * [[triangleCount]] (each triangle materializes once as a closed
+    * wedge), then each closed wedge fans to its THREE member nodes —
+    * a 3× explode of triangle-count rows, not wedge-count — and a
+    * node-keyed aggregate joins back to the degree table. No
+    * per-node neighborhood materialization ever happens.
+    */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

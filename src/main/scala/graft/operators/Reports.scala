@@ -254,17 +254,6 @@ object Reports {
       .orderBy(col("d"), col("cnt").desc, col("grp"))
   }
 
-  /** Day-of-week seasonal profile over the daily-visit series: per
-    * weekday, how many days were observed and the min/max/mean daily
-    * count — the seasonality view behind "is Monday always this
-    * quiet". The weekday index is EPOCH-DAY ARITHMETIC ((days since
-    * 1970-01-01 + 3) mod 7 → 0 = Monday), not a dayofweek() builtin,
-    * because Spark (1 = Sunday) and DuckDB (0 = Sunday) disagree on
-    * the convention — the formula is engine-neutral by construction.
-    *
-    * Scale shape: rides [[dailyCount]]'s per-day aggregate; the
-    * profile is a second hash agg over ≤ 7 output rows.
-    */
   /** Per-user lifespan rollup: first/last seen, distinct active days,
     * event count, and span in days — the base table for churn and
     * engagement cuts. One hash aggregate keyed on the user; the span
@@ -280,6 +269,17 @@ object Reports {
       .withColumn("span_days",
         (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
 
+  /** Day-of-week seasonal profile over the daily-visit series: per
+    * weekday, how many days were observed and the min/max/mean daily
+    * count — the seasonality view behind "is Monday always this
+    * quiet". The weekday index is EPOCH-DAY ARITHMETIC ((days since
+    * 1970-01-01 + 3) mod 7 → 0 = Monday), not a dayofweek() builtin,
+    * because Spark (1 = Sunday) and DuckDB (0 = Sunday) disagree on
+    * the convention — the formula is engine-neutral by construction.
+    *
+    * Scale shape: rides [[dailyCount]]'s per-day aggregate; the
+    * profile is a second hash agg over ≤ 7 output rows.
+    */
   def dowProfile(df: DataFrame, tsCol: String): DataFrame =
     dailyCount(df, tsCol)
       .withColumn("dow",

@@ -1103,7 +1103,12 @@ object TextAnalysis {
     * as an EXACT integer cross-multiplication — c₁₂·N ≥ minRatio·c₁·c₂
     * with integral `minRatio` — so the filter never compares floats
     * across engines; the emitted `pmi` double (ln of the ratio) is a
-    * value column only.
+    * value column only. Both sides of the cross-multiply run in
+    * DECIMAL(38,0): at target corpus sizes (N ~ 10¹³ tokens, common
+    * unigrams c₁·c₂ ~ 10²⁰) the products overflow BIGINT, where
+    * non-ANSI Spark would wrap silently while the oracle engine
+    * raises — decimal keeps the filter exact AND the engines agreed
+    * up to ~10³⁸.
     *
     * Scale shape: one explode over adjacent positions → three hash
     * aggs (pair counts, left counts, right counts) → two broadcastable
@@ -1129,7 +1134,9 @@ object TextAnalysis {
       .join(broadcast(uni.withColumnRenamed("t", "w2")
           .withColumnRenamed("c", "c2")), "w2")
       .crossJoin(broadcast(total))
-      .filter(col("c12") * col("n") >= lit(minRatio) * col("c1") * col("c2"))
+      .filter(col("c12").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+        >= lit(minRatio).cast("decimal(38,0)") *
+          col("c1").cast("decimal(38,0)") * col("c2").cast("decimal(38,0)"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         log(col("c12").cast("double") * col("n").cast("double") /
           (col("c1").cast("double") * col("c2").cast("double"))).as("pmi"))

@@ -27,8 +27,12 @@ import graft.functions.TextFunctions.hash60
   *  3. merge with the ≤ |langs|·k at-rest reservoir rows and
   *     re-truncate per lang — the state side is bounded, the corpus
   *     never re-reads;
-  *  4. atomically replace the reservoir parquet (write temp dir, then
-  *     rename-swap) — the state is k-bounded so the rewrite is O(k),
+  *  4. commit the new reservoir as the next VERSIONED snapshot dir
+  *     (`v000000042/`), resolved by readers as "highest version whose
+  *     parquet commit marker (`_SUCCESS`) exists" — no delete-then-
+  *     rename window ever exposes a missing or half-written state, a
+  *     crash mid-write leaves an uncommitted dir that the next batch
+  *     clobbers, and the state is k-bounded so each snapshot is O(k),
   *     not corpus-sized.
   *
   * At 100 TB: batch cost is batch-sized, state is |langs|·k rows, and
@@ -84,11 +88,39 @@ object ReservoirStream {
     topKPerLang(merged.dropDuplicates(Seq("doc_id")), k)
   }
 
+  /** Highest COMMITTED snapshot under `reservoirDir`: a snapshot is a
+    * `v%09d` child dir carrying the parquet commit marker (`_SUCCESS`),
+    * so a crash mid-write (no marker yet) is invisible to readers and
+    * simply overwritten by the next batch's commit at the same or a
+    * later version. Resolution never depends on a pointer file or a
+    * rename, so there is no instant at which state exists but cannot
+    * be found.
+    */
+  def currentSnapshot(spark: SparkSession,
+                      reservoirDir: String): Option[(Long, Path)] = {
+    val dir = new Path(reservoirDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{9}"))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
+      .sortBy(-_._1).headOption
+  }
+
+  /** Read the current reservoir state (None before the first commit). */
+  def read(spark: SparkSession, reservoirDir: String): Option[DataFrame] =
+    currentSnapshot(spark, reservoirDir).map { case (_, p) =>
+      spark.read.parquet(p.toString) }
+
   /** File-based JSON-lines source (`doc_id`, `lang`, `n_chars`) →
-    * fold into the reservoir parquet at `reservoirDir` each batch.
-    * The replace is write-new-then-swap so readers never observe a
-    * half-written reservoir; replayed batches re-merge the same keys
-    * and the top-k is idempotent, so restarts converge bit-exactly.
+    * fold into the reservoir snapshot chain at `reservoirDir` each
+    * batch. Each commit is a NEW versioned dir (readers keep resolving
+    * the previous one until the marker lands — never a half-written or
+    * missing state); replayed batches re-merge the same keys and the
+    * top-k is idempotent, so restarts converge bit-exactly. Snapshots
+    * older than the previous one are pruned AFTER the new commit, so
+    * the live chain is at most two O(k) dirs.
     */
   def start(spark: SparkSession, inputDir: String, reservoirDir: String,
             checkpoint: String, k: Int,
@@ -101,19 +133,21 @@ object ReservoirStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val path = new Path(reservoirDir)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasState = fs.exists(path) &&
-          fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
-        val prev =
-          if (hasState) Some(spark.read.parquet(reservoirDir)) else None
-        // materialize BEFORE touching the state dir: the new reservoir
-        // reads the old one lazily, and k-bounded rows are tiny
+        val dir = new Path(reservoirDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cur = currentSnapshot(spark, reservoirDir)
+        val prev = cur.map { case (_, p) => spark.read.parquet(p.toString) }
+        // materialize BEFORE writing: the new reservoir reads the old
+        // one lazily, and k-bounded rows are tiny
         val next = foldBatch(batch, prev, k).localCheckpoint()
-        val tmp = new Path(reservoirDir + ".tmp")
-        next.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(path)) fs.delete(path, true)
-        fs.rename(tmp, path)
+        val v = cur.map(_._1 + 1L).getOrElse(0L)
+        next.write.mode("overwrite")
+          .parquet(new Path(dir, f"v$v%09d").toString)
+        // prune: keep the new commit and its predecessor (reader grace)
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{9}"))
+          .filter(_.getPath.getName.drop(1).toLong < v - 1L)
+          .foreach(s => fs.delete(s.getPath, true))
         ()
       }
       .start()

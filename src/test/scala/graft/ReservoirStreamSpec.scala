@@ -56,7 +56,7 @@ class ReservoirStreamSpec extends SparkSpec {
       ReservoirStream.start(spark, in, res, ckpt, k = 5,
         Trigger.AvailableNow()).awaitTermination(120000)
     }
-    val got = spark.read.parquet(res)
+    val got = ReservoirStream.read(spark, res).get
       .select(col("doc_id"), col("lang")).as[(Long, String)]
       .collect().toSet
     assert(got === batchReference(5))
@@ -65,6 +65,27 @@ class ReservoirStreamSpec extends SparkSpec {
     assert(got.count(_._2 == "de") === 5)
     // the zero-weight row can never occupy a slot
     assert(!got.exists(_._1 == 61L))
+    // the snapshot chain is pruned to at most two committed versions
+    val vs = new java.io.File(res).listFiles()
+      .filter(_.getName.matches("v\\d{9}")).map(_.getName).sorted
+    assert(vs.length <= 2 && vs.last == "v%09d".format(2))
+  }
+
+  test("an uncommitted (crash-torn) snapshot is invisible to readers") {
+    val res = tmp("graft-res-crash") + "/reservoir"
+    val df = corpus.toDF("doc_id", "lang", "n_chars")
+    // commit v0 through the public fold + parquet path
+    ReservoirStream.foldBatch(df, None, 5)
+      .write.parquet(res + "/v%09d".format(0))
+    // simulate a crash mid-write of v1: dir exists, no _SUCCESS marker
+    val torn = Paths.get(res, "v%09d".format(1))
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("part-00000.parquet"),
+      Array[Byte](0, 1, 2, 3), StandardOpenOption.CREATE)
+    val (v, _) = ReservoirStream.currentSnapshot(spark, res).get
+    assert(v === 0L, "resolution must skip the uncommitted snapshot")
+    val rows = ReservoirStream.read(spark, res).get.count()
+    assert(rows === 10L)
   }
 
   test("foldBatch is idempotent under replay and order-insensitive") {
