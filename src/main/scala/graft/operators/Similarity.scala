@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -188,41 +188,124 @@ object Similarity {
       .sortBy(_._1)
   }
 
-  /** Product-quantization codes (Jégou et al. 2011, "Product
-    * quantization for nearest neighbor search"): the vector splits into
-    * `m` contiguous subspaces and each sub-vector is replaced by the id
-    * of its best codebook entry — 64 float dims become `m` small ints,
-    * the compression that lets an executor hold the whole corpus's
-    * codes in memory at 100 TB. Codebooks here are the sub-vectors of a
-    * deterministic centroid set (inlined literals, same discipline as
-    * [[signBuckets]]); assignment is max-inner-product per subspace
-    * with ties to the smallest code, a pure map-side projection — the
-    * corpus is never shuffled to be coded.
-    *
-    * Output: (vec_id, code_0 … code_{m-1}) — wide, not exploded, so
-    * downstream scoring stays per-row arithmetic.
+  /** Per-subspace PQ codebooks: entry j is the codebook for subspace
+    * j, a list of (code id, sub-vector) sorted by code id.
     */
-  def pqCodes(corpus: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
+  type Books = Seq[Seq[(Int, Array[Double])]]
+
+  /** Untrained codebook init (the k-means seed): codebook j = the j-th
+    * sub-vectors of the centroid rows, code id = vec_id (dense 0..k−1
+    * in every declared query). [[pqTrainBooks]] refines these; using
+    * them directly is the "k data rows as codes" baseline.
+    */
+  def pqInitBooks(centroids: DataFrame, m: Int): Books = {
     val cent = collectVectors(centroids)
     require(cent.nonEmpty, "empty codebook")
     val dims = cent.head._2.length
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val sub = dims / m
-    // per subspace: an array of (-dot, code) structs over the codebook;
-    // array_sort picks the max-dot entry with ties to the smallest code
-    // (the semDedup/IVF assignment idiom, once per subspace)
-    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val withScores = (0 until m).foldLeft(base) { (df, j) =>
-      df.withColumn(s"pq_scores_$j", array(cent.map { case (id, cv) =>
-        struct((-dot(slice(col("v"), j * sub + 1, sub),
-          lit(cv.slice(j * sub, j * sub + sub)))).as("negd"),
-          lit(id).as("c_id"))
-      }: _*))
+    (0 until m).map { j =>
+      cent.map { case (id, v) => (id, v.slice(j * sub, j * sub + sub)) }
     }
-    withScores.select(col("vec_id") +: col("v") +:
-      (0 until m).map(j => expr(s"array_sort(pq_scores_$j)[0].c_id")
-        .as(s"code_$j")): _*)
   }
+
+  /** Squared L2 distance of a sub-vector column to a literal centroid,
+    * as the same left-to-right fold the oracle's list comprehension
+    * produces — bit-identical across engines.
+    */
+  private def dist2(sv: Column, cv: Array[Double]): Column = {
+    val d = zip_with(sv, lit(cv), (a, b) => a - b)
+    dot(d, d)
+  }
+
+  /** Subspace-j quantization of vector column `v` under `book`: the
+    * (d2, c_id) struct of the NEAREST codebook entry — min squared L2
+    * with ties to the smallest code (array_sort on (d2 asc, c_id
+    * asc)), Jégou et al.'s assignment rule. `.c_id` is the code,
+    * `.d2` the per-subspace reconstruction error, both from one sort.
+    */
+  private def assignStruct(v: Column, book: Seq[(Int, Array[Double])],
+                           j: Int, sub: Int): Column = {
+    val sv = slice(v, j * sub + 1, sub)
+    element_at(array_sort(array(book.map { case (id, cv) =>
+      struct(dist2(sv, cv).as("d2"), lit(id).as("c_id"))
+    }: _*)), 1)
+  }
+
+  /** Train the PQ codebooks per sub-space (Jégou et al. 2011 §II:
+    * independent k-means per subspace): each Lloyd iteration assigns
+    * every sub-vector to its min-L2 codebook entry and replaces each
+    * entry with the mean of its members (empty cells keep their
+    * previous entry). Seeded by [[pqInitBooks]] so training is
+    * deterministic and engine-reproducible — the oracle unrolls the
+    * same iterations as SQL CTEs.
+    *
+    * Scale shape: ONE distributed pass per iteration covering all `m`
+    * subspaces — assignment is a literal-codebook projection (the
+    * corpus never shuffles to be labeled) and the mean update reduces
+    * through an (m, code, dim) hash aggregate whose key space is
+    * m·k·subDims (4·16·16 = 1024 rows here) regardless of corpus
+    * size; driver state is the codebooks themselves.
+    */
+  def pqTrainBooks(corpus: DataFrame, centroids: DataFrame, m: Int,
+                   iters: Int): Books = {
+    val init = pqInitBooks(centroids, m)
+    val sub = init.head.head._2.length
+    val base = corpus.select(asDouble(col("embedding")).as("v"))
+    (0 until iters).foldLeft(init) { (books, _) =>
+      val perSub = array((0 until m).map { j =>
+        struct(lit(j).as("m"),
+          assignStruct(col("v"), books(j), j, sub)
+            .getField("c_id").as("c_id"),
+          slice(col("v"), j * sub + 1, sub).as("sv"))
+      }: _*)
+      val sums = base.select(explode(perSub).as("s"))
+        .select(col("s.m").as("m"), col("s.c_id").as("c_id"),
+          posexplode(col("s.sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("c_id"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("c_id")))
+      books.zipWithIndex.map { case (book, j) =>
+        book.map { case (id, old) =>
+          byKey.get((j, id)) match {
+            case Some(rows) =>
+              val v = new Array[Double](sub)
+              rows.foreach(r => v(r.getAs[Int]("dim")) =
+                r.getAs[Double]("sx") / r.getAs[Long]("cnt").toDouble)
+              (id, v)
+            case None => (id, old)
+          }
+        }
+      }
+    }
+  }
+
+  /** Product-quantization codes (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the vector splits into
+    * `m` contiguous subspaces and each sub-vector is replaced by the id
+    * of its NEAREST (min squared-L2) codebook entry — 64 float dims
+    * become `m` small ints, the compression that lets an executor hold
+    * the whole corpus's codes in memory at 100 TB. Codebooks are
+    * inlined literals (same discipline as [[signBuckets]]) — train
+    * them with [[pqTrainBooks]] — and assignment is a pure map-side
+    * projection; the corpus is never shuffled to be coded.
+    *
+    * Output: (vec_id, code_0 … code_{m-1}) — wide, not exploded, so
+    * downstream scoring stays per-row arithmetic.
+    */
+  def pqCodesWith(corpus: DataFrame, books: Books): DataFrame = {
+    val m = books.length
+    val sub = books.head.head._2.length
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id") +: col("v") +:
+        (0 until m).map(j => assignStruct(col("v"), books(j), j, sub)
+          .getField("c_id").as(s"code_$j")): _*)
+  }
+
+  /** [[pqCodesWith]] over the untrained [[pqInitBooks]] seed. */
+  def pqCodes(corpus: DataFrame, centroids: DataFrame, m: Int): DataFrame =
+    pqCodesWith(corpus, pqInitBooks(centroids, m))
 
   /** IVF cell-balance histogram — the load-balance audit behind the
     * "partition the corpus BY CELL at rest" advice in [[ivfTopK]]:
@@ -257,38 +340,24 @@ object Similarity {
     * per vector, the squared L2 error between the original and its
     * codebook reconstruction, next to the squared norm — rel_dist2 is
     * the fraction of signal the m-subspace code threw away, the
-    * number that justifies (or indicts) the codebook size at this
-    * corpus's geometry.
+    * number that justifies (or indicts) the codebook at this corpus's
+    * geometry. (It caught exactly that in an earlier revision: max-dot
+    * assignment against untrained data-row codebooks measured mean
+    * rel_dist2 ≈ 1.2 — worse than emitting the zero vector — which is
+    * why codes now come from [[pqTrainBooks]] + min-L2.)
     *
-    * Pure projection: codes come from [[pqCodes]]' map-side argmax,
-    * and the reconstruction error is a literal-centroid CASE tree per
-    * subspace — the corpus is never shuffled, nothing joins.
-    *
-    * On this corpus the measured mean rel_dist2 is ~1.2 — distortion
-    * EXCEEDING signal, which is the self-evaluation doing its job:
-    * [[pqCodes]] assigns by max inner product against raw (data-row)
-    * codebooks, which serves max-dot SEARCH but is nowhere near the
-    * L2-optimal (k-means, min-distance) quantizer this metric grades;
-    * a production codebook would be trained and this number is
-    * exactly how you'd catch one that wasn't.
+    * Pure projection: each subspace's (code, error) falls out of ONE
+    * literal-codebook [[assignStruct]] sort — the min-L2 distance IS
+    * the reconstruction error — so the corpus is never shuffled and
+    * nothing joins.
     */
-  def pqDistortion(corpus: DataFrame, centroids: DataFrame,
-                   m: Int): DataFrame = {
-    val cent = collectVectors(centroids)
-    val dims = 64
-    val sub = dims / m
-    val coded = pqCodes(corpus, centroids, m)
-    val errCols = (0 until m).map { j =>
-      coalesce(cent.map { case (id, cv) =>
-        val e = (0 until sub).map { i =>
-          val d = element_at(col("v"), j * sub + i + 1) -
-            lit(cv(j * sub + i))
-          d * d
-        }.reduce(_ + _)
-        when(col(s"code_$j") === id, e)
-      }: _*).as(s"e_$j")
-    }
-    coded.select(col("vec_id") +: col("v") +: errCols: _*)
+  def pqDistortionWith(corpus: DataFrame, books: Books): DataFrame = {
+    val m = books.length
+    val sub = books.head.head._2.length
+    val errCols = (0 until m).map(j =>
+      assignStruct(col("v"), books(j), j, sub).getField("d2").as(s"e_$j"))
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id") +: col("v") +: errCols: _*)
       .select(col("vec_id"),
         dot(col("v"), col("v")).as("n2"),
         (0 until m).map(j => col(s"e_$j")).reduce(_ + _).as("dist2"))
@@ -296,39 +365,53 @@ object Similarity {
         when(col("n2") > 0.0, col("dist2") / col("n2")).otherwise(lit(0.0)))
   }
 
-  /** Asymmetric PQ top-k: queries stay full-precision, the corpus is
-    * its codes — each (query, vector) score is Σ_j dot(q_subvec_j,
-    * codebook_j[code_j]), reconstructed per row in fixed left-to-right
-    * order (bit-deterministic; no aggregation whose order could vary).
-    * Plan shape is [[bruteForceTopK]]'s: queries broadcast, corpus
-    * scanned once map-side, per-query top-k as a windowed rank. At
-    * scale the scored corpus side carries `m` ints per row instead of
-    * the full vector — the point of PQ.
+  /** [[pqDistortionWith]] over the untrained [[pqInitBooks]] seed. */
+  def pqDistortion(corpus: DataFrame, centroids: DataFrame,
+                   m: Int): DataFrame =
+    pqDistortionWith(corpus, pqInitBooks(centroids, m))
+
+  /** Asymmetric-distance score Σ_j dot(q_subvec_j, codebook_j[code_j])
+    * against query column `q_vec`, reconstructed per row in fixed
+    * left-to-right order (bit-deterministic; no aggregation whose
+    * order could vary). Requires dense 0..k−1 code ids (checked).
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-             m: Int, k: Int): DataFrame = {
-    val cent = collectVectors(centroids)
-    val dims = cent.head._2.length
-    val sub = dims / m
-    val coded = pqCodes(corpus, centroids, m).drop("v")
-    val q = queries.select(col("vec_id").as("q_id"),
-      asDouble(col("embedding")).as("q_vec"))
-    val approx = (0 until m).map { j =>
-      val bookJ = array(cent.map { case (_, cv) =>
-        lit(cv.slice(j * sub, j * sub + sub))
-      }: _*)
+  private def pqApproxDot(books: Books, sub: Int): Column = {
+    books.foreach(b => require(b.map(_._1) == (0 until b.length),
+      "PQ scoring needs dense 0..k-1 code ids"))
+    (0 until books.length).map { j =>
+      val bookJ = array(books(j).map { case (_, cv) => lit(cv) }: _*)
       dot(slice(col("q_vec"), j * sub + 1, sub),
         element_at(bookJ, col(s"code_$j").cast("int") + 1))
     }.reduce(_ + _)
+  }
+
+  /** Asymmetric PQ top-k: queries stay full-precision, the corpus is
+    * its codes — each (query, vector) score is Σ_j dot(q_subvec_j,
+    * codebook_j[code_j]). Plan shape is [[bruteForceTopK]]'s: queries
+    * broadcast, corpus scanned once map-side, per-query top-k as a
+    * windowed rank. At scale the scored corpus side carries `m` ints
+    * per row instead of the full vector — the point of PQ.
+    */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, books: Books,
+                 k: Int): DataFrame = {
+    val sub = books.head.head._2.length
+    val coded = pqCodesWith(corpus, books).drop("v")
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
     val scored = coded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), approx.as("approx_dot"))
+      .select(col("q_id"), col("vec_id"), pqApproxDot(books, sub).as("approx_dot"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_dot").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("approx_dot"), col("rn"))
   }
+
+  /** [[pqTopKWith]] over the untrained [[pqInitBooks]] seed. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             m: Int, k: Int): DataFrame =
+    pqTopKWith(corpus, queries, pqInitBooks(centroids, m), k)
 
   /** Sign-LSH bucket signature: bit j = 1 iff dot(v, anchor_j) > 0.
     * Anchors are taken deterministically from the dataset itself
@@ -412,19 +495,17 @@ object Similarity {
     * [[ivfTopKWith]]'s cell assignment/probing and [[pqCodes]]'s
     * codebook scoring — so the composition stays bit-reproducible.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
-                cellCentroids: DataFrame, pqCentroids: DataFrame,
-                m: Int, nProbe: Int, k: Int): DataFrame = {
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame,
+                    cellCentroids: DataFrame, books: Books,
+                    nProbe: Int, k: Int): DataFrame = {
     val cells = collectVectors(cellCentroids)
-    val books = collectVectors(pqCentroids)
-    val dims = books.head._2.length
-    val sub = dims / m
+    val sub = books.head.head._2.length
     def cellScores = array(cells.map { case (id, cv) =>
       struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
     }: _*)
     // corpus side: cell + PQ codes in ONE projection pass, full vector
     // dropped before the join (the point of the compression)
-    val coded = pqCodes(corpus, pqCentroids, m)
+    val coded = pqCodesWith(corpus, books)
       .withColumn("scores_arr", cellScores)
       .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
       .drop("scores_arr", "v")
@@ -435,22 +516,22 @@ object Similarity {
       .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
       .select(col("q_id"), col("q_vec"),
         explode(slice(col("cells"), 1, nProbe)).as("cell"))
-    val approx = (0 until m).map { j =>
-      val bookJ = array(books.map { case (_, cv) =>
-        lit(cv.slice(j * sub, j * sub + sub))
-      }: _*)
-      dot(slice(col("q_vec"), j * sub + 1, sub),
-        element_at(bookJ, col(s"code_$j").cast("int") + 1))
-    }.reduce(_ + _)
     val scored = coded.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), approx.as("approx_dot"))
+      .select(col("q_id"), col("vec_id"), pqApproxDot(books, sub).as("approx_dot"))
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_dot").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("approx_dot"), col("rn"))
   }
+
+  /** [[ivfPqTopKWith]] over the untrained [[pqInitBooks]] seed. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                cellCentroids: DataFrame, pqCentroids: DataFrame,
+                m: Int, nProbe: Int, k: Int): DataFrame =
+    ivfPqTopKWith(corpus, queries, cellCentroids,
+      pqInitBooks(pqCentroids, m), nProbe, k)
 
   /** Scale path for [[nearDupPairs]]: all-pairs near-dup restricted to
     * same-LSH-bucket candidates, so a 100 TB corpus never

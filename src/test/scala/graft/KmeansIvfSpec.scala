@@ -100,6 +100,45 @@ class KmeansIvfSpec extends SparkSpec {
     assert(refined > 0.3, s"refined recall too low: $refined")
   }
 
+  test("PQ training monotonically reduces its own measured distortion") {
+    def totalDist2(books: Similarity.Books): Double =
+      Similarity.pqDistortionWith(emb, books)
+        .agg(sum(col("dist2"))).head().getDouble(0)
+    val cent = emb.filter(col("vec_id") < 16)
+    val d0 = totalDist2(Similarity.pqInitBooks(cent, 16))
+    val d1 = totalDist2(Similarity.pqTrainBooks(emb, cent, 16, 1))
+    val d2 = totalDist2(Similarity.pqTrainBooks(emb, cent, 16, 2))
+    // Lloyd: assignment and mean-update each never increase total
+    // squared error, so the curve is monotone
+    assert(d1 <= d0 + 1e-9, s"iteration 1 regressed: $d0 -> $d1")
+    assert(d2 <= d1 + 1e-9, s"iteration 2 regressed: $d1 -> $d2")
+    // and the trained quantizer keeps well over half the signal —
+    // the audit the untrained max-dot codes failed (rel ≈ 1.2)
+    val rel = Similarity
+      .pqDistortionWith(emb, Similarity.pqTrainBooks(emb, cent, 16, 2))
+      .agg(avg(col("rel_dist2"))).head().getDouble(0)
+    assert(rel < 0.6, s"trained mean rel_dist2 too high: $rel")
+  }
+
+  test("trained books beat the untrained seed on top-k recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(books: Similarity.Books): Double = {
+      val got = Similarity.pqTopKWith(emb, queries, books, 10)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val cent = emb.filter(col("vec_id") < 16)
+    val init = recall(Similarity.pqInitBooks(cent, 16))
+    val trained = recall(Similarity.pqTrainBooks(emb, cent, 16, 2))
+    assert(trained >= init,
+      s"training must not lose recall: $init -> $trained")
+    assert(trained > 0.3, s"trained recall too low: $trained")
+  }
+
   test("pqCodes emits one in-range code per subspace, map-side only") {
     val coded = Similarity.pqCodes(emb, emb.filter(col("vec_id") < 16), 4)
     val stats = coded.agg(
