@@ -3129,20 +3129,26 @@ object Queries {
               |GROUP BY doc_id""".stripMargin)),
 
     // Record-linkage near-dup: exact Levenshtein ≤ 8 on the lowercased
-    // text, candidates blocked by (length band, first char) with the
-    // adjacent band probed (length-lossless since bandWidth 16 > 8)
-    // and each block rank-capped at the 64 smallest doc_ids — the
-    // oracle mirrors the identical candidate rule via QUALIFY.
+    // text, candidates from TWO blocking passes — (length band, FIRST
+    // char) and (length band, LAST char) — with the adjacent band
+    // probed (length-lossless since bandWidth 16 > 8) and each
+    // (pass, band, char) block rank-capped at the 64 smallest doc_ids.
+    // The union halves the single-pass escape class (only pairs edited
+    // at BOTH ends escape); the oracle mirrors the identical candidate
+    // rule via QUALIFY.
     "dedup_edit_blocked" -> Decl(
       (s, d) => Dedup.editDistancePairs(docs(s, d), 8, 16, 64),
       Some("""WITH k AS (SELECT doc_id, lower(text) AS k FROM documents),
-             |b AS (SELECT doc_id, k, CAST(floor(strlen(k)/16.0) AS BIGINT) AS band, substr(k,1,1) AS c1 FROM k),
-             |pr AS (SELECT doc_id, k, c1, band + d AS band FROM b, (VALUES (0),(1)) t(d)),
-             |pk AS (SELECT * FROM pr QUALIFY ROW_NUMBER() OVER (PARTITION BY band, c1 ORDER BY doc_id) <= 64)
+             |b AS (SELECT doc_id, k, CAST(floor(strlen(k)/16.0) AS BIGINT) AS band, p.pass,
+             |        CASE WHEN p.pass = 0 THEN substr(k, 1, 1)
+             |             ELSE substr(k, greatest(length(k), 1), 1) END AS ch
+             |      FROM k, (VALUES (0),(1)) p(pass)),
+             |pr AS (SELECT doc_id, k, pass, ch, band + d AS band FROM b, (VALUES (0),(1)) t(d)),
+             |pk AS (SELECT * FROM pr QUALIFY ROW_NUMBER() OVER (PARTITION BY pass, band, ch ORDER BY doc_id) <= 64)
              |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
              |  levenshtein(a.k, b2.k) AS dist
              |FROM pk a JOIN pk b2
-             |  ON a.band = b2.band AND a.c1 = b2.c1 AND a.doc_id < b2.doc_id
+             |  ON a.pass = b2.pass AND a.band = b2.band AND a.ch = b2.ch AND a.doc_id < b2.doc_id
              |WHERE levenshtein(a.k, b2.k) <= 8""".stripMargin)),
 
     // Band buckets are capped at the MaxBucket smallest doc_ids on

@@ -934,39 +934,24 @@ object Dedup {
     * sizes in the candidate self-join are bounded by document
     * frequency of the rarest tokens (common shingles — the quadratic
     * blowup in the naive join — never generate candidates). The
-    * symmetric length filter t·|a| ≤ |b| ≤ |a|/t prunes further
-    * before the verify join. No global rank is materialized: the
-    * order key (df, shingle) is attached by one broadcast-free
-    * equi-join on shingle and compared directly, so no single-reducer
-    * window exists anywhere. Shuffles: shingle agg (df), per-doc
-    * prefix window (partitioned by doc_id), candidate equi-join on
-    * prefix shingle, verify join keyed (doc, shingle).
+    * symmetric length filter t·|a| ≤ |b| ≤ |a|/t and PPJoin's
+    * POSITION filter (Xiao et al. §3.1: the matching prefix positions
+    * rk bound the achievable overlap by 1 + min(|a|−rk_a, |b|−rk_b),
+    * which must reach the required α = t·(|a|+|b|)/(1+t)) prune
+    * further before the verify join. Both are provably lossless: all
+    * common tokens of a qualifying pair order at-or-after the pair's
+    * MINIMAL shared prefix token, whose row therefore passes the
+    * bound. No global rank is materialized: the order key
+    * (df, shingle) is attached by one broadcast-free equi-join on
+    * shingle and compared directly, so no single-reducer window
+    * exists anywhere. Shuffles: shingle agg (df), per-doc prefix
+    * window (partitioned by doc_id), candidate equi-join on prefix
+    * shingle, verify join keyed (doc, shingle).
     */
   def ppjoin(docs: DataFrame, n: Int = 3,
              minJaccard: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val cand = ppjoinCandidates(docs, n, minJaccard)
     val rows = shingleRows(docs, n)
-    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val dfreq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ordered = rows.join(dfreq, "shingle").join(sizes, "doc_id")
-    // prefix length p = nsh - ceil(t*nsh) + 1, per-doc window only
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("shingle"))
-    val prefix = ordered
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <=
-        col("nsh") - ceil(col("nsh") * lit(minJaccard)) + lit(1))
-      .select(col("doc_id"), col("shingle"), col("nsh"))
-    // candidates: shared prefix shingle + symmetric length filter
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("b.nsh") * lit(minJaccard) <= col("a.nsh") &&
-          col("a.nsh") * lit(minJaccard) <= col("b.nsh"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
-      .distinct()
     // verify: exact overlap for candidate pairs only
     val common = cand
       .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
@@ -983,25 +968,77 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** [[ppjoin]]'s candidate pairs BEFORE the verify step — exposed so
+    * the position filter's pruning is measurable (and switchable off,
+    * which degrades the candidate rule to AllPairs grade). The
+    * position bound runs as `ubound·(1+t) ≥ t·(|a|+|b|) − 1e-9`: for
+    * the thresholds in use both sides are exact in doubles, and the
+    * 1e-9 slack guarantees no boundary TRUE pair is ever pruned by a
+    * rounding artifact even for irrational-in-binary t — losslessness
+    * is never entrusted to float rounding.
+    */
+  def ppjoinCandidates(docs: DataFrame, n: Int, minJaccard: Double,
+                       positionFilter: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = shingleRows(docs, n)
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val dfreq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ordered = rows.join(dfreq, "shingle").join(sizes, "doc_id")
+    // prefix length p = nsh - ceil(t*nsh) + 1, per-doc window only;
+    // rk (the position under the (df, shingle) total order) rides
+    // along for the position bound
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = ordered
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("nsh") - ceil(col("nsh") * lit(minJaccard)) + lit(1))
+      .select(col("doc_id"), col("shingle"), col("nsh"), col("rk"))
+    val posBound =
+      (lit(1L) + least(col("a.nsh") - col("a.rk"),
+        col("b.nsh") - col("b.rk"))).cast("double") *
+        lit(1.0 + minJaccard) >=
+        lit(minJaccard) * (col("a.nsh") + col("b.nsh")).cast("double") -
+          lit(1e-9)
+    // candidates: shared prefix shingle + symmetric length filter +
+    // (default) the position filter
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.nsh") * lit(minJaccard) <= col("a.nsh") &&
+          col("a.nsh") * lit(minJaccard) <= col("b.nsh") &&
+          (if (positionFilter) posBound else lit(true)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
+      .distinct()
+  }
+
   /** Blocked edit-distance dedup (record-linkage style): document
     * pairs whose lowercased text is within exact Levenshtein distance
     * `maxDist`, with the pair space pruned by blocking instead of an
     * all-pairs cross.
     *
-    * Block key = (⌊len/bandWidth⌋, first char). A pair within
+    * Block key = (pass, ⌊len/bandWidth⌋, char) over TWO blocking
+    * passes — pass 0 keys on the FIRST char, pass 1 on the LAST — and
+    * a pair survives if either pass co-blocks it. A pair within
     * distance d differs in length by at most d < bandWidth, so the two
     * lengths land in the same or adjacent bands — each side probes
-    * {band, band+1}, making the length blocking LOSSLESS. The
-    * first-char block is a deliberate, documented approximation (an
-    * edit at position 0 escapes it; multi-pass blocking would union
-    * more passes) and each (band, char) block is rank-capped at the
-    * `maxBlock` smallest doc_ids — the same deterministic hot-bucket
-    * truncation as the LSH paths, mirrored in the oracle with QUALIFY
-    * so parity is exact by construction.
+    * {band, band+1}, making the length blocking LOSSLESS. Single-char
+    * blocking is the residual approximation: one pass misses a pair
+    * whose edit touches its key position, so the first+last union only
+    * misses pairs edited at BOTH ends (≥2 of the ≤ maxDist edits spent
+    * on the two anchor chars) — the escape class the single-pass
+    * version documented, halved in edit budget for 2× probe cost.
+    * Each (pass, band, char) block is rank-capped at the `maxBlock`
+    * smallest doc_ids — the same deterministic hot-bucket truncation
+    * as the LSH paths, mirrored in the oracle with QUALIFY so parity
+    * is exact by construction.
     *
-    * Scale: each text emits 2 probe keys; the self-join shuffles on
-    * the block key; O(n·m) levenshtein runs only inside capped blocks,
-    * so per-task cost is bounded by maxBlock² regardless of skew.
+    * Scale: each text emits 4 probe keys (2 passes × 2 bands); the
+    * self-join shuffles on the block key; O(maxDist·n) thresholded
+    * levenshtein runs only inside capped blocks, so per-task cost is
+    * bounded by maxBlock² regardless of skew.
     */
   def editDistancePairs(docs: DataFrame,
                         maxDist: Int = 8,
@@ -1012,11 +1049,19 @@ object Dedup {
       s"bandWidth ($bandWidth) > maxDist ($maxDist)")
     val keyed = docs.select(col("doc_id"), lower(col("text")).as("k"))
       .withColumn("band", floor(length(col("k")) / lit(bandWidth)))
-      .withColumn("c1", substring(col("k"), 1, 1))
-    val probes = keyed.select(col("doc_id"), col("k"), col("c1"),
-        explode(array(col("band"), col("band") + 1)).as("band"))
+    val passes = keyed.select(col("doc_id"), col("k"), col("band"),
+        explode(array(
+          struct(lit(0).as("pass"), substring(col("k"), 1, 1).as("ch")),
+          struct(lit(1).as("pass"),
+            expr("substring(k, greatest(length(k), 1), 1)").as("ch"))))
+          .as("p"))
+      .select(col("doc_id"), col("k"), col("band"),
+        col("p.pass").as("pass"), col("p.ch").as("ch"))
+    val probes = passes.select(col("doc_id"), col("k"), col("pass"),
+        col("ch"), explode(array(col("band"), col("band") + 1)).as("band"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("band"), col("c1")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("pass"), col("band"), col("ch"))
+          .orderBy(col("doc_id"))))
       .filter(col("rk") <= maxBlock)
     // the length prefilter is lossless (dist ≥ |len(a) − len(b)|) and
     // the THRESHOLDED levenshtein early-abandons at maxDist+1 — an
@@ -1026,7 +1071,8 @@ object Dedup {
     // on sf0.1: 233 s → 3.3 s.
     probes.as("a")
       .join(probes.as("b"),
-        col("a.band") === col("b.band") && col("a.c1") === col("b.c1") &&
+        col("a.pass") === col("b.pass") &&
+          col("a.band") === col("b.band") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(length(col("a.k")) - length(col("b.k"))) <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

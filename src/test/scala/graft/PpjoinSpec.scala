@@ -27,6 +27,34 @@ class PpjoinSpec extends SparkSpec {
     }
   }
 
+  test("position filter prunes candidates without losing a single pair") {
+    for (t <- Seq(0.5, 0.6)) {
+      val pruned = Dedup.ppjoinCandidates(docs, 3, t).count()
+      val allpairs = Dedup.ppjoinCandidates(docs, 3, t,
+        positionFilter = false).count()
+      // measured at sf0.001: 867 -> 29 (t=0.5), 120 -> 28 (t=0.6)
+      assert(pruned * 2 < allpairs,
+        s"t=$t: position bound prunes $allpairs -> $pruned, expected >2x")
+      // and the full join on the pruned candidates stays exact
+      // (the threshold-sweep test above re-proves this per threshold)
+      val pairs = pairSet(Dedup.ppjoin(docs, 3, t))
+      val exact = pairSet(Dedup.ngramJaccard(docs, 3, t))
+      assert(pairs === exact)
+    }
+  }
+
+  test("position bound keeps a pair sitting exactly at the threshold") {
+    // |a| = |b| = 4 shingles, overlap 3: jaccard = 3/5 = 0.6 exactly —
+    // the boundary case a float-rounded alpha could wrongly prune
+    // 6 tokens -> 4 trigram shingles each; 3 shared, last differs
+    val corpus = Seq(
+      (1L, "w1 w2 w3 a b c"),
+      (2L, "w1 w2 w3 a b d")
+    ).toDF("doc_id", "text")
+    val got = pairSet(Dedup.ppjoin(corpus, 3, 0.6))
+    assert(got === Set((1L, 2L, 0.6)))
+  }
+
   test("ppjoin never forms the all-pairs candidate space") {
     // identical docs (jaccard 1.0) plus unrelated filler: the prefix is
     // a single shingle, so candidates come only from that collision
@@ -48,7 +76,10 @@ class PpjoinSpec extends SparkSpec {
       (2L, base.replace("quick", "quack")),       // dist 1
       (3L, base.replace("today", "tonite")),      // dist 4 tail edit
       (4L, "a completely different sentence that shares nothing with the fox story"),
-      (5L, "Zebra " + base)                        // first char escapes the block
+      (5L, "Zebra " + base),                      // position-0 edit: the
+                                                  // LAST-char pass finds it
+      (6L, "Q" + base.dropRight(1) + "q")         // edited at BOTH ends:
+                                                  // the residual escape class
     ).toDF("doc_id", "text")
     val got = Dedup.editDistancePairs(corpus, maxDist = 8, bandWidth = 16,
       maxBlock = 64)
@@ -57,8 +88,11 @@ class PpjoinSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 1)))
     assert(got.exists { case (a, b, _) => (a, b) == (1L, 3L) })
     assert(!got.exists { case (a, b, _) => b == 4L || a == 4L })
-    // doc 5 differs at position 0: documented first-char blocking miss
-    assert(!got.exists { case (a, b, _) => b == 5L || a == 5L })
+    // doc 5 escaped the single-pass (first-char) blocking; the
+    // (band, last-char) pass co-blocks it with doc 1 at distance 6
+    assert(got.contains((1L, 5L, 6)))
+    // doc 6 spends edits on BOTH anchor chars — the documented miss
+    assert(!got.exists { case (a, b, _) => b == 6L || a == 6L })
   }
 
   test("edit-distance blocking requires bandWidth > maxDist") {
