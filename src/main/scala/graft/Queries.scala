@@ -4157,6 +4157,40 @@ object Queries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
               |WHERE rn <= 10""".stripMargin)),
 
+    // The IVF index AT REST (the layout ivfTopK's design notes point
+    // at): corpus materialized partitioned-by-cell once, then queries
+    // prune to their probed cells at the FILE level — the parquet scan
+    // carries a PartitionFilter (plan-pinned in PlanShapeSpec) instead
+    // of re-assigning the whole corpus per query batch. Results are
+    // bit-identical to the scan-time assignment, which is what the
+    // oracle recomputes.
+    "sim_topk_ivf_atrest" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val path = s"target/atrest/ivf-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.ivfWriteAtRest(e, e.filter(col("vec_id") < 8), path)
+        Similarity.ivfTopKAtRest(s, path, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 8), nProbe = 3, k = 10)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+              |scored AS (SELECT c.vec_id, c.v, c_id,
+              |   ${"list_sum([v[i+1]*cv[i+1] for i in range(64)])"} AS cd FROM c, cent),
+              |assign AS (SELECT vec_id, v, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM scored)
+              |   WHERE rn = 1),
+              |qprobe AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn
+              |   FROM scored WHERE vec_id < 10)
+              |   WHERE rn <= 3),
+              |s AS (SELECT q_id, vec_id, ${duckCosine("qv", "av")} AS cos_sim FROM (
+              |      SELECT q.q_id, a.vec_id, q.qv, a.v AS av
+              |      FROM qprobe q JOIN assign a USING (cell) WHERE a.vec_id <> q.q_id))
+              |SELECT q_id, vec_id, cos_sim, rn FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+              |WHERE rn <= 10""".stripMargin)),
+
     // ANN self-evaluation: recall@10 of the IVF index against the
     // brute-force truth, per query — the measurement a production
     // vector index ships with (FAISS-style recall benchmarks). Both

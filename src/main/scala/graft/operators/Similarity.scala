@@ -483,6 +483,70 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** Materialize the corpus PARTITIONED BY IVF CELL at rest — the
+    * layout every `ivfTopK` scaladoc has been pointing at: assignment
+    * is the usual map-side argmax projection (corpus never shuffles to
+    * be labeled), and `partitionBy("cell")` writes one directory per
+    * cell so a probe can PRUNE to its cells at the FILE level instead
+    * of re-scanning and re-assigning the whole corpus per query batch.
+    * The full vector rides along; at 100 TB this is the vector store's
+    * on-disk format (cells ≈ directories, [[ivfCellBalance]] audits
+    * their skew before it becomes a hot partition).
+    */
+  def ivfWriteAtRest(corpus: DataFrame, centroids: DataFrame,
+                     path: String): Unit = {
+    val cent = collectVectors(centroids)
+    val scores = array(cent.map { case (id, cv) =>
+      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+    }: _*)
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("scores_arr", scores)
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .drop("scores_arr", "v")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** [[ivfTopK]] against an [[ivfWriteAtRest]] layout: the probed
+    * cells are collected to a LITERAL `isin` filter (bounded by
+    * |queries|·nProbe — query-side small by the ≤4096 anchor rule),
+    * so the parquet scan carries a PartitionFilter and reads ONLY the
+    * probed cells' directories — no per-query re-assignment of the
+    * corpus, no full scan. Scoring and ranking are bit-identical to
+    * [[ivfTopKWith]]: same cells, same cosine, same tie-breaks.
+    */
+  def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, centroids: DataFrame,
+                    nProbe: Int, k: Int): DataFrame = {
+    val cent = collectVectors(centroids)
+    val scores = array(cent.map { case (id, cv) =>
+      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+    }: _*)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scores_arr", scores)
+      .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
+      .select(col("q_id"), col("v").as("q_vec"),
+        explode(slice(col("cells"), 1, nProbe)).as("cell"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("cell"))
+      .withColumn("c_nrm", norm(col("v")))
+    val scored = corpus.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("q_vec"), col("v")) / (col("q_nrm") * col("c_nrm")))
+          .as("cos_sim"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** IVF-PQ: the two scale mechanisms composed the way a production
     * vector index runs them (the FAISS IVFPQ layout) — the corpus is
     * bucketed into IVF cells so a query touches `nProbe` cells instead

@@ -397,6 +397,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ws.contains("Exchange rangepartitioning"), ws.take(2000))
   }
 
+  test("at-rest IVF scan prunes to the probed cells via PartitionFilters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.core.Tables.read(spark, sf, "embeddings")
+    val path = "target/atrest/ivf-planshape"
+    Similarity.ivfWriteAtRest(e, e.filter(col("vec_id") < 8), path)
+    // 2 queries x 2 probes <= 4 of the 8 cells: pruning must show
+    val df = Similarity.ivfTopKAtRest(spark, path,
+      e.filter(col("vec_id") < 2), e.filter(col("vec_id") < 8),
+      nProbe = 2, k = 10)
+    // sparkPlan, not executedPlan: AQE wraps the latter before
+    // execution and hides the scan nodes from collect
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("ivf-planshape")) => s
+    }
+    assert(scans.nonEmpty, "at-rest scan missing from the plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"no cell PartitionFilter: ${scan.partitionFilters}")
+    // the pruned scan reads at most |queries|*nProbe of the 8 cell
+    // directories — file-level pruning, not a post-scan filter. The
+    // static isin filter alone decides this (the planner may ALSO add
+    // a dynamic-pruning subquery for the probe join; that one cannot
+    // be evaluated pre-execution, so it is excluded here)
+    val static = scan.partitionFilters
+      .filterNot(_.toString.contains("dynamicpruning"))
+    val probed = scan.relation.location.listFiles(static, Nil).length
+    assert(probed <= 4, s"scan reads unprobed cells: $probed of 8")
+    // and the pruned path returns exactly the scan-time-assignment rows
+    val atRest = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.ivfTopK(e, e.filter(col("vec_id") < 2),
+        e.filter(col("vec_id") < 8), nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atRest === direct)
+  }
+
   test("no declared query plans an unbroadcast cartesian product") {
     // the blanket scale guard: a CartesianProduct in any declared
     // query's physical plan is a 100 TB killer. The broadcast-cross
