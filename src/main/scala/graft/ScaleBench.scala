@@ -73,16 +73,19 @@ object ScaleBench {
     "dedup_exact_substr", "dedup_simhash", "rel_triangles",
     "pipeline_curate_tokenize", "pipeline_bpe_train256", "sim_topk_lsh",
     // round 9: second decade for edit_blocked (cap saturation
-    // predicts a flat ratio) and silhouette (the linearity claim).
-    // dedup_ppjoin is deliberately NOT here: the sf10 synthesis holds
-    // ~100 near-identical replicas per base doc, so the TRUE
-    // >=0.6-Jaccard pair set is itself Theta(replicas^2) — an 8 GiB
-    // driver OOMs enumerating output any exact pair join MUST emit
-    // (measured: OOM at sf10, fine at sf1). Exact pair ENUMERATION is
-    // output-bound there; the production representation at that dup
-    // rate is duplicateClusters' keeper table, and the approximate
-    // scale path (minhash_lsh, rank-capped) covers decade 2.
-    "dedup_edit_blocked", "sim_silhouette")
+    // predicts a flat ratio) and silhouette (the linearity claim)
+    "dedup_edit_blocked", "sim_silhouette",
+    // round 10: dedup_ppjoin joins decade 2 — the r9 exclusion (8 GiB
+    // OOM enumerating the Theta(replicas^2) true-pair output) was
+    // really the AllPairs-grade candidate space; with the position
+    // filter in, the sf10 point runs to completion in ~100 s on the
+    // same heap (single-shot probe before wiring: 13.3 s -> 99.5 s,
+    // ratio ~7.5 under the bound). Also the five remaining
+    // single-decade curves, closing the r9 evidence gap: NB scoring,
+    // the per-row codec roundtrip, the feature-hash embedding, the
+    // conditional bigram LM, and the int8-coarse + exact-rerank ANN.
+    "dedup_ppjoin", "pipeline_nb_score", "mm_resize_real",
+    "text_hash_embed", "text_bigram_lm", "sim_topk_rerank")
 
   def main(args: Array[String]): Unit = {
     val testdata =
@@ -168,6 +171,21 @@ object ScaleBench {
         label -> minOf2(q, dir) }.toMap
     }.toMap
 
+    // maxBlock cost/recall sweep for the suite's most expensive query:
+    // the block cap is the knob a 100 TB edit-distance dedup tunes —
+    // record the measured (seconds, pairs-found) point per cap at
+    // sf0.1 so the chosen 64 is a documented trade, not a default
+    val sweep = Seq(32, 64).map { cap =>
+      val docs = graft.core.Tables
+        .read(spark, s"$testdata/sf0.1", "documents")
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .editDistancePairs(docs, 8, 16, cap).count()
+      (cap, (System.nanoTime() - t0) / 1e9, pairs)
+    }
+    val sweepJson = sweep.map { case (c, s, p) =>
+      s""""cap_$c":{"sec":$s,"pairs":$p}""" }.mkString("{", ",", "}")
+
     // the gate is PER DECADE: sf0.1→sf1 for every query, and sf1→sf10
     // for the five second-decade queries — each 10× in rows must stay
     // under the same bound
@@ -200,6 +218,7 @@ object ScaleBench {
     val vJson = violations.map(v => s""""$v"""").mkString("[", ",", "]")
     val contended = !quiet || midRunContended
     val line = s"""{"metric":"scale","queries":$qJson,"bound":$bound,""" +
+      s""""edit_blocked_sweep":$sweepJson,""" +
       s""""violations":$vJson,"contended":$contended,"errors":$errJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}",""" +
       s""""passes":"min_of_2","sf1_docs":$docRows,"sf1_vecs":$embRows}"""
