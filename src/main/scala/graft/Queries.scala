@@ -4608,5 +4608,9 @@ object Queries {
     // silhouette — the three newest shapes with real per-row cost
     "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette",
     // round-9 batch 3: the two-stage coarse+rerank ANN
-    "sim_topk_rerank")
+    "sim_topk_rerank",
+    // round-10 addition: the at-rest IVF story end-to-end — build the
+    // cell-partitioned layout, then answer queries off a
+    // partition-pruned scan (write cost is part of the operator)
+    "sim_topk_ivf_atrest")
 }
