@@ -1614,6 +1614,21 @@ object Queries {
               |FROM j JOIN tot USING (lang_true)
               |GROUP BY 1, 2""".stripMargin)),
 
+    // Lang-ID routing confidence: best vs runner-up integer score and
+    // their margin per document — the threshold a pipeline applies
+    // before trusting an assignment. Small margins here are the
+    // honest reading of a corpus with little language signal.
+    "text_langid_margin" -> Decl(
+      (s, d) => TextAnalysis.langIdMargin(docs(s, d)),
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
+              |$langIdScoreCtes
+              |SELECT doc_id, lang_pred,
+              |  list_sort([s_de, s_en, s_es, s_fr, s_zh])[5] AS s_best,
+              |  list_sort([s_de, s_en, s_es, s_fr, s_zh])[4] AS s_second,
+              |  list_sort([s_de, s_en, s_es, s_fr, s_zh])[5]
+              |    - list_sort([s_de, s_en, s_es, s_fr, s_zh])[4] AS margin
+              |FROM pred""".stripMargin)),
+
     // PMI collocations: the cutoff is an exact integer
     // cross-multiplication (c12·N ≥ 2·c1·c2) carried in DECIMAL(38,0)
     // on BOTH engines (BIGINT would overflow at 100 TB token counts —
@@ -2368,6 +2383,35 @@ object Queries {
               |SELECT lbl.label_keep, pred.predicted_keep,
               |  CAST(COUNT(*) AS BIGINT) AS n_docs
               |FROM pred JOIN lbl USING (doc_id) GROUP BY 1, 2""".stripMargin)),
+
+    // Threshold-free ranking audit of the same gate: exact ROC-AUC by
+    // the Mann-Whitney identity over SCORE GROUPS — num2 = 2x the
+    // concordant pairs + the ties, all integer, so both engines agree
+    // bit-for-bit; no pairwise join exists (one score-keyed aggregate
+    // plus a window over the <=|distinct vote sums| groups).
+    "pipeline_nb_auc" -> Decl(
+      (s, d) => Curation.nbAuc(docs(s, d), 64, label = nbWcLabel),
+      Some(s"""WITH $nbModelCtes,
+              |sc AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim
+              |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
+              |scr AS (SELECT sc.doc_id, CAST(SUM(v.vote) AS BIGINT) AS score
+              |        FROM sc JOIN v USING (dim) GROUP BY 1),
+              |lbl AS (SELECT doc_id,
+              |        len(string_split(text,' ')) BETWEEN 50 AND 100000 AS label_keep
+              |        FROM documents),
+              |g AS (SELECT score,
+              |   CAST(SUM(CASE WHEN label_keep THEN 1 ELSE 0 END) AS BIGINT) AS p,
+              |   CAST(SUM(CASE WHEN label_keep THEN 0 ELSE 1 END) AS BIGINT) AS n
+              |  FROM scr JOIN lbl USING (doc_id) GROUP BY 1),
+              |cu AS (SELECT score, p, n,
+              |   CAST(COALESCE(SUM(n) OVER (ORDER BY score
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_n
+              |  FROM g)
+              |SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
+              |  CAST(SUM(p * (2*cum_n + n)) AS BIGINT) AS num2,
+              |  CAST(SUM(p * (2*cum_n + n)) AS DOUBLE)
+              |    / (2.0 * CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS auc
+              |FROM cu""".stripMargin)),
 
     // The 100 TB tier of the same gate: approx_percentile partial
     // sketches instead of the one-reducer exact sort. No SQL oracle
@@ -4534,6 +4578,54 @@ object Queries {
               |SELECT n2t.vec_id, n2, dist2,
               |  CASE WHEN n2 > 0.0 THEN dist2/n2 ELSE 0.0 END AS rel_dist2
               |FROM n2t JOIN agg USING (vec_id)""".stripMargin)),
+
+    // ANN self-evaluation for the TRAINED PQ tier (the sim_ivf_recall
+    // pattern): recall@10 of asymmetric-distance PQ search against
+    // the brute-force truth, per query — the row that puts round-10's
+    // training gain (0.32 -> 0.46 mean) under the oracle gate, so a
+    // codebook regression shows as a red row, not a silent drift.
+    "sim_pq_recall" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val books = Similarity.pqTrainBooks(e,
+          e.filter(col("vec_id") < 16), m = 16, iters = 2)
+        val truth = Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity
+          .pqTopKWith(e, e.filter(col("vec_id") < 10), books, 10)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        truth.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+          .withColumn("recall_at_k",
+            col("hits").cast("double") / col("k"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |$pqTrainCtes,
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |bs AS (SELECT q_id, vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |       FROM c, q WHERE vec_id <> q_id),
+              |truth AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
+              |  WHERE rn <= 10),
+              |parts AS (SELECT q_id, cd.vec_id, cd.m,
+              |   list_sum([qv[4*cd.m+i+1]*b.cv[i+1] for i in range(4)]) AS part
+              |  FROM codes cd JOIN b2 b USING (m, c_id), q
+              |  WHERE cd.vec_id <> q_id),
+              |s2 AS (SELECT q_id, vec_id, list_sum(list(part ORDER BY m)) AS approx_dot
+              |  FROM parts GROUP BY 1, 2),
+              |approx AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
+              |  WHERE rn <= 10)
+              |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+              |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+              |FROM truth t LEFT JOIN approx a
+              |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+              |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
 
     // Johnson-Lindenstrauss random projection 64 -> 16 dims with an
     // md5-derived +-1 sign matrix both engines regenerate from (i, j);

@@ -444,6 +444,43 @@ object Curation {
           .otherwise(0L)).as("n_correct"))
   }
 
+  /** EXACT ROC-AUC of the NB gate's vote-sum score against its weak
+    * labels — the threshold-free ranking audit that complements
+    * [[nbConfusion]] (which grades one cutpoint) and
+    * [[nbCalibration]] (which grades the probabilities): the Mann–
+    * Whitney identity AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)
+    * computed over SCORE GROUPS, all in integers — `num2` is twice
+    * the concordant-pair count plus the tied-pair count, so both
+    * engines agree bit-for-bit and the only float op is the final
+    * division.
+    *
+    * Scale shape: rides [[nbQualityScore]]'s two shuffle-light scans;
+    * the pair counting needs NO pairwise join — one hash aggregate
+    * keyed on the score plus one cumulative window over the ≤
+    * |distinct vote sums| score groups (a provably tiny relation:
+    * votes are −1/0/+1 per token, so groups are bounded by the token-
+    * count range, and the corpus never enters the window).
+    */
+  def nbAuc(docs: DataFrame, dims: Int,
+            label: Column = TextAnalysis.gopherVerdict): DataFrame = {
+    val scored = nbQualityScore(docs, dims, label)
+      .select(col("doc_id"), col("score"))
+    val grp = docs.select(col("doc_id"), label.as("label_keep"))
+      .join(scored, "doc_id")
+      .groupBy(col("score"))
+      .agg(sum(when(col("label_keep"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("label_keep"), 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grp.withColumn("cum_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cum_n") + col("n"))).as("num2"))
+      .select(col("n_pos"), col("n_neg"), col("num2"),
+        (col("num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** k-anonymity audit over quasi-identifiers (Sweeney 2002): group
     * the corpus into equivalence classes on (lang, source,
     * ⌊n_chars/band⌋) — the released-metadata columns an attacker could

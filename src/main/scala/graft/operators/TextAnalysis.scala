@@ -239,6 +239,28 @@ object TextAnalysis {
           .otherwise("zh"))
   }
 
+  /** Lang-ID confidence margin: per document, the best and runner-up
+    * language scores and their gap — the routing-confidence signal a
+    * pipeline thresholds before trusting a language assignment (a
+    * small margin means "ambiguous, send to the fallback path"; on
+    * this corpus margins are small because the text genuinely carries
+    * little language signal, which is exactly what the column is
+    * for). Scores are the integer NB log-likelihoods, so the sort and
+    * the margin are exact in both engines.
+    *
+    * Scale shape: [[langIdOn]]'s explode + broadcast join + sum, then
+    * a pure 5-element array_sort projection per row.
+    */
+  def langIdMargin(docs: DataFrame): DataFrame = {
+    val arr = array_sort(array(col("s_de"), col("s_en"), col("s_es"),
+      col("s_fr"), col("s_zh")))
+    langId(docs)
+      .withColumn("s_best", element_at(arr, 5))
+      .withColumn("s_second", element_at(arr, 4))
+      .select(col("doc_id"), col("lang_pred"), col("s_best"),
+        col("s_second"), (col("s_best") - col("s_second")).as("margin"))
+  }
+
   /** [[langIdConfusion]] over the fixture's HELD-OUT split — sentences
     * the model never trained on, in all five languages: the evaluation
     * that shows the classifier's genuine diagonal (the synthetic

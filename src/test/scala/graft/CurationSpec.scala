@@ -858,6 +858,33 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.getLong(4)).sum === diag)
   }
 
+  test("nbAuc equals the quadratic pairwise Mann-Whitney definition") {
+    val docs = (0 until 80).map { i =>
+      val words = if (i % 2 == 0) ("w" + (i % 7) + " ") * 60 else "short text"
+      (i.toLong, words.trim)
+    }.toDF("doc_id", "text")
+    val label = size(split(col("text"), " ", -1)).cast("long") >= 50L
+    val row = Curation.nbAuc(docs, 16, label).head()
+    val (nPos, nNeg, num2, auc) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    // quadratic reference: every (pos, neg) pair compared directly
+    val scored = Curation.nbQualityScore(docs, 16, label)
+      .join(docs.select(col("doc_id"), label.as("lk")), "doc_id")
+      .select(col("score"), col("lk")).as[(Long, Boolean)].collect()
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    val ref2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert((nPos, nNeg) === (pos.length.toLong, neg.length.toLong))
+    assert(num2 === ref2, "score-group counting diverged from pairwise")
+    assert(math.abs(auc - ref2.toDouble / (2.0 * pos.length * neg.length))
+      < 1e-15)
+    // the gate was trained on these labels: it must rank better than
+    // a coin flip on them
+    assert(auc > 0.5, s"AUC $auc")
+  }
+
   test("assignSplits is hash-stable: membership survives corpus growth") {
     val small = (0 until 200).map(i => (i.toLong, "en", "t"))
       .toDF("doc_id", "lang", "text")
