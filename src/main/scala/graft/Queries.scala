@@ -1786,24 +1786,18 @@ object Queries {
           .join(Dedup.exact(base).select(col("keeper").as("doc_id")), "doc_id")
           .select(col("doc_id"), col("n_chars"))
       },
-      Some("""WITH q AS (SELECT doc_id FROM (
-             |    SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-             |           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq
-             |    FROM documents)
-             |  WHERE n_tokens BETWEEN 20 AND 2000
-             |    AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.2),
-             |l AS (SELECT doc_id FROM (
-             |    SELECT doc_id,
-             |      CAST((length(p) - length(replace(p, '的', ''))) / 1 AS BIGINT) AS s_zh,
-             |      CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS s_en,
-             |      CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS s_de,
-             |      CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
-             |      CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT) AS s_es
-             |    FROM (SELECT doc_id, ' '||text||' ' AS p FROM documents))
-             |  WHERE NOT s_zh > 0 AND s_en >= greatest(s_de, s_fr, s_es)),
-             |k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
-             |SELECT d.doc_id, d.n_chars FROM documents d
-             |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)""".stripMargin)),
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
+              |$langIdScoreCtes,
+              |q AS (SELECT doc_id FROM (
+              |    SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+              |           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq
+              |    FROM documents)
+              |  WHERE n_tokens BETWEEN 20 AND 2000
+              |    AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.2),
+              |l AS (SELECT doc_id FROM pred WHERE lang_pred = 'en'),
+              |k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
+              |SELECT d.doc_id, d.n_chars FROM documents d
+              |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)""".stripMargin)),
 
     // The capstone composite: the full curation chain — repetition
     // gate ∧ quality gate ∧ exact-dedup keeper — then vocabulary-id
