@@ -3143,6 +3143,18 @@ object Queries {
       (s, d) => Dedup.exact(docs(s, d)),
       Some("SELECT md5(lower(text)) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keeper FROM documents GROUP BY h")),
 
+    // Normalization-folded exact dedup: lowercase -> explicit
+    // diacritic fold (translate, NOT a locale normalizer) -> ASCII
+    // punctuation to spaces -> whitespace collapse, then the same
+    // fingerprint groupBy — trivially-reformatted copies collapse.
+    "dedup_exact_normalized" -> Decl(
+      (s, d) => Dedup.normalizedExact(docs(s, d)),
+      Some(s"""SELECT md5(trim(regexp_replace(regexp_replace(
+              |  translate(lower(text), '${Dedup.AccentFrom}', '${Dedup.AccentTo}'),
+              |  '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h,
+              |  COUNT(*) AS cnt, MIN(doc_id) AS keeper
+              |FROM documents GROUP BY h""".stripMargin)),
+
     // Incremental dedup of a constructed "new batch" (a 10% hash slice
     // verbatim = true duplicates, another slice mutated = novel docs)
     // against the full corpus as the at-rest side. The Bloom prefilter

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -30,6 +30,36 @@ object Dedup {
     */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(lower(col("text"))).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+
+  /** Diacritic fold for [[normalizedKey]] — an EXPLICIT 1:1 character
+    * map (the common Latin-1/Latin-Extended diacritics) instead of an
+    * engine's locale-dependent Unicode normalizer, so both engines
+    * produce identical keys by construction.
+    */
+  val AccentFrom = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+  val AccentTo = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+  /** Normalization key: lowercase → diacritic fold → ASCII punctuation
+    * to spaces → whitespace-run collapse → trim. Pure codegen
+    * projection.
+    */
+  def normalizedKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(lower(text), AccentFrom, AccentTo),
+        "\\p{Punct}", " "),
+      "\\s+", " "))
+
+  /** Normalization-folded exact dedup — the multilingual twin of
+    * [[exact]]: documents that differ only in case, diacritics, ASCII
+    * punctuation, or whitespace runs fingerprint identically ("Café,
+    * Déjà-Vu!" ≡ "cafe deja vu"), the fold a mixed-crawl dedup runs
+    * before exact hashing so trivially-reformatted copies collapse.
+    * Same scale shape as [[exact]]: one hash aggregate, map-side
+    * partials, fingerprint-keyed shuffle only.
+    */
+  def normalizedExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normalizedKey(col("text"))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
 
   /** Cross-source duplication matrix: for every pair of sources (crawl

@@ -95,6 +95,23 @@ class PpjoinSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => b == 6L || a == 6L })
   }
 
+  test("normalized exact dedup folds case, accents, punctuation, spacing") {
+    val corpus = Seq(
+      (1L, "Café, Déjà-Vu!"),
+      (2L, "cafe   deja vu"),
+      (3L, "CAFE DEJA (vu)"),
+      (4L, "completely different")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.normalizedExact(corpus)
+      .select(col("cnt"), col("keeper"))
+      .as[(Long, Long)].collect().toSet
+    assert(groups === Set((3L, 1L), (1L, 4L)),
+      s"fold classes wrong: $groups")
+    // and the raw exact dedup does NOT collapse them (the fold is the
+    // point, not a rehash of the same operator)
+    assert(Dedup.exact(corpus).count() === 4L)
+  }
+
   test("edit-distance blocking requires bandWidth > maxDist") {
     intercept[IllegalArgumentException] {
       Dedup.editDistancePairs(docs, maxDist = 16, bandWidth = 16)
