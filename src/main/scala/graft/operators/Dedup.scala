@@ -1077,18 +1077,29 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(bandWidth > maxDist, "band blocking is lossless only when " +
       s"bandWidth ($bandWidth) > maxDist ($maxDist)")
+    // letter histogram for the COUNTING FILTER (Ukkonen's q-gram idea
+    // at q=1): a substitution moves two letter counts, an insert or
+    // delete moves one, so dist ≥ Σ_c|cnt_a(c)−cnt_b(c)| / 2 — over
+    // ANY alphabet subset (a–z here). A 26-int compare prunes most
+    // non-pairs before the O(maxDist·n) levenshtein verify, losslessly.
+    val hist = array(('a' to 'z').map { c =>
+      (length(col("k")) -
+        length(expr(s"replace(k, '$c', '')"))).cast("int")
+    }: _*)
     val keyed = docs.select(col("doc_id"), lower(col("text")).as("k"))
       .withColumn("band", floor(length(col("k")) / lit(bandWidth)))
-    val passes = keyed.select(col("doc_id"), col("k"), col("band"),
+      .withColumn("hist", hist)
+    val passes = keyed.select(col("doc_id"), col("k"), col("band"), col("hist"),
         explode(array(
           struct(lit(0).as("pass"), substring(col("k"), 1, 1).as("ch")),
           struct(lit(1).as("pass"),
             expr("substring(k, greatest(length(k), 1), 1)").as("ch"))))
           .as("p"))
-      .select(col("doc_id"), col("k"), col("band"),
+      .select(col("doc_id"), col("k"), col("band"), col("hist"),
         col("p.pass").as("pass"), col("p.ch").as("ch"))
-    val probes = passes.select(col("doc_id"), col("k"), col("pass"),
-        col("ch"), explode(array(col("band"), col("band") + 1)).as("band"))
+    val probes = passes.select(col("doc_id"), col("k"), col("hist"),
+        col("pass"), col("ch"),
+        explode(array(col("band"), col("band") + 1)).as("band"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("pass"), col("band"), col("ch"))
           .orderBy(col("doc_id"))))
@@ -1099,19 +1110,27 @@ object Dedup {
     // (returns −1 past the threshold; kept rows carry true distances,
     // so the unthresholded oracle agrees row-for-row). Measured 70×
     // on sf0.1: 233 s → 3.3 s. Candidates dedupe on the PAIR KEY
-    // BEFORE the levenshtein projection: the same pair co-blocks in up
-    // to 4 (pass, band) keys, and the O(maxDist·n) verify is the
-    // dominant per-row cost — pay it once per pair, not per collision
-    // (k rides through the distinct; it is determined by doc_id).
+    // BEFORE the levenshtein projection — via groupBy + first (k is
+    // determined by doc_id), NOT distinct-then-filter: Catalyst
+    // pushes a deterministic filter back THROUGH a distinct into the
+    // join condition (measured: the levenshtein landed FIRST in the
+    // join's conjunction, re-running per collision), while an
+    // aggregate whose outputs the filter references is a pushdown
+    // barrier. The verify then runs once per pair.
+    val histDiff = aggregate(
+      zip_with(col("a.hist"), col("b.hist"), (x, y) => abs(x - y)),
+      lit(0), (acc, x) => acc + x)
     probes.as("a")
       .join(probes.as("b"),
         col("a.pass") === col("b.pass") &&
           col("a.band") === col("b.band") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") < col("b.doc_id") &&
-          abs(length(col("a.k")) - length(col("b.k"))) <= maxDist)
+          abs(length(col("a.k")) - length(col("b.k"))) <= maxDist &&
+          histDiff <= lit(2 * maxDist))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.k").as("ka"), col("b.k").as("kb"))
-      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("ka")).as("ka"), first(col("kb")).as("kb"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ka"), col("kb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
