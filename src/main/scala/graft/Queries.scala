@@ -3255,6 +3255,43 @@ object Queries {
              |  ON a.pass = b2.pass AND a.band = b2.band AND a.ch = b2.ch AND a.doc_id < b2.doc_id
              |WHERE levenshtein(a.k, b2.k) <= 8""".stripMargin)),
 
+    // Recall self-eval of the blocked edit-distance join: brute-force
+    // truth (all pairs within Levenshtein 8, quadratic space pruned
+    // losslessly by the length + letter-count filters before any
+    // levenshtein) LEFT JOIN the blocked path — `found = false` rows
+    // are the measured escapes of the first+last-char blocking (the
+    // provable escape class: pairs edited at BOTH anchor ends). The
+    // oracle MATERIALIZES the filtered candidate set so DuckDB too
+    // runs levenshtein only on near-miss pairs.
+    "dedup_edit_recall" -> Decl(
+      (s, d) => Dedup.editDistanceRecall(docs(s, d), 8, 16, 64),
+      Some {
+        val histCols = ('a' to 'z').map(c =>
+          s"strlen(k) - strlen(replace(k,'$c','')) AS c_$c").mkString(", ")
+        val histDiff = ('a' to 'z').map(c =>
+          s"abs(a.c_$c - b.c_$c)").mkString(" + ")
+        s"""WITH kk AS (SELECT doc_id, lower(text) AS k, $histCols
+           |            FROM (SELECT doc_id, lower(text) AS k, text FROM documents)),
+           |cand AS MATERIALIZED (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k AS ka, b.k AS kb
+           |  FROM kk a JOIN kk b ON a.doc_id < b.doc_id
+           |    AND abs(strlen(a.k) - strlen(b.k)) <= 8 AND $histDiff <= 16),
+           |tr AS (SELECT doc_a, doc_b, levenshtein(ka, kb) AS dist FROM cand
+           |       WHERE levenshtein(ka, kb) <= 8),
+           |b AS (SELECT doc_id, k, CAST(floor(strlen(k)/16.0) AS BIGINT) AS band, p.pass,
+           |        CASE WHEN p.pass = 0 THEN substr(k, 1, 1)
+           |             ELSE substr(k, greatest(length(k), 1), 1) END AS ch
+           |      FROM kk, (VALUES (0),(1)) p(pass)),
+           |pr AS (SELECT doc_id, k, pass, ch, band + d AS band FROM b, (VALUES (0),(1)) t(d)),
+           |pk AS (SELECT * FROM pr QUALIFY ROW_NUMBER() OVER (PARTITION BY pass, band, ch ORDER BY doc_id) <= 64),
+           |fnd AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |        FROM pk a JOIN pk b2
+           |          ON a.pass = b2.pass AND a.band = b2.band AND a.ch = b2.ch AND a.doc_id < b2.doc_id
+           |        WHERE levenshtein(a.k, b2.k) <= 8)
+           |SELECT tr.doc_a, tr.doc_b, tr.dist, fnd.doc_a IS NOT NULL AS found
+           |FROM tr LEFT JOIN fnd ON tr.doc_a = fnd.doc_a AND tr.doc_b = fnd.doc_b""".stripMargin
+      }),
+
     // Band buckets are capped at the MaxBucket smallest doc_ids on
     // BOTH sides (Spark row_number ≤ K, DuckDB QUALIFY ≤ K) — the
     // deterministic truncation keeps hash parity while bounding the

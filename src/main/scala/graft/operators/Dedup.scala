@@ -1135,4 +1135,55 @@ object Dedup {
         levenshtein(col("ka"), col("kb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
   }
+
+  /** Recall self-evaluation of [[editDistancePairs]] (the
+    * minhashEstimate / sim_pq_recall pattern applied to the blocked
+    * edit-distance join): every TRUE pair within Levenshtein
+    * `maxDist` — computed by brute force — tagged with whether the
+    * blocked path finds it. The first+last-char blocking provably
+    * misses only pairs edited at BOTH anchor ends; this table turns
+    * that documented escape class from an argument into a measured
+    * number (`found = false` rows ARE the escapes).
+    *
+    * TEST-TIER like [[ngramJaccard]]: the truth side is an all-pairs
+    * broadcast join (never a partitioned cartesian) and REFUSES
+    * corpora above `maxInputRows` — the audit runs on a bounded
+    * sample, the blocked operator is the scale path. The quadratic
+    * predicate space is pruned losslessly before any Levenshtein by
+    * the length filter (dist ≥ |len(a)−len(b)|) and the q=1 counting
+    * filter (dist ≥ Σ_c |cnt_a(c)−cnt_b(c)| / 2), so the O(maxDist·n)
+    * verify touches only near-miss pairs.
+    */
+  def editDistanceRecall(docs: DataFrame,
+                         maxDist: Int = 8,
+                         bandWidth: Int = 16,
+                         maxBlock: Int = 64,
+                         maxInputRows: Long = 20000L): DataFrame = {
+    require(docs.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
+      s"editDistanceRecall's truth side is all-pairs (input exceeds " +
+        s"$maxInputRows rows): audit a sample, or raise maxInputRows " +
+        s"explicitly")
+    val hist = array(('a' to 'z').map { c =>
+      (length(col("k")) -
+        length(expr(s"replace(k, '$c', '')"))).cast("int")
+    }: _*)
+    val keyed = docs.select(col("doc_id"), lower(col("text")).as("k"))
+      .withColumn("hist", hist)
+    val histDiff = aggregate(
+      zip_with(col("a.hist"), col("b.hist"), (x, y) => abs(x - y)),
+      lit(0), (acc, x) => acc + x)
+    val truth = keyed.as("a")
+      .join(broadcast(keyed.as("b")),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(length(col("a.k")) - length(col("b.k"))) <= maxDist &&
+          histDiff <= lit(2 * maxDist))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.k"), col("b.k"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+    val found = editDistancePairs(docs, maxDist, bandWidth, maxBlock)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("found_flag"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"), col("dist"),
+        coalesce(col("found_flag"), lit(false)).as("found"))
+  }
 }

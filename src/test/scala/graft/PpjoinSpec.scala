@@ -93,6 +93,20 @@ class PpjoinSpec extends SparkSpec {
     assert(got.contains((1L, 5L, 6)))
     // doc 6 spends edits on BOTH anchor chars — the documented miss
     assert(!got.exists { case (a, b, _) => b == 6L || a == 6L })
+
+    // the recall self-eval MEASURES that miss: the brute-force truth
+    // side contains (1,6) at distance 2, and the blocked path's flag
+    // marks it as the escape while the found pairs stay true
+    val recall = Dedup.editDistanceRecall(corpus, maxDist = 8,
+        bandWidth = 16, maxBlock = 64)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("found"))
+      .as[(Long, Long, Int, Boolean)].collect().toSet
+    assert(recall.contains((1L, 6L, 2, false)),
+      s"both-ends escape not measured: $recall")
+    assert(recall.contains((1L, 2L, 1, true)))
+    assert(recall.contains((1L, 5L, 6, true)))
+    // truth is a superset of the blocked result on any corpus
+    assert(got.forall { case (a, b, d) => recall.contains((a, b, d, true)) })
   }
 
   test("normalized exact dedup folds case, accents, punctuation, spacing") {
