@@ -3232,6 +3232,38 @@ object Queries {
               |  UNION ALL SELECT doc_id, r FROM reach)
               |GROUP BY doc_id""".stripMargin)),
 
+    // PPJoin pruning audit: the candidate pairs the prefix + length +
+    // position filters admit, each verified (`kept` = exact Jaccard
+    // >= t) — candidate-generation precision under the oracle gate.
+    // The oracle mirrors the CANDIDATE RULE itself ((df, shingle)
+    // total order, prefix length n − ceil(t·n) + 1, symmetric length
+    // filter, position bound with the same (1.0 + 0.6) and 1e-9
+    // literals so the float arithmetic is IEEE-identical), so a
+    // drift in any filter turns the row red — not just a drift in
+    // the final pair set.
+    "dedup_ppjoin_audit" -> Decl(
+      (s, d) => Dedup.ppjoinAudit(docs(s, d), 3, 0.6),
+      Some(s"""WITH $shinglesCte,
+              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+              |dfq AS (SELECT shingle, COUNT(*) AS df FROM e GROUP BY 1),
+              |pfx AS (SELECT e.doc_id, e.shingle, e.nsh,
+              |          ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY dfq.df, e.shingle) AS rk
+              |        FROM e JOIN dfq USING (shingle)
+              |        QUALIFY rk <= e.nsh - ceil(e.nsh * 0.6) + 1),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b
+              |         FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |           AND b.nsh * 0.6 <= a.nsh AND a.nsh * 0.6 <= b.nsh
+              |           AND CAST(1 + least(a.nsh - a.rk, b.nsh - b.rk) AS DOUBLE) * (1.0 + 0.6)
+              |               >= 0.6 * CAST(a.nsh + b.nsh AS DOUBLE) - 1e-9),
+              |v AS (SELECT c.doc_a, c.doc_b, c.nsh_a, c.nsh_b, COUNT(*) AS common
+              |      FROM cand c JOIN e ea ON ea.doc_id = c.doc_a
+              |                  JOIN e eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+              |      GROUP BY 1, 2, 3, 4)
+              |SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+              |  CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) AS jaccard,
+              |  CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.6 AS kept
+              |FROM v""".stripMargin)),
+
     // Record-linkage near-dup: exact Levenshtein ≤ 8 on the lowercased
     // text, candidates from TWO blocking passes — (length band, FIRST
     // char) and (length band, LAST char) — with the adjacent band

@@ -1044,6 +1044,40 @@ object Dedup {
       .distinct()
   }
 
+  /** PPJoin pruning audit: every candidate pair the prefix + length +
+    * position filters admit, verified — `kept = false` rows are the
+    * filter stack's residual false positives, so the table measures
+    * candidate-generation PRECISION under the oracle gate (the
+    * recall side is already proven: ppjoin equals the all-pairs
+    * reference row-for-row in `PpjoinSpec`). The candidate rule —
+    * including the (df, shingle) total order, the prefix length
+    * n − ⌈t·n⌉ + 1, and the position bound — is mirrored verbatim in
+    * SQL, so a drift in ANY filter turns the row red, not just a
+    * drift in the final pair set.
+    *
+    * Scale shape: identical to [[ppjoin]] (this IS ppjoin with the
+    * verify emitted instead of filtered) — prefix-bounded candidate
+    * join, (doc, shingle)-keyed verify, no global rank, no cartesian.
+    */
+  def ppjoinAudit(docs: DataFrame, n: Int = 3,
+                  minJaccard: Double = 0.5): DataFrame = {
+    val cand = ppjoinCandidates(docs, n, minJaccard)
+    val rows = shingleRows(docs, n)
+    cand
+      .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
+      .join(rows.as("rb"),
+        col("doc_b") === col("rb.doc_id") &&
+          col("ra.shingle") === col("rb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
+      .withColumn("kept", col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("jaccard"), col("kept"))
+  }
+
   /** Blocked edit-distance dedup (record-linkage style): document
     * pairs whose lowercased text is within exact Levenshtein distance
     * `maxDist`, with the pair space pruned by blocking instead of an

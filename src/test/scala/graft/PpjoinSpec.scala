@@ -27,6 +27,18 @@ class PpjoinSpec extends SparkSpec {
     }
   }
 
+  test("ppjoin audit's kept rows are exactly the ppjoin pairs") {
+    for (t <- Seq(0.5, 0.6)) {
+      val audit = Dedup.ppjoinAudit(docs, 3, t)
+      val kept = pairSet(audit.filter(col("kept"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard")))
+      assert(kept === pairSet(Dedup.ppjoin(docs, 3, t)),
+        s"threshold $t: audit verify disagrees with ppjoin")
+      // audit rows == candidate count: the verify drops nothing
+      assert(audit.count() === Dedup.ppjoinCandidates(docs, 3, t).count())
+    }
+  }
+
   test("position filter prunes candidates without losing a single pair") {
     for (t <- Seq(0.5, 0.6)) {
       val pruned = Dedup.ppjoinCandidates(docs, 3, t).count()
