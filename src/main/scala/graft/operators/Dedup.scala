@@ -1078,6 +1078,110 @@ object Dedup {
         col("jaccard"), col("kept"))
   }
 
+  /** Block-combination SimHash banding (Manku, Jain & Das Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 §3): the
+    * 32-bit signature splits into 8 blocks of 4 bits and candidates
+    * share the concatenation of SOME PAIR of blocks — one bucket join
+    * per C(8,2) = 28 block pairs, realized as ONE exploded
+    * (table, key) relation and ONE equi-join, not 28 plan branches.
+    * PIGEONHOLE-LOSSLESS for Hamming ≤ 6 (pre-cap): ≤ 6 differing
+    * bits touch ≤ 6 of the 8 blocks, leaving ≥ 2 clean blocks, and
+    * that exact pair of clean blocks is one of the 28 tables — unlike
+    * the rotation heuristic ([[simhashNearDupMulti]]), whose measured
+    * recall on this corpus is ~25–33% (`dedup_simhash_recall`),
+    * because near-miss pairs spread their differing bits across every
+    * contiguous 16-bit window.
+    *
+    * Scale: each doc emits exactly 28 (table, key) rows; every
+    * (table, key) bucket is rank-capped at `maxBucket` (the capped-LSH
+    * discipline — candidate pairs are bounded by
+    * 28 · 256 · maxBucket² regardless of corpus size), and Hamming
+    * verifies once per distinct pair on the full signature.
+    */
+  def simhashNearDupBlocked(docs: DataFrame, maxHamming: Int = 6,
+                            maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxHamming <= 6,
+      "8 blocks of 4 bits are pigeonhole-lossless only to Hamming 6")
+    val sh = simhash(docs).localCheckpoint(eager = false)
+    val tabs = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+    val tkArr = array(tabs.zipWithIndex.map { case ((i, j), t) =>
+      struct(lit(t).as("tab"),
+        (shiftright(col("simhash"), 4 * i).bitwiseAND(lit(15L)) * 16L +
+          shiftright(col("simhash"), 4 * j).bitwiseAND(lit(15L))).as("key"))
+    }: _*)
+    val keyed = sh.select(col("doc_id"), explode(tkArr).as("tk"))
+      .select(col("doc_id"), col("tk.tab").as("tab"), col("tk.key").as("key"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tab"), col("key")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxBucket)
+    val cands = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.tab") === col("b.tab") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Recall self-evaluation of [[simhashNearDupMulti]]: every TRUE
+    * pair within full-signature Hamming `maxHamming` — brute force
+    * over the 32-bit signatures, which are one BIGINT per doc, so
+    * the quadratic truth side is a popcount compare, not a text
+    * compare — tagged with whether the multi-rotation banding finds
+    * it. `found = false` rows are the measured escapes: pairs whose
+    * differing bits straddle the top half of EVERY rotation.
+    *
+    * TEST-TIER like [[ngramJaccard]]: refuses corpora above
+    * `maxInputRows`; the blocked operator is the scale path, this
+    * table is the evidence for how much recall the banding trades.
+    */
+  def simhashRecall(docs: DataFrame, maxHamming: Int = 6,
+                    rotations: Int = 2,
+                    maxInputRows: Long = 20000L): DataFrame =
+    simhashRecallAgainst(docs,
+      simhashNearDupMulti(docs, maxHamming, rotations),
+      maxHamming, maxInputRows)
+
+  /** [[simhashRecall]] for the block-combination banding: the
+    * pigeonhole losslessness claim of [[simhashNearDupBlocked]],
+    * MEASURED (rows where the rank caps truncated a hot bucket are
+    * the only possible `found = false` entries).
+    */
+  def simhashRecallBlocked(docs: DataFrame, maxHamming: Int = 6,
+                           maxInputRows: Long = 20000L): DataFrame =
+    simhashRecallAgainst(docs,
+      simhashNearDupBlocked(docs, maxHamming),
+      maxHamming, maxInputRows)
+
+  private def simhashRecallAgainst(docs: DataFrame, path: DataFrame,
+                                   maxHamming: Int,
+                                   maxInputRows: Long): DataFrame = {
+    require(docs.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
+      s"simhash recall's truth side is all-pairs over the signatures " +
+        s"(input exceeds $maxInputRows rows): audit a sample, or raise " +
+        s"maxInputRows explicitly")
+    val sh = simhash(docs).localCheckpoint(eager = false)
+    val truth = sh.as("a")
+      .join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val found = path
+      .select(col("doc_a"), col("doc_b"), lit(true).as("found_flag"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        coalesce(col("found_flag"), lit(false)).as("found"))
+  }
+
   /** Blocked edit-distance dedup (record-linkage style): document
     * pairs whose lowercased text is within exact Levenshtein distance
     * `maxDist`, with the pair space pruned by blocking instead of an

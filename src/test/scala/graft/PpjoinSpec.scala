@@ -27,6 +27,24 @@ class PpjoinSpec extends SparkSpec {
     }
   }
 
+  test("block-combination simhash equals the brute-force Hamming truth") {
+    // pigeonhole: <= 6 differing bits leave >= 2 clean 4-bit blocks,
+    // and that block pair is one of the 28 tables — so (pre-cap) the
+    // blocked path must equal the all-pairs truth exactly
+    val recall = Dedup.simhashRecallBlocked(docs, 6)
+    assert(recall.filter(!col("found")).count() === 0L,
+      "blocked banding missed a true pair")
+    val truthSet = recall.select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    val blockedSet = Dedup.simhashNearDupBlocked(docs, 6)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(blockedSet === truthSet)
+    // the upgrade is measurable: the rotation heuristic must MISS
+    // pairs on this corpus (else the fixture can't distinguish them)
+    assert(Dedup.simhashRecall(docs, 6, 2).filter(!col("found")).count() > 0L,
+      "fixture degenerate: rotations already find every pair")
+  }
+
   test("ppjoin audit's kept rows are exactly the ppjoin pairs") {
     for (t <- Seq(0.5, 0.6)) {
       val audit = Dedup.ppjoinAudit(docs, 3, t)
