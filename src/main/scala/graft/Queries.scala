@@ -3192,6 +3192,39 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) AS jaccard
               |FROM p WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Recall self-eval of the MinHash LSH path — the third leg of the
+    // recall-audit family (edit-distance, SimHash, MinHash): exact
+    // ngram-Jaccard truth LEFT JOIN the banded path, per-pair found
+    // flag. found=false rows are the S-curve misses plus rank-cap
+    // truncation, as per-pair facts under the oracle gate.
+    "dedup_minhash_recall" -> Decl(
+      (s, d) => Dedup.minhashRecall(docs(s, d), 3, 0.5),
+      Some(s"""WITH $minhashConstsCte,
+              |$shinglesCte,
+              |$lshBandsCte,
+              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
+              |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2, 3, 4),
+              |tr AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) AS jaccard
+              |       FROM p WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5),
+              |bands_k AS (
+              |  SELECT * FROM bands
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM bands_k a JOIN bands_k b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |jac AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
+              |    len(sh_a) AS na, len(sh_b) AS nb
+              |  FROM cands),
+              |fnd AS (SELECT doc_a, doc_b FROM jac
+              |        WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5)
+              |SELECT tr.doc_a, tr.doc_b, tr.jaccard,
+              |  fnd.doc_a IS NOT NULL AS found
+              |FROM tr LEFT JOIN fnd ON tr.doc_a = fnd.doc_a AND tr.doc_b = fnd.doc_b""".stripMargin)),
+
     // EXACT set-similarity join via prefix filtering (AllPairs/PPJoin).
     // Losslessness is the whole point, so the ORACLE is deliberately
     // the brute-force all-pairs Jaccard at the same threshold — the

@@ -1078,6 +1078,31 @@ object Dedup {
         col("jaccard"), col("kept"))
   }
 
+  /** Recall self-evaluation of [[minhashLsh]] — the third leg of the
+    * recall-audit family (edit-distance, SimHash, MinHash): every
+    * TRUE pair at exact Jaccard ≥ `minJaccard` (from the all-pairs
+    * [[ngramJaccard]] reference, a shingle equi-join — not a
+    * cartesian) tagged with whether the banded LSH path finds it.
+    * `found = false` rows decompose the theoretical S-curve miss
+    * probability (1 − (1 − s^r)^b at similarity s) plus any rank-cap
+    * truncation into per-pair facts; read next to
+    * [[minhashEstimate]], which audits the ESTIMATOR on the pairs
+    * LSH did find, this closes the loop on the signature design.
+    *
+    * TEST-TIER like its truth side: inherits [[ngramJaccard]]'s
+    * `maxInputRows` refusal; [[minhashLsh]] is the scale path.
+    */
+  def minhashRecall(docs: DataFrame, n: Int = 3,
+                    minJaccard: Double = 0.5,
+                    maxInputRows: Long = 100000L): DataFrame = {
+    val truth = ngramJaccard(docs, n, minJaccard, maxInputRows)
+    val found = minhashLsh(docs, n, minJaccard)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("found_flag"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("found_flag"), lit(false)).as("found"))
+  }
+
   /** Block-combination SimHash banding (Manku, Jain & Das Sarma,
     * "Detecting Near-Duplicates for Web Crawling", WWW'07 §3): the
     * 32-bit signature splits into 8 blocks of 4 bits and candidates

@@ -45,6 +45,16 @@ class PpjoinSpec extends SparkSpec {
       "fixture degenerate: rotations already find every pair")
   }
 
+  test("minhash recall audit covers the exact-Jaccard truth") {
+    val r = Dedup.minhashRecall(docs, 3, 0.5)
+    // truth side IS the all-pairs reference, row-for-row
+    assert(r.count() === Dedup.ngramJaccard(docs, 3, 0.5).count())
+    // measured (not guaranteed): on this corpus the 8x4 banding at
+    // t=0.5 catches every true pair — a regression in bands, caps,
+    // or signatures shows up as found=false rows here
+    assert(r.filter(!col("found")).count() === 0L)
+  }
+
   test("ppjoin audit's kept rows are exactly the ppjoin pairs") {
     for (t <- Seq(0.5, 0.6)) {
       val audit = Dedup.ppjoinAudit(docs, 3, t)
