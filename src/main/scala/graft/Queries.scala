@@ -4927,5 +4927,8 @@ object Queries {
     // round-10 addition: the at-rest IVF story end-to-end — build the
     // cell-partitioned layout, then answer queries off a
     // partition-pruned scan (write cost is part of the operator)
-    "sim_topk_ivf_atrest")
+    "sim_topk_ivf_atrest",
+    // round-10 batch 2: the pigeonhole-lossless block-combination
+    // SimHash banding (28 exploded tables, one rank-capped equi-join)
+    "dedup_simhash_blocked")
 }

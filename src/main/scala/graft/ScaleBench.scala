@@ -56,7 +56,12 @@ object ScaleBench {
     // blocks multiply), the linear-cost silhouette (the claim IS the
     // linearity), and the two-stage int8-coarse + exact-rerank ANN
     "dedup_ppjoin", "dedup_edit_blocked", "sim_silhouette",
-    "sim_topk_rerank")
+    "sim_topk_rerank",
+    // round 10: the block-combination SimHash banding — 28 exploded
+    // (tab, key) rows per doc, one rank-capped equi-join; the curve
+    // proves the 28x fan-out stays linear and the cap bounds the
+    // candidate space as buckets densify
+    "dedup_simhash_blocked")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -85,7 +90,11 @@ object ScaleBench {
     // the per-row codec roundtrip, the feature-hash embedding, the
     // conditional bigram LM, and the int8-coarse + exact-rerank ANN.
     "dedup_ppjoin", "pipeline_nb_score", "mm_resize_real",
-    "text_hash_embed", "text_bigram_lm", "sim_topk_rerank")
+    "text_hash_embed", "text_bigram_lm", "sim_topk_rerank",
+    // round 10: the lossless simhash banding measures both decades
+    // from day one — its candidate bound (28·256·cap²) predicts a
+    // flat curve once buckets saturate
+    "dedup_simhash_blocked")
 
   def main(args: Array[String]): Unit = {
     val testdata =

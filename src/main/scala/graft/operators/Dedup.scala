@@ -747,7 +747,10 @@ object Dedup {
     * signature (a 16-bit bucket — one equi-join, no n² pair space),
     * verified by Hamming distance ≤ `maxHamming` on the full 32 bits.
     * The bucket prefilter trades recall for scale exactly like LSH
-    * banding; multiple rotated buckets would raise recall.
+    * banding; [[simhashNearDupMulti]] raises recall somewhat, and
+    * [[simhashNearDupBlocked]] is the pigeonhole-LOSSLESS form
+    * (recall of all three is measured under the gate by
+    * `dedup_simhash_recall` / `dedup_simhash_recall_blocked`).
     *
     * Hot buckets are BOUNDED exactly like the LSH tier
     * ([[lshCandidates]]): a mass-duplicate corpus puts every copy in
@@ -781,13 +784,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Multi-rotation SimHash near-dup — the RECALL upgrade the
-    * single-bucket [[simhashNearDup]] docstring promises: candidates
-    * share the top half of ANY of `rotations` bit-rotations of the
-    * signature, so a pair only hides when EVERY rotation splits its
-    * differing bits across both halves (at Hamming ≤ 6 over 32 bits,
-    * two rotations already make that unlikely; one rotation = the base
-    * operator exactly). Each rotation's bucket is independently
+  /** Multi-rotation SimHash near-dup — a partial recall upgrade over
+    * the single-bucket [[simhashNearDup]]: candidates share the top
+    * half of ANY of `rotations` bit-rotations of the signature, so a
+    * pair only hides when EVERY rotation splits its differing bits
+    * across both halves. MEASURED recall on the test corpus
+    * (`dedup_simhash_recall`) is ~25–33% at Hamming ≤ 6 — near-miss
+    * pairs spread their bits across every contiguous 16-bit window
+    * far more often than the independence intuition suggests, and 4
+    * rotations recover almost nothing (19→21 of 57). The LOSSLESS
+    * path is [[simhashNearDupBlocked]] (block combinations); this
+    * operator remains the cheap low-recall tier (one rotation = the
+    * base operator exactly). Each rotation's bucket is independently
     * rank-capped at `maxBucket` (the same deterministic truncation,
     * oracle-mirrored), the candidate pair sets union + distinct, and
     * Hamming verifies once on the full signature — cost is ≤
