@@ -4535,6 +4535,137 @@ object Queries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
               |WHERE rn <= 10""".stripMargin)),
 
+    // Recall@k of the sign-LSH ANN vs the brute-force truth — the
+    // audit sim_ivf_recall / sim_pq_recall already give the other two
+    // approximate tiers. Sign-LSH requires EXACT bucket equality
+    // (all 6 sign bits), so its recall profile is the sharpest of the
+    // three; this table prices that trade per query.
+    "sim_lsh_recall" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val truth = Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+            e.filter(col("vec_id") < 6), 6, 10)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        truth.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+          .withColumn("recall_at_k",
+            col("hits").cast("double") / col("k"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |bs AS (SELECT q_id, vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |       FROM c, q WHERE vec_id <> q_id),
+              |truth AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
+              |  WHERE rn <= 10),
+              |an AS (SELECT vec_id AS a_id, v AS av FROM c WHERE vec_id < 6),
+              |cbk AS (SELECT c.vec_id,
+              |   CAST(SUM(CASE WHEN list_sum([v[i+1]*av[i+1] for i in range(64)]) > 0
+              |            THEN (CAST(1 AS BIGINT) << CAST(a_id AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM c, an GROUP BY c.vec_id),
+              |cb AS (SELECT c.vec_id, c.v, cbk.bucket FROM c JOIN cbk USING (vec_id)),
+              |qb AS (SELECT vec_id AS q_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
+              |s AS (SELECT q_id, cb.vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |      FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> q_id),
+              |approx AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+              |  WHERE rn <= 10)
+              |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+              |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+              |FROM truth t LEFT JOIN approx a
+              |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+              |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
+
+    // Multi-probe sign-LSH (Lv et al. VLDB'07 adapted to sign
+    // buckets): the query probes every bucket within Hamming 2 of
+    // its own (22 of 64) — the fix for exact-bucket LSH's measured
+    // 0.01-0.09 recall. Corpus bucketed once map-side; only the tiny
+    // query side fans out x22.
+    "sim_topk_lsh_multiprobe" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 6), 6, 10, 2)
+      },
+      Some {
+        val probes = (0 until 64).filter(m => Integer.bitCount(m) <= 2)
+          .map(m => s"xor(bucket, $m)").mkString(", ")
+        s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+           |an AS (SELECT vec_id AS a_id, v AS av FROM c WHERE vec_id < 6),
+           |cbk AS (SELECT c.vec_id,
+           |   CAST(SUM(CASE WHEN list_sum([v[i+1]*av[i+1] for i in range(64)]) > 0
+           |            THEN (CAST(1 AS BIGINT) << CAST(a_id AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM c, an GROUP BY c.vec_id),
+           |cb AS (SELECT c.vec_id, c.v, cbk.bucket FROM c JOIN cbk USING (vec_id)),
+           |qb AS (SELECT q_id, qv, unnest([$probes]) AS bucket
+           |       FROM (SELECT vec_id AS q_id, v AS qv, bucket FROM cb WHERE vec_id < 10)),
+           |s AS (SELECT q_id, cb.vec_id, ${duckCosine("qv", "v")} AS cos_sim
+           |      FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> q_id)
+           |SELECT q_id, vec_id, cos_sim, rn FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+           |WHERE rn <= 10""".stripMargin
+      }),
+
+    // Recall@k of the multi-probe path vs brute force — read next to
+    // sim_lsh_recall: the same anchors and bucket rule, radius-2
+    // probing instead of exact equality.
+    "sim_lsh_recall_multiprobe" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val truth = Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity.lshTopKMultiProbe(e,
+            e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 6),
+            6, 10, 2)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        truth.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+          .withColumn("recall_at_k",
+            col("hits").cast("double") / col("k"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val probes = (0 until 64).filter(m => Integer.bitCount(m) <= 2)
+          .map(m => s"xor(bucket, $m)").mkString(", ")
+        s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+           |bs AS (SELECT q_id, vec_id, ${duckCosine("qv", "v")} AS cos_sim
+           |       FROM c, q WHERE vec_id <> q_id),
+           |truth AS (SELECT q_id, vec_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
+           |  WHERE rn <= 10),
+           |an AS (SELECT vec_id AS a_id, v AS av FROM c WHERE vec_id < 6),
+           |cbk AS (SELECT c.vec_id,
+           |   CAST(SUM(CASE WHEN list_sum([v[i+1]*av[i+1] for i in range(64)]) > 0
+           |            THEN (CAST(1 AS BIGINT) << CAST(a_id AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM c, an GROUP BY c.vec_id),
+           |cb AS (SELECT c.vec_id, c.v, cbk.bucket FROM c JOIN cbk USING (vec_id)),
+           |qb AS (SELECT q_id, qv, unnest([$probes]) AS bucket
+           |       FROM (SELECT vec_id AS q_id, v AS qv, bucket FROM cb WHERE vec_id < 10)),
+           |s AS (SELECT q_id, cb.vec_id, ${duckCosine("qv", "v")} AS cos_sim
+           |      FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> q_id),
+           |approx AS (SELECT q_id, vec_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+           |  WHERE rn <= 10)
+           |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+           |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+           |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+           |FROM truth t LEFT JOIN approx a
+           |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+           |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+      }),
+
     // Triplet mining: top-kPos positives + deterministic hash-drawn
     // negatives outside the positive set, per anchor.
     "sim_triplet_mining" -> Decl(

@@ -774,6 +774,52 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** Multi-probe sign-LSH top-k (the perturbation idea of Lv et al.,
+    * "Multi-Probe LSH", VLDB'07, applied to sign buckets): the query
+    * probes EVERY bucket within Hamming `probeHamming` of its own —
+    * for 6 bits at radius 2 that is 22 of the 64 buckets — instead of
+    * requiring all sign bits to agree. Rationale: a true neighbor's
+    * dot products against the anchors are close to the query's, so
+    * when they disagree it is on a few near-zero margins; exact
+    * bucket equality ([[lshTopK]]) therefore collapses on real data
+    * (`sim_lsh_recall` measures recall@10 of 0.01–0.09 on the test
+    * corpus), while near-bucket probing recovers most of it for a
+    * bounded constant factor.
+    *
+    * Scale shape: the corpus is bucketed map-side ONCE and never
+    * explodes; only the (tiny, ≤4096 by the anchor rule) query side
+    * fans out ×|masks| before the same bucket equi-join. Each corpus
+    * vector lives in exactly one bucket, so (q, vec) candidates are
+    * unique by construction — no dedup shuffle.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+                        anchors: DataFrame, nBits: Int, k: Int,
+                        probeHamming: Int = 2): DataFrame = {
+    require(nBits <= 20, "mask enumeration is 2^nBits")
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      "probe radius within the bucket width")
+    val masks: Seq[Long] = (0 until (1 << nBits))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      .map(_.toLong)
+    val cb = signBuckets(corpus, anchors, nBits)
+      .withColumn("c_nrm", norm(col("v")))
+    val qb = signBuckets(queries, anchors, nBits)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"), col("bucket"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+      .withColumn("bucket", explode(array(
+        masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              (dot(col("q_vec"), col("v")) / (col("q_nrm") * col("c_nrm")))
+                .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** EXACT mean silhouette per vector (Rousseeuw 1987) under cosine
     * distance, at LINEAR cost — no pairwise join exists in the plan.
     *

@@ -32,6 +32,27 @@ class KmeansIvfSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH at radius 0 IS exact-bucket LSH, and wider radii only add") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 10)
+    val anchors = emb.filter(col("vec_id") < 6)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("vec_id"), col("rn"))
+        .as[(Long, Long, Int)].collect().toSet
+    val exact = pairs(Similarity.lshTopK(emb, queries, anchors, 6, 10))
+    val r0 = pairs(Similarity.lshTopKMultiProbe(emb, queries, anchors, 6, 10, 0))
+    assert(r0 === exact, "radius-0 probing must equal the base operator")
+    // radius-2 candidates are a superset, so every query's recall vs
+    // brute force can only improve — checked end-to-end via hits
+    val truth = Similarity.bruteForceTopK(emb, queries, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val h0 = exact.count { case (q, v, _) => truth((q, v)) }
+    val h2 = pairs(Similarity.lshTopKMultiProbe(emb, queries, anchors, 6, 10, 2))
+      .count { case (q, v, _) => truth((q, v)) }
+    assert(h2 >= h0, s"radius-2 hits $h2 < radius-0 hits $h0")
+    assert(h2 > h0, "fixture degenerate: probing buys nothing here")
+  }
+
   test("semDedup flags lower-id near-dups within a cell only") {
     import spark.implicits._
     // two well-separated cells; 10/11 near-identical in cell A,
