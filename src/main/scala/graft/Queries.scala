@@ -4376,9 +4376,11 @@ object Queries {
               |FROM c a JOIN c b ON a.vec_id < b.vec_id
               |WHERE ${duckCosine("a.v", "b.v")} >= 0.35""".stripMargin)),
 
-    // Scale path for sim_neardup_cosine: same threshold, but candidate
-    // pairs come from sign-LSH bucket collisions instead of the n²
-    // cross join (Similarity.nearDupLsh scaladoc).
+    // Sign-bucket pair candidates at the same threshold — kept as the
+    // cheap low-recall tier: sim_neardup_recall_lsh measures it at
+    // 6-8% recall at cos >= 0.35 (near-threshold pairs almost never
+    // share all 6 sign bits). The scale path with usable recall is
+    // sim_neardup_cells below.
     "sim_neardup_lsh" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions.col
@@ -4398,6 +4400,92 @@ object Queries {
               |SELECT id_a, id_b, ${duckCosine("ca.v", "cbv.v")} AS cos_sim
               |FROM p JOIN c ca ON p.id_a = ca.vec_id JOIN c cbv ON p.id_b = cbv.vec_id
               |WHERE ${duckCosine("ca.v", "cbv.v")} >= 0.35""".stripMargin)),
+
+    // Cell-co-assignment near-dup: every vector soft-assigned to its
+    // top-2 cells (the IVF probe rule on the corpus side), pairs
+    // sharing ANY cell verified by exact cosine — the scale path for
+    // LOW-threshold embedding near-dup, where the sign-bucket
+    // candidates collapse (see sim_neardup_recall_lsh).
+    "sim_neardup_cells" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.nearDupCells(e, e.filter(col("vec_id") < 8), 2, 0.35)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+              |scored AS (SELECT c.vec_id, c_id, list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+              |assign AS (SELECT vec_id, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM scored)
+              |   WHERE rn <= 2),
+              |ak AS (SELECT vec_id, cell FROM assign
+              |       QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) <= 256),
+              |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |      FROM ak a JOIN ak b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, ${duckCosine("ca.v", "cbv.v")} AS cos_sim
+              |FROM p JOIN c ca ON p.id_a = ca.vec_id JOIN c cbv ON p.id_b = cbv.vec_id
+              |WHERE ${duckCosine("ca.v", "cbv.v")} >= 0.35""".stripMargin)),
+
+    // Recall audits for BOTH pair paths against the exact cosine
+    // truth — the dedup-tier recall family extended to embeddings.
+    // The bucket path's found=false rows are the measured collapse
+    // (6-8% recall at this threshold); the cells path's are the
+    // boundary pairs even two probes miss.
+    "sim_neardup_recall_lsh" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.nearDupRecallAgainst(e,
+          Similarity.nearDupLsh(e, e.filter(col("vec_id") < 6), 6, 0.35),
+          0.35)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |an AS (SELECT vec_id AS a_id, v AS av FROM c WHERE vec_id < 6),
+              |cbk AS (SELECT c.vec_id,
+              |   CAST(SUM(CASE WHEN list_sum([v[i+1]*av[i+1] for i in range(64)]) > 0
+              |            THEN (CAST(1 AS BIGINT) << CAST(a_id AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM c, an GROUP BY c.vec_id),
+              |cb AS (SELECT vec_id, bucket FROM cbk
+              |       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= ${Dedup.MaxBucket}),
+              |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |      FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |fnd AS (SELECT id_a, id_b
+              |        FROM p JOIN c ca ON p.id_a = ca.vec_id JOIN c cbv ON p.id_b = cbv.vec_id
+              |        WHERE ${duckCosine("ca.v", "cbv.v")} >= 0.35),
+              |tr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosine("a.v", "b.v")} AS cos_sim
+              |       FROM c a JOIN c b ON a.vec_id < b.vec_id
+              |       WHERE ${duckCosine("a.v", "b.v")} >= 0.35)
+              |SELECT tr.id_a, tr.id_b, tr.cos_sim,
+              |  fnd.id_a IS NOT NULL AS found
+              |FROM tr LEFT JOIN fnd ON tr.id_a = fnd.id_a AND tr.id_b = fnd.id_b""".stripMargin)),
+
+    "sim_neardup_recall_cells" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        Similarity.nearDupRecallAgainst(e,
+          Similarity.nearDupCells(e, e.filter(col("vec_id") < 8), 2, 0.35),
+          0.35)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+              |scored AS (SELECT c.vec_id, c_id, list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+              |assign AS (SELECT vec_id, c_id AS cell FROM (
+              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM scored)
+              |   WHERE rn <= 2),
+              |ak AS (SELECT vec_id, cell FROM assign
+              |       QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) <= 256),
+              |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |      FROM ak a JOIN ak b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+              |fnd AS (SELECT id_a, id_b
+              |        FROM p JOIN c ca ON p.id_a = ca.vec_id JOIN c cbv ON p.id_b = cbv.vec_id
+              |        WHERE ${duckCosine("ca.v", "cbv.v")} >= 0.35),
+              |tr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosine("a.v", "b.v")} AS cos_sim
+              |       FROM c a JOIN c b ON a.vec_id < b.vec_id
+              |       WHERE ${duckCosine("a.v", "b.v")} >= 0.35)
+              |SELECT tr.id_a, tr.id_b, tr.cos_sim,
+              |  fnd.id_a IS NOT NULL AS found
+              |FROM tr LEFT JOIN fnd ON tr.id_a = fnd.id_a AND tr.id_b = fnd.id_b""".stripMargin)),
 
     "sim_topk_ivf" -> Decl(
       (s, d) => {

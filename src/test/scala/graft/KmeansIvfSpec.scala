@@ -53,6 +53,25 @@ class KmeansIvfSpec extends SparkSpec {
     assert(h2 > h0, "fixture degenerate: probing buys nothing here")
   }
 
+  test("cell-co-assignment near-dup dominates the sign-bucket pair path") {
+    val lsh = Similarity.nearDupRecallAgainst(emb,
+      Similarity.nearDupLsh(emb, emb.filter(col("vec_id") < 6), 6, 0.35),
+      0.35)
+    val cells = Similarity.nearDupRecallAgainst(emb,
+      Similarity.nearDupCells(emb, emb.filter(col("vec_id") < 8), 2, 0.35),
+      0.35)
+    // both audits share the same exact-cosine truth
+    assert(cells.count() === lsh.count())
+    val lf = lsh.filter(col("found")).count()
+    val cf = cells.filter(col("found")).count()
+    assert(cf > lf, s"cells found $cf <= lsh found $lf")
+    // soft assignment beats hard: dropping to nProbe=1 must lose pairs
+    val hard = Similarity.nearDupRecallAgainst(emb,
+      Similarity.nearDupCells(emb, emb.filter(col("vec_id") < 8), 1, 0.35),
+      0.35).filter(col("found")).count()
+    assert(cf > hard, s"second probe cell buys nothing: $cf <= $hard")
+  }
+
   test("semDedup flags lower-id near-dups within a cell only") {
     import spark.implicits._
     // two well-separated cells; 10/11 near-identical in cell A,
