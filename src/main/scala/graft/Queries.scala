@@ -5149,5 +5149,9 @@ object Queries {
     "sim_topk_ivf_atrest",
     // round-10 batch 2: the pigeonhole-lossless block-combination
     // SimHash banding (28 exploded tables, one rank-capped equi-join)
-    "dedup_simhash_blocked")
+    "dedup_simhash_blocked",
+    // round-10 batch 3: the audit-driven ANN fixes — multi-probe
+    // sign-LSH (query fans out x22 buckets) and soft cell
+    // co-assignment near-dup pairs (corpus x2 cell fan-out, capped)
+    "sim_topk_lsh_multiprobe", "sim_neardup_cells")
 }

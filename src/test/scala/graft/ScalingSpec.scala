@@ -113,6 +113,21 @@ class ScalingSpec extends SparkSpec {
     assert(big < 20 * 35 && big > 2 * 35, s"intake rows at 10x: $big")
   }
 
+  test("cell near-dup pair output stays cap-bounded at 10x docs") {
+    synthesized
+    assert(rows("sim_neardup_cells", baseDir) === 201L,
+      "base-count drifted")
+    // cross-replica perturbed embeddings are TRUE near-dups, so the
+    // raw pair space is quadratic in replicas (the ppjoin story) —
+    // but the per-cell rank cap (256) bounds candidates at
+    // 8 cells x C(256,2) REGARDLESS of corpus size; the pin is the
+    // cap doing exactly that
+    val big = rows("sim_neardup_cells", bigDir)
+    assert(big <= 8L * 256 * 255 / 2,
+      s"cells pair output $big exceeds the cap bound")
+    assert(big > 201L, s"degenerate at 10x: $big")
+  }
+
   test("ivf top-k output is scale-invariant (fixed queries, fixed k)") {
     synthesized
     // anchors/centroid seeds are vec_id < 10 / < 8 — replica-0
