@@ -3641,6 +3641,39 @@ object Queries {
               |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/CAST(LEAST(na, nb) AS DOUBLE) AS containment
               |FROM jac WHERE CAST(common AS DOUBLE)/CAST(LEAST(na, nb) AS DOUBLE) >= 0.6""".stripMargin)),
 
+    // Recall self-eval of the containment-LSH path: exact containment
+    // truth (shingle equi-join) LEFT JOIN the banded path. The
+    // asymmetric case where MinHash's Jaccard-tuned S-curve is
+    // off-design — measured here rather than hand-waved.
+    "dedup_containment_recall" -> Decl(
+      (s, d) => Dedup.containmentRecall(docs(s, d), 3, 0.6),
+      Some(s"""WITH $minhashConstsCte,
+              |$shinglesCte,
+              |$lshBandsCte,
+              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+              |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
+              |       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2, 3, 4),
+              |tr AS (SELECT doc_a, doc_b,
+              |         CAST(common AS DOUBLE)/CAST(LEAST(nsh_a, nsh_b) AS DOUBLE) AS containment
+              |       FROM pp WHERE CAST(common AS DOUBLE)/CAST(LEAST(nsh_a, nsh_b) AS DOUBLE) >= 0.6),
+              |bands_k AS (
+              |  SELECT * FROM bands
+              |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= ${Dedup.MaxBucket}),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+              |  FROM bands_k a JOIN bands_k b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |fnd AS (
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT doc_a, doc_b,
+              |      CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS common,
+              |      len(sh_a) AS na, len(sh_b) AS nb
+              |    FROM cands)
+              |  WHERE CAST(common AS DOUBLE)/CAST(LEAST(na, nb) AS DOUBLE) >= 0.6)
+              |SELECT tr.doc_a, tr.doc_b, tr.containment,
+              |  fnd.doc_a IS NOT NULL AS found
+              |FROM tr LEFT JOIN fnd ON tr.doc_a = fnd.doc_a AND tr.doc_b = fnd.doc_b""".stripMargin)),
+
     // The linear-output star variant over a DELIBERATELY skewed corpus:
     // documents plus 1500 replicas of doc 0 — one mass-duplicate hot
     // bucket, the case that OOMed the uncapped r1 shape. Both engines

@@ -1111,6 +1111,44 @@ object Dedup {
         coalesce(col("found_flag"), lit(false)).as("found"))
   }
 
+  /** Recall self-evaluation of [[minhashLshContainment]]: exact
+    * containment truth (|A∩B| / min(|A|,|B|) ≥ t via the shingle
+    * equi-join — the same not-a-cartesian shape as [[ngramJaccard]])
+    * LEFT JOIN the banded path. Containment is the asymmetric case
+    * where MinHash's Jaccard-tuned S-curve is OFF-DESIGN (a small
+    * doc fully contained in a large one has high containment but low
+    * Jaccard, so band collisions are rarer) — this table measures
+    * what that mismatch actually costs on the corpus.
+    */
+  def containmentRecall(docs: DataFrame, n: Int = 3,
+                        minContainment: Double = 0.6,
+                        maxInputRows: Long = 100000L): DataFrame = {
+    require(docs.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
+      s"containmentRecall's truth side is the all-pairs shingle join " +
+        s"(input exceeds $maxInputRows rows): audit a sample, or raise " +
+        s"maxInputRows explicitly")
+    val rows = shingleRows(docs, n)
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val sh = rows.join(sizes, "doc_id")
+    val truth = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") /
+          least(col("nsh_a"), col("nsh_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+    val found = minhashLshContainment(docs, n, minContainment)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("found_flag"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"), col("containment"),
+        coalesce(col("found_flag"), lit(false)).as("found"))
+  }
+
   /** Block-combination SimHash banding (Manku, Jain & Das Sarma,
     * "Detecting Near-Duplicates for Web Crawling", WWW'07 §3): the
     * 32-bit signature splits into 8 blocks of 4 bits and candidates
