@@ -3023,6 +3023,29 @@ object Queries {
 
   private lazy val shinglesCte: String = shinglesCteFrom("documents")
 
+  /** SimHash signature CTE over an `sh` CTE (mirrors Dedup.simhash) —
+    * shared by every simhash-family oracle so the signature rule
+    * cannot drift between the operator queries and their recall
+    * audits.
+    */
+  private lazy val simhashSgCte: String =
+    s"""sg AS (
+       | SELECT doc_id,
+       |  CAST(list_sum([ CASE WHEN
+       |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
+       |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
+       | FROM sh)""".stripMargin
+
+  /** The 28 (tab, key) block-pair struct literals behind
+    * dedup_simhash_blocked and its recall audit — ONE builder so the
+    * audit always measures the same banding as the operator.
+    */
+  private lazy val simhashBlockStructs: String =
+    (for { i <- 0 until 8; j <- (i + 1) until 8 }
+      yield (i, j)).zipWithIndex.map { case ((i, j), t) =>
+        s"{'tab': $t, 'key': ((simhash >> ${4 * i}) & 15) * 16 + ((simhash >> ${4 * j}) & 15)}"
+      }.mkString(", ")
+
   /** MinHash signature + band-key CTEs over an `sh` CTE (shared by the
     * LSH oracle queries; mirrors Dedup.minhashSignatures/lshBands).
     */
@@ -3308,7 +3331,7 @@ object Queries {
     "dedup_edit_blocked" -> Decl(
       (s, d) => Dedup.editDistancePairs(docs(s, d), 8, 16, 64),
       Some("""WITH k AS (SELECT doc_id, lower(text) AS k FROM documents),
-             |b AS (SELECT doc_id, k, CAST(floor(strlen(k)/16.0) AS BIGINT) AS band, p.pass,
+             |b AS (SELECT doc_id, k, CAST(floor(length(k)/16.0) AS BIGINT) AS band, p.pass,
              |        CASE WHEN p.pass = 0 THEN substr(k, 1, 1)
              |             ELSE substr(k, greatest(length(k), 1), 1) END AS ch
              |      FROM k, (VALUES (0),(1)) p(pass)),
@@ -3331,8 +3354,13 @@ object Queries {
     "dedup_edit_recall" -> Decl(
       (s, d) => Dedup.editDistanceRecall(docs(s, d), 8, 16, 64),
       Some {
+        // length() (chars), never strlen() (bytes): the Spark side's
+        // length filter and band are char-based, and a byte-based
+        // mirror silently diverges on multibyte text (the letter
+        // HISTOGRAM is byte/char-agnostic for a-z, but stays length()
+        // for uniformity)
         val histCols = ('a' to 'z').map(c =>
-          s"strlen(k) - strlen(replace(k,'$c','')) AS c_$c").mkString(", ")
+          s"length(k) - length(replace(k,'$c','')) AS c_$c").mkString(", ")
         val histDiff = ('a' to 'z').map(c =>
           s"abs(a.c_$c - b.c_$c)").mkString(" + ")
         s"""WITH kk AS (SELECT doc_id, lower(text) AS k, $histCols
@@ -3340,10 +3368,11 @@ object Queries {
            |cand AS MATERIALIZED (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k AS ka, b.k AS kb
            |  FROM kk a JOIN kk b ON a.doc_id < b.doc_id
-           |    AND abs(strlen(a.k) - strlen(b.k)) <= 8 AND $histDiff <= 16),
-           |tr AS (SELECT doc_a, doc_b, levenshtein(ka, kb) AS dist FROM cand
-           |       WHERE levenshtein(ka, kb) <= 8),
-           |b AS (SELECT doc_id, k, CAST(floor(strlen(k)/16.0) AS BIGINT) AS band, p.pass,
+           |    AND abs(length(a.k) - length(b.k)) <= 8 AND $histDiff <= 16),
+           |tr AS (SELECT doc_a, doc_b, dist FROM (
+           |       SELECT doc_a, doc_b, levenshtein(ka, kb) AS dist FROM cand)
+           |       WHERE dist <= 8),
+           |b AS (SELECT doc_id, k, CAST(floor(length(k)/16.0) AS BIGINT) AS band, p.pass,
            |        CASE WHEN p.pass = 0 THEN substr(k, 1, 1)
            |             ELSE substr(k, greatest(length(k), 1), 1) END AS ch
            |      FROM kk, (VALUES (0),(1)) p(pass)),
@@ -3897,12 +3926,7 @@ object Queries {
     "dedup_simhash_neardup" -> Decl(
       (s, d) => Dedup.simhashNearDup(docs(s, d), 6),
       Some(s"""WITH $shinglesCte,
-              |sg AS (
-              | SELECT doc_id,
-              |  CAST(list_sum([ CASE WHEN
-              |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
-              |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
-              | FROM sh),
+              |$simhashSgCte,
               |b0 AS (SELECT doc_id, simhash, simhash >> ${Dedup.SimhashBits / 2} AS bucket FROM sg),
               |b AS (SELECT doc_id, simhash, bucket FROM (
               |  SELECT doc_id, simhash, bucket,
@@ -3919,12 +3943,7 @@ object Queries {
     "dedup_simhash_star" -> Decl(
       (s, d) => Dedup.simhashDedup(docs(s, d), 6),
       Some(s"""WITH $shinglesCte,
-              |sg AS (
-              | SELECT doc_id,
-              |  CAST(list_sum([ CASE WHEN
-              |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
-              |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
-              | FROM sh),
+              |$simhashSgCte,
               |b AS (SELECT doc_id, simhash, simhash >> ${Dedup.SimhashBits / 2} AS bucket FROM sg),
               |reps AS (SELECT bucket, MIN(doc_id) AS doc_a, COUNT(*) AS cnt
               |         FROM b GROUP BY 1 HAVING COUNT(*) > 1),
@@ -3941,12 +3960,7 @@ object Queries {
     "dedup_simhash_multi" -> Decl(
       (s, d) => Dedup.simhashNearDupMulti(docs(s, d), 6, 2),
       Some(s"""WITH $shinglesCte,
-              |sg AS (
-              | SELECT doc_id,
-              |  CAST(list_sum([ CASE WHEN
-              |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
-              |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
-              | FROM sh),
+              |$simhashSgCte,
               |k0 AS (SELECT doc_id, bucket FROM (
               |  SELECT doc_id, simhash >> 16 AS bucket,
               |    ROW_NUMBER() OVER (PARTITION BY (simhash >> 16) ORDER BY doc_id) AS rn FROM sg)
@@ -3978,12 +3992,7 @@ object Queries {
     "dedup_simhash_recall" -> Decl(
       (s, d) => Dedup.simhashRecall(docs(s, d), 6, 2),
       Some(s"""WITH $shinglesCte,
-              |sg AS (
-              | SELECT doc_id,
-              |  CAST(list_sum([ CASE WHEN
-              |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
-              |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
-              | FROM sh),
+              |$simhashSgCte,
               |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
               |       FROM sg a JOIN sg b ON a.doc_id < b.doc_id
@@ -4019,17 +4028,9 @@ object Queries {
     "dedup_simhash_blocked" -> Decl(
       (s, d) => Dedup.simhashNearDupBlocked(docs(s, d), 6),
       Some {
-        val structs = (for { i <- 0 until 8; j <- (i + 1) until 8 }
-          yield (i, j)).zipWithIndex.map { case ((i, j), t) =>
-            s"{'tab': $t, 'key': ((simhash >> ${4 * i}) & 15) * 16 + ((simhash >> ${4 * j}) & 15)}"
-          }.mkString(", ")
+        val structs = simhashBlockStructs
         s"""WITH $shinglesCte,
-           |sg AS (
-           | SELECT doc_id,
-           |  CAST(list_sum([ CASE WHEN
-           |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
-           |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
-           | FROM sh),
+           |$simhashSgCte,
            |tb AS (SELECT doc_id, u.tab AS tab, u.key AS key FROM (
            |  SELECT doc_id, simhash, unnest([ $structs ]) AS u FROM sg)),
            |tbk AS (SELECT doc_id, tab, key FROM (
@@ -4053,17 +4054,9 @@ object Queries {
     "dedup_simhash_recall_blocked" -> Decl(
       (s, d) => Dedup.simhashRecallBlocked(docs(s, d), 6),
       Some {
-        val structs = (for { i <- 0 until 8; j <- (i + 1) until 8 }
-          yield (i, j)).zipWithIndex.map { case ((i, j), t) =>
-            s"{'tab': $t, 'key': ((simhash >> ${4 * i}) & 15) * 16 + ((simhash >> ${4 * j}) & 15)}"
-          }.mkString(", ")
+        val structs = simhashBlockStructs
         s"""WITH $shinglesCte,
-           |sg AS (
-           | SELECT doc_id,
-           |  CAST(list_sum([ CASE WHEN
-           |    list_sum([ CASE WHEN ((CAST('0x'||substr(md5(t),1,15) AS BIGINT) >> j) & 1) = 1 THEN 1 ELSE -1 END for t in sh ]) > 0
-           |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(${Dedup.SimhashBits}) ]) AS BIGINT) AS simhash
-           | FROM sh),
+           |$simhashSgCte,
            |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
            |       FROM sg a JOIN sg b ON a.doc_id < b.doc_id

@@ -204,6 +204,32 @@ object Dedup {
       .distinct()
   }
 
+  /** All-pairs shingle-overlap counts `(doc_a, doc_b, nsh_a, nsh_b,
+    * common)` — the shared TEST-TIER truth body behind
+    * [[ngramJaccard]] and [[containmentRecall]] (one shape, two final
+    * score columns). The shingle equi-join is O(n²) worst case, hence
+    * the `maxInputRows` refusal; the guard scan stops at the
+    * threshold (limit pushes down), so the check costs
+    * O(maxInputRows), not a full corpus count.
+    */
+  private def shinglePairCommon(docs: DataFrame, n: Int,
+                                maxInputRows: Long, caller: String,
+                                scalePath: String): DataFrame = {
+    require(docs.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
+      s"$caller is the all-pairs CORRECTNESS reference, not the scale " +
+        s"path (input exceeds $maxInputRows rows): use " +
+        s"$scalePath, or raise maxInputRows explicitly")
+    val rows = shingleRows(docs, n)
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val sh = rows.join(sizes, "doc_id")
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
+      .agg(count(lit(1)).as("common"))
+  }
+
   /** Distinct (doc_id, shingle) ROWS without interpreted lambdas:
     * explode the codegen'd offset range and assemble each shingle once
     * per output row. (Exploding an array built by a CodegenFallback
@@ -237,21 +263,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3,
                    minJaccard: Double = 0.2,
                    maxInputRows: Long = 100000L): DataFrame = {
-    // guard scan stops at the threshold (limit pushes down), so the
-    // check costs O(maxInputRows), not a full corpus count
-    require(docs.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
-      s"ngramJaccard is the all-pairs CORRECTNESS reference, not the scale " +
-        s"path (input exceeds $maxInputRows rows): use " +
-        s"minhashLsh/minhashLshDedup, or raise maxInputRows explicitly")
-    val rows = shingleRows(docs, n)
-    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val sh = rows.join(sizes, "doc_id")
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-               col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
-      .agg(count(lit(1)).as("common"))
+    val pairs = shinglePairCommon(docs, n, maxInputRows,
+      "ngramJaccard", "minhashLsh/minhashLshDedup")
     pairs
       .withColumn("jaccard",
         col("common").cast("double") /
@@ -1123,20 +1136,8 @@ object Dedup {
   def containmentRecall(docs: DataFrame, n: Int = 3,
                         minContainment: Double = 0.6,
                         maxInputRows: Long = 100000L): DataFrame = {
-    require(docs.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
-      s"containmentRecall's truth side is the all-pairs shingle join " +
-        s"(input exceeds $maxInputRows rows): audit a sample, or raise " +
-        s"maxInputRows explicitly")
-    val rows = shingleRows(docs, n)
-    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val sh = rows.join(sizes, "doc_id")
-    val truth = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
-      .agg(count(lit(1)).as("common"))
+    val truth = shinglePairCommon(docs, n, maxInputRows,
+      "containmentRecall's truth side", "minhashLshContainment")
       .withColumn("containment",
         col("common").cast("double") /
           least(col("nsh_a"), col("nsh_b")).cast("double"))

@@ -870,6 +870,12 @@ object Similarity {
     require(nBits <= 20, "mask enumeration is 2^nBits")
     require(probeHamming >= 0 && probeHamming <= nBits,
       "probe radius within the bucket width")
+    // signBuckets sets bit position = raw anchor vec_id; masks only
+    // flip bits 0..nBits-1, so anchors outside that range would make
+    // every non-zero probe miss SILENTLY (degrading to radius 0)
+    require(collectVectors(anchors).forall(_._1 < nBits),
+      s"anchor vec_ids must be < $nBits: probe masks flip only the " +
+        s"low $nBits bucket bits")
     val masks: Seq[Long] = (0 until (1 << nBits))
       .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
       .map(_.toLong)
