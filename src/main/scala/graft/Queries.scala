@@ -3615,6 +3615,36 @@ object Queries {
              |FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.doc_id < b.doc_id
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Recall of winnowing's GUARANTEE, measured: any pair sharing a
+    // run of >= w+k-1 = 6 consecutive tokens must share a selected
+    // fingerprint (Schleimer et al. 2003); the only admissible misses
+    // are pairs whose every shared fp is ubiquitous (> 64 docs).
+    "dedup_winnow_recall" -> Decl(
+      (s, d) => Dedup.winnowRecall(docs(s, d), 3, 4, 64),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |g6 AS (SELECT doc_id, list_distinct([array_to_string(w[i+1:i+6], ' ') for i in range(len(w)-5)]) AS sh
+             |       FROM toks WHERE len(w) >= 6),
+             |e6 AS (SELECT doc_id, unnest(sh) AS g FROM g6),
+             |tr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |       FROM e6 a JOIN e6 b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |g AS (SELECT doc_id, CAST(len(w) - 2 AS BIGINT) AS n_grams, u.pos AS pos, u.gram AS gram
+             |  FROM (SELECT doc_id, w,
+             |    unnest([{'pos': i, 'gram': array_to_string(w[i+1:i+3], ' ')} for i in range(len(w)-2)]) AS u
+             |   FROM toks WHERE len(w) >= 3)),
+             |h AS (SELECT doc_id, n_grams, pos,
+             |  CAST('0x'||substr(md5(gram),1,15) AS BIGINT) AS h FROM g),
+             |m AS (SELECT doc_id, n_grams, pos,
+             |  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             | FROM h),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_grams - 4),
+             |bounded AS (SELECT * FROM fps
+             |  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64)),
+             |fnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |        FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+             |SELECT tr.doc_a, tr.doc_b, fnd.doc_a IS NOT NULL AS found
+             |FROM tr LEFT JOIN fnd ON tr.doc_a = fnd.doc_a AND tr.doc_b = fnd.doc_b""".stripMargin)),
+
     // Cross-corpus near-dedup: a "new dump" (every 7th doc, re-ided)
     // LSH'd against the at-rest corpus — the band join never pairs the
     // corpus with itself; corpus-side buckets rank-capped; every pair

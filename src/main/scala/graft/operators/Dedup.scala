@@ -1124,6 +1124,37 @@ object Dedup {
         coalesce(col("found_flag"), lit(false)).as("found"))
   }
 
+  /** Recall self-evaluation of [[winnowOverlap]] against the Schleimer
+    * et al. 2003 GUARANTEE: any shared run of ≥ w + k − 1 consecutive
+    * tokens contains a full window of shared k-grams, whose minimum
+    * hash is selected as a fingerprint in BOTH documents — so the
+    * truth side is simply "pairs sharing any (w+k−1)-token contiguous
+    * gram" (a [[shingleRows]] equi-join at n = w+k−1, never a
+    * cartesian). The ONLY admissible misses are pairs whose every
+    * shared fingerprint is ubiquitous (> maxDocsPerFp docs — the
+    * boilerplate bound); `found = false` rows price that bound.
+    */
+  def winnowRecall(docs: DataFrame, k: Int = 3, w: Int = 4,
+                   maxDocsPerFp: Int = 64,
+                   maxInputRows: Long = 100000L): DataFrame = {
+    require(docs.limit((maxInputRows + 1).toInt).count() <= maxInputRows,
+      s"winnowRecall's truth side is an all-pairs gram join (input " +
+        s"exceeds $maxInputRows rows): audit a sample, or raise " +
+        s"maxInputRows explicitly")
+    val grams = shingleRows(docs, k + w - 1)
+    val truth = grams.as("a")
+      .join(grams.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val found = winnowOverlap(docs, k, w, maxDocsPerFp)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("found_flag"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("found_flag"), lit(false)).as("found"))
+  }
+
   /** Recall self-evaluation of [[minhashLshContainment]]: exact
     * containment truth (|A∩B| / min(|A|,|B|) ≥ t via the shingle
     * equi-join — the same not-a-cartesian shape as [[ngramJaccard]])
