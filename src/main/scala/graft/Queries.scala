@@ -1501,6 +1501,16 @@ object Queries {
              |  FROM s)
              |WHERE rn <= 3""".stripMargin)),
 
+    // TextRank (Mihalcea & Tarau 2004): per-document PageRank on the
+    // adjacent-word co-occurrence graph, every document's graph
+    // iterating simultaneously on a (doc_id, word) node key; the
+    // integer rank grid makes the 3-iteration fixpoint bit-exact, so
+    // DuckDB reproduces it with an unrolled CTE chain (the
+    // rel_pagerank treatment, per-doc keyed).
+    "text_textrank" -> Decl(
+      (s, d) => TextAnalysis.textrank(docs(s, d), 3, 3),
+      Some(textrankOracleSql(3, 3))),
+
     "text_fingerprint" -> Decl(
       (s, d) => TextAnalysis.fingerprint(docs(s, d)),
       Some("SELECT doc_id, md5(lower(text)) AS fp, CAST('0x'||substr(md5(lower(text)),1,15) AS BIGINT) AS fp60 FROM documents")),
@@ -3023,6 +3033,61 @@ object Queries {
 
   private lazy val shinglesCte: String = shinglesCteFrom("documents")
 
+  /** Unrolled per-document PageRank CTE chain for `text_textrank` —
+    * the generated-oracle treatment `pipeline_bpe_train` uses for its
+    * merge rounds: each power-iteration step is one c_i/r_i CTE pair
+    * keyed by (doc_id, node), floor division on the same integer
+    * grid as the Spark side.
+    */
+  private def textrankOracleSql(iters: Int, k: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.doc_id, e.dst AS node, CAST(SUM(rank // deg) AS BIGINT) AS inr
+         |       FROM e JOIN r${i - 1} r ON e.doc_id = r.doc_id AND e.src = r.node
+         |              JOIN deg ON deg.doc_id = e.doc_id AND deg.src = e.src
+         |       GROUP BY e.doc_id, e.dst),
+         |r$i AS (SELECT nodes.doc_id, nodes.node, CAST((150000 // n) + ((85 * COALESCE(inr, 0)) // 100) AS BIGINT) AS rank
+         |       FROM nodes JOIN nn USING (doc_id)
+         |            LEFT JOIN c$i ON nodes.doc_id = c$i.doc_id AND nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |pp AS (SELECT doc_id, unnest([w[i+1]||' '||w[i+2] for i in range(len(w)-1)]) AS pr FROM toks),
+       |p0 AS (SELECT doc_id, string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b FROM pp),
+       |p1 AS (SELECT doc_id, a, b FROM p0 WHERE a <> b),
+       |e AS (SELECT doc_id, a AS src, b AS dst FROM p1 UNION SELECT doc_id, b, a FROM p1),
+       |nodes AS (SELECT DISTINCT doc_id, src AS node FROM e),
+       |nn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM nodes GROUP BY doc_id),
+       |deg AS (SELECT doc_id, src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY doc_id, src),
+       |r0 AS (SELECT nodes.doc_id, node, CAST(1000000 // n AS BIGINT) AS rank FROM nodes JOIN nn USING (doc_id)),
+       |$steps,
+       |top AS (SELECT doc_id, node AS word, rank,
+       |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rank DESC, node) AS rn
+       |        FROM r$iters)
+       |SELECT doc_id, word, rank, CAST(rn AS BIGINT) AS rn FROM top WHERE rn <= $k""".stripMargin
+  }
+
+  /** Recursive-CTE connected components over the 0.5-Jaccard 3-gram
+    * pair set — ONE DuckDB truth shared by `dedup_clusters`
+    * (min-label propagation) and `dedup_clusters_star`
+    * (large-star/small-star), so the two independent Spark
+    * algorithms are gated by — and through it, against — each other.
+    */
+  private lazy val componentsOracleSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
+       |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
+       |       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2, 3, 4),
+       |p AS (SELECT doc_a, doc_b FROM pp
+       |      WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT src AS doc_id, dst AS r FROM edges
+       |          UNION SELECT rr.doc_id, e2.dst FROM reach rr JOIN edges e2 ON e2.src = rr.r)
+       |SELECT doc_id, MIN(r) AS cluster FROM (
+       |  SELECT src AS doc_id, src AS r FROM edges
+       |  UNION ALL SELECT doc_id, r FROM reach)
+       |GROUP BY doc_id""".stripMargin
+
   /** SimHash signature CTE over an `sh` CTE (mirrors Dedup.simhash) —
     * shared by every simhash-family oracle so the signature rule
     * cannot drift between the operator queries and their recall
@@ -3887,21 +3952,17 @@ object Queries {
     // algorithms agreeing on every (doc, keeper) assignment.
     "dedup_clusters" -> Decl(
       (s, d) => Dedup.duplicateClusters(Dedup.ngramJaccard(docs(s, d), 3, 0.5)),
-      Some(s"""WITH RECURSIVE $shinglesCte,
-              |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
-              |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
-              |       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              |       GROUP BY 1, 2, 3, 4),
-              |p AS (SELECT doc_a, doc_b FROM pp
-              |      WHERE CAST(common AS DOUBLE)/CAST(nsh_a+nsh_b-common AS DOUBLE) >= 0.5),
-              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT src AS doc_id, dst AS r FROM edges
-              |          UNION SELECT rr.doc_id, e2.dst FROM reach rr JOIN edges e2 ON e2.src = rr.r)
-              |SELECT doc_id, MIN(r) AS cluster FROM (
-              |  SELECT src AS doc_id, src AS r FROM edges
-              |  UNION ALL SELECT doc_id, r FROM reach)
-              |GROUP BY doc_id""".stripMargin)),
+      Some(componentsOracleSql)),
+
+    // Same components, SECOND algorithm: alternating large-star /
+    // small-star (Kiveris et al. 2014) — O(log² n) rounds vs the
+    // propagation's O(diameter), the shape a 100 TB dedup job runs
+    // when chains show up. One DuckDB derivation gates BOTH Spark
+    // algorithms, so they also check each other.
+    "dedup_clusters_star" -> Decl(
+      (s, d) =>
+        Dedup.duplicateClustersStar(Dedup.ngramJaccard(docs(s, d), 3, 0.5)),
+      Some(componentsOracleSql)),
 
     // Cluster representative selection on top of the components:
     // keep the member with the most tokens (ties → smallest id).

@@ -727,6 +727,83 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the scale path beside
+    * [[duplicateClusters]]. Min-label propagation costs O(component
+    * DIAMETER) rounds, and a crawl corpus occasionally hands dedup a
+    * long chain of pairwise near-dups (template drift across a date
+    * range) — at 100 TB a 300-diameter component is 300 shuffles.
+    * Star alternation converges in O(log² n) rounds on ANY topology:
+    * large-star hangs each node's LARGER neighbors onto its smallest
+    * neighbor-or-self, small-star re-parents each node's SMALLER
+    * neighborhood onto its minimum, and the edge set collapses
+    * geometrically into one star per component centered at the
+    * component min — the same (doc_id, cluster) labeling as
+    * [[duplicateClusters]] (equality + the round-count bound proven
+    * in `DedupSkewSpec`: a 40-chain converges inside 12 rounds where
+    * propagation needs 39).
+    *
+    * Per round: one neighbor-min hash aggregate + one edges⨝min join
+    * per star phase, a canonical distinct, and a set-equality
+    * fixpoint check — every step keyed on a node id, no windows, no
+    * driver state beyond two counts; lineage truncated per round
+    * with `localCheckpoint` (the [[duplicateClusters]] discipline).
+    */
+  def duplicateClustersStar(pairs: DataFrame,
+                            maxIters: Int = 50): DataFrame = {
+    // canonical undirected edge set (lo < hi)
+    var canon = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    var prevCheckpoint = canon
+    var iter = 0
+    var converged = canon.isEmpty
+    while (!converged) {
+      iter += 1
+      require(iter <= maxIters,
+        s"duplicateClustersStar did not converge in $maxIters rounds")
+      // large-star: from each node u, every neighbor v > u re-hangs
+      // onto m(u) = min(Γ(u) ∪ {u}); edges with no larger endpoint
+      // survive via the other direction of the symmetrized list
+      val sym = canon.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(canon.select(col("hi").as("u"), col("lo").as("v")))
+      val mL = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = sym.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("lo"),
+          greatest(col("v"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+      // small-star: orient to the larger endpoint; each node's
+      // smaller neighborhood (∪ itself) re-parents onto its min
+      val mS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(mS, "hi")
+        .select(col("lo"), col("m"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .unionByName(mS.select(col("m").as("lo"), col("hi")))
+        .distinct()
+        .localCheckpoint()
+      // set-equality fixpoint: same cardinality + one-sided ⊆
+      converged = ss.count() == canon.count() &&
+        ss.exceptAll(canon).isEmpty
+      prevCheckpoint.unpersist()
+      prevCheckpoint = ss
+      canon = ss
+    }
+    // at fixpoint every component is a star centered at its min:
+    // (hi → lo) labels the leaves, the center labels itself
+    canon.select(col("hi").as("doc_id"), col("lo").as("cluster"))
+      .unionByName(canon.select(col("lo").as("doc_id"),
+        col("lo").as("cluster")))
+      .distinct()
+  }
+
   /** Representative selection for [[duplicateClusters]] output: per
     * cluster, keep the BEST member by `score` (token count by
     * default — real dedup jobs keep the longest/most complete copy,

@@ -1411,4 +1411,72 @@ object TextAnalysis {
         }
       }.toDF("doc_id", "n_raw", "n_deflate", "ratio")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * per-document PageRank over the word co-occurrence graph —
+    * adjacent-token edges, symmetrized — then the top-k words per
+    * document by rank (ties → word). The graph-centrality complement
+    * to [[tfidfTopTerms]]: TF-IDF scores words by corpus rarity,
+    * TextRank by how central a word sits in ITS OWN document's
+    * co-occurrence structure, no corpus statistics at all.
+    *
+    * Scale shape: every document's graph iterates SIMULTANEOUSLY —
+    * the node key is (doc_id, word), so one join-aggregate round
+    * advances the power iteration for the whole corpus at once, and
+    * the rank table reuses the same (doc_id, word) hash partitioning
+    * every round (per-doc graphs are a few hundred nodes; nothing
+    * about any single document bounds the cluster). Ranks live on the
+    * [[Graphs.pageRank]] integer grid with floor division at every
+    * step, so results are bit-identical across engines, partitionings
+    * and cluster sizes; the top-k window is rank-truncated map-side
+    * by WindowGroupLimit. Lineage per round is cut with a lazy
+    * localCheckpoint (the iterative-DataFrame discipline).
+    */
+  def textrank(docs: DataFrame, iters: Int = 3, k: Int = 3,
+               scale: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val prs = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS a, w[i+1] AS b))"))
+          .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = prs
+      .select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
+      .unionByName(
+        prs.select(col("doc_id"), col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = edges.select(col("doc_id"), col("src").as("word")).distinct()
+      .localCheckpoint(eager = false)
+    val nd = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy(col("doc_id"), col("src"))
+      .agg(count(lit(1)).as("deg"))
+    val teleportNum = scale * 15L / 100L
+    var ranks = nodes.join(nd, "doc_id")
+      .select(col("doc_id"), col("word"),
+        expr(s"${scale}L div n").as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.select(col("doc_id"), col("word").as("src"), col("rank")),
+          Seq("doc_id", "src"))
+        .join(deg, Seq("doc_id", "src"))
+        .select(col("doc_id"), col("dst").as("word"),
+          expr("rank div deg").as("c"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(sum(col("c")).as("inr"))
+      ranks = nodes.join(nd, "doc_id")
+        .join(contribs, Seq("doc_id", "word"), "left")
+        .select(col("doc_id"), col("word"),
+          (expr(s"${teleportNum}L div n") +
+            expr("(85 * coalesce(inr, 0L)) div 100")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rank").desc, col("word"))
+    ranks.withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("word"), col("rank"), col("rn"))
+  }
 }

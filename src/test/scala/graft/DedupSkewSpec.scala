@@ -75,6 +75,42 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.size === 12 && got.values.forall(_ === 1L), got.toString)
   }
 
+  test("duplicateClustersStar agrees with min-label propagation on mixed topologies") {
+    // chain + cycle + star + isolated edge in one pair set
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L)) ++ // chain
+      Seq((10L, 11L), (11L, 12L), (12L, 10L)) ++ // cycle
+      Seq((20L, 21L), (20L, 22L), (20L, 23L)) ++ // star (center NOT min: 19 below)
+      Seq((19L, 23L), (30L, 31L))).toDF("doc_a", "doc_b")
+    val want = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.duplicateClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got(23L) === 19L && got(12L) === 10L)
+  }
+
+  test("duplicateClustersStar converges on a 40-chain within the log² bound") {
+    // min-label propagation needs 39 rounds on this graph; the star
+    // alternation must land well inside 12 — the scale claim itself
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClustersStar(pairs, maxIters = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 40 && got.values.forall(_ === 1L), got.toString)
+  }
+
+  test("duplicateClustersStar agrees with propagation on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 120)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val want = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.duplicateClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("containment catches a short doc inside a long one where Jaccard misses") {
     val words = (1 to 40).map(i => s"tok$i")
     val docs = Seq(
