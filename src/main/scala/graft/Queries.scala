@@ -2558,6 +2558,27 @@ object Queries {
       (s, d) => Bpe.bpeSegment(docs(s, d), 8),
       Some(Bpe.oracleSegment(8))),
 
+    // Unigram-LM tokenizer (Kudo 2018 / SentencePiece): substring-seeded
+    // piece inventory → one EM round (Viterbi E-step, usage M-step) →
+    // prune to budget. Piece costs are round(ln·10⁶) INTEGERS, so the
+    // DP is exact BIGINT arithmetic with struct-min tiebreaks; the
+    // oracle re-derives training AND segmentation through an unrolled
+    // 16-position Viterbi CTE chain — run TWICE (seed costs, final
+    // costs) for the encode query.
+    "pipeline_unigram_train" -> Decl(
+      (s, d) => Unigram.train(docs(s, d)),
+      Some(s"WITH $unigramTrainCtes\nSELECT piece, cnt, cost FROM c1")),
+
+    "pipeline_unigram_encode" -> Decl(
+      (s, d) => Unigram.encode(docs(s, d)),
+      Some(s"""WITH $unigramTrainCtes,
+              |c1c AS (SELECT piece, cost FROM c1),
+              |${unigramDpCtes("b", "c1c")}
+              |SELECT w.word, w.wcnt, ltrim(b.path) AS pieces,
+              |       CAST(len(string_split(ltrim(b.path), ' ')) AS BIGINT) AS n_pieces,
+              |       b.cost AS cost
+              |FROM bseg b JOIN words w USING (word)""".stripMargin)),
+
     // WordPiece-style greedy longest-prefix ENCODE: per-doc piece and
     // OOV counts under a corpus-derived vocabulary (top-20 words ∪
     // top-20 weighted 3-char prefixes). The Spark side walks each word
@@ -3032,6 +3053,68 @@ object Queries {
        |       FROM toks WHERE len(w) >= 3)""".stripMargin
 
   private lazy val shinglesCte: String = shinglesCteFrom("documents")
+
+  /** Unrolled Viterbi CTE chain for the unigram-LM oracles: v(p) =
+    * min-(cost, path) struct over transitions from v(p−j) via a piece
+    * of length j ≤ MaxPieceLen — the stored-prefix recurrence the
+    * Spark-side [[graft.operators.Unigram.viterbi]] evaluates
+    * imperatively; `<pfx>seg` unions each word's value at its own
+    * length.
+    */
+  private def unigramDpCtes(pfx: String, costsCte: String): String = {
+    val L = Unigram.MaxPieceLen
+    val W = Unigram.MaxWordLen
+    val steps = (1 to W).map { p =>
+      val branches = (1 to math.min(L, p)).map { j =>
+        s"""SELECT v.word, v.cost + c.cost AS cost, v.path || ' ' || c.piece AS path
+           |      FROM $pfx${p - j} v JOIN $costsCte c
+           |        ON len(v.word) >= $p AND c.piece = substr(v.word, ${p - j + 1}, $j)"""
+          .stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""$pfx$p AS MATERIALIZED (SELECT word, s.cost AS cost, s.path AS path FROM (
+         |  SELECT word, min(struct_pack(cost := cost, path := path)) AS s FROM (
+         |      $branches
+         |  ) GROUP BY word))""".stripMargin
+    }.mkString(",\n")
+    val seg = (1 to W).map(p =>
+      s"SELECT word, cost, path FROM $pfx$p WHERE len(word) = $p")
+      .mkString("\n  UNION ALL\n  ")
+    s"""${pfx}0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, '' AS path FROM words),
+       |$steps,
+       |${pfx}seg AS MATERIALIZED (
+       |  $seg)""".stripMargin
+  }
+
+  /** Shared training CTEs for the unigram-LM oracles: word counts →
+    * substring seed (top-SeedTop ∪ single chars) → integer costs →
+    * Viterbi E-step (prefix `a`) → usage M-step → prune → final model
+    * `c1` (piece, cnt, cost).
+    */
+  private lazy val unigramTrainCtes: String = {
+    val U = Unigram
+    s"""toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |words AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt FROM toks
+       |          WHERE len(word) BETWEEN 1 AND ${U.MaxWordLen} GROUP BY word),
+       |sub AS (SELECT substr(word, CAST(i.range + 1 AS INT), CAST(j.range + 1 AS INT)) AS piece, wcnt
+       |        FROM words, range(${U.MaxWordLen}) i, range(${U.MaxPieceLen}) j
+       |        WHERE i.range + j.range + 1 <= len(word)),
+       |pcnt AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM sub GROUP BY piece),
+       |srk AS (SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn FROM pcnt),
+       |kept AS MATERIALIZED (SELECT piece, cnt FROM srk WHERE rn <= ${U.SeedTop} OR len(piece) = 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM kept),
+       |c0 AS MATERIALIZED (SELECT piece, CAST(round(ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * ${U.CostScale}) AS BIGINT) AS cost FROM kept, tot),
+       |${unigramDpCtes("a", "c0")},
+       |usage AS (SELECT unnest(string_split(ltrim(path), ' ')) AS piece, wcnt
+       |          FROM aseg JOIN words USING (word)),
+       |ucnt AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM usage GROUP BY piece),
+       |mg AS (SELECT k.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt FROM kept k LEFT JOIN ucnt u ON k.piece = u.piece),
+       |mrk AS (SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn FROM mg),
+       |fin AS (SELECT piece, CAST(CASE WHEN len(piece) = 1 THEN GREATEST(cnt, 1) ELSE cnt END AS BIGINT) AS cnt
+       |        FROM mrk WHERE (rn <= ${U.VocabSize} AND cnt > 0) OR len(piece) = 1),
+       |tot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM fin),
+       |c1 AS MATERIALIZED (SELECT piece, cnt, CAST(round(ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * ${U.CostScale}) AS BIGINT) AS cost FROM fin, tot2)"""
+      .stripMargin
+  }
 
   /** Unrolled per-document PageRank CTE chain for `text_textrank` —
     * the generated-oracle treatment `pipeline_bpe_train` uses for its
