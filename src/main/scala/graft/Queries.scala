@@ -5353,5 +5353,9 @@ object Queries {
     // round-10 batch 3: the audit-driven ANN fixes — multi-probe
     // sign-LSH (query fans out x22 buckets) and soft cell
     // co-assignment near-dup pairs (corpus x2 cell fan-out, capped)
-    "sim_topk_lsh_multiprobe", "sim_neardup_cells")
+    "sim_topk_lsh_multiprobe", "sim_neardup_cells",
+    // round-10 batch 4: the star-alternation components fixpoint, the
+    // per-document PageRank keyword graph, and the unigram-LM
+    // tokenizer (seed agg + broadcast-Viterbi E-step + encode)
+    "dedup_clusters_star", "text_textrank", "pipeline_unigram_encode")
 }

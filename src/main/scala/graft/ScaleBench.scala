@@ -61,7 +61,14 @@ object ScaleBench {
     // (tab, key) rows per doc, one rank-capped equi-join; the curve
     // proves the 28x fan-out stays linear and the cap bounds the
     // candidate space as buckets densify
-    "dedup_simhash_blocked")
+    "dedup_simhash_blocked",
+    // round-10 batch 4: the star-alternation components (round count
+    // is the claim — O(log² n) regardless of diameter, so the curve
+    // must stay near-linear while components multiply) and the
+    // per-document PageRank keyword graph (3 fixed iterations; cost
+    // ∝ Σ per-doc edges — linear by construction, the curve checks
+    // the constant)
+    "dedup_clusters_star", "text_textrank")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -94,7 +101,10 @@ object ScaleBench {
     // round 10: the lossless simhash banding measures both decades
     // from day one — its candidate bound (28·256·cap²) predicts a
     // flat curve once buckets saturate
-    "dedup_simhash_blocked")
+    "dedup_simhash_blocked",
+    // round-10 batch 4: both new iterative-graph shapes take both
+    // decades from day one
+    "dedup_clusters_star", "text_textrank")
 
   def main(args: Array[String]): Unit = {
     val testdata =
