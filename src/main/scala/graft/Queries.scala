@@ -1373,7 +1373,206 @@ object Queries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_custkey, c_name
              |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // 2-core of the link graph: the simultaneous peel to its unique
+    // fixpoint (Seidman 1983) — the oracle UNROLLS 50 peel rounds,
+    // comfortably past the measured layering depth (46 at sf0.001,
+    // where long chains peel one layer per round; 0 at sf0.01, whose
+    // denser graph is already its own 2-core), and since the peel is
+    // monotone any unroll depth ≥ the fixpoint reproduces it exactly.
+    "rel_kcore" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.kCore(edges, 2, maxRounds = 60)
+      },
+      Some(kcoreOracle(2, 50))),
+
+    // Fixed-4-round h-index refinement toward coreness (Lü et al.
+    // 2016) — the bounded-round coreness the exact peel can't give on
+    // chain topologies; the rel_pagerank treatment: same iteration
+    // count unrolled in both engines, integer-exact throughout.
+    "rel_coreness" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.corenessHIndex(edges, 4)
+      },
+      Some(corenessOracle(4))),
+
+    // Bounded-radius multi-source BFS from a fixed seed set over the
+    // DIRECTED link graph: hop distance within 4 — exact by
+    // construction (round t settles exactly distance-t nodes), so
+    // the unroll depth IS the declared radius, no convergence bound
+    // to argue.
+    "rel_bfs_hops" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.bfsHops(edges, Seq("h0", "h17", "h42"), 4)
+      },
+      Some(bfsOracle(Seq("h0", "h17", "h42"), 4))),
+
+    // TPC-H Q20 shape (see Relational.potentialPromoSuppliers for the
+    // documented partsupp substitution): nested semi-joins over a
+    // correlated per-pair aggregate, excess test in exact BIGINTs.
+    "tpch_q20_potential_promo" -> Decl(
+      (s, d) => Relational.potentialPromoSuppliers(
+        Tables.read(s, d, "lineitem"), Tables.read(s, d, "part"),
+        Tables.read(s, d, "supplier"), Tables.read(s, d, "nation"),
+        "cold", "1996-01-01", "1997-01-01"),
+      Some("""WITH promo AS (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%'),
+             |sh AS (SELECT l_partkey, l_suppkey,
+             |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |       FROM lineitem JOIN promo ON l_partkey = p_partkey
+             |       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |       GROUP BY 1, 2),
+             |pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+             |          FROM lineitem JOIN promo ON l_partkey = p_partkey),
+             |pa AS (SELECT l_partkey, l_suppkey,
+             |         (l_partkey * 37 + l_suppkey * 11) % 1000 + 1 AS availqty
+             |       FROM pairs),
+             |ex AS (SELECT DISTINCT pa.l_suppkey
+             |       FROM pa JOIN sh USING (l_partkey, l_suppkey)
+             |       WHERE availqty * 2 > sum_qty)
+             |SELECT s_suppkey, s_name, n_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
+             |ORDER BY s_name""".stripMargin)),
   )
+
+  /** The link-graph base CTEs shared by the generated graph oracles:
+    * canonical undirected edge set over the events-derived graph.
+    */
+  private lazy val undCtes: String =
+    """e0 AS (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+      |                 'h'||((event_id * 3 + user_id) % 997) AS dst FROM events),
+      |u0 AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+      |      FROM e0 WHERE src <> dst)""".stripMargin
+
+  /** Generated k-core peel: `rounds` unrolled simultaneous-deletion
+    * rounds (each a degree aggregate + survivor semi-filter),
+    * MATERIALIZED per round — DuckDB's default CTE inlining is
+    * exponential on a chain where each round reads its predecessor
+    * three times. Any depth ≥ the peel fixpoint reproduces the exact
+    * k-core (deleting from a fixpoint is a no-op).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val b = new StringBuilder("WITH ")
+    b ++= undCtes
+    for (i <- 1 to rounds) {
+      b ++= s""",
+               |d$i AS (SELECT node, COUNT(*) AS deg FROM
+               |  (SELECT a AS node FROM u${i - 1} UNION ALL SELECT b FROM u${i - 1}) GROUP BY node),
+               |k$i AS (SELECT node FROM d$i WHERE deg >= $k),
+               |u$i AS MATERIALIZED (SELECT a, b FROM u${i - 1}
+               |  WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))""".stripMargin
+    }
+    b ++= s"""
+             |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg
+             |FROM (SELECT a AS node FROM u$rounds UNION ALL SELECT b FROM u$rounds)
+             |GROUP BY node HAVING COUNT(*) >= $k""".stripMargin
+    b.toString
+  }
+
+  /** Generated h-index refinement: `rounds` unrolled rounds of
+    * value = h-index of neighbor values (a descending rank window +
+    * max(least(rank, value)) — tie order cannot move the h-index
+    * because the sorted VALUE sequence is tie-invariant), starting
+    * from degrees. Mirrors `Graphs.corenessHIndex` exactly.
+    */
+  private def corenessOracle(rounds: Int): String = {
+    val b = new StringBuilder("WITH ")
+    b ++= undCtes
+    b ++= """,
+            |nbr AS MATERIALIZED (SELECT a AS node, b AS nbr FROM u0
+            |       UNION ALL SELECT b AS node, a AS nbr FROM u0),
+            |v0 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS h FROM nbr GROUP BY node)""".stripMargin
+    for (i <- 1 to rounds) {
+      b ++= s""",
+               |j$i AS (SELECT nbr.node, v.h FROM nbr JOIN v${i - 1} v ON v.node = nbr.nbr),
+               |r$i AS (SELECT node, least(ROW_NUMBER() OVER
+               |        (PARTITION BY node ORDER BY h DESC), h) AS cand FROM j$i),
+               |v$i AS MATERIALIZED (SELECT node, CAST(MAX(cand) AS BIGINT) AS h
+               |       FROM r$i GROUP BY node)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT node, h FROM v$rounds""".stripMargin
+    b.toString
+  }
+
+  /** Generated bounded-radius BFS: `maxHops` unrolled frontier
+    * expansions over the DIRECTED link graph from a literal seed
+    * set. Round t adds exactly the distance-t nodes, so the unroll
+    * depth is the declared radius — no convergence argument needed.
+    */
+  private def bfsOracle(sources: Seq[String], maxHops: Int): String = {
+    val seeds = sources.map(s => s"'$s'").mkString(", ")
+    val b = new StringBuilder(
+      """WITH e AS MATERIALIZED (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+        |                 'h'||((event_id * 3 + user_id) % 997) AS dst FROM events
+        |        WHERE 'h'||(event_id % 1000) <> 'h'||((event_id * 3 + user_id) % 997)),
+        |nodes AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),""".stripMargin)
+    b ++= s"""
+             |s0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS hops
+             |     FROM nodes WHERE node IN ($seeds))""".stripMargin
+    for (t <- 1 to maxHops) {
+      b ++= s""",
+               |f$t AS (SELECT DISTINCT e.dst AS node FROM e
+               |       JOIN s${t - 1} st ON e.src = st.node AND st.hops = ${t - 1}),
+               |s$t AS MATERIALIZED (SELECT node, hops FROM s${t - 1} UNION ALL
+               |       SELECT node, CAST($t AS BIGINT) AS hops FROM f$t
+               |       WHERE node NOT IN (SELECT node FROM s${t - 1}))""".stripMargin
+    }
+    b ++= s"""
+             |SELECT node, hops FROM s$maxHops""".stripMargin
+    b.toString
+  }
+
+  /** The HLL oracle mirroring `Reports.dailyUniqueHll` at p = 8:
+    * register index/rho from the shared md5 hash60, the harmonic
+    * term as the exact BIGINT Σ 2^(53−M_j) (so no float-summation
+    * order exists to drift), and the Flajolet constant α·m²·2^53
+    * interpolated from the SAME Scala double the operator inlines —
+    * shortest-round-trip printing parses back to the identical
+    * IEEE value, so the one float division and the linear-counting
+    * branch agree bit-for-bit across engines.
+    */
+  private lazy val hllOracle: String = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val numer = alpha * m.toDouble * m.toDouble * 9007199254740992L.toDouble
+    s"""WITH h AS (SELECT CAST(ts AS DATE) AS d,
+       |  CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS hv
+       |  FROM events),
+       |b AS (SELECT d, hv % $m AS idx, hv // $m AS rem FROM h),
+       |rr AS (SELECT d, idx,
+       |  CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho FROM b),
+       |regs AS (SELECT d, idx, MAX(rho) AS mj FROM rr GROUP BY d, idx),
+       |pd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_regs,
+       |  CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS z_present
+       |  FROM regs GROUP BY d),
+       |fin AS (SELECT d, CAST($m - n_regs AS BIGINT) AS v_zero,
+       |  CAST(z_present + ($m - n_regs) * 9007199254740992 AS BIGINT) AS z_scaled
+       |  FROM pd),
+       |est AS (SELECT d, v_zero,
+       |  CASE WHEN $numer / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_zero > 0
+       |       THEN $m.0 * ln($m.0 / CAST(v_zero AS DOUBLE))
+       |       ELSE $numer / CAST(z_scaled AS DOUBLE) END AS hll_est FROM fin),
+       |ex AS (SELECT CAST(ts AS DATE) AS d,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY d)
+       |SELECT d, n_exact, v_zero, hll_est,
+       |  abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM est JOIN ex USING (d) ORDER BY d""".stripMargin
+  }
 
   // ------------------------------------------------------------------ text
 
@@ -4309,6 +4508,15 @@ object Queries {
           .orderBy("d")
       },
       None),
+
+    // Hand-rolled HLL whose ESTIMATE is oracle-gated (unlike the
+    // engine-private sketch above): md5-derived registers, exact
+    // BIGINT harmonic sum, fixed-order float finish — both engines
+    // reproduce the register table and the estimate bit-for-bit,
+    // and the exact count rides along as the error audit.
+    "o11_daily_unique_hll" -> Decl(
+      (s, d) => Reports.dailyUniqueHll(ev(s, d), "ts", "user_id"),
+      Some(hllOracle)),
 
     "sql_cte_union" -> sqlParity(
       """WITH daily AS (

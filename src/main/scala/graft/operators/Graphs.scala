@@ -200,6 +200,147 @@ object Graphs {
           .as("assortativity"))
   }
 
+  /** k-core of the undirected graph (Seidman 1983): the maximal
+    * subgraph in which every node has degree ≥ k, computed by the
+    * standard peel — repeatedly delete ALL nodes of degree < k (and
+    * their edges) until none remain. Returns (node, core_deg): the
+    * surviving nodes with their degree INSIDE the core. The k-core is
+    * unique, so simultaneous deletion converges to the same fixpoint
+    * regardless of peel order — any two engines agree exactly.
+    *
+    * Scale shape: each peel round is one degree hash aggregate and
+    * two left-semi joins of the edge set against the survivor list —
+    * nothing quadratic, no windows; the edge relation shrinks
+    * monotonically so later rounds cost less, and per-round lineage
+    * is truncated with a lazy localCheckpoint (the [[pageRank]]
+    * discipline). Convergence is detected by the edge count (a driver
+    * scalar). Round count is the peel DEPTH, not the node count —
+    * every current sub-k node drops at once — but a long chain still
+    * peels one layer per round (the same O(diameter) trap
+    * [[graft.operators.Dedup.duplicateClustersStar]] exists to dodge
+    * for components), hence the `maxRounds` guard; when the full
+    * coreness layering is wanted in bounded rounds, use
+    * [[corenessHIndex]].
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    var cur = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    var before = cur.count()
+    var round = 0
+    var converged = before == 0L
+    while (!converged && round < maxRounds) {
+      val keep = degrees(cur).filter(col("core_deg") >= k)
+        .select(col("node"))
+        .localCheckpoint(eager = false)
+      val next = cur
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(eager = false)
+      val after = next.count()
+      converged = after == before
+      before = after
+      cur = next
+      round += 1
+    }
+    degrees(cur).filter(col("core_deg") >= k)
+  }
+
+  /** Fixed-round h-index refinement toward CORENESS (Lü et al. 2016,
+    * "The H-index of a network node and its relation to degree and
+    * coreness"): start every node at its degree and repeatedly
+    * replace each node's value with the H-INDEX of its neighbors'
+    * values (the largest h with ≥ h neighbors valued ≥ h). The
+    * sequence is monotonically non-increasing and its fixpoint IS the
+    * coreness — `rounds` iterations give the coreness's provable
+    * upper bound at refinement depth `rounds`, the bounded-round form
+    * a 100 TB run wants (the exact peel's round count is the core
+    * layering depth, O(n) on chains; this refines every node
+    * simultaneously in O(1) joins per round).
+    *
+    * Scale shape per round: one edges⨝values hash join fans each
+    * node's neighbor values, a per-node descending rank window
+    * computes max(min(rank, value)) — the h-index as one window +
+    * one aggregate, no neighbor-list materialization — and lineage
+    * truncates with a lazy localCheckpoint. The window partitions by
+    * node: a hub sorts its degree's worth of rows, the same
+    * per-partition cost every per-node-top-k in this engine pays.
+    */
+  def corenessHIndex(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nbr = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(eager = false)
+    var vals = nbr.groupBy(col("node")).agg(count(lit(1)).as("h"))
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy(col("node")).orderBy(col("h").desc)
+      vals = nbr
+        .join(vals.select(col("node").as("nbr"), col("h")), Seq("nbr"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .select(col("node"), least(col("r"), col("h")).as("cand"))
+        .groupBy(col("node")).agg(max(col("cand")).as("h"))
+        .localCheckpoint(eager = false)
+    }
+    vals
+  }
+
+  /** Bounded-radius multi-source BFS over the DIRECTED edge set:
+    * hop distance from the nearest of `sources`, for every node
+    * reachable within `maxHops` — the neighborhood function a crawl
+    * scheduler runs from its seed set ("how far is this host from a
+    * trusted seed"). Exact by construction: round t settles exactly
+    * the nodes at distance t, so `maxHops` rounds IS the bounded-
+    * radius answer, with no convergence detection needed.
+    *
+    * Scale shape: frontier-only expansion — round t joins the edge
+    * set against ONLY the nodes settled at t−1 (not all settled
+    * nodes), so total join work is Σ|frontier-adjacent edges| ≤
+    * |E|·1 per round in the worst case but typically a small
+    * fraction; settled state rides a node-keyed left join with
+    * per-round lazy localCheckpoint lineage truncation. No windows,
+    * nothing quadratic.
+    */
+  def bfsHops(edges: DataFrame, sources: Seq[String],
+              maxHops: Int): DataFrame = {
+    require(sources.nonEmpty, "BFS needs at least one source")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var dist = nodes.select(col("node"),
+        when(col("node").isin(sources: _*), lit(0L))
+          .otherwise(lit(null).cast("long")).as("hops"))
+      .localCheckpoint(eager = false)
+    for (t <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (t - 1))
+        .select(col("node").as("src"))
+      val reached = e.join(frontier, Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .withColumn("settle", lit(t.toLong))
+      dist = dist.join(reached, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hops"), col("settle")).as("hops"))
+        .localCheckpoint(eager = false)
+    }
+    dist.filter(col("hops").isNotNull)
+  }
+
   /** Per-node local clustering coefficient (Watts & Strogatz 1998):
     * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles
     * through v — the community-structure microscope the global

@@ -606,6 +606,59 @@ object Relational {
       .orderBy(col("total_spent").desc, col("c_custkey"))
       .limit(n)
 
+  /** TPC-H Q20 SHAPE on the available columns: suppliers holding
+    * excess stock of name-prefixed parts — the nested-semi-join query
+    * (supplier ∈ {suppliers of a part family whose availability
+    * exceeds half what they shipped in a year}). `partsupp` is absent
+    * from this star, so availability is the documented deterministic
+    * substitution availqty = (partkey·37 + suppkey·11) mod 1000 + 1
+    * over the DISTINCT (part, supplier) pairs lineitem witnesses —
+    * preserving the SHAPE the query exists to exercise: a correlated
+    * per-pair aggregate compared against a per-pair scalar, two
+    * stacked semi-joins, and a dimension-filtered prefix probe.
+    *
+    * The excess test is exact integer arithmetic: 2·availqty >
+    * sum_qty compares BIGINTs (quantities are integral), so no float
+    * decides membership. Plan discipline: the part-name prefix
+    * filters FIRST and broadcasts into both the pair derivation and
+    * the shipped aggregate (lineitem never shuffles for a dim); the
+    * one shuffle keys the (partkey, suppkey) aggregate; the final
+    * supplier semi-join broadcasts the candidate key set, and the
+    * nation dim broadcasts into supplier.
+    */
+  def potentialPromoSuppliers(lineitem: DataFrame, part: DataFrame,
+                              supplier: DataFrame, nation: DataFrame,
+                              namePrefix: String, from: String,
+                              until: String): DataFrame = {
+    val promoParts = broadcast(part
+      .filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey")))
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit(from) &&
+        col("l_shipdate") < lit(until))
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val pairs = lineitem
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .withColumn("availqty",
+        pmod(col("l_partkey") * 37L + col("l_suppkey") * 11L, lit(1000L)) + 1L)
+    // inner join: a pair with NO shipments in the window is excluded,
+    // matching the official query's NULL-compare semantics (a scalar
+    // subquery over zero lineitems yields NULL and fails the >)
+    val excess = pairs.join(shipped, Seq("l_partkey", "l_suppkey"))
+      .filter(col("availqty") * 2L > col("sum_qty"))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
   /** TPC-H Q9 SHAPE on the available columns: product-type profit by
     * (supplier nation, order year). The official query prices cost
     * from `partsupp.ps_supplycost`, a table absent from this star —

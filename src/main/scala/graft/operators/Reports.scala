@@ -64,6 +64,69 @@ object Reports {
       .orderBy("d")
   }
 
+  /** Hand-rolled HyperLogLog distinct (Flajolet et al. 2007) whose
+    * ESTIMATE is itself oracle-gateable: registers derive from the
+    * shared md5 `hash60` (index = low `p` bits, rho = leading zeros
+    * of the remaining 52-bit field + 1, an exact integer via the
+    * bit-length idiom), so any engine reproduces the register table
+    * bit-for-bit — unlike `approx_count_distinct`, whose
+    * engine-private sketch forces a rows-only check. The harmonic
+    * term is summed as the exact BIGINT Σ 2^(53−M_j) (every term an
+    * integer, max 256·2^53 < 2^63 — no float summation-order risk);
+    * the only float ops are the final constant-multiply/divide and
+    * the small-range linear-counting branch (m·ln(m/V) when the raw
+    * estimate ≤ 2.5m with V empty registers), both fixed-order and
+    * engine-identical. Emits the exact distinct alongside, so the
+    * row is its own error audit.
+    *
+    * Scale shape: this is the MERGEABLE form exact distinct lacks —
+    * the (day, register) max-aggregate combines map-side and unions
+    * across shards/streams (max of maxes), so the shuffle carries at
+    * most m rows per day instead of one row per distinct user. The
+    * exact count rides along here for the audit; a 100 TB run drops
+    * it and keeps only the register table.
+    */
+  def dailyUniqueHll(df: DataFrame, tsCol: String, field: String,
+                     p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "register exponent p in [4,16]")
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val two53 = 9007199254740992L // 2^53
+    val numer = alpha * m.toDouble * m.toDouble * two53.toDouble
+    val h = graft.functions.TextFunctions.hash60(col(field).cast("string"))
+    val base = df.select(day(col(tsCol)).as("d"), h.as("h"))
+      .select(col("d"), pmod(col("h"), lit(m.toLong)).as("idx"),
+        expr(s"h div $m").as("rem"))
+      // bin(0) renders as "0" (length 1), so the all-zero remainder
+      // needs its own branch to reach the conventional rho = 53
+      .select(col("d"), col("idx"),
+        when(col("rem") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("rem"))).cast("long"))
+          .as("rho"))
+    val regs = base.groupBy(col("d"), col("idx"))
+      .agg(max(col("rho")).as("mj"))
+    val perDay = regs.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, cast(53 - mj as int))")).as("z_present"))
+      .select(col("d"),
+        (lit(m.toLong) - col("n_regs")).as("v_zero"),
+        (col("z_present") +
+          (lit(m.toLong) - col("n_regs")) * lit(two53)).as("z_scaled"))
+    val raw = lit(numer) / col("z_scaled").cast("double")
+    val est = when(raw <= lit(2.5 * m) && col("v_zero") > 0L,
+        lit(m.toDouble) *
+          log(lit(m.toDouble) / col("v_zero").cast("double")))
+      .otherwise(raw)
+    val exact = df.groupBy(day(col(tsCol)).as("d"))
+      .agg(count_distinct(col(field)).as("n_exact"))
+    perDay.select(col("d"), col("v_zero"), est.as("hll_est"))
+      .join(exact, "d")
+      .select(col("d"), col("n_exact"), col("v_zero"), col("hll_est"),
+        (abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+      .orderBy("d")
+  }
+
   /** O12 — per-(day, group) COUNT[(DISTINCT)] with the reference's exact
     * ordering `(day, count asc|desc, group)` (ballcone/dao.py:303-321).
     */

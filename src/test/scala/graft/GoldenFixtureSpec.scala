@@ -185,4 +185,27 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(got("2020-01-04") > 2.0 && got("2020-01-04") < 10.0)
     assert(got("2020-01-05") > got("2020-01-04"))
   }
+
+  test("dailyUniqueHll: exact count carried, estimate within the m=256 error band") {
+    // three cardinality regimes: tiny (linear counting), medium, and
+    // one spanning the 2.5m switchover region is deliberately absent
+    // — the branch choice is deterministic either way
+    val rows =
+      (1 to 5).flatMap(u => Seq.fill(3)((ts("2020-01-01 10:00:00"), u.toLong))) ++
+      (1 to 200).map(u => (ts("2020-01-02 10:00:00"), u.toLong)) ++
+      (1 to 900).map(u => (ts("2020-01-03 10:00:00"), (u * 7).toLong))
+    val got = Reports.dailyUniqueHll(rows.toDF("t", "uid"), "t", "uid")
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("rel_err")))
+      .toMap
+    assert(got("2020-01-01")._1 === 5L)
+    assert(got("2020-01-02")._1 === 200L)
+    assert(got("2020-01-03")._1 === 900L)
+    // 1.04/sqrt(256) ~ 6.5% standard error; the fixture's md5 draws
+    // are fixed, so these are deterministic pins, not flaky bounds
+    assert(got("2020-01-01")._2 < 0.05, s"tiny-day err ${got("2020-01-01")._2}")
+    assert(got("2020-01-02")._2 < 0.20, s"medium-day err ${got("2020-01-02")._2}")
+    assert(got("2020-01-03")._2 < 0.20, s"large-day err ${got("2020-01-03")._2}")
+  }
 }

@@ -55,6 +55,74 @@ class GraphsSpec extends SparkSpec {
     assert(tri(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
       === ((4L, 1L, 1L)))
   }
+
+  /** K4 with a 3-node chain hung off node d: the classic planted
+    * k-core fixture — the chain peels away layer by layer, the
+    * clique survives any k ≤ 3.
+    */
+  private def cliquePlusChain: Seq[(String, String)] = {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    k4 ++ Seq(("d", "x"), ("x", "y"), ("y", "z"))
+  }
+
+  test("kCore: chain peels away, clique survives; k above max degree empties") {
+    import spark.implicits._
+    val edges = cliquePlusChain.toDF("src", "dst")
+    val core2 = graft.operators.Graphs.kCore(edges, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2-core = K4 alone: x,y,z peel (z first, then y, then x) and d's
+    // degree falls back to 3 inside the clique
+    assert(core2 === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    val core3 = graft.operators.Graphs.kCore(edges, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core3 === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(graft.operators.Graphs.kCore(edges, 4).count() === 0L)
+    // duplicate/reversed/self-loop noise cannot change the core
+    val noisy = (cliquePlusChain ++ cliquePlusChain.map(_.swap) ++
+      Seq(("a", "a"))).toDF("src", "dst")
+    val core2n = graft.operators.Graphs.kCore(noisy, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2n === core2)
+  }
+
+  test("corenessHIndex: converges to the true coreness, monotone from above") {
+    import spark.implicits._
+    val edges = cliquePlusChain.toDF("src", "dst")
+    def vals(rounds: Int): Map[String, Long] =
+      graft.operators.Graphs.corenessHIndex(edges, rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // true coreness: clique nodes 3, chain nodes 1
+    val expected = Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "x" -> 1L, "y" -> 1L, "z" -> 1L)
+    assert(vals(6) === expected)
+    // round 0 = degrees (the starting upper bound); refinement is
+    // monotone non-increasing toward the fixpoint
+    val r0 = vals(0)
+    assert(r0("d") === 4L && r0("x") === 2L)
+    val r1 = vals(1)
+    assert(expected.keys.forall(n => r1(n) <= r0(n)))
+    assert(expected.keys.forall(n => expected(n) <= r1(n)))
+  }
+
+  test("bfsHops: exact bounded-radius distances on a directed fixture") {
+    import spark.implicits._
+    // s -> a -> b -> c -> e, s -> b (shortcut), plus unreachable u <- v
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("c", "e"),
+      ("s", "b"), ("v", "u")).toDF("src", "dst")
+    val got = graft.operators.Graphs.bfsHops(edges, Seq("s"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // radius 2: c settles via the s->b shortcut; e (dist 3) is absent,
+    // and the (v, u) component never appears
+    assert(got === Map("s" -> 0L, "a" -> 1L, "b" -> 1L, "c" -> 2L))
+    // radius 4 reaches e; multi-source takes the nearest seed
+    val got4 = graft.operators.Graphs.bfsHops(edges, Seq("s", "c"), 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got4 === Map("s" -> 0L, "c" -> 0L, "a" -> 1L, "b" -> 1L,
+      "e" -> 1L))
+  }
 }
 
 class TemporalSpec extends SparkSpec {
