@@ -1419,6 +1419,20 @@ object Queries {
       },
       Some(bfsOracle(Seq("h0", "h17", "h42"), 4))),
 
+    // Personalized PageRank from the same trusted-seed set as
+    // rel_bfs_hops: teleport mass returns only to seeds (TrustRank),
+    // 3 unrolled integer iterations — BFS answers "how far from the
+    // seeds", this answers "how much authority flows from them".
+    "rel_ppr" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
+        Graphs.personalizedPageRank(edges, Seq("h0", "h17", "h42"), 3)
+      },
+      Some(pprOracle(Seq("h0", "h17", "h42"), 3))),
+
     // TPC-H Q20 shape (see Relational.potentialPromoSuppliers for the
     // documented partsupp substitution): nested semi-joins over a
     // correlated per-pair aggregate, excess test in exact BIGINTs.
@@ -1534,6 +1548,37 @@ object Queries {
     }
     b ++= s"""
              |SELECT node, hops FROM s$maxHops""".stripMargin
+    b.toString
+  }
+
+  /** Generated personalized-PageRank oracle: the rel_pagerank unroll
+    * with the teleport term restricted to the literal seed set —
+    * seeds start at scale div |S|, non-seeds at 0, and each round
+    * adds the seed-conditional teleport before the damped floor-div
+    * contribution sum. |S| is the literal list size (seeds absent
+    * from the graph contribute nothing, as in the operator).
+    */
+  private def pprOracle(seeds: Seq[String], iters: Int): String = {
+    val s = seeds.length
+    val inList = seeds.map(x => s"'$x'").mkString(", ")
+    val b = new StringBuilder(
+      s"""WITH e AS (SELECT DISTINCT 'h'||(event_id % 1000) AS src,
+         |                  'h'||((event_id * 3 + user_id) % 997) AS dst FROM events),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(CASE WHEN node IN ($inList)
+         |       THEN 1000000 // $s ELSE 0 END AS BIGINT) AS rank FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      b ++= s""",
+               |c$i AS (SELECT dst AS node, CAST(SUM(rank // deg) AS BIGINT) AS inr
+               |       FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN deg USING (src) GROUP BY dst),
+               |r$i AS (SELECT nodes.node, CAST(CASE WHEN nodes.node IN ($inList)
+               |         THEN (150000 // $s) ELSE 0 END
+               |         + ((85 * COALESCE(inr, 0)) // 100) AS BIGINT) AS rank
+               |       FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT node, rank FROM r$iters""".stripMargin
     b.toString
   }
 
@@ -5565,5 +5610,9 @@ object Queries {
     // round-10 batch 4: the star-alternation components fixpoint, the
     // per-document PageRank keyword graph, and the unigram-LM
     // tokenizer (seed agg + broadcast-Viterbi E-step + encode)
-    "dedup_clusters_star", "text_textrank", "pipeline_unigram_encode")
+    "dedup_clusters_star", "text_textrank", "pipeline_unigram_encode",
+    // round-10 batch 5: the h-index coreness rounds (per-node rank
+    // windows over neighbor fan-out — a new window-over-join shape),
+    // the Q20 nested semi-join, and the register-aggregate HLL
+    "rel_coreness", "tpch_q20_potential_promo", "o11_daily_unique_hll")
 }

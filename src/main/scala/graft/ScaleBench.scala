@@ -68,7 +68,14 @@ object ScaleBench {
     // per-document PageRank keyword graph (3 fixed iterations; cost
     // ∝ Σ per-doc edges — linear by construction, the curve checks
     // the constant)
-    "dedup_clusters_star", "text_textrank")
+    "dedup_clusters_star", "text_textrank",
+    // round-10 batch 5: the fixed-round h-index coreness (4 rounds of
+    // edges⨝values + per-node rank windows — cost ∝ edges, nodes
+    // fixed, the bounded-round claim the exact peel can't make) and
+    // the mergeable HLL (the claim IS that the shuffle carries ≤ m
+    // register rows per day regardless of distinct volume — the
+    // curve should be scan-bound linear)
+    "rel_coreness", "o11_daily_unique_hll")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -104,7 +111,9 @@ object ScaleBench {
     "dedup_simhash_blocked",
     // round-10 batch 4: both new iterative-graph shapes take both
     // decades from day one
-    "dedup_clusters_star", "text_textrank")
+    "dedup_clusters_star", "text_textrank",
+    // round-10 batch 5: both newcomers take both decades from day one
+    "rel_coreness", "o11_daily_unique_hll")
 
   def main(args: Array[String]): Unit = {
     val testdata =

@@ -59,6 +59,56 @@ object Graphs {
     ranks
   }
 
+  /** Personalized (seed-restricted) PageRank — the TrustRank shape
+    * (Gyöngyi et al., VLDB 2004): teleport mass returns ONLY to the
+    * seed set, so authority diffuses outward from trusted nodes
+    * instead of spreading uniformly; the score ranks "how reachable
+    * from the seeds" — the crawl-frontier prioritization signal.
+    * Same integerized floor-division arithmetic as [[pageRank]]
+    * (bit-identical across engines and partitionings): seeds start
+    * with scale div |S| each, others 0;
+    * rankᵗ⁺¹(v) = [v∈S]·((15·scale div 100) div |S|) +
+    * (85 · Σ_{u→v} rankᵗ(u) div deg(u)) div 100.
+    * |S| is the literal seed-list size; seeds absent from the graph
+    * simply contribute nothing (documented, mirrored in the oracle).
+    *
+    * Scale shape: identical to [[pageRank]] — one edges⨝ranks join
+    * per iteration reusing the edge partitioning, a dst-keyed sum,
+    * per-iteration lazy localCheckpoint. The seed membership test is
+    * an inlined literal `isin` — no extra join.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[String],
+                           iters: Int,
+                           scale: Long = 1000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs seeds")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val s = seeds.length.toLong
+    val teleport = (scale * 15L / 100L) / s
+    val seedMass = when(col("node").isin(seeds: _*), lit(teleport))
+      .otherwise(lit(0L))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("node"),
+      when(col("node").isin(seeds: _*), lit(scale / s))
+        .otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("inr"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (seedMass + expr("(85 * coalesce(inr, 0)) div 100")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** Degree-distribution report: node counts per power-of-two degree
     * class with the class's min/max degree — the skew survey a graph
     * job runs BEFORE picking strategies (a power-law corpus whose top

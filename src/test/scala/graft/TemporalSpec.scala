@@ -56,6 +56,21 @@ class GraphsSpec extends SparkSpec {
       === ((4L, 1L, 1L)))
   }
 
+  test("personalizedPageRank: hand-computed star, absent seed yields zero mass") {
+    val edges = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val got = graft.operators.Graphs
+      .personalizedPageRank(edges, Seq("a"), 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // init: a = 1000000, rest 0; teleport (seed-only) = 150000
+    // b: 0 + (85 * 1000000) div 100; a: 150000 + 0; c never reached
+    assert(got === Map("a" -> 150000L, "b" -> 850000L, "c" -> 0L))
+    // a seed outside the graph contributes nothing anywhere
+    val zero = graft.operators.Graphs
+      .personalizedPageRank(edges, Seq("z"), 2).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(zero === Set(0L))
+  }
+
   /** K4 with a 3-node chain hung off node d: the classic planted
     * k-core fixture — the chain peels away layer by layer, the
     * clique survives any k ≤ 3.
