@@ -3415,6 +3415,39 @@ object Queries {
        |  UNION ALL SELECT doc_id, r FROM reach)
        |GROUP BY doc_id""".stripMargin
 
+  /** Recursive-CTE connected components over the MINHASH-LSH verified
+    * pair set (the `dedup_lsh_star_skew` candidate rule on the plain
+    * corpus, Jaccard-verified at 0.5) — the oracle for
+    * `dedup_lsh_components`, gating the LSH-edges → star-components
+    * composition end to end.
+    */
+  private lazy val lshComponentsOracleSql: String =
+    s"""WITH RECURSIVE $minhashConstsCte,
+       |$shinglesCte,
+       |$lshBandsCte,
+       |reps AS (
+       |  SELECT band, bkey, MIN(doc_id) AS rep, COUNT(*) AS cnt
+       |  FROM bands GROUP BY band, bkey),
+       |cand AS (
+       |  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+       |  FROM reps r JOIN bands b USING (band, bkey)
+       |  WHERE r.cnt > 1 AND b.doc_id <> r.rep),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS common,
+       |    len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id),
+       |p AS (SELECT doc_a, doc_b FROM jac
+       |      WHERE CAST(common AS DOUBLE)/CAST(na+nb-common AS DOUBLE) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT src AS doc_id, dst AS r FROM edges
+       |          UNION SELECT rr.doc_id, e2.dst FROM reach rr JOIN edges e2 ON e2.src = rr.r)
+       |SELECT doc_id, MIN(r) AS cluster FROM (
+       |  SELECT src AS doc_id, src AS r FROM edges
+       |  UNION ALL SELECT doc_id, r FROM reach)
+       |GROUP BY doc_id""".stripMargin
+
   /** SimHash signature CTE over an `sh` CTE (mirrors Dedup.simhash) —
     * shared by every simhash-family oracle so the signature rule
     * cannot drift between the operator queries and their recall
@@ -4290,6 +4323,17 @@ object Queries {
       (s, d) =>
         Dedup.duplicateClustersStar(Dedup.ngramJaccard(docs(s, d), 3, 0.5)),
       Some(componentsOracleSql)),
+
+    // The 100 TB composition of the two gated pieces: LSH-verified
+    // near-dup pairs (capped buckets, rep-fanout linear) feeding the
+    // star-alternation components — the edge generator the exact
+    // all-pairs `dedup_clusters_star` deliberately is NOT (its
+    // ngramJaccard truth refuses >100k docs). This is the query that
+    // carries the components tier's scale evidence.
+    "dedup_lsh_components" -> Decl(
+      (s, d) => Dedup.duplicateClustersStar(
+        Dedup.minhashLshDedup(docs(s, d), 3, 0.5)),
+      Some(lshComponentsOracleSql)),
 
     // Cluster representative selection on top of the components:
     // keep the member with the most tokens (ties → smallest id).
@@ -5613,6 +5657,9 @@ object Queries {
     "dedup_clusters_star", "text_textrank", "pipeline_unigram_encode",
     // round-10 batch 5: the h-index coreness rounds (per-node rank
     // windows over neighbor fan-out — a new window-over-join shape),
-    // the Q20 nested semi-join, and the register-aggregate HLL
-    "rel_coreness", "tpch_q20_potential_promo", "o11_daily_unique_hll")
+    // the Q20 nested semi-join, the register-aggregate HLL, and the
+    // LSH-edges → star-components composition (the components tier's
+    // scale path, also carrying its scaling curves)
+    "rel_coreness", "tpch_q20_potential_promo", "o11_daily_unique_hll",
+    "dedup_lsh_components")
 }

@@ -62,13 +62,14 @@ object ScaleBench {
     // proves the 28x fan-out stays linear and the cap bounds the
     // candidate space as buckets densify
     "dedup_simhash_blocked",
-    // round-10 batch 4: the star-alternation components (round count
-    // is the claim — O(log² n) regardless of diameter, so the curve
-    // must stay near-linear while components multiply) and the
-    // per-document PageRank keyword graph (3 fixed iterations; cost
-    // ∝ Σ per-doc edges — linear by construction, the curve checks
-    // the constant)
-    "dedup_clusters_star", "text_textrank",
+    // round-10 batch 4/5: the star-alternation components measured on
+    // their SCALE edge generator (LSH-verified pairs — the exact
+    // ngramJaccard edges behind dedup_clusters_star refuse >100k docs
+    // BY DESIGN, which the first sf10 attempt measured the hard way)
+    // and the per-document PageRank keyword graph (3 fixed
+    // iterations; cost ∝ Σ per-doc edges, partition width sized from
+    // token mass — the fixed-32-partition version OOM'd at sf10)
+    "dedup_lsh_components", "text_textrank",
     // round-10 batch 5: the fixed-round h-index coreness (4 rounds of
     // edges⨝values + per-node rank windows — cost ∝ edges, nodes
     // fixed, the bounded-round claim the exact peel can't make) and
@@ -109,9 +110,9 @@ object ScaleBench {
     // from day one — its candidate bound (28·256·cap²) predicts a
     // flat curve once buckets saturate
     "dedup_simhash_blocked",
-    // round-10 batch 4: both new iterative-graph shapes take both
-    // decades from day one
-    "dedup_clusters_star", "text_textrank",
+    // round-10 batch 4/5: both iterative-graph shapes at both
+    // decades, on their scale-path edge generators
+    "dedup_lsh_components", "text_textrank",
     // round-10 batch 5: both newcomers take both decades from day one
     "rel_coreness", "o11_daily_unique_hll")
 

@@ -1429,32 +1429,63 @@ object TextAnalysis {
     * [[Graphs.pageRank]] integer grid with floor division at every
     * step, so results are bit-identical across engines, partitionings
     * and cluster sizes; the top-k window is rank-truncated map-side
-    * by WindowGroupLimit. Lineage per round is cut with a lazy
-    * localCheckpoint (the iterative-DataFrame discipline).
+    * by WindowGroupLimit.
+    *
+    * Memory discipline at 100× (both measured the hard way at the
+    * synthesized sf10 on an 8 GiB heap):
+    *  - NO per-round caching. The iteration count is FIXED and small,
+    *    so the repeated edge/node/degree subtrees are collapsed by
+    *    runtime exchange reuse inside the ONE final plan — caching
+    *    them as deserialized localCheckpoint blocks (the unbounded-
+    *    round discipline of [[graft.operators.Dedup
+    *    .duplicateClusters]]) holds corpus-sized object graphs on
+    *    heap across rounds and OOMs where exchange reuse streams
+    *    from shuffle files.
+    *  - ADAPTIVE partition width: the round partitioning comes from
+    *    the corpus's token mass (pairs ≈ 2·Σ(|w|−1), one cheap
+    *    aggregate) divided by `targetRowsPerTask`, never below the
+    *    session's shuffle-partition setting — a fixed count hands
+    *    every join/aggregate task a corpus-proportional hash state.
+    *    The edge relation is hash-repartitioned ONCE on (doc_id,
+    *    src); the distinct, degree aggregate, node distinct, and the
+    *    per-round rank join all inherit that width exchange-free
+    *    (their keys contain the partitioning keys), the per-doc node
+    *    table broadcasts, and only the contribution aggregate
+    *    re-shuffles — at the same bounded width.
     */
   def textrank(docs: DataFrame, iters: Int = 3, k: Int = 3,
-               scale: Long = 1000000L): DataFrame = {
+               scale: Long = 1000000L,
+               targetRowsPerTask: Long = 1500000L): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
+    val approxPairs = toks
+      .agg(coalesce(sum(size(col("w")) - 1), lit(0L)).as("n"))
+      .head().getLong(0) * 2L
+    val base = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = math.max(base, (approxPairs / targetRowsPerTask).toInt + 1)
     val prs = toks.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, size(w)-2), i -> struct(w[i] AS a, w[i+1] AS b))"))
           .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .filter(col("a") =!= col("b"))
+    // repartition BEFORE distinct: (doc_id, src) is a subset of the
+    // distinct keys, so the dedup aggregate inherits the width
     val edges = prs
       .select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
       .unionByName(
         prs.select(col("doc_id"), col("b").as("src"), col("a").as("dst")))
+      .repartition(parts, col("doc_id"), col("src"))
       .distinct()
-      .localCheckpoint(eager = false)
     val nodes = edges.select(col("doc_id"), col("src").as("word")).distinct()
-      .localCheckpoint(eager = false)
+    // one row per document — broadcast, so attaching n to the rank
+    // table never re-shuffles the corpus-sized side
     val nd = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val deg = edges.groupBy(col("doc_id"), col("src"))
       .agg(count(lit(1)).as("deg"))
     val teleportNum = scale * 15L / 100L
-    var ranks = nodes.join(nd, "doc_id")
+    var ranks = nodes.join(broadcast(nd), "doc_id")
       .select(col("doc_id"), col("word"),
         expr(s"${scale}L div n").as("rank"))
     for (_ <- 1 to iters) {
@@ -1464,14 +1495,14 @@ object TextAnalysis {
         .join(deg, Seq("doc_id", "src"))
         .select(col("doc_id"), col("dst").as("word"),
           expr("rank div deg").as("c"))
+        .repartition(parts, col("doc_id"), col("word"))
         .groupBy(col("doc_id"), col("word"))
         .agg(sum(col("c")).as("inr"))
-      ranks = nodes.join(nd, "doc_id")
+      ranks = nodes.join(broadcast(nd), "doc_id")
         .join(contribs, Seq("doc_id", "word"), "left")
         .select(col("doc_id"), col("word"),
           (expr(s"${teleportNum}L div n") +
             expr("(85 * coalesce(inr, 0L)) div 100")).as("rank"))
-        .localCheckpoint(eager = false)
     }
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("rank").desc, col("word"))

@@ -106,6 +106,24 @@ class ScalingSpec extends SparkSpec {
     }
   }
 
+  test("lsh components grow linearly and stay within replicas at 10x docs") {
+    synthesized
+    val base = rows("dedup_lsh_components", baseDir)
+    val big = Queries.queries("dedup_lsh_components")(spark, bigDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // linear growth band (the dedup-pair rationale: per-replica LSH
+    // recall re-randomizes, cross-replica similarity collapses)
+    assert(big.length < 40 * base,
+      s"components: ${big.length} rows at 10x docs (base $base)")
+    assert(big.length > 2 * base,
+      s"components: only ${big.length} rows at 10x docs (base $base)")
+    // a member's cluster label must come from its OWN replica — a
+    // cross-replica component would mean the pair tier leaked one
+    val cross = big.count { case (d, c) => d / 10000000L != c / 10000000L }
+    assert(cross <= math.max(2L, big.length / 10L),
+      s"components: $cross of ${big.length} members labeled cross-replica")
+  }
+
   test("intake capstone output grows linearly at 10x docs") {
     synthesized
     assert(rows("pipeline_intake_dump", baseDir) === 35L)
