@@ -646,8 +646,13 @@ object Relational {
         pmod(col("l_partkey") * 37L + col("l_suppkey") * 11L, lit(1000L)) + 1L)
     // inner join: a pair with NO shipments in the window is excluded,
     // matching the official query's NULL-compare semantics (a scalar
-    // subquery over zero lineitems yields NULL and fails the >)
-    val excess = pairs.join(shipped, Seq("l_partkey", "l_suppkey"))
+    // subquery over zero lineitems yields NULL and fails the >).
+    // SHUFFLE_HASH with the date-windowed side as build: both sides
+    // arrive hash-partitioned on the pair key from their aggregates,
+    // so the hint only suppresses the two pointless local sorts a
+    // sort-merge plan would add
+    val excess = pairs.join(shipped.hint("shuffle_hash"),
+        Seq("l_partkey", "l_suppkey"))
       .filter(col("availqty") * 2L > col("sum_qty"))
       .select(col("l_suppkey")).distinct()
     supplier

@@ -318,6 +318,41 @@ class PlanShapeSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("q20 shape: dims and the excess key set broadcast, nothing sorts") {
+    val p = plan("tpch_q20_potential_promo")
+    // promo part filter into both fact passes + nation into supplier +
+    // the excess supplier semi-join all arrive broadcast; the only
+    // shuffle keys the (partkey, suppkey) aggregate
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("HLL aggregates registers with map-side partials (the mergeability claim)") {
+    val p = plan("o11_daily_unique_hll")
+    // partial_max(rho) before the exchange: the shuffle carries at
+    // most m register rows per (day, mapper), never per-user rows —
+    // THE property that makes the sketch the shards-and-streams
+    // distinct; the exact count alongside uses the same partial
+    // discipline for its distinct
+    assert(p.contains("partial_max"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("textrank's fixed rounds reuse the edge exchange at runtime (no caching)") {
+    // the OOM fix dropped per-round localCheckpoints in favor of
+    // exchange reuse across the repeated edge/node/degree subtrees —
+    // this pin executes the query and asserts the finalized adaptive
+    // plan actually contains Reused nodes, so a config or Spark
+    // upgrade that breaks the reuse fails here, not as an sf10 OOM
+    val df = Queries.queries("text_textrank")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan"), p.take(500))
+    assert(p.contains("Reused"), "textrank edge exchange not reused:\n" +
+      p.take(3000))
+  }
+
   test("q16 broadcasts the filtered part dim; distinct is partial") {
     val p = plan("tpch_q16_supplier_cnt")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
