@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming IVF cell monitor — the index-maintenance stream behind
+  * the at-rest vector layout (`Similarity.ivfWriteAtRest`): arriving
+  * vectors are assigned to their cell MAP-SIDE by the same argmax-dot
+  * rule as every batch IVF operator (max dot product against the
+  * inlined centroid literals, ties to the smallest centroid id, the
+  * dot a left-to-right fold — bit-identical to the Column form in
+  * `graft.functions.VectorFunctions.dot`, so the streaming assignment
+  * and the batch assignment of the same vector NEVER disagree:
+  * `IvfStreamSpec` pins count-table equality with
+  * `Similarity.ivfCellBalance`). Per-cell running counts accumulate
+  * in `flatMapGroupsWithState`; every trigger re-emits each touched
+  * cell's count, so the consumer always has the live load histogram —
+  * the signal that says WHEN the at-rest layout needs re-clustering
+  * (a hot cell = a hot partition = a slow probe) without ever
+  * re-scanning the corpus.
+  *
+  * Scale: state is ONE long per cell (k cells total, k ≤ 4096 by the
+  * anchor rule); cells parallelize across the cluster (the stream
+  * shuffles once on the cell id, which is also the at-rest partition
+  * key — the monitor shuffle mirrors the write shuffle); per-vector
+  * cost is k dot products, the same map-side projection the batch
+  * path pays.
+  */
+object IvfStream {
+
+  final case class Vec(vec_id: Long, embedding: Seq[Double])
+
+  final case class CellCount(cell: Int, n_vecs: Long)
+
+  /** Batch-identical cell assignment: argmax dot, ties to smallest
+    * centroid id, dot as the left-to-right fold.
+    */
+  def assign(v: Seq[Double], cent: Seq[(Int, Array[Double])]): Int = {
+    require(cent.nonEmpty, "IVF needs centroids")
+    var bestId = Int.MaxValue
+    var bestNeg = Double.PositiveInfinity
+    cent.foreach { case (id, cv) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, cv.length)
+      while (i < n) { s += v(i) * cv(i); i += 1 }
+      val neg = -s
+      if (neg < bestNeg || (neg == bestNeg && id < bestId)) {
+        bestNeg = neg
+        bestId = id
+      }
+    }
+    bestId
+  }
+
+  private def stateFn(cell: Int, vecs: Iterator[Vec],
+                      state: GroupState[Long]): Iterator[CellCount] = {
+    val n = state.getOption.getOrElse(0L) + vecs.size
+    state.update(n)
+    Iterator.single(CellCount(cell, n))
+  }
+
+  /** vectors → update-mode stream of per-cell running counts (the
+    * newest row per cell is the live histogram entry).
+    */
+  def cellCounts(vecs: Dataset[Vec],
+                 cent: Seq[(Int, Array[Double])]): Dataset[CellCount] = {
+    implicit val ccEnc = Encoders.product[CellCount]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val intEnc = Encoders.scalaInt
+    vecs
+      .groupByKey(v => assign(v.embedding, cent))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(stateFn)
+  }
+}
