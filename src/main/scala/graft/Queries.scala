@@ -4826,6 +4826,37 @@ object Queries {
     * TRAINED books with its per-subspace reconstruction error, ties
     * to the smallest code id exactly as the Spark side's array_sort.
     */
+  /** The trained-IVFPQ top-k oracle shared VERBATIM by
+    * `sim_topk_ivfpq` (scan-time) and `sim_topk_ivfpq_atrest` (the
+    * stored-codes layout): the at-rest form's correctness claim is
+    * exactly that partition pruning + stored codes reproduce the
+    * scan-time result bit for bit, so one oracle gates both.
+    */
+  private lazy val ivfPqTopKOracle: String =
+    s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |$pqTrainCtes,
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+       |cellscore AS (SELECT c.vec_id, c.v, c_id,
+       |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+       |assign AS (SELECT vec_id, c_id AS cell FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM cellscore) WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn
+       |   FROM cellscore WHERE vec_id < 10) WHERE rn <= 2),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+       |parts AS (SELECT qp.q_id, a.vec_id, cd.m,
+       |   list_sum([qv[4*cd.m+i+1]*b.cv[i+1] for i in range(4)]) AS part
+       |  FROM qprobe qp JOIN assign a USING (cell)
+       |    JOIN codes cd ON cd.vec_id = a.vec_id
+       |    JOIN b2 b ON b.m = cd.m AND b.c_id = cd.c_id
+       |    JOIN q ON q.q_id = qp.q_id
+       |  WHERE a.vec_id <> qp.q_id),
+       |s2 AS (SELECT q_id, vec_id, list_sum(list(part ORDER BY m)) AS approx_dot
+       |  FROM parts GROUP BY 1, 2)
+       |SELECT q_id, vec_id, approx_dot, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
+       |WHERE rn <= 10""".stripMargin
+
   private lazy val pqTrainCtes: String = {
     val d2 = "list_sum([(s.sv[i+1]-b.cv[i+1])*(s.sv[i+1]-b.cv[i+1]) for i in range(4)])"
     def assign(out: String, book: String) =
@@ -5320,33 +5351,36 @@ object Queries {
         Similarity.ivfPqTopKWith(e, e.filter(col("vec_id") < 10),
           e.filter(col("vec_id") < 8), books, nProbe = 2, k = 10)
       },
-      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-              |$pqTrainCtes,
-              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
-              |cellscore AS (SELECT c.vec_id, c.v, c_id,
-              |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
-              |assign AS (SELECT vec_id, c_id AS cell FROM (
-              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM cellscore) WHERE rn = 1),
-              |qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM (
-              |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn
-              |   FROM cellscore WHERE vec_id < 10) WHERE rn <= 2),
-              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
-              |parts AS (SELECT qp.q_id, a.vec_id, cd.m,
-              |   list_sum([qv[4*cd.m+i+1]*b.cv[i+1] for i in range(4)]) AS part
-              |  FROM qprobe qp JOIN assign a USING (cell)
-              |    JOIN codes cd ON cd.vec_id = a.vec_id
-              |    JOIN b2 b ON b.m = cd.m AND b.c_id = cd.c_id
-              |    JOIN q ON q.q_id = qp.q_id
-              |  WHERE a.vec_id <> qp.q_id),
-              |s2 AS (SELECT q_id, vec_id, list_sum(list(part ORDER BY m)) AS approx_dot
-              |  FROM parts GROUP BY 1, 2)
-              |SELECT q_id, vec_id, approx_dot, rn FROM (
-              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
-              |WHERE rn <= 10""".stripMargin)),
+      Some(ivfPqTopKOracle)),
+
+    // The FAISS-style IVFPQ layout end to end: write the corpus
+    // partitioned by cell carrying ONLY its trained PQ codes, then
+    // answer queries off a partition-pruned scan of the stored codes
+    // — bit-identical to the scan-time composition above (same
+    // oracle), with the corpus neither re-assigned nor re-coded per
+    // query batch. Write cost is part of the operator, as in
+    // sim_topk_ivf_atrest.
+    "sim_topk_ivfpq_atrest" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val books = Similarity.pqTrainBooks(e,
+          e.filter(col("vec_id") < 16), m = 16, iters = 2)
+        val path = s"target/atrest/ivfpq-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.ivfPqWriteAtRest(e, e.filter(col("vec_id") < 8),
+          books, path)
+        Similarity.ivfPqTopKAtRest(s, path, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 8), books, nProbe = 2, k = 10)
+      },
+      Some(ivfPqTopKOracle)),
 
     // SemDedup: cluster-scoped semantic dedup (keep-lowest-id). The
     // oracle reuses the IVF assignment CTE shape and recomputes the
     // same within-cell pairs.
+    //
+    // (ivfPqTopKOracle lives below the map; it gates BOTH the
+    // scan-time and the at-rest IVFPQ queries — the at-rest layout's
+    // correctness claim IS bit-equality with the scan-time plan.)
     "sim_semdedup" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions.col
@@ -5661,5 +5695,10 @@ object Queries {
     // LSH-edges → star-components composition (the components tier's
     // scale path, also carrying its scaling curves)
     "rel_coreness", "tpch_q20_potential_promo", "o11_daily_unique_hll",
-    "dedup_lsh_components")
+    "dedup_lsh_components",
+    // round-10 batch 6: the full FAISS-style IVFPQ story — train the
+    // codebooks, write the cell-partitioned stored-codes layout, and
+    // answer queries off the pruned scan (train + write costs are
+    // part of the operator)
+    "sim_topk_ivfpq_atrest")
 }

@@ -547,6 +547,68 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** Materialize the FAISS-style IVFPQ layout at rest: one directory
+    * per IVF cell (partition pruning at probe time, the
+    * [[ivfWriteAtRest]] rationale), and inside each cell the corpus
+    * carries ONLY its PQ codes — `m` small ints per vector instead of
+    * the full embedding, the ~16× shrink that lets the probed cells'
+    * bytes be a rounding error at 100 TB. Cells and codes are both
+    * the already-gated assignment rules ([[ivfTopKWith]]'s argmax,
+    * [[pqCodesWith]]'s min-L2), computed ONCE at write time — a probe
+    * never re-codes the corpus.
+    */
+  def ivfPqWriteAtRest(corpus: DataFrame, cellCentroids: DataFrame,
+                       books: Books, path: String): Unit = {
+    val cells = collectVectors(cellCentroids)
+    val scores = array(cells.map { case (id, cv) =>
+      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+    }: _*)
+    pqCodesWith(corpus, books)
+      .withColumn("scores_arr", scores)
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .drop("scores_arr", "v")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** [[ivfPqTopKWith]] against an [[ivfPqWriteAtRest]] layout: probed
+    * cells collect to a literal `isin` filter so the parquet scan
+    * carries a PartitionFilter and lists only those cells'
+    * directories; scoring is the same asymmetric-distance
+    * [[pqApproxDot]] over the STORED codes. Results are bit-identical
+    * to the scan-time [[ivfPqTopKWith]] — same cells, same codes,
+    * same fixed-order dot — with the corpus neither re-assigned nor
+    * re-coded per query batch.
+    */
+  def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queries: DataFrame,
+                      cellCentroids: DataFrame, books: Books,
+                      nProbe: Int, k: Int): DataFrame = {
+    val cells = collectVectors(cellCentroids)
+    val sub = books.head.head._2.length
+    val scores = array(cells.map { case (id, cv) =>
+      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+    }: _*)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scores_arr", scores)
+      .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
+      .select(col("q_id"), col("v").as("q_vec"),
+        explode(slice(col("cells"), 1, nProbe)).as("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val coded = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = coded.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pqApproxDot(books, sub).as("approx_dot"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("approx_dot"), col("rn"))
+  }
+
   /** IVF-PQ: the two scale mechanisms composed the way a production
     * vector index runs them (the FAISS IVFPQ layout) — the corpus is
     * bucketed into IVF cells so a query touches `nProbe` cells instead

@@ -470,6 +470,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(atRest === direct)
   }
 
+  test("at-rest IVFPQ layout prunes cells AND carries only code columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.core.Tables.read(spark, sf, "embeddings")
+    val books = Similarity.pqTrainBooks(e, e.filter(col("vec_id") < 16),
+      m = 16, iters = 1)
+    val path = "target/atrest/ivfpq-planshape"
+    Similarity.ivfPqWriteAtRest(e, e.filter(col("vec_id") < 8), books, path)
+    val df = Similarity.ivfPqTopKAtRest(spark, path,
+      e.filter(col("vec_id") < 2), e.filter(col("vec_id") < 8), books,
+      nProbe = 2, k = 10)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("ivfpq-planshape")) => s
+    }
+    assert(scans.nonEmpty, "at-rest scan missing from the plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"no cell PartitionFilter: ${scan.partitionFilters}")
+    val static = scan.partitionFilters
+      .filterNot(_.toString.contains("dynamicpruning"))
+    assert(scan.relation.location.listFiles(static, Nil).length <= 4,
+      "scan reads unprobed cells")
+    // the layout's POINT: the stored relation has no embedding column
+    // at all — only vec_id + the m code columns ride the probe join
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      s"full vectors stored at rest: ${scan.schema.fieldNames.mkString(",")}")
+    assert(scan.schema.fieldNames.count(_.startsWith("code_")) === 16,
+      scan.schema.fieldNames.mkString(","))
+    // and the pruned stored-code path equals the scan-time composition
+    val atRest = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.ivfPqTopKWith(e, e.filter(col("vec_id") < 2),
+        e.filter(col("vec_id") < 8), books, nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atRest === direct)
+  }
+
   test("no declared query plans an unbroadcast cartesian product") {
     // the blanket scale guard: a CartesianProduct in any declared
     // query's physical plan is a 100 TB killer. The broadcast-cross
