@@ -2725,6 +2725,33 @@ object Queries {
     // Source mixing: per-source keep rates (derived deterministically
     // from the source name in both engines) applied as a map-side
     // hash filter — the training-mix composition knob.
+    // DoReMi-shape mixture reweighting: two multiplicative-weight
+    // rounds over per-source rare-token mass, all on the integer 10^6
+    // grid — the oracle unrolls the same rounds, so the learned mix
+    // weights themselves are exact-hash gated.
+    "pipeline_mix_reweight" -> Decl(
+      (s, d) => Sampling.mixtureReweight(docs(s, d), rareMax = 2,
+        iters = 2),
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY tok),
+             |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |        CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+             |       FROM toks JOIN cf USING (tok) GROUP BY source),
+             |ppm AS (SELECT source, n_tokens, n_rare,
+             |        CAST((n_rare * 1000000) // n_tokens AS BIGINT) AS rare_ppm FROM per),
+             |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ppm),
+             |w0 AS (SELECT source, n_tokens, n_rare, rare_ppm,
+             |        CAST(1000000 // n AS BIGINT) AS w_0 FROM ppm, ns),
+             |p1 AS (SELECT CAST(SUM(w_0 * rare_ppm) AS BIGINT) AS p FROM w0),
+             |w1 AS (SELECT w0.*, CAST(CASE WHEN p = 0 THEN w_0
+             |        ELSE (w_0 * rare_ppm * 1000000) // p END AS BIGINT) AS w_1
+             |       FROM w0, p1),
+             |p2 AS (SELECT CAST(SUM(w_1 * rare_ppm) AS BIGINT) AS p FROM w1),
+             |w2 AS (SELECT w1.*, CAST(CASE WHEN p = 0 THEN w_1
+             |        ELSE (w_1 * rare_ppm * 1000000) // p END AS BIGINT) AS w_2
+             |       FROM w1, p2)
+             |SELECT source, n_tokens, n_rare, rare_ppm, w_0, w_1, w_2 FROM w2""".stripMargin)),
+
     "pipeline_mix_sources" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions._
@@ -4775,6 +4802,16 @@ object Queries {
       """SELECT event_type, CAST(ts AS DATE) AS d,
         | CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin),
+
+    // TRY_CAST — error-tolerant casts, verbatim in both engines
+    // (Spark 3.2+ / DuckDB): the numeric brand suffix parses, the
+    // alphabetic type column yields NULL instead of failing the query
+    // — the ingestion-hardening construct a messy corpus needs.
+    "sql_try_cast" -> sqlParity(
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt,
+        | CAST(SUM(TRY_CAST(substr(p_brand, 7) AS BIGINT)) AS BIGINT) AS brand_num,
+        | CAST(COUNT(TRY_CAST(p_type AS BIGINT)) AS BIGINT) AS numeric_types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
     // PIVOT — the relational-to-crosstab rotation, verbatim in both
     // engines (Spark 2.4+ FROM ... PIVOT; DuckDB supports the same

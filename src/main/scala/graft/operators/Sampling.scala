@@ -181,6 +181,64 @@ object Sampling {
         col("rate_permille"))
       .select(col(idCol), col(sourceCol), col("rate_permille"))
 
+  /** DoReMi-style multiplicative domain reweighting (the fixed-point
+    * shape of Xie et al. 2023, "DoReMi: Optimizing Data Mixtures
+    * Speeds Up Language Model Pretraining", with the proxy-model
+    * excess loss replaced by the classic cheap surrogate: per-source
+    * RARE-TOKEN MASS — a domain whose tokens the corpus has barely
+    * seen is the underfit domain the mixture should upweight). The
+    * loss signal is parts-per-million integers and the update runs
+    * on the 10⁶ grid with floor division:
+    * w₀(s) = 10⁶ div |S|;  wₜ₊₁(s) = (wₜ(s)·ppm(s)·10⁶) div Σ wₜ·ppm
+    * — every product ≤ 10¹⁸ BY CONSTRUCTION (both factors ≤ 10⁶
+    * after the ppm normalization), so the recurrence cannot overflow
+    * at any corpus size; only the ppm cross-multiply itself carries
+    * a bound (n_rare < 9.2·10¹², documented — shard the per-source
+    * aggregate past that). A zero loss sum keeps the previous
+    * weights. Exact integers end to end: any engine, partitioning,
+    * or iteration order reproduces the weights bit-for-bit.
+    *
+    * Scale shape: one (token) vocabulary aggregate, one token-keyed
+    * join back (both plain hash shuffles), one per-source aggregate;
+    * the recurrence itself runs on the |S|-row histogram on the
+    * driver (the [[unimaxSample]] discipline — |sources| is tiny by
+    * construction, never the corpus).
+    */
+  def mixtureReweight(docs: DataFrame, rareMax: Long = 2,
+                      iters: Int = 2): DataFrame = {
+    require(iters >= 1, "at least one update round")
+    val toks = docs.select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val cf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val per = toks.join(cf, "tok")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cf") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ppm", expr("(n_rare * 1000000) div n_tokens"))
+    val rows = per.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nS = rows.length.toLong
+    val ppm = rows.map(_._4)
+    var w = rows.map(_ => if (nS == 0) 0L else 1000000L / nS)
+    val hist = scala.collection.mutable.ArrayBuffer(w.toSeq)
+    for (_ <- 1 to iters) {
+      val p = w.zip(ppm).map { case (a, b) => a * b }.sum
+      w = if (p == 0L) w
+      else w.zip(ppm).map { case (a, b) => a * b * 1000000L / p }
+      hist += w.toSeq
+    }
+    val out = rows.zipWithIndex.map { case ((s, nt, nr, pp), i) =>
+      (s, nt, nr, pp, hist.map(_(i)).toList)
+    }.toSeq
+    out.toDF("source", "n_tokens", "n_rare", "rare_ppm", "ws")
+      .select(col("source") +: col("n_tokens") +: col("n_rare") +:
+        col("rare_ppm") +:
+        (0 to iters).map(t => col("ws").getItem(t).as(s"w_$t")): _*)
+  }
+
   /** Deterministic global corpus shuffle — the "shuffle the training
     * data" step: a dense 1..N `shuffle_rank` in md5-derived key order,
     * reproducible across runs, engines, and partitionings (seed in,
