@@ -1582,6 +1582,33 @@ object Queries {
     b.toString
   }
 
+  /** The DoReMi-shape reweighting rounds as CTEs (final CTE `w2` has
+    * source, n_tokens, n_rare, rare_ppm, w_0, w_1, w_2) — shared by
+    * the reweight query and the apply capstone so the update rule
+    * cannot drift between them. Mirrors `Sampling.mixtureReweight`
+    * exactly: integer 10⁶ grid, floor division, zero-loss rounds
+    * keep the previous weights.
+    */
+  private lazy val mixReweightCtes: String =
+    """toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY tok),
+      |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |        CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |       FROM toks JOIN cf USING (tok) GROUP BY source),
+      |ppm AS (SELECT source, n_tokens, n_rare,
+      |        CAST((n_rare * 1000000) // n_tokens AS BIGINT) AS rare_ppm FROM per),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ppm),
+      |w0 AS (SELECT source, n_tokens, n_rare, rare_ppm,
+      |        CAST(1000000 // n AS BIGINT) AS w_0 FROM ppm, ns),
+      |p1 AS (SELECT CAST(SUM(w_0 * rare_ppm) AS BIGINT) AS p FROM w0),
+      |w1 AS (SELECT w0.*, CAST(CASE WHEN p = 0 THEN w_0
+      |        ELSE (w_0 * rare_ppm * 1000000) // p END AS BIGINT) AS w_1
+      |       FROM w0, p1),
+      |p2 AS (SELECT CAST(SUM(w_1 * rare_ppm) AS BIGINT) AS p FROM w1),
+      |w2 AS (SELECT w1.*, CAST(CASE WHEN p = 0 THEN w_1
+      |        ELSE (w_1 * rare_ppm * 1000000) // p END AS BIGINT) AS w_2
+      |       FROM w1, p2)""".stripMargin
+
   /** The HLL oracle mirroring `Reports.dailyUniqueHll` at p = 8:
     * register index/rho from the shared md5 hash60, the harmonic
     * term as the exact BIGINT Σ 2^(53−M_j) (so no float-summation
@@ -2732,25 +2759,28 @@ object Queries {
     "pipeline_mix_reweight" -> Decl(
       (s, d) => Sampling.mixtureReweight(docs(s, d), rareMax = 2,
         iters = 2),
-      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
-             |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY tok),
-             |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             |        CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
-             |       FROM toks JOIN cf USING (tok) GROUP BY source),
-             |ppm AS (SELECT source, n_tokens, n_rare,
-             |        CAST((n_rare * 1000000) // n_tokens AS BIGINT) AS rare_ppm FROM per),
-             |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ppm),
-             |w0 AS (SELECT source, n_tokens, n_rare, rare_ppm,
-             |        CAST(1000000 // n AS BIGINT) AS w_0 FROM ppm, ns),
-             |p1 AS (SELECT CAST(SUM(w_0 * rare_ppm) AS BIGINT) AS p FROM w0),
-             |w1 AS (SELECT w0.*, CAST(CASE WHEN p = 0 THEN w_0
-             |        ELSE (w_0 * rare_ppm * 1000000) // p END AS BIGINT) AS w_1
-             |       FROM w0, p1),
-             |p2 AS (SELECT CAST(SUM(w_1 * rare_ppm) AS BIGINT) AS p FROM w1),
-             |w2 AS (SELECT w1.*, CAST(CASE WHEN p = 0 THEN w_1
-             |        ELSE (w_1 * rare_ppm * 1000000) // p END AS BIGINT) AS w_2
-             |       FROM w1, p2)
-             |SELECT source, n_tokens, n_rare, rare_ppm, w_0, w_1, w_2 FROM w2""".stripMargin)),
+      Some(s"""WITH $mixReweightCtes
+              |SELECT source, n_tokens, n_rare, rare_ppm, w_0, w_1, w_2 FROM w2""".stripMargin)),
+
+    // The learned mixture APPLIED: w_2 becomes each source's
+    // keep-rate (permille, floored at 1 so no source dies outright),
+    // feeding the deterministic hash-membership sampler — reweight +
+    // mixSources composed under ONE oracle, so the end-to-end
+    // "optimize the mix, then draw it" pipeline is itself gated.
+    "pipeline_mix_apply" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d)
+        val weights = Sampling.mixtureReweight(base, rareMax = 2, iters = 2)
+          .select(col("source"),
+            greatest(lit(1L), expr("w_2 div 1000")).as("rate_permille"))
+        Sampling.mixSources(base, weights)
+      },
+      Some(s"""WITH $mixReweightCtes,
+              |rates AS (SELECT source, CAST(GREATEST(1, w_2 // 1000) AS BIGINT) AS rate_permille FROM w2)
+              |SELECT doc_id, d.source, rate_permille
+              |FROM documents d JOIN rates USING (source)
+              |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000 < rate_permille""".stripMargin)),
 
     "pipeline_mix_sources" -> Decl(
       (s, d) => {
@@ -4802,6 +4832,14 @@ object Queries {
       """SELECT event_type, CAST(ts AS DATE) AS d,
         | CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin),
+
+    // INTERVAL arithmetic + date_trunc — the calendar constructs,
+    // verbatim in both engines (both truncate weeks to Monday).
+    "sql_interval_trunc" -> sqlParity(
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        | CAST(ts + INTERVAL 1 DAY AS DATE) AS d_next,
+        | CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY wk, d_next ORDER BY wk, d_next""".stripMargin),
 
     // TRY_CAST — error-tolerant casts, verbatim in both engines
     // (Spark 3.2+ / DuckDB): the numeric brand suffix parses, the

@@ -55,6 +55,9 @@ object QuantileStream {
     * paper requires — min and max are always recoverable.
     */
   private def insert(st: GKState, v: Double, eps: Double): GKState = {
+    // a NaN compares false against everything, silently corrupting the
+    // sorted invariant — fail loud, the caller filters or fixes
+    require(!v.isNaN, "GK summary is undefined over NaN values")
     val n = st.n + 1
     val (before, after) = st.tuples.span(_.v <= v)
     val delta =
