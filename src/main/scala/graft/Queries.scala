@@ -1419,6 +1419,20 @@ object Queries {
       },
       Some(bfsOracle(Seq("h0", "h17", "h42"), 4))),
 
+    // Weighted PageRank over the MULTIPLICITY link graph (no distinct:
+    // each repeated event adds weight) — the repeat-link signal the
+    // plain rel_pagerank discards; 3 unrolled integer iterations.
+    "rel_pagerank_weighted" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = ev(s, d).select(
+          expr("concat('h', event_id % 1000)").as("src"),
+          expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"),
+          lit(1L).as("weight"))
+        Graphs.pageRankWeighted(edges, 3)
+      },
+      Some(pagerankWeightedOracle(3))),
+
     // Personalized PageRank from the same trusted-seed set as
     // rel_bfs_hops: teleport mass returns only to seeds (TrustRank),
     // 3 unrolled integer iterations — BFS answers "how far from the
@@ -1548,6 +1562,31 @@ object Queries {
     }
     b ++= s"""
              |SELECT node, hops FROM s$maxHops""".stripMargin
+    b.toString
+  }
+
+  /** Generated weighted-PageRank oracle: the rel_pagerank unroll with
+    * edge multiplicities — w = per-(src, dst) event count, wdeg = the
+    * node's total out-weight, contributions (rank·w) div wdeg.
+    */
+  private def pagerankWeightedOracle(iters: Int): String = {
+    val b = new StringBuilder(
+      """WITH e AS (SELECT 'h'||(event_id % 1000) AS src,
+        |                  'h'||((event_id * 3 + user_id) % 997) AS dst,
+        |                  CAST(COUNT(*) AS BIGINT) AS w FROM events GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS rank FROM nodes CROSS JOIN nn)""".stripMargin)
+    for (i <- 1 to iters) {
+      b ++= s""",
+               |c$i AS (SELECT dst AS node, CAST(SUM((rank * w) // wdeg) AS BIGINT) AS inr
+               |       FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN wdeg USING (src) GROUP BY dst),
+               |r$i AS (SELECT nodes.node, CAST((150000 // n) + ((85 * COALESCE(inr, 0)) // 100) AS BIGINT) AS rank
+               |       FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT node, rank FROM r$iters""".stripMargin
     b.toString
   }
 

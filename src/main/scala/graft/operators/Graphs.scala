@@ -59,6 +59,54 @@ object Graphs {
     ranks
   }
 
+  /** Weighted PageRank: rank mass leaves each node PROPORTIONALLY to
+    * edge weight (here typically the event multiplicity a raw log
+    * witnesses — the repeat-link signal plain [[pageRank]]'s distinct
+    * edge set throws away). Same integer grid and floor division:
+    * rankᵗ⁺¹(v) = teleport + (85 · Σ_{u→v} (rankᵗ(u)·w(u,v)) div
+    * wdeg(u)) div 100, with w summed per (src, dst) and wdeg the
+    * node's total out-weight — bit-identical across engines and
+    * partitionings. Products stay ≤ scale·w, far inside BIGINT for
+    * any real log.
+    *
+    * Scale shape: identical to [[pageRank]] — the weight aggregate
+    * replaces the distinct, and the per-iteration join reuses the
+    * edge partitioning; per-iteration lazy localCheckpoint lineage
+    * truncation (the small-relation discipline: the node universe
+    * here is bounded, not corpus-sized).
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+                       scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("w"))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("node"), lit(scale).as("rank"))
+    val teleport = (scale * 15L / 100L) / n
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(wdeg, "src")
+        .select(col("dst").as("node"),
+          expr("(rank * w) div wdeg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("inr"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * coalesce(inr, 0)) div 100"))
+            .as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** Personalized (seed-restricted) PageRank — the TrustRank shape
     * (Gyöngyi et al., VLDB 2004): teleport mass returns ONLY to the
     * seed set, so authority diffuses outward from trusted nodes

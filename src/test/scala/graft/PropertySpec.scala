@@ -461,4 +461,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("kCore and corenessHIndex match a sequential reference peel on random graphs") {
+    import graft.operators.Graphs
+    val gen = for {
+      n <- Gen.choose(5, 14)
+      edges <- Gen.listOfN(28, for {
+        a <- Gen.choose(0, n); b <- Gen.choose(0, n)
+      } yield (s"v$a", s"v$b"))
+    } yield edges
+    def degrees(es: Set[(String, String)]): Map[String, Long] =
+      (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    samples(gen, 4).foreach { raw =>
+      val und = raw.collect { case (a, b) if a != b =>
+        if (a < b) (a, b) else (b, a) }.toSet
+      def peel(k: Int): Map[String, Long] = {
+        var cur = und
+        var changed = true
+        while (changed) {
+          val keep = degrees(cur).filter(_._2 >= k).keySet
+          val nxt = cur.filter(e => keep(e._1) && keep(e._2))
+          changed = nxt != cur
+          cur = nxt
+        }
+        degrees(cur).filter(_._2 >= k)
+      }
+      val df = raw.toDF("src", "dst")
+      for (k <- Seq(2, 3)) {
+        val got = Graphs.kCore(df, k).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === peel(k), s"k=$k edges=$und")
+      }
+      // coreness = largest k whose k-core contains the node; the
+      // h-index refinement converges to it (15 rounds >> the depth
+      // any 15-node graph needs)
+      val ref = degrees(und).keys.map { nd =>
+        nd -> (1 to 15).filter(k => peel(k).contains(nd)).lastOption
+          .getOrElse(0).toLong
+      }.toMap
+      val hi = Graphs.corenessHIndex(df, 15).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hi === ref, s"edges=$und")
+    }
+  }
 }

@@ -56,6 +56,23 @@ class GraphsSpec extends SparkSpec {
       === ((4L, 1L, 1L)))
   }
 
+  test("pageRankWeighted: mass splits by edge weight, hand-computed") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L))
+      .toDF("src", "dst", "weight")
+    val got = graft.operators.Graphs.pageRankWeighted(edges, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N=3: init 333333, teleport 50000, wdeg(a)=4
+    // b: 50000 + 85*((333333*3) div 4) div 100 = 50000 + 212499
+    // c: 50000 + 85*((333333*1) div 4) div 100 = 50000 + 70833
+    assert(got === Map("a" -> 50000L, "b" -> 262499L, "c" -> 120833L))
+    // duplicate weighted rows sum into the edge weight
+    val dup = Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "weight")
+    val got2 = graft.operators.Graphs.pageRankWeighted(dup, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
+
   test("personalizedPageRank: hand-computed star, absent seed yields zero mass") {
     val edges = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
     val got = graft.operators.Graphs
