@@ -1663,7 +1663,7 @@ object Queries {
     val numer = alpha * m.toDouble * m.toDouble * 9007199254740992L.toDouble
     s"""WITH h AS (SELECT CAST(ts AS DATE) AS d,
        |  CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS hv
-       |  FROM events),
+       |  FROM events WHERE user_id IS NOT NULL),
        |b AS (SELECT d, hv % $m AS idx, hv // $m AS rem FROM h),
        |rr AS (SELECT d, idx,
        |  CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho FROM b),

@@ -320,7 +320,7 @@ object Graphs {
     * coreness layering is wanted in bounded rounds, use
     * [[corenessHIndex]].
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
     var cur = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -349,6 +349,14 @@ object Graphs {
       cur = next
       round += 1
     }
+    // an unconverged peel would return interior chain nodes as core
+    // members with NOTHING distinguishing them from a correct result
+    // — fail loud instead of silently wrong (deep chains peel one
+    // layer per round; raise maxRounds or use corenessHIndex)
+    require(converged,
+      s"$k-core peel did not converge within $maxRounds rounds " +
+        s"($before edges remain): raise maxRounds, or use the " +
+        "bounded-round corenessHIndex")
     degrees(cur).filter(col("core_deg") >= k)
   }
 

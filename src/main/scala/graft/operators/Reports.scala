@@ -94,7 +94,11 @@ object Reports {
     val two53 = 9007199254740992L // 2^53
     val numer = alpha * m.toDouble * m.toDouble * two53.toDouble
     val h = graft.functions.TextFunctions.hash60(col(field).cast("string"))
-    val base = df.select(day(col(tsCol)).as("d"), h.as("h"))
+    // nulls are excluded up front, matching COUNT(DISTINCT)'s
+    // semantics — a null would otherwise land a phantom null-index
+    // register that inflates n_regs and skews the estimate
+    val base = df.filter(col(field).isNotNull)
+      .select(day(col(tsCol)).as("d"), h.as("h"))
       .select(col("d"), pmod(col("h"), lit(m.toLong)).as("idx"),
         expr(s"h div $m").as("rem"))
       // bin(0) renders as "0" (length 1), so the all-zero remainder

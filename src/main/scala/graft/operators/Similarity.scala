@@ -193,6 +193,18 @@ object Similarity {
     */
   type Books = Seq[Seq[(Int, Array[Double])]]
 
+  /** The (−dot, c_id) struct array every IVF-family operator sorts to
+    * assign a vector column `v` to its cell — ONE builder (used by
+    * balance/at-rest/top-k/near-dup/semdedup/silhouette/k-means
+    * alike) so the argmax rule and its smallest-id tie-break cannot
+    * drift between paths whose correctness claims are mutual
+    * bit-equality.
+    */
+  private def cellScores(cent: Seq[(Int, Array[Double])]): Column =
+    array(cent.map { case (id, cv) =>
+      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
+    }: _*)
+
   /** Untrained codebook init (the k-means seed): codebook j = the j-th
     * sub-vectors of the centroid rows, code id = vec_id (dense 0..k−1
     * in every declared query). [[pqTrainBooks]] refines these; using
@@ -319,9 +331,7 @@ object Similarity {
   def ivfCellBalance(corpus: DataFrame,
                      centroids: DataFrame): DataFrame = {
     val cent = collectVectors(centroids)
-    val scores = array(cent.map { case (id, cv) =>
-      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-    }: _*)
+    val scores = cellScores(cent)
     val assigned = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("scores_arr", scores)
@@ -456,9 +466,7 @@ object Similarity {
     // same deterministic tie-break as ROW_NUMBER(ORDER BY cd DESC, c_id),
     // and the corpus is never shuffled just to be assigned
     def withScores(df: DataFrame) = {
-      val scores = array(cent.map { case (id, cv) =>
-        struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-      }: _*)
+      val scores = cellScores(cent)
       df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("scores_arr", scores)
         .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
@@ -496,9 +504,7 @@ object Similarity {
   def ivfWriteAtRest(corpus: DataFrame, centroids: DataFrame,
                      path: String): Unit = {
     val cent = collectVectors(centroids)
-    val scores = array(cent.map { case (id, cv) =>
-      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-    }: _*)
+    val scores = cellScores(cent)
     corpus.select(col("vec_id"), col("embedding"))
       .withColumn("v", asDouble(col("embedding")))
       .withColumn("scores_arr", scores)
@@ -519,9 +525,7 @@ object Similarity {
                     queries: DataFrame, centroids: DataFrame,
                     nProbe: Int, k: Int): DataFrame = {
     val cent = collectVectors(centroids)
-    val scores = array(cent.map { case (id, cv) =>
-      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-    }: _*)
+    val scores = cellScores(cent)
     val probes = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("v"))
       .withColumn("scores_arr", scores)
@@ -529,6 +533,9 @@ object Similarity {
       .select(col("q_id"), col("v").as("q_vec"),
         explode(slice(col("cells"), 1, nProbe)).as("cell"))
       .withColumn("q_nrm", norm(col("q_vec")))
+      // the probe table feeds the probed-cell collect AND the scoring
+      // join — pin it or the k-dot assignment pipeline runs twice
+      .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val corpus = spark.read.parquet(path)
@@ -560,9 +567,7 @@ object Similarity {
   def ivfPqWriteAtRest(corpus: DataFrame, cellCentroids: DataFrame,
                        books: Books, path: String): Unit = {
     val cells = collectVectors(cellCentroids)
-    val scores = array(cells.map { case (id, cv) =>
-      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-    }: _*)
+    val scores = cellScores(cells)
     pqCodesWith(corpus, books)
       .withColumn("scores_arr", scores)
       .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
@@ -585,15 +590,15 @@ object Similarity {
                       nProbe: Int, k: Int): DataFrame = {
     val cells = collectVectors(cellCentroids)
     val sub = books.head.head._2.length
-    val scores = array(cells.map { case (id, cv) =>
-      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-    }: _*)
+    val scores = cellScores(cells)
     val probes = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("v"))
       .withColumn("scores_arr", scores)
       .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
       .select(col("q_id"), col("v").as("q_vec"),
         explode(slice(col("cells"), 1, nProbe)).as("cell"))
+      // same pinning rationale as ivfTopKAtRest: two consumers
+      .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val coded = spark.read.parquet(path)
@@ -626,19 +631,17 @@ object Similarity {
                     nProbe: Int, k: Int): DataFrame = {
     val cells = collectVectors(cellCentroids)
     val sub = books.head.head._2.length
-    def cellScores = array(cells.map { case (id, cv) =>
-      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-    }: _*)
+    val scores = cellScores(cells)
     // corpus side: cell + PQ codes in ONE projection pass, full vector
     // dropped before the join (the point of the compression)
     val coded = pqCodesWith(corpus, books)
-      .withColumn("scores_arr", cellScores)
+      .withColumn("scores_arr", scores)
       .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
       .drop("scores_arr", "v")
     val probes = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
       .withColumn("v", col("q_vec"))
-      .withColumn("scores_arr", cellScores)
+      .withColumn("scores_arr", scores)
       .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
       .select(col("q_id"), col("q_vec"),
         explode(slice(col("cells"), 1, nProbe)).as("cell"))
@@ -730,9 +733,7 @@ object Similarity {
                    nProbe: Int, minCos: Double,
                    maxCell: Int = 256): DataFrame = {
     val cent = collectVectors(centroids)
-    val scores = array(cent.map { case (id, cv) =>
-      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-    }: _*)
+    val scores = cellScores(cent)
     val assigned = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("scores_arr", scores)
@@ -801,9 +802,7 @@ object Similarity {
                minCos: Double): DataFrame = {
     val cent = collectVectors(centroids)
     def assigned = {
-      val scores = array(cent.map { case (id, cv) =>
-        struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-      }: _*)
+      val scores = cellScores(cent)
       corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("scores_arr", scores)
         .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
@@ -852,9 +851,7 @@ object Similarity {
     val init = collectVectors(corpus.filter(col("vec_id") < k))
       .map { case (id, v) => (id, normalize(v)) }
     (0 until iters).foldLeft(init) { (cent, _) =>
-      val scores = array(cent.map { case (id, cv) =>
-        struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-      }: _*)
+      val scores = cellScores(cent)
       val sums = corpus
         .select(asDouble(col("embedding")).as("v"))
         .withColumn("scores_arr", scores)
@@ -979,9 +976,7 @@ object Similarity {
     */
   def silhouette(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = collectVectors(centroids)
-    val scores = array(cent.map { case (id, cv) =>
-      struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
-    }: _*)
+    val scores = cellScores(cent)
     val assigned = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("scores_arr", scores)

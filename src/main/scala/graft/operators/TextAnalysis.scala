@@ -1447,11 +1447,12 @@ object TextAnalysis {
     *    session's shuffle-partition setting — a fixed count hands
     *    every join/aggregate task a corpus-proportional hash state.
     *    The edge relation is hash-repartitioned ONCE on (doc_id,
-    *    src); the distinct, degree aggregate, node distinct, and the
-    *    per-round rank join all inherit that width exchange-free
-    *    (their keys contain the partitioning keys), the per-doc node
-    *    table broadcasts, and only the contribution aggregate
-    *    re-shuffles — at the same bounded width.
+    *    src); the distinct and degree aggregate inherit that width
+    *    exchange-free (their keys contain the partitioning keys),
+    *    the per-doc node count rides a doc-keyed window at the same
+    *    width (never a broadcast — a one-row-per-document table
+    *    grows with the corpus), and the contribution aggregate
+    *    re-shuffles at the same bounded width.
     */
   def textrank(docs: DataFrame, iters: Int = 3, k: Int = 3,
                scale: Long = 1000000L,
@@ -1478,14 +1479,20 @@ object TextAnalysis {
         prs.select(col("doc_id"), col("b").as("src"), col("a").as("dst")))
       .repartition(parts, col("doc_id"), col("src"))
       .distinct()
-    val nodes = edges.select(col("doc_id"), col("src").as("word")).distinct()
-    // one row per document — broadcast, so attaching n to the rank
-    // table never re-shuffles the corpus-sized side
-    val nd = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // per-doc node count attached ONCE by a doc-keyed window (NOT a
+    // broadcast of a one-row-per-document table, which would grow
+    // with the corpus and hit the broadcast size ceiling exactly
+    // where this operator is supposed to scale); the window's
+    // exchange is the bounded `parts` width
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val nodesN = edges.select(col("doc_id"), col("src").as("word")).distinct()
+      .repartition(parts, col("doc_id"))
+      .withColumn("n", count(lit(1)).over(wN))
     val deg = edges.groupBy(col("doc_id"), col("src"))
       .agg(count(lit(1)).as("deg"))
     val teleportNum = scale * 15L / 100L
-    var ranks = nodes.join(broadcast(nd), "doc_id")
+    var ranks = nodesN
       .select(col("doc_id"), col("word"),
         expr(s"${scale}L div n").as("rank"))
     for (_ <- 1 to iters) {
@@ -1498,7 +1505,7 @@ object TextAnalysis {
         .repartition(parts, col("doc_id"), col("word"))
         .groupBy(col("doc_id"), col("word"))
         .agg(sum(col("c")).as("inr"))
-      ranks = nodes.join(broadcast(nd), "doc_id")
+      ranks = nodesN
         .join(contribs, Seq("doc_id", "word"), "left")
         .select(col("doc_id"), col("word"),
           (expr(s"${teleportNum}L div n") +

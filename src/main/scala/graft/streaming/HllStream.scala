@@ -36,12 +36,24 @@ object HllStream {
   private val Alpha = 0.7213 / (1.0 + 1.079 / M.toDouble)
   private val Numer = Alpha * M.toDouble * M.toDouble * Two53.toDouble
 
-  /** The shared 60-bit md5 hash (JVM mirror of the SQL hash60). */
+  private val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** The shared 60-bit md5 hash (JVM mirror of the SQL hash60): the
+    * first 15 hex nibbles = the top 7½ digest bytes, assembled by
+    * bit arithmetic — no hex-string round trip on the per-item hot
+    * path, one digest instance per thread. Bit-identical to
+    * `parseLong(hexString.take(15), 16)`.
+    */
   def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
   /** (register index, rho): low P bits index; rho = leading zeros of
@@ -95,6 +107,7 @@ object HllStream {
     implicit val stEnc = Encoders.product[HllState]
     implicit val strEnc = Encoders.STRING
     items
+      .filter((i: Item) => i.item != null) // COUNT(DISTINCT) semantics
       .groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(stateFn)

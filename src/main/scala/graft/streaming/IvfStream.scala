@@ -33,21 +33,28 @@ object IvfStream {
   final case class CellCount(cell: Int, n_vecs: Long)
 
   /** Batch-identical cell assignment: argmax dot, ties to smallest
-    * centroid id, dot as the left-to-right fold.
+    * centroid id, dot as the left-to-right fold. Comparison is
+    * `java.lang.Double.compare` — the SAME total order Spark's
+    * `array_sort` applies (−0.0 < 0.0, NaN greatest), so even a NaN
+    * or signed-zero dot cannot make the stream and the batch path
+    * pick different cells.
     */
   def assign(v: Seq[Double], cent: Seq[(Int, Array[Double])]): Int = {
     require(cent.nonEmpty, "IVF needs centroids")
     var bestId = Int.MaxValue
-    var bestNeg = Double.PositiveInfinity
+    var bestNeg = Double.NaN
+    var first = true
     cent.foreach { case (id, cv) =>
       var s = 0.0
       var i = 0
       val n = math.min(v.length, cv.length)
       while (i < n) { s += v(i) * cv(i); i += 1 }
       val neg = -s
-      if (neg < bestNeg || (neg == bestNeg && id < bestId)) {
+      val c = java.lang.Double.compare(neg, bestNeg)
+      if (first || c < 0 || (c == 0 && id < bestId)) {
         bestNeg = neg
         bestId = id
+        first = false
       }
     }
     bestId
