@@ -82,6 +82,17 @@ object HllStream {
     else raw
   }
 
+  /** Register-table merge — THE HLL property: max per register, so
+    * shards/streams/days combine without ever re-reading elements,
+    * and estimate(merge(a, b)) equals the single-pass estimate over
+    * the union (`HllStreamSpec` pins it). Commutative, associative,
+    * idempotent.
+    */
+  def merge(a: Map[Int, Int], b: Map[Int, Int]): Map[Int, Int] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))
+    }.toMap
+
   def stateFn(group: String, items: Iterator[Item],
               state: GroupState[HllState]): Iterator[HllEst] = {
     val st = state.getOption.getOrElse(HllState(0L, Map.empty))

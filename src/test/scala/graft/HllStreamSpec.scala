@@ -60,6 +60,22 @@ class HllStreamSpec extends SparkSpec {
     assert(one.hll_est === four.hll_est) // identical registers -> identical double
   }
 
+  test("register merge: sharded estimates combine to the single-pass estimate") {
+    val all = (1 to 600).map(i => s"u${(i * 17) % 400}")
+    val (shard1, shard2) = all.splitAt(250)
+    def regsOf(items: Seq[String]): Map[Int, Int] =
+      items.foldLeft(Map.empty[Int, Int]) { (m, it) =>
+        val (idx, rho) = HllStream.registerOf(it)
+        if (m.getOrElse(idx, 0) < rho) m.updated(idx, rho) else m
+      }
+    val merged = HllStream.merge(regsOf(shard1), regsOf(shard2))
+    assert(merged === regsOf(all)) // max-merge == single pass, bit-exact
+    assert(HllStream.estimate(merged) === HllStream.estimate(regsOf(all)))
+    // commutative + idempotent
+    assert(HllStream.merge(regsOf(shard2), regsOf(shard1)) === merged)
+    assert(HllStream.merge(merged, merged) === merged)
+  }
+
   test("groups keep independent registers; small cardinality hits linear counting") {
     val a = (1 to 5).map(i => Item("small", s"u$i"))
     val b = (1 to 2000).map(i => Item("big", s"v$i"))

@@ -106,6 +106,16 @@ class ScalingSpec extends SparkSpec {
     }
   }
 
+  test("textrank output is exactly 3 keywords per eligible doc at 10x docs") {
+    synthesized
+    val base = rows("text_textrank", baseDir)
+    val big = rows("text_textrank", bigDir)
+    // replication is exact: 10x the docs -> exactly 10x the rows (top-3
+    // per >=2-token document); any deviation means the per-doc graph
+    // iteration dropped or duplicated documents at scale
+    assert(big === 10 * base, s"textrank rows: base $base, 10x $big")
+  }
+
   test("lsh components grow linearly and stay within replicas at 10x docs") {
     synthesized
     val base = rows("dedup_lsh_components", baseDir)
