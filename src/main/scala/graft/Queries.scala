@@ -3494,8 +3494,8 @@ object Queries {
     * (large-star/small-star), so the two independent Spark
     * algorithms are gated by — and through it, against — each other.
     */
-  private lazy val componentsOracleSql: String =
-    s"""WITH RECURSIVE $shinglesCte,
+  private lazy val componentsCtes: String =
+    s"""$shinglesCte,
        |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh),
        |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b, COUNT(*) AS common
        |       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -3505,11 +3505,15 @@ object Queries {
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
        |          UNION SELECT doc_b, doc_a FROM p),
        |reach AS (SELECT src AS doc_id, dst AS r FROM edges
-       |          UNION SELECT rr.doc_id, e2.dst FROM reach rr JOIN edges e2 ON e2.src = rr.r)
-       |SELECT doc_id, MIN(r) AS cluster FROM (
+       |          UNION SELECT rr.doc_id, e2.dst FROM reach rr JOIN edges e2 ON e2.src = rr.r),
+       |comp AS (SELECT doc_id, MIN(r) AS cluster FROM (
        |  SELECT src AS doc_id, src AS r FROM edges
        |  UNION ALL SELECT doc_id, r FROM reach)
-       |GROUP BY doc_id""".stripMargin
+       |GROUP BY doc_id)""".stripMargin
+
+  private lazy val componentsOracleSql: String =
+    s"""WITH RECURSIVE $componentsCtes
+       |SELECT doc_id, cluster FROM comp""".stripMargin
 
   /** Recursive-CTE connected components over the MINHASH-LSH verified
     * pair set (the `dedup_lsh_star_skew` candidate rule on the plain
@@ -4419,6 +4423,30 @@ object Queries {
       (s, d) =>
         Dedup.duplicateClustersStar(Dedup.ngramJaccard(docs(s, d), 3, 0.5)),
       Some(componentsOracleSql)),
+
+    // Duplicate-cluster SIZE distribution: log2-bucketed component
+    // sizes over the gated components — the number that sets dedup
+    // policy at scale (a fat tail of giant template clusters wants
+    // keep-one-per-cluster; a flat profile wants pairwise drops) and
+    // the early-warning for hot-key skew in any cluster-keyed stage.
+    // One k-row rollup on top of the components; same exact
+    // integer-bin idiom as rel_degree_hist.
+    "dedup_cluster_sizes" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Dedup.duplicateClustersStar(Dedup.ngramJaccard(docs(s, d), 3, 0.5))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+          .groupBy((length(bin(col("sz"))) - 1).cast("long").as("sz_class"))
+          .agg(count(lit(1)).as("n_clusters"),
+            min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
+          .orderBy(col("sz_class"))
+      },
+      Some(s"""WITH RECURSIVE $componentsCtes,
+              |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz FROM comp GROUP BY cluster)
+              |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS sz_class,
+              |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              |  MIN(sz) AS min_sz, MAX(sz) AS max_sz
+              |FROM sz GROUP BY 1 ORDER BY sz_class""".stripMargin)),
 
     // The 100 TB composition of the two gated pieces: LSH-verified
     // near-dup pairs (capped buckets, rep-fanout linear) feeding the
