@@ -1386,9 +1386,9 @@ object Queries {
         val edges = ev(s, d).select(
           expr("concat('h', event_id % 1000)").as("src"),
           expr("concat('h', (event_id * 3 + user_id) % 997)").as("dst"))
-        Graphs.kCore(edges, 2, maxRounds = 60)
+        Graphs.kCore(edges, 2, maxRounds = KcoreMaxRounds)
       },
-      Some(kcoreOracle(2, 50))),
+      Some(kcoreOracle(2, KcoreMaxRounds))),
 
     // Fixed-4-round h-index refinement toward coreness (Lü et al.
     // 2016) — the bounded-round coreness the exact peel can't give on
@@ -1492,6 +1492,13 @@ object Queries {
     * three times. Any depth ≥ the peel fixpoint reproduces the exact
     * k-core (deleting from a fixpoint is a no-op).
     */
+  /** Shared peel budget for `rel_kcore`: the operator's maxRounds and
+    * the oracle's unroll depth derive from this ONE constant so they
+    * can never drift (a corpus peeling deeper than the oracle unroll
+    * would gate-fail confusingly — operator converged, oracle not).
+    */
+  private final val KcoreMaxRounds = 60 // compile-time constant: inlined, immune to object-init order
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val b = new StringBuilder("WITH ")
     b ++= undCtes

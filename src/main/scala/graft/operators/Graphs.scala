@@ -77,6 +77,14 @@ object Graphs {
     */
   def pageRankWeighted(edges: DataFrame, iters: Int,
                        scale: Long = 1000000L): DataFrame = {
+    // Fail loud on null/zero/negative weights (the seeds discipline of
+    // personalizedPageRank): a bad weight would make wdeg null or zero
+    // and `rank div wdeg` propagate silent null ranks. limit(1) makes
+    // the check short-circuit at the first offending row.
+    val badW = edges.filter(col("weight").isNull || col("weight") <= 0)
+      .limit(1).count()
+    require(badW == 0L,
+      "pageRankWeighted requires strictly positive non-null weights")
     val e = edges.select(col("src"), col("dst"), col("weight"))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("weight")).as("w"))

@@ -45,9 +45,11 @@ object IvfStream {
     var bestNeg = Double.NaN
     var first = true
     cent.foreach { case (id, cv) =>
+      require(v.length == cv.length,
+        s"vector dim ${v.length} != centroid $id dim ${cv.length}")
       var s = 0.0
       var i = 0
-      val n = math.min(v.length, cv.length)
+      val n = v.length
       while (i < n) { s += v(i) * cv(i); i += 1 }
       val neg = -s
       val c = java.lang.Double.compare(neg, bestNeg)

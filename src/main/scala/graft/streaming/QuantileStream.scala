@@ -76,7 +76,7 @@ object QuantileStream {
       case head :: rest if rest.nonEmpty =>
         val merged = rest.foldRight(List.empty[GKTuple]) { (t, acc) =>
           acc match {
-            case r :: tail if acc.size > 1 && t.g + r.g + r.delta <= limit =>
+            case r :: tail if tail.nonEmpty && t.g + r.g + r.delta <= limit =>
               r.copy(g = t.g + r.g) :: tail
             case _ => t :: acc
           }

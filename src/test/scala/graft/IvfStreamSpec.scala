@@ -76,4 +76,12 @@ class IvfStreamSpec extends SparkSpec {
     assert(one === three)
     assert(one(0) === 60L && one(1) === 30L) // ties to the smaller id
   }
+
+  test("assign fails loud on a dimension mismatch") {
+    val cent = Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    val ex = intercept[IllegalArgumentException] {
+      IvfStream.assign(Seq(1.0), cent) // truncated vector
+    }
+    assert(ex.getMessage.contains("dim"))
+  }
 }

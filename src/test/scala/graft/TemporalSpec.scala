@@ -71,6 +71,15 @@ class GraphsSpec extends SparkSpec {
     val got2 = graft.operators.Graphs.pageRankWeighted(dup, 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got2 === got)
+    // bad weights fail loud instead of propagating null ranks
+    for (w <- Seq(Some(0L), Some(-2L), None)) {
+      val bad = Seq(("a", "b", w), ("a", "c", Some(1L)))
+        .toDF("src", "dst", "weight")
+      val ex = intercept[IllegalArgumentException] {
+        graft.operators.Graphs.pageRankWeighted(bad, 1)
+      }
+      assert(ex.getMessage.contains("positive"))
+    }
   }
 
   test("personalizedPageRank: hand-computed star, absent seed yields zero mass") {
