@@ -3825,7 +3825,8 @@ object Queries {
     // >= t) — candidate-generation precision under the oracle gate.
     // The oracle mirrors the CANDIDATE RULE itself ((df, shingle)
     // total order, prefix length n − ceil(t·n) + 1, symmetric length
-    // filter, position bound with the same (1.0 + 0.6) and 1e-9
+    // filter, the w₀ position bound AND the per-pair group bound
+    // c + min(remaining after w₁) with the same (1.0 + 0.6) and 1e-9
     // literals so the float arithmetic is IEEE-identical), so a
     // drift in any filter turns the row red — not just a drift in
     // the final pair set.
@@ -3838,11 +3839,17 @@ object Queries {
               |          ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY dfq.df, e.shingle) AS rk
               |        FROM e JOIN dfq USING (shingle)
               |        QUALIFY rk <= e.nsh - ceil(e.nsh * 0.6) + 1),
-              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b
-              |         FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              |           AND b.nsh * 0.6 <= a.nsh AND a.nsh * 0.6 <= b.nsh
-              |           AND CAST(1 + least(a.nsh - a.rk, b.nsh - b.rk) AS DOUBLE) * (1.0 + 0.6)
-              |               >= 0.6 * CAST(a.nsh + b.nsh AS DOUBLE) - 1e-9),
+              |grp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+              |          COUNT(*) AS c, MIN(a.rk) AS rka0, MIN(b.rk) AS rkb0, MAX(a.rk) AS rka1, MAX(b.rk) AS rkb1
+              |        FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          AND b.nsh * 0.6 <= a.nsh AND a.nsh * 0.6 <= b.nsh
+              |          AND CAST(1 + least(a.nsh - a.rk, b.nsh - b.rk) AS DOUBLE) * (1.0 + 0.6)
+              |              >= 0.6 * CAST(a.nsh + b.nsh AS DOUBLE) - 1e-9
+              |        GROUP BY 1, 2, 3, 4),
+              |cand AS (SELECT doc_a, doc_b, nsh_a, nsh_b FROM grp
+              |         WHERE CAST(least(1 + least(nsh_a - rka0, nsh_b - rkb0),
+              |                          c + least(nsh_a - rka1, nsh_b - rkb1)) AS DOUBLE) * (1.0 + 0.6)
+              |               >= 0.6 * CAST(nsh_a + nsh_b AS DOUBLE) - 1e-9),
               |v AS (SELECT c.doc_a, c.doc_b, c.nsh_a, c.nsh_b, COUNT(*) AS common
               |      FROM cand c JOIN e ea ON ea.doc_id = c.doc_a
               |                  JOIN e eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
@@ -4965,6 +4972,33 @@ object Queries {
       s"(sqrt(list_sum([$a[i+1]*$a[i+1] for i in range(64)])) * " +
       s"sqrt(list_sum([$b[i+1]*$b[i+1] for i in range(64)])))"
 
+  /** Unrolled greedy k-center (Gonzalez) as oracle CTEs: seed p1 =
+    * smallest vec_id; each round i keeps a running min-distance table
+    * mᵢ (incremental `least(prev, 1 − cos)` — MATERIALIZED, since mᵢ
+    * is read by both pᵢ₊₁ and mᵢ₊₁ and DuckDB's default inlining is
+    * exponential on such chains) and picks the farthest survivor,
+    * ties to the smallest vec_id. The SQL twin of
+    * `Similarity.kcenterSelect(emb, m)`.
+    */
+  private def kcenterOracle(m: Int): String = {
+    val b = new StringBuilder(
+      "WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),\n" +
+        "p1 AS (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 1),\n" +
+        s"m1 AS MATERIALIZED (SELECT c.vec_id, c.v, 1.0 - ${duckCosine("c.v", "p1.v")} AS mind\n" +
+        "  FROM c, p1 WHERE c.vec_id <> p1.vec_id)")
+    for (i <- 2 to m) {
+      val prev = s"m${i - 1}"
+      b ++= s""",
+               |p$i AS (SELECT vec_id, v, mind FROM $prev ORDER BY mind DESC, vec_id LIMIT 1),
+               |m$i AS MATERIALIZED (SELECT t.vec_id, t.v, least(t.mind, 1.0 - ${duckCosine("t.v", s"p$i.v")}) AS mind
+               |  FROM $prev t, p$i WHERE t.vec_id <> p$i.vec_id)""".stripMargin
+    }
+    b ++= "\nSELECT CAST(1 AS BIGINT) AS sel_round, vec_id, CAST(NULL AS DOUBLE) AS dist FROM p1"
+    for (i <- 2 to m)
+      b ++= s"\nUNION ALL SELECT CAST($i AS BIGINT), vec_id, mind FROM p$i"
+    b.toString
+  }
+
   /** Unrolled two-iteration per-subspace Lloyd training of the PQ
     * codebooks (16 subspaces × 4 dims × 16 codes) as oracle CTEs —
     * the SQL twin of `Similarity.pqTrainBooks(…, m = 16, iters = 2)`.
@@ -5045,6 +5079,17 @@ object Queries {
               |SELECT q_id, vec_id, cos_sim, rn FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
               |WHERE rn <= 10""".stripMargin)),
+
+    // Greedy k-center / farthest-point coreset selection (Gonzalez
+    // 1985): 8 maximally-spread representatives in cosine distance,
+    // each row carrying the coverage radius of the set before it —
+    // the diversity-selection diagnostic. The oracle unrolls the same
+    // 8 rounds as MATERIALIZED CTEs with an incremental least() chain;
+    // min-associativity + the monotone 1−s rounding make the two
+    // engines' argmax (and every tie) bit-identical.
+    "sim_kcenter_select" -> Decl(
+      (s, d) => Similarity.kcenterSelect(emb(s, d), 8),
+      Some(kcenterOracle(8))),
 
     "sim_neardup_cosine" -> Decl(
       (s, d) => Similarity.nearDupPairs(emb(s, d), 0.35),

@@ -1098,10 +1098,25 @@ object Dedup {
 
   /** [[ppjoin]]'s candidate pairs BEFORE the verify step — exposed so
     * the position filter's pruning is measurable (and switchable off,
-    * which degrades the candidate rule to AllPairs grade). The
-    * position bound runs as `ubound·(1+t) ≥ t·(|a|+|b|) − 1e-9`: for
-    * the thresholds in use both sides are exact in doubles, and the
-    * 1e-9 slack guarantees no boundary TRUE pair is ever pruned by a
+    * which degrades the candidate rule to AllPairs grade). Two
+    * lossless overlap upper bounds gate each pair, both evaluated on
+    * the per-pair AGGREGATE of its shared prefix tokens:
+    *
+    *  - position bound at the MINIMAL shared prefix token w₀ (Xiao et
+    *    al. WWW'08 §3): every common token orders at-or-after w₀, so
+    *    overlap ≤ 1 + min(|a|−rk_a(w₀), |b|−rk_b(w₀));
+    *  - group bound at the MAXIMAL shared prefix token w₁: any common
+    *    token ordering before w₁ sits strictly inside BOTH prefixes
+    *    (its per-doc rank is below w₁'s, which is itself ≤ the prefix
+    *    length), hence is one of the c shared prefix tokens — so
+    *    overlap ≤ c + min(|a|−rk_a(w₁), |b|−rk_b(w₁)). This is the
+    *    declarative analogue of the overlap accumulator PPJoin's
+    *    hash-map verify carries, and is strictly tighter whenever the
+    *    span between w₀ and w₁ contains unshared prefix tokens.
+    *
+    * Both run as `ubound·(1+t) ≥ t·(|a|+|b|) − 1e-9`: for the
+    * thresholds in use both sides are exact in doubles, and the 1e-9
+    * slack guarantees no boundary TRUE pair is ever pruned by a
     * rounding artifact even for irrational-in-binary t — losslessness
     * is never entrusted to float rounding.
     */
@@ -1114,7 +1129,7 @@ object Dedup {
     val ordered = rows.join(dfreq, "shingle").join(sizes, "doc_id")
     // prefix length p = nsh - ceil(t*nsh) + 1, per-doc window only;
     // rk (the position under the (df, shingle) total order) rides
-    // along for the position bound
+    // along for the position bounds
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
     val prefix = ordered
@@ -1122,24 +1137,52 @@ object Dedup {
       .filter(col("rk") <=
         col("nsh") - ceil(col("nsh") * lit(minJaccard)) + lit(1))
       .select(col("doc_id"), col("shingle"), col("nsh"), col("rk"))
-    val posBound =
+    // one join — shared prefix shingle + symmetric length filter + the
+    // per-row w₀ bound, streamed inside the join (the row bound is the
+    // volume control: without it the downstream aggregate sees the
+    // AllPairs-grade pair space, which is exactly the sf10 OOM the
+    // filter exists to prevent). A TRUE pair's global-minimal shared
+    // token always passes its own bound, so it is never lost here.
+    val rowBound =
       (lit(1L) + least(col("a.nsh") - col("a.rk"),
         col("b.nsh") - col("b.rk"))).cast("double") *
         lit(1.0 + minJaccard) >=
         lit(minJaccard) * (col("a.nsh") + col("b.nsh")).cast("double") -
           lit(1e-9)
-    // candidates: shared prefix shingle + symmetric length filter +
-    // (default) the position filter
-    prefix.as("a")
+    val joined = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.nsh") * lit(minJaccard) <= col("a.nsh") &&
           col("a.nsh") * lit(minJaccard) <= col("b.nsh") &&
-          (if (positionFilter) posBound else lit(true)))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (if (positionFilter) rowBound else lit(true)))
+    if (!positionFilter)
+      return joined
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
+        .distinct()
+    // The aggregate replaces the old distinct() at the same key and
+    // volume. Losslessness of the group bound over the row-bound
+    // SURVIVORS: the row-bound value is monotone non-increasing in the
+    // (df, shingle) order (later tokens have fewer remaining), so the
+    // surviving set F is prefix-closed — every shared prefix token
+    // ordering at-or-before w₁' = max(F) also survives. Hence c
+    // counts ALL common tokens ≤ w₁' exactly, and
+    // overlap ≤ c + min(|a|−rk_a(w₁'), |b|−rk_b(w₁')).
+    val stats = joined
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
-      .distinct()
+      .agg(count(lit(1)).as("c"),
+        min(col("a.rk")).as("rka0"), min(col("b.rk")).as("rkb0"),
+        max(col("a.rk")).as("rka1"), max(col("b.rk")).as("rkb1"))
+    val ubound = least(
+      lit(1L) + least(col("nsh_a") - col("rka0"), col("nsh_b") - col("rkb0")),
+      col("c") + least(col("nsh_a") - col("rka1"), col("nsh_b") - col("rkb1")))
+    stats
+      .filter(ubound.cast("double") * lit(1.0 + minJaccard) >=
+        lit(minJaccard) * (col("nsh_a") + col("nsh_b")).cast("double") -
+          lit(1e-9))
+      .select(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
   }
 
   /** PPJoin pruning audit: every candidate pair the prefix + length +

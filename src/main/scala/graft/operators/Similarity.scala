@@ -885,6 +885,55 @@ object Similarity {
       .select(avg(best).as("obj")).head().getDouble(0)
   }
 
+  /** Greedy k-center / farthest-point traversal (Gonzalez 1985) over
+    * the embedding corpus in cosine distance — the coreset and
+    * diversity selector a training-data pipeline uses to pick m
+    * maximally-spread representatives (a 2-approximation of the
+    * optimal k-center cover). Seed = the smallest vec_id; each later
+    * round picks the point FARTHEST from every selected center
+    * (ties to the smallest vec_id), and the distance it was picked at
+    * is the coverage radius of the previous center set — the output
+    * sequence is the whole selection diagnostic.
+    *
+    * Float discipline: min-distance is recomputed per round as
+    * `1.0 − greatest(cos(x, c₁) … cos(x, cₖ))`; since min is
+    * associative and `1 − s` is a monotone rounding, this equals the
+    * oracle's incremental `least(prev, 1 − cos)` chain bit-for-bit,
+    * so the argmax (and every tie) agrees across engines.
+    *
+    * Scale shape: m driver rounds, each ONE corpus scan against ≤ m
+    * literal center vectors (codegen-pure projection + a single-row
+    * max aggregate); the corpus never shuffles, nothing corpus-sized
+    * is collected, and the driver holds m·dim doubles.
+    */
+  def kcenterSelect(corpus: DataFrame, m: Int): DataFrame = {
+    require(m >= 1 && m <= 64, "m is a driver-round count (literal centers)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val seedRow = c.orderBy(col("vec_id")).limit(1).head()
+    var picked = List[(Long, Array[Double], Option[Double])](
+      (seedRow.getLong(0), seedRow.getSeq[Double](1).toArray, None))
+    while (picked.length < m) {
+      val sims = picked.map { case (_, cv, _) =>
+        dot(col("v"), lit(cv)) / (norm(col("v")) * norm(lit(cv)))
+      }
+      val mind = lit(1.0) -
+        (if (sims.length == 1) sims.head else greatest(sims: _*))
+      val best = c
+        .filter(!col("vec_id").isin(picked.map(_._1): _*))
+        .select(max(struct(mind.as("mind"), (-col("vec_id")).as("nid"),
+          col("v").as("v"))).as("s"))
+        .head().getStruct(0)
+      picked = picked :+ ((-best.getLong(1),
+        best.getSeq[Double](2).toArray, Some(best.getDouble(0))))
+    }
+    picked.zipWithIndex.map { case ((id, _, d), i) =>
+      ((i + 1).toLong, id, d)
+    }.toDF("sel_round", "vec_id", "dist")
+  }
+
   /** Approximate top-k: score only same-bucket (query, corpus) pairs. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
               nBits: Int, k: Int): DataFrame = {

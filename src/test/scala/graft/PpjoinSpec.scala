@@ -80,6 +80,16 @@ class PpjoinSpec extends SparkSpec {
       val pairs = pairSet(Dedup.ppjoin(docs, 3, t))
       val exact = pairSet(Dedup.ngramJaccard(docs, 3, t))
       assert(pairs === exact)
+      // the filtered candidates are a SUBSET of the AllPairs-grade
+      // set (the w0 + group bounds only ever remove pairs)
+      val candSet = Dedup.ppjoinCandidates(docs, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allSet = Dedup.ppjoinCandidates(docs, 3, t,
+        positionFilter = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(candSet.subsetOf(allSet))
+      // and every true pair survives the candidate stage
+      assert(exact.map(p => (p._1, p._2)).subsetOf(candSet))
     }
   }
 
