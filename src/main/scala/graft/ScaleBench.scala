@@ -76,7 +76,13 @@ object ScaleBench {
     // the mergeable HLL (the claim IS that the shuffle carries ≤ m
     // register rows per day regardless of distinct volume — the
     // curve should be scan-bound linear)
-    "rel_coreness", "o11_daily_unique_hll")
+    "rel_coreness", "o11_daily_unique_hll",
+    // round 11: the NN-Descent graph build (the wedge cap's claim is
+    // candidates ≤ 4nk² per round — linear in the vector count) and
+    // the sorted-neighborhood dedup (two-level distributed rank +
+    // g/g+1 windowed candidate joins — the curve proves the rank
+    // never funnels through one reducer)
+    "sim_knn_graph", "dedup_sorted_neighborhood")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -114,7 +120,11 @@ object ScaleBench {
     // decades, on their scale-path edge generators
     "dedup_lsh_components", "text_textrank",
     // round-10 batch 5: both newcomers take both decades from day one
-    "rel_coreness", "o11_daily_unique_hll")
+    "rel_coreness", "o11_daily_unique_hll",
+    // round 11: both newcomers at both decades — NND's wedge cap and
+    // SNM's two-level rank are exactly the claims a second decade
+    // distinguishes from fixed-overhead luck
+    "sim_knn_graph", "dedup_sorted_neighborhood")
 
   def main(args: Array[String]): Unit = {
     val testdata =

@@ -1219,6 +1219,77 @@ object Dedup {
         col("jaccard"), col("kept"))
   }
 
+  /** Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995) —
+    * the third classic blocking family next to LSH banding and
+    * (band, char) blocking: sort the corpus by a normalized key
+    * (here the lowercased text), slide a `window`-row neighborhood
+    * down the sorted order, and exact-verify only pairs within it.
+    * Complements prefix filtering where near-duplicates share a long
+    * common PREFIX of the sort key (truncations, append-only edits)
+    * even when their shingle Jaccard bands would miss.
+    *
+    * Scale design: the global rank is NOT a single-reducer window —
+    * it is the two-level [[graft.operators.TextAnalysis]] prefix-sum
+    * shape: deterministic first-char key buckets give per-bucket
+    * counts (a tiny relation whose running sum is a cheap window),
+    * broadcast back so each within-bucket rank window is bucket-
+    * bounded; bucket-prefix ordering makes the composed rank
+    * bit-identical to the oracle's one global ROW_NUMBER. (At 100 TB
+    * the bucket boundaries would come from a range sample instead of
+    * the fixed first-char rule; the two-level shape is the same.)
+    * Neighborhood pairs come from TWO equi-joins on the rank group
+    * g = rk div window (same-group and adjacent-group — lossless for
+    * distance ≤ window by construction), never a range join; the
+    * verify re-joins shingles pair-scoped exactly like [[ppjoin]].
+    */
+  def sortedNeighborhood(docs: DataFrame, n: Int = 3, window: Int = 4,
+                         minJaccard: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, "neighborhood width")
+    val keyed = docs.select(col("doc_id"), lower(col("text")).as("k"))
+      .withColumn("__bucket", substring(col("k"), 1, 1))
+    val offsets = keyed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bn")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bn")
+    val within = Window.partitionBy(col("__bucket"))
+      .orderBy(col("k"), col("doc_id"))
+    val ranked = keyed
+      .join(broadcast(offsets), "__bucket")
+      .withColumn("rk", col("__boff") + row_number().over(within))
+      .select(col("doc_id"), col("rk"),
+        expr(s"rk div $window").as("g"))
+    val a = ranked.select(col("doc_id").as("id_a"), col("rk").as("ra"),
+      col("g"))
+    val b = ranked.select(col("doc_id").as("id_b"), col("rk").as("rb"),
+      col("g").as("gb"))
+    val cand = a.join(b, col("g") === col("gb"))
+      .unionByName(a.join(b, col("g") + 1 === col("gb")))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + window)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    val rows = shingleRows(docs, n)
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    cand
+      .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
+      .join(rows.as("rb"),
+        col("doc_b") === col("rb.doc_id") &&
+          col("ra.shingle") === col("rb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("nsh_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nsh_b")),
+        "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Recall self-evaluation of [[minhashLsh]] — the third leg of the
     * recall-audit family (edit-distance, SimHash, MinHash): every
     * TRUE pair at exact Jaccard ≥ `minJaccard` (from the all-pairs

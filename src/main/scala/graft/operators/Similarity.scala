@@ -205,6 +205,159 @@ object Similarity {
       struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
     }: _*)
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity-aware retrieval finisher: greedily
+    * pick m results that balance relevance to the query against
+    * redundancy with what is already picked,
+    * `argmax λ·cos(q,x) − (1−λ)·max_{s∈S} cos(x,s)`. The k-center
+    * dual with a relevance term: where [[kcenterSelect]] spreads over
+    * the corpus, MMR spreads over the query's neighborhood.
+    *
+    * Determinism & parity: λ-weighted score recomputed per round
+    * against the literal picked set (`greatest` = the oracle's
+    * incremental `greatest(prev, cos)` chain — max is associative and
+    * both engines compute the same a·x − b·y doubles), ties to the
+    * smallest vec_id.
+    *
+    * Scale shape: identical to [[kcenterSelect]] — m driver rounds of
+    * one corpus scan against ≤ m+1 literal vectors, single-row max
+    * aggregate, nothing corpus-sized collected. In production the
+    * corpus side would be the top-N candidates of a first-stage
+    * retriever; the operator is agnostic.
+    */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, m: Int,
+                lambda: Double): DataFrame = {
+    require(m >= 1 && m <= 64, "m is a driver-round count")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qRow = query
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(col("vec_id")).limit(1).head()
+    val qv = qRow.getSeq[Double](1).toArray
+    def cosTo(cv: Array[Double]): Column =
+      dot(col("v"), lit(cv)) / (norm(col("v")) * norm(lit(cv)))
+    var picked = List.empty[(Long, Array[Double], Double)]
+    while (picked.length < m) {
+      val rel = cosTo(qv)
+      val red =
+        if (picked.isEmpty) lit(0.0)
+        else if (picked.length == 1) cosTo(picked.head._2)
+        else greatest(picked.map(p => cosTo(p._2)): _*)
+      val score = lit(lambda) * rel - lit(1.0 - lambda) * red
+      val base =
+        if (picked.isEmpty) c
+        else c.filter(!col("vec_id").isin(picked.map(_._1): _*))
+      val best = base
+        .select(max(struct(score.as("s"), (-col("vec_id")).as("nid"),
+          col("v").as("v"))).as("b"))
+        .head().getStruct(0)
+      picked = picked :+ ((-best.getLong(1),
+        best.getSeq[Double](2).toArray, best.getDouble(0)))
+    }
+    picked.zipWithIndex.map { case ((id, _, s), i) =>
+      ((i + 1).toLong, id, s)
+    }.toDF("sel_round", "vec_id", "mmr_score")
+  }
+
+  /** NN-Descent k-NN graph construction (Dong, Charikar & Li,
+    * "Efficient k-nearest neighbor graph construction for generic
+    * similarity measures", WWW 2011) — the batch ancestor of every
+    * graph-based ANN index (HNSW's layer-0 shape). Start from a cheap
+    * capped per-IVF-cell seeding, then improve every node's list
+    * simultaneously with the paper's local-join rule: a node's new
+    * candidates are its neighbors' neighbors under the SYMMETRIC
+    * closure of the current graph; keep-best top-k after each round.
+    *
+    * Determinism & parity: every stage is rank-gated by
+    * (cos desc, id) or plain id order and every cosine is the same
+    * double fold on both engines, so a fixed `rounds` unroll is
+    * bit-reproducible (the rel_pagerank treatment — the oracle unrolls
+    * the identical rounds).
+    *
+    * Scale shape: no stage is quadratic in the corpus. Seeding joins
+    * each node against ≤ cap per-cell heads (cellsize·cap rows, the
+    * hot-bucket truncation idiom); each round's symmetric closure is
+    * ≤ 2nk edges, every middle node's incident list is rank-capped at
+    * cap = 2k before the wedge self-join, so candidates are ≤ 4nk²
+    * per round — linear in n — and the re-score joins vectors back by
+    * id (no vector ever rides a wedge row). Driver holds only the
+    * literal centroids.
+    */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int,
+               rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, "top-k size and a fixed round count")
+    val cent = collectVectors(centroids)
+    val cap = 2 * k
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val scoresArr = c.withColumn("scores_arr", cellScores(cent))
+      .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
+      .drop("scores_arr")
+    // soft assignment: each node seeds from its top-2 cells (the IVF
+    // probe rule on the corpus side — same trick as sim_neardup_cells)
+    val assigned = scoresArr
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(slice(col("cells"), 1, 2)).as("cell"))
+    val heads = scoresArr
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cells").getItem(0).as("cell"))
+      .withColumn("hr", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .filter(col("hr") <= cap)
+      .select(col("cell"), col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dn"))
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= k)
+    var edges = topk(
+      assigned.join(heads, Seq("cell"))
+        .filter(col("vec_id") =!= col("dst"))
+        .select(col("vec_id").as("src"), col("dst"),
+          (dot(col("v"), col("dv")) / (col("nrm") * col("dn")))
+            .as("cos_sim"))
+        .distinct())
+      .select(col("src"), col("dst"), col("cos_sim"))
+    for (_ <- 1 to rounds) {
+      val sym = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"),
+          col("cos_sim")))
+        .distinct()
+      // cap every incident list at the 2k CLOSEST neighbors (cos desc)
+      // — the best bridges carry the local join, per NN-Descent
+      val wMid = Window.partitionBy(col("src"))
+        .orderBy(col("cos_sim").desc, col("dst"))
+      val capped = sym
+        .withColumn("cr", row_number().over(wMid))
+        .filter(col("cr") <= cap)
+        .select(col("src").as("mid"), col("dst"))
+      val cand = capped.as("e1")
+        .join(capped.as("e2"), col("e1.mid") === col("e2.mid") &&
+          col("e1.dst") =!= col("e2.dst"))
+        .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+        .distinct()
+      val scored = cand
+        .join(c.select(col("vec_id").as("src"),
+          col("v").as("sv"), col("nrm").as("sn")), "src")
+        .join(c.select(col("vec_id").as("dst"),
+          col("v").as("dv"), col("nrm").as("dn")), "dst")
+        .select(col("src"), col("dst"),
+          (dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+            .as("cos_sim"))
+      // lineage truncation per round: the edge relation is nk rows of
+      // three scalars (never the corpus vectors), the SMALL-relation
+      // case where per-round checkpointing is the right discipline —
+      // without it the unrolled plan grows exponentially in rounds.
+      edges = topk(scored.union(edges).distinct())
+        .select(col("src"), col("dst"), col("cos_sim"))
+        .localCheckpoint(eager = false)
+    }
+    topk(edges).select(col("src").as("vec_id"), col("dst").as("nb_id"),
+      col("cos_sim"), col("rn"))
+  }
+
   /** Untrained codebook init (the k-means seed): codebook j = the j-th
     * sub-vectors of the centroid rows, code id = vec_id (dense 0..k−1
     * in every declared query). [[pqTrainBooks]] refines these; using

@@ -119,6 +119,35 @@ class PpjoinSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1.0)))
   }
 
+  test("sorted-neighborhood: adjacent sort-key near-dups found, window respected") {
+    // two docs sharing a long prefix sort adjacently and verify at
+    // jaccard 6/8... compute: 10 shared tokens -> shingles mostly common
+    val corpus = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "zzz completely different text here now okay fine sure")) ++
+      (10 to 29).map(i => (i.toLong, s"filler$i x$i y$i z$i w$i v$i")))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(corpus, 3, 4, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    // and the two-level distributed rank equals one global window:
+    // pairs found by the operator are found by the oracle rule — the
+    // full equality is the DuckDB gate; here pin window locality:
+    // a pair > window apart in sort order is never emitted even if
+    // identical (the documented SNM miss class)
+    // near-dups at jaccard 7/11 whose sort keys diverge at token 2,
+    // with 6 docs sorting strictly between them -> > 4 ranks apart
+    val far = (Seq(
+      (1L, "mmm aa common body one two three four five six seven"),
+      (99L, "mmm zz common body one two three four five six seven")) ++
+      (2 to 7).map(i => (i.toLong, s"mmm b$i separator text body qq rr ss tt uu")))
+      .toDF("doc_id", "text")
+    val farGot = Dedup.sortedNeighborhood(far, 3, 4, 0.6).collect()
+    assert(!farGot.exists(r => r.getLong(0) == 1L && r.getLong(1) == 99L),
+      "pairs beyond the window are the documented miss class")
+  }
+
   test("edit-distance pairs find planted near-duplicates inside blocks") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val corpus = Seq(
