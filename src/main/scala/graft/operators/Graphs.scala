@@ -79,13 +79,18 @@ object Graphs {
                        scale: Long = 1000000L): DataFrame = {
     // Fail loud on null/zero/negative weights (the seeds discipline of
     // personalizedPageRank): a bad weight would make wdeg null or zero
-    // and `rank div wdeg` propagate silent null ranks. limit(1) makes
-    // the check short-circuit at the first offending row.
-    val badW = edges.filter(col("weight").isNull || col("weight") <= 0)
-      .limit(1).count()
-    require(badW == 0L,
-      "pageRankWeighted requires strictly positive non-null weights")
-    val e = edges.select(col("src"), col("dst"), col("weight"))
+    // and `rank div wdeg` propagate silent null ranks. The check rides
+    // the weight projection INSIDE the first aggregate pass — a bad
+    // row throws from raise_error when the per-(src,dst) sum first
+    // scans it, so the clean path pays zero extra jobs (the eager
+    // pre-count this replaces scanned edges once per call even when
+    // every weight was fine).
+    val checkedW = when(col("weight").isNotNull && col("weight") > 0,
+        col("weight"))
+      .otherwise(raise_error(
+        lit("pageRankWeighted requires strictly positive non-null weights")))
+    val e = edges.select(col("src"), col("dst"),
+        checkedW.as("weight"))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("weight")).as("w"))
       .localCheckpoint(eager = false)

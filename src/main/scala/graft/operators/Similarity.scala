@@ -231,10 +231,18 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val qRow = query
+    // Fail loud on the query contract (the pageRankWeighted seeds
+    // discipline): MMR is defined against ONE query vector — silently
+    // taking the smallest-id row of a multi-row input would answer a
+    // different question, and an empty input has no answer at all.
+    // limit(2) bounds the check at two rows regardless of caller size.
+    val qRows = query
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .orderBy(col("vec_id")).limit(1).head()
-    val qv = qRow.getSeq[Double](1).toArray
+      .limit(2).collect()
+    require(qRows.length == 1,
+      s"mmrSelect expects exactly one query row, got " +
+        (if (qRows.isEmpty) "an empty query DataFrame" else "more than one"))
+    val qv = qRows.head.getSeq[Double](1).toArray
     def cosTo(cv: Array[Double]): Column =
       dot(col("v"), lit(cv)) / (norm(col("v")) * norm(lit(cv)))
     var picked = List.empty[(Long, Array[Double], Double)]

@@ -26,37 +26,6 @@ class KcenterSpec extends SparkSpec {
       emb.agg(min(col("vec_id"))).head.getLong(0), "seed = smallest vec_id")
   }
 
-  test("mmr: λ=1 reduces to pure relevance top-m") {
-    val q = emb.filter(col("vec_id") === 0)
-    val corpus = emb.filter(col("vec_id") =!= 0)
-    val mmr = graft.operators.Similarity.mmrSelect(corpus, q, 5, 1.0)
-      .collect().map(_.getLong(1)).toSet
-    val top = graft.operators.Similarity.bruteForceTopK(emb, q, 5)
-      .collect().map(_.getLong(1)).toSet
-    assert(mmr === top, "with no diversity term MMR is exact top-m")
-  }
-
-  test("mmr: a redundant twin of the best hit is skipped at low λ") {
-    import org.apache.spark.sql.Row
-    val dim = 64
-    def vec(main: Int, eps: Float): Seq[Float] = {
-      val v = Array.fill(dim)(0.0f); v(main) = 1.0f; v(main + 1) = eps
-      v.toSeq
-    }
-    val rows = Seq(
-      (0L, vec(0, 0.0f)),   // query
-      (1L, vec(0, 0.01f)),  // best hit
-      (2L, vec(0, 0.02f)),  // near-twin of the best hit
-      (3L, vec(8, 0.01f)))  // diverse, low-relevance
-      .toDF("vec_id", "embedding")
-    val got = graft.operators.Similarity
-      .mmrSelect(rows.filter(col("vec_id") =!= 0),
-        rows.filter(col("vec_id") === 0), 2, 0.5)
-      .collect().map(_.getLong(1)).toSeq
-    assert(got === Seq(1L, 3L),
-      "the twin (2) must lose to the diverse pick (3) at λ=0.5")
-  }
-
   test("planted clusters: the first m picks cover every cluster once") {
     val dim = 64
     val rows = (0 until 30).map { i =>

@@ -71,14 +71,22 @@ class GraphsSpec extends SparkSpec {
     val got2 = graft.operators.Graphs.pageRankWeighted(dup, 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got2 === got)
-    // bad weights fail loud instead of propagating null ranks
+    // bad weights fail loud instead of propagating null ranks — the
+    // check rides the first aggregate pass (raise_error in the weight
+    // projection), so it surfaces as a Spark execution failure whose
+    // cause chain carries the message, and the clean path above paid
+    // no extra validation job
     for (w <- Seq(Some(0L), Some(-2L), None)) {
       val bad = Seq(("a", "b", w), ("a", "c", Some(1L)))
         .toDF("src", "dst", "weight")
-      val ex = intercept[IllegalArgumentException] {
-        graft.operators.Graphs.pageRankWeighted(bad, 1)
+      val ex = intercept[Throwable] {
+        graft.operators.Graphs.pageRankWeighted(bad, 1).collect()
       }
-      assert(ex.getMessage.contains("positive"))
+      val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .toSeq
+      assert(messages.exists(_.contains("positive")),
+        s"cause chain must carry the weight contract: $messages")
     }
   }
 
