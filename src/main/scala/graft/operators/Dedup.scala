@@ -1230,35 +1230,18 @@ object Dedup {
     *
     * Scale design: the global rank is NOT a single-reducer window —
     * it is the two-level [[graft.operators.TextAnalysis]] prefix-sum
-    * shape: deterministic first-char key buckets give per-bucket
-    * counts (a tiny relation whose running sum is a cheap window),
-    * broadcast back so each within-bucket rank window is bucket-
-    * bounded; bucket-prefix ordering makes the composed rank
-    * bit-identical to the oracle's one global ROW_NUMBER. (At 100 TB
-    * the bucket boundaries would come from a range sample instead of
-    * the fixed first-char rule; the two-level shape is the same.)
-    * Neighborhood pairs come from TWO equi-joins on the rank group
-    * g = rk div window (same-group and adjacent-group — lossless for
-    * distance ≤ window by construction), never a range join; the
-    * verify re-joins shingles pair-scoped exactly like [[ppjoin]].
+    * shape with RANGE-SAMPLED bucket boundaries (see [[snGlobalRank]];
+    * a fixed key-prefix rule would collapse a shared-boilerplate
+    * corpus into one bucket = one reducer). Neighborhood pairs come
+    * from TWO equi-joins on the rank group g = rk div window
+    * (same-group and adjacent-group — lossless for distance ≤ window
+    * by construction), never a range join; the verify re-joins
+    * shingles pair-scoped exactly like [[ppjoin]].
     */
   def sortedNeighborhood(docs: DataFrame, n: Int = 3, window: Int = 4,
                          minJaccard: Double = 0.6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(window >= 1, "neighborhood width")
-    val keyed = docs.select(col("doc_id"), lower(col("text")).as("k"))
-      .withColumn("__bucket", substring(col("k"), 1, 1))
-    val offsets = keyed.groupBy(col("__bucket"))
-      .agg(count(lit(1)).as("__bn"))
-      .withColumn("__boff", coalesce(
-        sum(col("__bn")).over(Window.orderBy(col("__bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__bn")
-    val within = Window.partitionBy(col("__bucket"))
-      .orderBy(col("k"), col("doc_id"))
-    val ranked = keyed
-      .join(broadcast(offsets), "__bucket")
-      .withColumn("rk", col("__boff") + row_number().over(within))
+    val ranked = snGlobalRank(docs)
       .select(col("doc_id"), col("rk"),
         expr(s"rk div $window").as("g"))
     val a = ranked.select(col("doc_id").as("id_a"), col("rk").as("ra"),
@@ -1288,6 +1271,60 @@ object Dedup {
           (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Distributed global ROW_NUMBER over (lower(text), doc_id) — the
+    * two-level rank behind [[sortedNeighborhood]]. Buckets come from
+    * `repartitionByRange` on the FULL (k, doc_id) sort key: the range
+    * exchange reservoir-samples the actual keys for its boundaries
+    * (Spark's RangePartitioner), so a corpus where every document
+    * shares a long boilerplate prefix still splits across buckets —
+    * the failure mode of any fixed key-prefix rule. Partition ids are
+    * monotone in the range order, so bucket-prefix counts + a
+    * within-bucket ROW_NUMBER over (k, doc_id) compose to exactly the
+    * oracle's one global ROW_NUMBER; the final rank is invariant to
+    * WHICH boundaries the sample picked, which is why a sampled rule
+    * can sit under a bit-exact cross-engine gate at all.
+    *
+    * The within-bucket rank is NOT a second window over the text: the
+    * range exchange already leaves every partition holding exactly one
+    * bucket, so `sortWithinPartitions(k, doc_id)` followed by
+    * `monotonically_increasing_id()` (partition id in the high bits,
+    * physical row offset in the low 33 — the zipWithIndex idiom;
+    * nondeterministic, so the optimizer cannot reorder it below the
+    * sort) yields the bucket id and the within-bucket ROW_NUMBER in
+    * the SAME pass, with zero additional shuffle of the text.
+    *
+    * The ranked relation is lazily localCheckpoint-ed because TWO
+    * consumers read it (the per-bucket counts and the final join):
+    * without pinning, each consumer re-executes the range exchange,
+    * RangePartitioner re-samples per execution, and offsets from one
+    * sampling composed with local ranks from another would corrupt
+    * the rank. One-shot materialization (MEMORY_AND_DISK, spills),
+    * not the per-round accumulation the textrank notes warn about.
+    */
+  private[graft] def snGlobalRank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = math.max(1, docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    val keyed = docs.select(col("doc_id"), lower(col("text")).as("k"))
+      .repartitionByRange(parts, col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__bucket", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__lrk",
+        col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("__mid")
+      .localCheckpoint(eager = false)
+    val offsets = keyed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bn")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bn")
+    keyed.join(broadcast(offsets), "__bucket")
+      .withColumn("rk", col("__boff") + col("__lrk"))
+      .select(col("doc_id"), col("k"), col("rk"), col("__bucket"))
   }
 
   /** Recall self-evaluation of [[minhashLsh]] — the third leg of the

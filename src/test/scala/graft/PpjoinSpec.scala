@@ -148,6 +148,46 @@ class PpjoinSpec extends SparkSpec {
       "pairs beyond the window are the documented miss class")
   }
 
+  test("snGlobalRank: a shared-prefix corpus still splits across buckets, " +
+    "and the composed rank equals one global window") {
+    import org.apache.spark.sql.expressions.Window
+    // every document opens with the same 2000-char boilerplate — the
+    // corpus shape that collapses any fixed key-prefix bucket rule
+    // (r11's first-char buckets) into a single reducer; range-sampled
+    // boundaries compare FULL keys and must still spread the rows
+    val prefix = "x" * 2000
+    val docs = (0 until 400).map { i =>
+      (i.toLong, prefix + f" tail ${(i * 7919) % 100000}%05d body aaa bbb")
+    }.toDF("doc_id", "text")
+    val ranked = Dedup.snGlobalRank(docs)
+    val nBuckets = ranked.select(col("__bucket")).distinct().count()
+    assert(nBuckets > 1,
+      s"range-sampled boundaries must split a shared-prefix corpus, got $nBuckets bucket(s)")
+    val reference = docs
+      .select(col("doc_id"), lower(col("text")).as("k"))
+      .withColumn("rk_ref", row_number()
+        .over(Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rk_ref"))
+    val mismatches = ranked.select(col("doc_id"), col("rk"))
+      .join(reference, "doc_id")
+      .filter(col("rk") =!= col("rk_ref")).count()
+    assert(mismatches === 0L,
+      "two-level rank must equal the single global ROW_NUMBER")
+  }
+
+  test("sortedNeighborhood finds a planted near-dup pair under a shared prefix") {
+    val prefix = "y" * 2000
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, prefix + f" tail ${i * 137}%05d body aaa bbb ccc ddd")
+    } :+ (900L, prefix + " tail 99999 body aaa bbb ccc ddd")
+      :+ (901L, prefix + " tail 99999 body aaa bbb ccc dzz"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(docs, 3, 4, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((900L, 901L)),
+      "adjacent-in-sort near-dups must be found; spread tails must not pair")
+  }
+
   test("edit-distance pairs find planted near-duplicates inside blocks") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val corpus = Seq(
