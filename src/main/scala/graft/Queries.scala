@@ -5039,6 +5039,53 @@ object Queries {
     b.toString
   }
 
+  /** Unrolled greedy best-first graph search as oracle CTEs — the SQL
+    * twin of `Similarity.graphTopKAtRest` over a
+    * `graphWriteAtRest(emb, cent(vec_id<8), k, gRounds)` layout:
+    * adjacency = the [[knnGraphOracle]] edge table; each query enters
+    * at its top-1 cell's first `beam` heads (the stored head rule),
+    * then `sRounds` rounds of expand-top-beam-through-adjacency,
+    * score, set-union. Every rank is (cos DESC, id), every cosine the
+    * same double fold, so the walk replays bit-identically; the
+    * at-rest form's correctness claim is exactly that bucket-pruned
+    * stored reads reproduce this unpruned recomputation.
+    */
+  private def graphSearchOracle(k: Int, gRounds: Int, beam: Int,
+                                sRounds: Int): String = {
+    val b = new StringBuilder(
+      s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |adj AS MATERIALIZED (SELECT vec_id AS src, nb_id AS dst FROM (${knnGraphOracle(k, gRounds)})),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+         |qsc AS (SELECT q_id, c_id, list_sum([qv[i+1]*cv[i+1] for i in range(64)]) AS cd FROM q, cent),
+         |qcell AS (SELECT q_id, c_id AS cell FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, c_id) AS rn FROM qsc) WHERE rn = 1),
+         |csc AS (SELECT c.vec_id, c_id, list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+         |hcell AS (SELECT vec_id, c_id AS cell FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM csc) WHERE rn = 1),
+         |heads AS (SELECT cell, vec_id FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS hr FROM hcell) WHERE hr <= $beam),
+         |v0 AS MATERIALIZED (SELECT DISTINCT qc.q_id, h.vec_id, ${duckCosine("x.v", "q.qv")} AS cos_sim
+         |   FROM qcell qc JOIN heads h USING (cell) JOIN c x ON x.vec_id = h.vec_id
+         |   JOIN q ON q.q_id = qc.q_id WHERE h.vec_id <> qc.q_id)""".stripMargin)
+    for (r <- 1 to sRounds) {
+      val p = s"v${r - 1}"
+      b ++= s""",
+               |f$r AS (SELECT q_id, vec_id FROM (
+               |   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM $p) WHERE rn <= $beam),
+               |nb$r AS (SELECT DISTINCT f.q_id, a.dst AS vec_id
+               |   FROM f$r f JOIN adj a ON a.src = f.vec_id WHERE a.dst <> f.q_id),
+               |sc$r AS (SELECT n.q_id, n.vec_id, ${duckCosine("x.v", "q.qv")} AS cos_sim
+               |   FROM nb$r n JOIN c x ON x.vec_id = n.vec_id JOIN q ON q.q_id = n.q_id),
+               |v$r AS MATERIALIZED (SELECT DISTINCT * FROM (SELECT * FROM $p UNION ALL SELECT * FROM sc$r))""".stripMargin
+    }
+    b ++= s"""
+             |SELECT q_id, vec_id, cos_sim, rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM v$sRounds)
+             |WHERE rn <= $k""".stripMargin
+    b.toString
+  }
+
   /** Unrolled MMR (Carbonell & Goldstein 1998) as oracle CTEs — the
     * SQL twin of `Similarity.mmrSelect(corpus = emb except q, query =
     * vec 0, m, λ)`. Running redundancy red = incremental greatest
@@ -5234,6 +5281,67 @@ object Queries {
               |FROM truth t LEFT JOIN approx a
               |  ON t.vec_id = a.vec_id AND t.nb_id = a.nb_id
               |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin)),
+
+    // Serving from the NN-Descent graph — the vector-store capstone:
+    // the k-NN graph, the node vectors, and the per-cell entry heads
+    // are materialized AT REST (bucket-partitioned parquet), then a
+    // fixed-round greedy best-first walk answers the query batch by
+    // bucket-pruned reads alone — the corpus relation is never
+    // scanned (plan-pinned in PlanShapeSpec). The oracle replays the
+    // identical walk over the unrolled NN-Descent edge table.
+    "sim_topk_graph" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val path = s"target/atrest/graph-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.graphWriteAtRest(e, e.filter(col("vec_id") < 8),
+          10, 3, path)
+        Similarity.graphTopKAtRest(s, path, e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") < 8), beam = 8, rounds = 2, k = 10)
+      },
+      Some(graphSearchOracle(10, 3, 8, 2))),
+
+    // Recall@10 of the graph walk against the brute-force truth, per
+    // query — what the beam/rounds knobs buy (read next to
+    // sim_ivf_recall and sim_knn_graph_recall: index quality vs WALK
+    // quality are different losses; a perfect graph still misses when
+    // the walk's entry cell is wrong).
+    "sim_graph_recall" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val path =
+          s"target/atrest/graphrc-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.graphWriteAtRest(e, e.filter(col("vec_id") < 8),
+          10, 3, path)
+        val truth = Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity
+          .graphTopKAtRest(s, path, e.filter(col("vec_id") < 10),
+            e.filter(col("vec_id") < 8), beam = 8, rounds = 2, k = 10)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        truth.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+          .withColumn("recall_at_k",
+            col("hits").cast("double") / col("k"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |bs AS (SELECT q_id, vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |       FROM c, q WHERE vec_id <> q_id),
+              |truth AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
+              |  WHERE rn <= 10),
+              |approx AS (SELECT q_id, vec_id FROM (${graphSearchOracle(10, 3, 8, 2)}))
+              |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+              |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+              |FROM truth t LEFT JOIN approx a
+              |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+              |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
 
     // Maximal Marginal Relevance (Carbonell & Goldstein SIGIR'98):
     // 8 results for query vector 0 balancing relevance against
@@ -6069,5 +6177,12 @@ object Queries {
     // foundation), and the sorted-neighborhood dedup (two-level
     // distributed rank + windowed candidate joins + pair-scoped
     // verify — a new global-order shape in the headline set)
-    "sim_knn_graph", "dedup_sorted_neighborhood")
+    "sim_knn_graph", "dedup_sorted_neighborhood",
+    // round-12 addition: the graph-ANN SERVING story end-to-end —
+    // build the NN-Descent index, materialize adjacency + nodes +
+    // entry heads bucket-partitioned at rest, then answer the query
+    // batch with a fixed-round greedy walk over bucket-pruned reads
+    // (build + write costs are part of the operator, the
+    // sim_topk_ivf_atrest pricing discipline)
+    "sim_topk_graph")
 }

@@ -366,6 +366,175 @@ object Similarity {
       col("cos_sim"), col("rn"))
   }
 
+  /** Materialize the [[knnGraph]] index AT REST — the serving layout
+    * of a graph-based vector store (HNSW layer 0 in its batch
+    * adaptation): three parquet relations under `path`:
+    *  - `adj`  — the k-NN edges (src, dst), partitioned by
+    *    `bucket = pmod(src, buckets)` so a search round's neighbor
+    *    expansion prunes to its frontier's buckets at the FILE level;
+    *  - `nodes` — (vec_id, embedding), partitioned by
+    *    `pmod(vec_id, buckets)` — the one place vectors live; a
+    *    search scores candidates by pruned point-ish lookups here and
+    *    NEVER scans the corpus relation;
+    *  - `heads` — the per-IVF-cell entry points (cell, vec_id, hr),
+    *    the same capped head rule [[knnGraph]] seeds from — a query
+    *    enters the graph at its nearest cell's first `hr` nodes.
+    *
+    * Modulo (not range) bucketing on purpose: ids are assigned
+    * arbitrarily, pmod spreads them uniformly, and a search round's
+    * frontier is a SET of ids (no range locality to exploit), so
+    * uniform buckets minimize the worst-case files-per-probe.
+    */
+  def graphWriteAtRest(corpus: DataFrame, centroids: DataFrame, k: Int,
+                       rounds: Int, path: String,
+                       buckets: Int = 64): Unit = {
+    val cent = collectVectors(centroids)
+    val cap = 2 * k
+    knnGraph(corpus, centroids, k, rounds)
+      .select(col("vec_id").as("src"), col("nb_id").as("dst"))
+      .withColumn("bucket",
+        pmod(col("src"), lit(buckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/adj")
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket",
+        pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/nodes")
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scores_arr", cellScores(cent))
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .withColumn("hr", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .filter(col("hr") <= cap)
+      .select(col("cell"), col("vec_id"), col("hr"))
+      .write.mode("overwrite").parquet(s"$path/heads")
+  }
+
+  /** The pruned adjacency read of one search round: bucket isin
+    * (partition/file-level pruning) + src isin (row-level). Split out
+    * so its plan shape is pinnable independently of the driver loop.
+    */
+  private[graft] def graphAdjPruned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      srcIds: Seq[Long], buckets: Int): DataFrame = {
+    val bks = srcIds.map(id => (((id % buckets) + buckets) % buckets).toInt)
+      .distinct.sorted
+    spark.read.parquet(s"$path/adj")
+      .filter(col("bucket").isin(bks.map(Integer.valueOf): _*) &&
+        col("src").isin(srcIds.map(java.lang.Long.valueOf): _*))
+      .select(col("src"), col("dst"))
+  }
+
+  /** Greedy best-first search over a [[graphWriteAtRest]] layout — the
+    * serving half of the NN-Descent index (the HNSW layer-0 walk,
+    * batched): every query enters at its nearest IVF cell's stored
+    * head nodes, then for a fixed number of rounds expands its current
+    * top-`beam` candidates through the stored adjacency, scores the
+    * neighbors, and keeps the accumulated candidate set; final answer
+    * is the top-k of everything scored. All queries advance
+    * SIMULTANEOUSLY (the [[knnGraph]] treatment), one Spark job per
+    * round.
+    *
+    * Determinism & parity: every rank is (cos desc, vec_id), every
+    * cosine the same double fold, the candidate set evolves by
+    * set-union + distinct — so a fixed `rounds` unroll is
+    * bit-reproducible and the oracle replays the identical walk.
+    *
+    * Scale shape — the corpus is NEVER scanned: per round the frontier
+    * (≤ |queries|·beam ids, driver-bounded by the ≤4096 anchor rule)
+    * prunes the adjacency read to its buckets, the ≤ frontier·k
+    * neighbor ids prune the node read to THEIR buckets, and scoring
+    * joins those pruned rows against the broadcast query table.
+    * Driver state is candidate IDs only (≤ queries·beam·k per round) —
+    * never vectors, never corpus-sized. Candidate relations are
+    * per-round lazily checkpointed (the small-relation discipline).
+    */
+  def graphTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queries: DataFrame,
+                      centroids: DataFrame, beam: Int, rounds: Int,
+                      k: Int, buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val cent = collectVectors(centroids)
+    val qdf = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+      .localCheckpoint(eager = false)
+    val qIds = qdf.select(col("q_id")).collect().map(_.getLong(0))
+    require(qIds.length <= 4096, s"query set too large: ${qIds.length}")
+    require(beam >= 1 && beam <= 2 * k,
+      "beam must fit the stored per-cell head cap (2k)")
+
+    // score a literal (q_id, vec_id) candidate list: nodes pruned to
+    // the candidates' buckets + ids, broadcast-joined to the pairs and
+    // the query table — the only place vectors are read, and never
+    // more than |pairs| of them
+    def scorePairs(pairs: Seq[(Long, Long)]): DataFrame = {
+      val ids = pairs.map(_._2).distinct
+      val bks = ids.map(id => (((id % buckets) + buckets) % buckets).toInt)
+        .distinct.sorted
+      val nodes = spark.read.parquet(s"$path/nodes")
+        .filter(col("bucket").isin(bks.map(Integer.valueOf): _*) &&
+          col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("c_nrm", norm(col("v")))
+      nodes
+        .join(broadcast(pairs.toDF("q_id", "vec_id")), Seq("vec_id"))
+        .join(broadcast(qdf), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("q_vec"), col("v")) / (col("q_nrm") * col("c_nrm")))
+            .as("cos_sim"))
+    }
+
+    // entry points: each query's nearest cell (argmax dot, smallest
+    // c_id tie) -> the first `beam` stored heads of that cell
+    val qCells = qdf
+      .select(col("q_id"), col("q_vec").as("v"))
+      .withColumn("scores_arr", cellScores(cent))
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .select(col("q_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val headRows = spark.read.parquet(s"$path/heads")
+      .filter(col("cell").isin(
+        qCells.map(_._2).distinct.sorted.map(Integer.valueOf): _*) &&
+        col("hr") <= beam)
+      .select(col("cell"), col("vec_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val headsByCell = headRows.groupBy(_._1)
+    val seedPairs = qCells.flatMap { case (q, cell) =>
+      headsByCell.getOrElse(cell, Array.empty[(Int, Long)])
+        .map(_._2).filter(_ != q).map(id => (q, id))
+    }.toSeq.distinct
+
+    var visited = scorePairs(seedPairs).distinct()
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    for (r <- 1 to rounds) {
+      // per-round lineage pin EXCEPT the last union, so the returned
+      // plan still carries the final round's pruned scans (pinnable)
+      val pinned = visited.localCheckpoint(eager = false)
+      val frontier = pinned
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beam)
+        .select(col("q_id"), col("vec_id"))
+        .collect().map(row => (row.getLong(0), row.getLong(1)))
+      val fPairs = frontier.toSeq.toDF("q_id", "src")
+      val candPairs = graphAdjPruned(spark, path,
+          frontier.map(_._2).distinct.toSeq, buckets)
+        .join(broadcast(fPairs), Seq("src"))
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst"))
+        .distinct()
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+      visited =
+        if (candPairs.isEmpty) pinned
+        else pinned.unionByName(scorePairs(candPairs)).distinct()
+    }
+    visited.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** Untrained codebook init (the k-means seed): codebook j = the j-th
     * sub-vectors of the centroid rows, code id = vec_id (dense 0..k−1
     * in every declared query). [[pqTrainBooks]] refines these; using

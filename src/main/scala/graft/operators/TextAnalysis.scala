@@ -1451,8 +1451,13 @@ object TextAnalysis {
     *    exchange-free (their keys contain the partitioning keys),
     *    the per-doc node count rides a doc-keyed window at the same
     *    width (never a broadcast — a one-row-per-document table
-    *    grows with the corpus), and the contribution aggregate
-    *    re-shuffles at the same bounded width.
+    *    grows with the corpus), and the contribution aggregate is a
+    *    BARE groupBy so its partial HashAggregate combines per
+    *    (doc_id, dst) map-side within the join's `parts` tasks —
+    *    only node-grain combined rows ride its exchange, never the
+    *    raw pair-grain contribution stream (measured: the explicit
+    *    repartition-then-aggregate form shipped all 53M pair rows at
+    *    sf10 and spilled; see SCALING_r10's 11.98× decade-2 residual).
     */
   def textrank(docs: DataFrame, iters: Int = 3, k: Int = 3,
                scale: Long = 1000000L,
@@ -1496,13 +1501,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"),
         expr(s"${scale}L div n").as("rank"))
     for (_ <- 1 to iters) {
+      // NO repartition before this aggregate (r11 shape): an explicit
+      // exchange directly under groupBy ships every RAW (doc, src→dst)
+      // contribution row — 53M rows spilling at the synthesized sf10
+      // was the suite's steepest curve. A bare groupBy plans
+      // HashAggregate(partial) BELOW its exchange, so contributions to
+      // the same (doc_id, dst) combine MAP-SIDE inside the join's
+      // bounded `parts` tasks and only the combined rows shuffle; the
+      // final aggregate's width is the session setting, whose per-task
+      // state is node-sized (post-combine), not pair-sized.
       val contribs = edges
         .join(ranks.select(col("doc_id"), col("word").as("src"), col("rank")),
           Seq("doc_id", "src"))
         .join(deg, Seq("doc_id", "src"))
         .select(col("doc_id"), col("dst").as("word"),
           expr("rank div deg").as("c"))
-        .repartition(parts, col("doc_id"), col("word"))
         .groupBy(col("doc_id"), col("word"))
         .agg(sum(col("c")).as("inr"))
       ranks = nodesN

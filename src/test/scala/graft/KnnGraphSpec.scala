@@ -75,4 +75,46 @@ class KnnGraphSpec extends SparkSpec {
     assert(cross === 0L,
       "top-3 neighbors of every node must come from its own cluster")
   }
+
+  test("graph serving: deterministic walk, dense ranks, no self hits") {
+    val path = "target/atrest/graph-servespec"
+    Similarity.graphWriteAtRest(emb, cent, 10, 2, path)
+    def run() = Similarity.graphTopKAtRest(spark, path,
+        emb.filter(col("vec_id") < 5), cent, beam = 6, rounds = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4))
+    val a = run(); val b = run()
+    assert(a.toSeq === b.toSeq, "the fixed-round walk must be reproducible")
+    assert(!a.exists(t => t._1 == t._2), "query must never hit itself")
+    val perQ = a.groupBy(_._1)
+    assert(perQ.size === 5)
+    perQ.foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq,
+        s"dense ranks per query $q")
+      val sims = rows.sortBy(_._4).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (x, y) => y <= x },
+        s"ranked by cosine desc for query $q")
+    }
+  }
+
+  test("graph serving: expansion rounds beat the entry points alone") {
+    val path = "target/atrest/graph-servespec2"
+    Similarity.graphWriteAtRest(emb, cent, 10, 2, path)
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .select(col("q_id"), col("vec_id"))
+    def recall(rounds: Int): Double = {
+      val g = Similarity.graphTopKAtRest(spark, path, q, cent,
+          beam = 8, rounds = rounds, k = 10)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      truth.join(g, Seq("q_id", "vec_id"), "left")
+        .agg(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)))
+        .head.getDouble(0)
+    }
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 > r0,
+      s"two expansion rounds must beat seeds-only recall ($r0 -> $r2)")
+    assert(r2 > 0.5, s"walk recall@10 should exceed 0.5, got $r2")
+  }
 }

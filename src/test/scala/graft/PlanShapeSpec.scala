@@ -470,6 +470,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(atRest === direct)
   }
 
+  test("graph-ANN serving never scans the corpus: bucket-pruned at-rest reads only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.core.Tables.read(spark, sf, "embeddings")
+    val path = "target/atrest/graph-planshape"
+    Similarity.graphWriteAtRest(e, e.filter(col("vec_id") < 8), 10, 1, path)
+    val df = Similarity.graphTopKAtRest(spark, path,
+      e.filter(col("vec_id") < 2), e.filter(col("vec_id") < 8),
+      beam = 4, rounds = 1, k = 10)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "final round's pruned scans missing from plan")
+    // every file scan in the returned plan reads the at-rest layout —
+    // the corpus parquet (embeddings) never appears: queries are a
+    // checkpointed literal-sized relation, vectors come from `nodes`
+    scans.foreach { s =>
+      val roots = s.relation.location.rootPaths.map(_.toString)
+      assert(roots.forall(_.contains("graph-planshape")),
+        s"non-at-rest scan in serving plan: $roots")
+      assert(s.partitionFilters.exists(_.toString.contains("bucket")),
+        s"no bucket PartitionFilter: ${s.partitionFilters}")
+      val static = s.partitionFilters
+        .filterNot(_.toString.contains("dynamicpruning"))
+      val all = s.relation.location.listFiles(Nil, Nil).length
+      val pruned = s.relation.location.listFiles(static, Nil).length
+      assert(pruned < all,
+        s"bucket filter prunes nothing: $pruned of $all files")
+    }
+    // the adjacency expansion read is equally pruned (it is collected
+    // inside the driver loop, so pin its shape directly)
+    val adj = Similarity.graphAdjPruned(spark, path, Seq(3L, 7L), 64)
+    val aScans = adj.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(aScans.nonEmpty)
+    val aScan = aScans.head
+    assert(aScan.partitionFilters.exists(_.toString.contains("bucket")))
+    val aStatic = aScan.partitionFilters
+      .filterNot(_.toString.contains("dynamicpruning"))
+    assert(aScan.relation.location.listFiles(aStatic, Nil).length <= 2,
+      "2 frontier ids must prune to <= 2 bucket directories")
+  }
+
   test("at-rest IVFPQ layout prunes cells AND carries only code columns") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col
