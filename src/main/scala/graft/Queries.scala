@@ -5368,6 +5368,38 @@ object Queries {
       (s, d) => Similarity.kcenterSelect(emb(s, d), 8),
       Some(kcenterOracle(8))),
 
+    // k-center over the at-rest IVF layout with EXACT triangle-
+    // inequality cell pruning (ball-tree bounds on the cell
+    // directories): bit-identical to sim_kcenter_select — the SAME
+    // oracle gates both, which is precisely the claim (pruned cells
+    // provably hold neither the argmax nor any tie).
+    "sim_kcenter_atrest" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val path = s"target/atrest/kc-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.ivfWriteAtRest(e, e.filter(col("vec_id") < 8), path)
+        Similarity.ivfWriteCellStats(s, path, e.filter(col("vec_id") < 8))
+        Similarity.kcenterSelectAtRest(s, path, e.filter(col("vec_id") < 8), 8)
+      },
+      Some(kcenterOracle(8))),
+
+    // MMR over the same layout: relevance upper bound + redundancy
+    // lower bound per cell, same exactness argument, same oracle as
+    // sim_mmr_select.
+    "sim_mmr_atrest" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val path = s"target/atrest/mmr-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val corpus = e.filter(col("vec_id") =!= 0)
+        Similarity.ivfWriteAtRest(corpus, e.filter(col("vec_id") < 8), path)
+        Similarity.ivfWriteCellStats(s, path, e.filter(col("vec_id") < 8))
+        Similarity.mmrSelectAtRest(s, path, e.filter(col("vec_id") === 0),
+          e.filter(col("vec_id") < 8), 8, 0.7)
+      },
+      Some(mmrOracle(8, 0.7))),
+
     "sim_neardup_cosine" -> Decl(
       (s, d) => Similarity.nearDupPairs(emb(s, d), 0.35),
       Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)

@@ -243,16 +243,9 @@ object Similarity {
       s"mmrSelect expects exactly one query row, got " +
         (if (qRows.isEmpty) "an empty query DataFrame" else "more than one"))
     val qv = qRows.head.getSeq[Double](1).toArray
-    def cosTo(cv: Array[Double]): Column =
-      dot(col("v"), lit(cv)) / (norm(col("v")) * norm(lit(cv)))
     var picked = List.empty[(Long, Array[Double], Double)]
     while (picked.length < m) {
-      val rel = cosTo(qv)
-      val red =
-        if (picked.isEmpty) lit(0.0)
-        else if (picked.length == 1) cosTo(picked.head._2)
-        else greatest(picked.map(p => cosTo(p._2)): _*)
-      val score = lit(lambda) * rel - lit(1.0 - lambda) * red
+      val score = mmrScoreCol(qv, picked.map(_._2), lambda)
       val base =
         if (picked.isEmpty) c
         else c.filter(!col("vec_id").isin(picked.map(_._1): _*))
@@ -1246,11 +1239,7 @@ object Similarity {
     var picked = List[(Long, Array[Double], Option[Double])](
       (seedRow.getLong(0), seedRow.getSeq[Double](1).toArray, None))
     while (picked.length < m) {
-      val sims = picked.map { case (_, cv, _) =>
-        dot(col("v"), lit(cv)) / (norm(col("v")) * norm(lit(cv)))
-      }
-      val mind = lit(1.0) -
-        (if (sims.length == 1) sims.head else greatest(sims: _*))
+      val mind = kcMindCol(picked.map(_._2))
       val best = c
         .filter(!col("vec_id").isin(picked.map(_._1): _*))
         .select(max(struct(mind.as("mind"), (-col("vec_id")).as("nid"),
@@ -1262,6 +1251,240 @@ object Similarity {
     picked.zipWithIndex.map { case ((id, _, d), i) =>
       ((i + 1).toLong, id, d)
     }.toDF("sel_round", "vec_id", "dist")
+  }
+
+  /** cos(v, literal center) — THE scoring fold shared verbatim by the
+    * scan-time and at-rest selection variants (and mirrored by the
+    * oracles), so the two paths cannot drift a bit.
+    */
+  private def cosToLit(cv: Array[Double]): Column =
+    dot(col("v"), lit(cv)) / (norm(col("v")) * norm(lit(cv)))
+
+  /** k-center round score: 1 − max cos against the picked centers. */
+  private def kcMindCol(centers: Seq[Array[Double]]): Column = {
+    val sims = centers.map(cosToLit)
+    lit(1.0) - (if (sims.length == 1) sims.head else greatest(sims: _*))
+  }
+
+  /** MMR round score: λ·cos(q, x) − (1−λ)·max cos(x, picked). */
+  private def mmrScoreCol(qv: Array[Double], picked: Seq[Array[Double]],
+                          lambda: Double): Column = {
+    val rel = cosToLit(qv)
+    val red =
+      if (picked.isEmpty) lit(0.0)
+      else if (picked.length == 1) cosToLit(picked.head)
+      else greatest(picked.map(cosToLit): _*)
+    lit(lambda) * rel - lit(1.0 - lambda) * red
+  }
+
+  private def unitize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v.map(_ => 0.0) else v.map(_ / n)
+  }
+
+  private def eucl(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Per-cell pruning statistics over an [[ivfWriteAtRest]] layout:
+    * member count and RADIUS — the max unit-sphere euclidean distance
+    * from a member to its (normalized) cell centroid, r_c =
+    * max_x ‖x̂ − ĉ̂‖ = max_x √(2 − 2·cos(x, c)). One scan at write
+    * time, stored as a SIBLING of the layout (`<path>-cellstats` —
+    * inside it the nested dir would corrupt the layout's partition
+    * discovery); the tiny (|cells|-row) output is what lets the at-rest
+    * selection operators prune whole cell directories EXACTLY (the
+    * ball-tree / Hjaltason–Samet metric bound applied to the IVF
+    * directory layout).
+    */
+  def ivfWriteCellStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String, centroids: DataFrame): Unit = {
+    import spark.implicits._
+    val cent = collectVectors(centroids)
+    val centDf = broadcast(cent.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell", "cv"))
+    spark.read.parquet(path)
+      .select(col("cell"), asDouble(col("embedding")).as("v"))
+      .join(centDf, Seq("cell"))
+      .select(col("cell"),
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
+          (dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))))
+          .as("d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("members"), max(col("d")).as("radius"))
+      .write.mode("overwrite").parquet(s"$path-cellstats")
+  }
+
+  /** A cell-pruned read of an [[ivfWriteAtRest]] layout (the literal
+    * isin filter rides the parquet scan as a PartitionFilter). Split
+    * out so the selection operators' per-round scan shape is pinnable.
+    */
+  private[graft] def ivfCellsScan(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, cells: Seq[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells.sorted.map(Integer.valueOf): _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** [[kcenterSelect]] over an [[ivfWriteAtRest]] +
+    * [[ivfWriteCellStats]] layout, with EXACT cell pruning — results
+    * are bit-identical to the scan-time operator (the same
+    * [[kcMindCol]] fold, the same (mind, −id) argmax; the oracle that
+    * gates one gates both).
+    *
+    * Why pruning can be exact at all: on the unit sphere the cosine
+    * distance is d²/2 for the euclidean d, and the triangle
+    * inequality gives every member x of a cell with centroid ĉ and
+    * radius r:  mind(x) = min_s ‖x̂−ŝ‖²/2 ≤ (min_s ‖ĉ̂−ŝ‖ + r)²/2
+    * =: UB(cell). Each round scans the max-UB cell for a certified
+    * candidate value v, then only the cells with UB + ε ≥ v — every
+    * cell that could hold the argmax OR any of its ties (members of a
+    * pruned cell are strictly below v). ε = 1e-9 absorbs driver-side
+    * bound arithmetic; bounds only ever decide PRUNING, never values.
+    *
+    * When the corpus has cluster structure (real embedding corpora at
+    * 100 TB do), later rounds prune most cells — the argmax migrates
+    * to the far clusters and covered cells' UB collapses. On
+    * structureless data the bounds stay loose and every round
+    * degrades to ~1.1 full scans (the honest worst case; `onRound`
+    * reports the probed/total cells per round for measurement).
+    */
+  def kcenterSelectAtRest(spark: org.apache.spark.sql.SparkSession,
+                          path: String, centroids: DataFrame, m: Int,
+                          onRound: (Int, Int, Int) => Unit =
+                            (_, _, _) => ()): DataFrame = {
+    require(m >= 1 && m <= 64, "m is a driver-round count (literal centers)")
+    import spark.implicits._
+    val cent = collectVectors(centroids)
+    val centHat = cent.map { case (id, v) => id -> unitize(v) }.toMap
+    val stats = spark.read.parquet(s"$path-cellstats")
+      .select(col("cell"), col("radius"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val allCells = stats.map(_._1).sorted.toSeq
+    val eps = 1e-9
+    def scan(cells: Seq[Int], excluded: Seq[Long]) = {
+      val base = ivfCellsScan(spark, path, cells)
+      if (excluded.isEmpty) base
+      else base.filter(!col("vec_id").isin(
+        excluded.map(java.lang.Long.valueOf): _*))
+    }
+    val seed = scan(allCells, Nil)
+      .select(min(struct(col("vec_id"), col("v"))).as("s"))
+      .head().getStruct(0)
+    var picked = List[(Long, Array[Double], Option[Double])](
+      (seed.getLong(0), seed.getSeq[Double](1).toArray, None))
+    while (picked.length < m) {
+      val centersHat = picked.map(p => unitize(p._2))
+      val ubs = stats.map { case (cId, r) =>
+        val minD = centersHat.map(s => eucl(centHat(cId), s)).min
+        cId -> (minD + r) * (minD + r) / 2.0
+      }.toMap
+      val mind = kcMindCol(picked.map(_._2))
+      def argmax(cells: Seq[Int]) = scan(cells, picked.map(_._1))
+        .select(max(struct(mind.as("mind"), (-col("vec_id")).as("nid"),
+          col("v").as("v"))).as("s"))
+        .head()
+      val topCell = allCells.maxBy(c => (ubs(c), -c))
+      val cand = argmax(Seq(topCell))
+      val (probed, best) =
+        if (cand.isNullAt(0)) (allCells, argmax(allCells))
+        else {
+          val v = cand.getStruct(0).getDouble(0)
+          val surv = allCells.filter(c => ubs(c) + eps >= v)
+          (surv, argmax(surv))
+        }
+      onRound(picked.length, probed.length, allCells.length)
+      val b = best.getStruct(0)
+      picked = picked :+ ((-b.getLong(1), b.getSeq[Double](2).toArray,
+        Some(b.getDouble(0))))
+    }
+    picked.zipWithIndex.map { case ((id, _, d), i) =>
+      ((i + 1).toLong, id, d)
+    }.toDF("sel_round", "vec_id", "dist")
+  }
+
+  /** [[mmrSelect]] over the at-rest IVF layout with the same exact
+    * cell-pruning idea as [[kcenterSelectAtRest]], adapted to the MMR
+    * score: for every member of a cell (ĉ, r),
+    * score ≤ λ·(1 − max(0, ‖q̂−ĉ̂‖ − r)²/2)              (relevance UB)
+    *        − (1−λ)·(1 − (min_s ‖ĉ̂−ŝ‖ + r)²/2)         (redundancy LB)
+    * — both from the sphere's triangle inequality, so a cell whose
+    * bound cannot reach the certified candidate provably holds
+    * neither the argmax nor any tie. λ ∈ [0, 1] is required (the
+    * bound composition needs both weights non-negative); results are
+    * bit-identical to [[mmrSelect]] (same [[mmrScoreCol]] fold, same
+    * tie-break; one oracle gates both).
+    */
+  def mmrSelectAtRest(spark: org.apache.spark.sql.SparkSession,
+                      path: String, query: DataFrame,
+                      centroids: DataFrame, m: Int, lambda: Double,
+                      onRound: (Int, Int, Int) => Unit =
+                        (_, _, _) => ()): DataFrame = {
+    require(m >= 1 && m <= 64, "m is a driver-round count")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      "cell pruning bounds need lambda in [0, 1]")
+    import spark.implicits._
+    val qRows = query
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .limit(2).collect()
+    require(qRows.length == 1,
+      s"mmrSelectAtRest expects exactly one query row, got " +
+        (if (qRows.isEmpty) "an empty query DataFrame" else "more than one"))
+    val qv = qRows.head.getSeq[Double](1).toArray
+    val qHat = unitize(qv)
+    val cent = collectVectors(centroids)
+    val centHat = cent.map { case (id, v) => id -> unitize(v) }.toMap
+    val stats = spark.read.parquet(s"$path-cellstats")
+      .select(col("cell"), col("radius"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val allCells = stats.map(_._1).sorted.toSeq
+    val eps = 1e-9
+    def scan(cells: Seq[Int], excluded: Seq[Long]) = {
+      val base = ivfCellsScan(spark, path, cells)
+      if (excluded.isEmpty) base
+      else base.filter(!col("vec_id").isin(
+        excluded.map(java.lang.Long.valueOf): _*))
+    }
+    var picked = List.empty[(Long, Array[Double], Double)]
+    while (picked.length < m) {
+      val centersHat = picked.map(p => unitize(p._2))
+      val ubs = stats.map { case (cId, r) =>
+        val ch = centHat(cId)
+        val dq = math.max(0.0, eucl(ch, qHat) - r)
+        val relUb = 1.0 - dq * dq / 2.0
+        val redLb =
+          if (centersHat.isEmpty) 0.0
+          else {
+            val d = centersHat.map(s => eucl(ch, s)).min + r
+            1.0 - d * d / 2.0
+          }
+        cId -> (lambda * relUb - (1.0 - lambda) * redLb)
+      }.toMap
+      val score = mmrScoreCol(qv, picked.map(_._2), lambda)
+      def argmax(cells: Seq[Int]) = scan(cells, picked.map(_._1))
+        .select(max(struct(score.as("s"), (-col("vec_id")).as("nid"),
+          col("v").as("v"))).as("b"))
+        .head()
+      val topCell = allCells.maxBy(c => (ubs(c), -c))
+      val cand = argmax(Seq(topCell))
+      val (probed, best) =
+        if (cand.isNullAt(0)) (allCells, argmax(allCells))
+        else {
+          val v = cand.getStruct(0).getDouble(0)
+          val surv = allCells.filter(c => ubs(c) + eps >= v)
+          (surv, argmax(surv))
+        }
+      onRound(picked.length + 1, probed.length, allCells.length)
+      val b = best.getStruct(0)
+      picked = picked :+ ((-b.getLong(1),
+        b.getSeq[Double](2).toArray, b.getDouble(0)))
+    }
+    picked.zipWithIndex.map { case ((id, _, s), i) =>
+      ((i + 1).toLong, id, s)
+    }.toDF("sel_round", "vec_id", "mmr_score")
   }
 
   /** Approximate top-k: score only same-bucket (query, corpus) pairs. */

@@ -1451,17 +1451,19 @@ object TextAnalysis {
     *    exchange-free (their keys contain the partitioning keys),
     *    the per-doc node count rides a doc-keyed window at the same
     *    width (never a broadcast — a one-row-per-document table
-    *    grows with the corpus), and the contribution aggregate is a
-    *    BARE groupBy so its partial HashAggregate combines per
-    *    (doc_id, dst) map-side within the join's `parts` tasks —
-    *    only node-grain combined rows ride its exchange, never the
-    *    raw pair-grain contribution stream (measured: the explicit
-    *    repartition-then-aggregate form shipped all 53M pair rows at
-    *    sf10 and spilled; see SCALING_r10's 11.98× decade-2 residual).
+    *    grows with the corpus), and the contribution aggregate
+    *    re-shuffles at the same bounded width. The pair-grain shuffle
+    *    is the irreducible SpMV volume: a map-side pre-aggregation
+    *    combines nothing at the (doc_id, src) partitioning (< 1 row
+    *    per (doc_id, dst) group per task — measured 94.1 s vs 85.6 s
+    *    at sf10), so the spill lever is per-task aggregate state:
+    *    targetRowsPerTask = 500k keeps 32 concurrent hash maps well
+    *    inside an 8 GiB heap where the r10 1.5M setting spilled
+    *    (SCALING_r10's 11.98× decade-2 residual).
     */
   def textrank(docs: DataFrame, iters: Int = 3, k: Int = 3,
                scale: Long = 1000000L,
-               targetRowsPerTask: Long = 1500000L): DataFrame = {
+               targetRowsPerTask: Long = 500000L): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
     val approxPairs = toks
@@ -1501,21 +1503,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"),
         expr(s"${scale}L div n").as("rank"))
     for (_ <- 1 to iters) {
-      // NO repartition before this aggregate (r11 shape): an explicit
-      // exchange directly under groupBy ships every RAW (doc, src→dst)
-      // contribution row — 53M rows spilling at the synthesized sf10
-      // was the suite's steepest curve. A bare groupBy plans
-      // HashAggregate(partial) BELOW its exchange, so contributions to
-      // the same (doc_id, dst) combine MAP-SIDE inside the join's
-      // bounded `parts` tasks and only the combined rows shuffle; the
-      // final aggregate's width is the session setting, whose per-task
-      // state is node-sized (post-combine), not pair-sized.
+      // A map-side pre-aggregation does NOT help here (measured at
+      // sf10: 94.1 s vs 85.6 s for this shape): the partitioning is
+      // (doc_id, src), so a task holds < 1 contribution per
+      // (doc_id, dst) group and the partial HashAggregate combines
+      // nothing while paying a full hash pass. The raw pair-grain
+      // shuffle is the irreducible SpMV volume; the spill lever is
+      // per-task aggregate STATE, which `parts` (sized from token
+      // mass via targetRowsPerTask) keeps inside the heap.
       val contribs = edges
         .join(ranks.select(col("doc_id"), col("word").as("src"), col("rank")),
           Seq("doc_id", "src"))
         .join(deg, Seq("doc_id", "src"))
         .select(col("doc_id"), col("dst").as("word"),
           expr("rank div deg").as("c"))
+        .repartition(parts, col("doc_id"), col("word"))
         .groupBy(col("doc_id"), col("word"))
         .agg(sum(col("c")).as("inr"))
       ranks = nodesN

@@ -43,6 +43,25 @@ class MmrSpec extends SparkSpec {
       "the twin (2) must lose to the diverse pick (3) at λ=0.5")
   }
 
+  test("at-rest MMR equals the scan-time operator, and rejects λ outside [0,1]") {
+    val path = "target/atrest/mmr-spec"
+    val cent = emb.filter(col("vec_id") < 8)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+    Similarity.ivfWriteAtRest(corpus, cent, path)
+    Similarity.ivfWriteCellStats(spark, path, cent)
+    val direct = Similarity.mmrSelect(corpus, q, 6, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val atRest = Similarity.mmrSelectAtRest(spark, path, q, cent, 6, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(atRest === direct)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelectAtRest(spark, path, q, cent, 2, 1.5)
+    }
+    assert(e.getMessage.contains("lambda"),
+      s"bound validity contract must be named: ${e.getMessage}")
+  }
+
   test("fail loud: a multi-row query DataFrame is rejected") {
     val corpus = emb.filter(col("vec_id") >= 2)
     val twoQueries = emb.filter(col("vec_id") < 2)

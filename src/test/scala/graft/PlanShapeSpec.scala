@@ -470,6 +470,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(atRest === direct)
   }
 
+  test("at-rest selection round scan prunes to its surviving cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.core.Tables.read(spark, sf, "embeddings")
+    val path = "target/atrest/kc-planshape"
+    Similarity.ivfWriteAtRest(e, e.filter(col("vec_id") < 8), path)
+    val df = Similarity.ivfCellsScan(spark, path, Seq(1, 4))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"no cell PartitionFilter: ${scan.partitionFilters}")
+    val static = scan.partitionFilters
+      .filterNot(_.toString.contains("dynamicpruning"))
+    assert(scan.relation.location.listFiles(static, Nil).length <= 2,
+      "a 2-cell survivor set must read <= 2 cell directories")
+  }
+
   test("graph-ANN serving never scans the corpus: bucket-pruned at-rest reads only") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col
