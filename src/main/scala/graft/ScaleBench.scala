@@ -82,7 +82,12 @@ object ScaleBench {
     // the sorted-neighborhood dedup (two-level distributed rank +
     // g/g+1 windowed candidate joins — the curve proves the rank
     // never funnels through one reducer)
-    "sim_knn_graph", "dedup_sorted_neighborhood")
+    "sim_knn_graph", "dedup_sorted_neighborhood",
+    // round 12: the graph-ANN serving capstone — build + at-rest
+    // write + fixed-round greedy walk; the claim is the walk's reads
+    // are bucket-pruned (cost ∝ frontier, not corpus) so the curve
+    // should track the BUILD's near-linear cost
+    "sim_topk_graph")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -124,7 +129,12 @@ object ScaleBench {
     // round 11: both newcomers at both decades — NND's wedge cap and
     // SNM's two-level rank are exactly the claims a second decade
     // distinguishes from fixed-overhead luck
-    "sim_knn_graph", "dedup_sorted_neighborhood")
+    "sim_knn_graph", "dedup_sorted_neighborhood",
+    // round 12: the serving walk at both decades — single-shot probes
+    // before wiring: 20.8 s sf1 / see SCALING_r12 for the recorded
+    // curve (the lesson stands: queries join these sets only in the
+    // same round a full regeneration records them)
+    "sim_topk_graph")
 
   def main(args: Array[String]): Unit = {
     val testdata =
