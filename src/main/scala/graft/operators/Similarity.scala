@@ -457,6 +457,10 @@ object Similarity {
     require(qIds.length <= 4096, s"query set too large: ${qIds.length}")
     require(beam >= 1 && beam <= 2 * k,
       "beam must fit the stored per-cell head cap (2k)")
+    // an empty query batch (a quiet streaming trigger) answers itself
+    if (qIds.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("q_id", "vec_id", "cos_sim", "rn")
 
     // score a literal (q_id, vec_id) candidate list: nodes pruned to
     // the candidates' buckets + ids, broadcast-joined to the pairs and
