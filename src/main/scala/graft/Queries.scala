@@ -5051,7 +5051,8 @@ object Queries {
     * stored reads reproduce this unpruned recomputation.
     */
   private def graphSearchOracle(k: Int, gRounds: Int, beam: Int,
-                                sRounds: Int): String = {
+                                sRounds: Int,
+                                entryProbe: Int = 1): String = {
     val b = new StringBuilder(
       s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
          |adj AS MATERIALIZED (SELECT vec_id AS src, nb_id AS dst FROM (${knnGraphOracle(k, gRounds)})),
@@ -5059,7 +5060,7 @@ object Queries {
          |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
          |qsc AS (SELECT q_id, c_id, list_sum([qv[i+1]*cv[i+1] for i in range(64)]) AS cd FROM q, cent),
          |qcell AS (SELECT q_id, c_id AS cell FROM (
-         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, c_id) AS rn FROM qsc) WHERE rn = 1),
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, c_id) AS rn FROM qsc) WHERE rn <= $entryProbe),
          |csc AS (SELECT c.vec_id, c_id, list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
          |hcell AS (SELECT vec_id, c_id AS cell FROM (
          |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM csc) WHERE rn = 1),
@@ -5336,6 +5337,50 @@ object Queries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
               |  WHERE rn <= 10),
               |approx AS (SELECT q_id, vec_id FROM (${graphSearchOracle(10, 3, 8, 2)}))
+              |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+              |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+              |FROM truth t LEFT JOIN approx a
+              |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+              |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
+
+    // The multi-entry hedge priced: the same walk entered at the TWO
+    // nearest cells' heads (the Lv et al. multi-probe idea applied to
+    // graph entry points). Read next to sim_graph_recall: the delta
+    // is exactly what a second entry cell buys against the
+    // wrong-entry-cell miss class (a perfect graph cannot recover
+    // from a bad entry within a fixed round budget).
+    "sim_graph_recall_probe2" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val path =
+          s"target/atrest/graphp2-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.graphWriteAtRest(e, e.filter(col("vec_id") < 8),
+          10, 3, path)
+        val truth = Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity
+          .graphTopKAtRest(s, path, e.filter(col("vec_id") < 10),
+            e.filter(col("vec_id") < 8), beam = 8, rounds = 2, k = 10,
+            entryProbe = 2)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        truth.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+          .withColumn("recall_at_k",
+            col("hits").cast("double") / col("k"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+              |bs AS (SELECT q_id, vec_id, ${duckCosine("qv", "v")} AS cos_sim
+              |       FROM c, q WHERE vec_id <> q_id),
+              |truth AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
+              |  WHERE rn <= 10),
+              |approx AS (SELECT q_id, vec_id FROM (${graphSearchOracle(10, 3, 8, 2, entryProbe = 2)}))
               |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
               |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
               |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k

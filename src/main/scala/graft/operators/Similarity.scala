@@ -446,7 +446,8 @@ object Similarity {
   def graphTopKAtRest(spark: org.apache.spark.sql.SparkSession,
                       path: String, queries: DataFrame,
                       centroids: DataFrame, beam: Int, rounds: Int,
-                      k: Int, buckets: Int = 64): DataFrame = {
+                      k: Int, buckets: Int = 64,
+                      entryProbe: Int = 1): DataFrame = {
     import spark.implicits._
     val cent = collectVectors(centroids)
     val qdf = queries
@@ -483,13 +484,20 @@ object Similarity {
             .as("cos_sim"))
     }
 
-    // entry points: each query's nearest cell (argmax dot, smallest
-    // c_id tie) -> the first `beam` stored heads of that cell
+    require(entryProbe >= 1, "at least one entry cell")
+    // entry points: each query's `entryProbe` nearest cells (dot
+    // desc, smallest c_id tie — the IVF probe rule) -> the first
+    // `beam` stored heads of each; multi-probing is the hedge
+    // against the wrong-entry-cell miss class sim_graph_recall
+    // measures (a perfect graph cannot recover from a bad entry
+    // within a fixed round budget)
     val qCells = qdf
       .select(col("q_id"), col("q_vec").as("v"))
       .withColumn("scores_arr", cellScores(cent))
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-      .select(col("q_id"), col("cell"))
+      .withColumn("cells",
+        expr("transform(array_sort(scores_arr), x -> x.c_id)"))
+      .select(col("q_id"),
+        explode(slice(col("cells"), 1, entryProbe)).as("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     val headRows = spark.read.parquet(s"$path/heads")
       .filter(col("cell").isin(

@@ -117,4 +117,24 @@ class KnnGraphSpec extends SparkSpec {
       s"two expansion rounds must beat seeds-only recall ($r0 -> $r2)")
     assert(r2 > 0.5, s"walk recall@10 should exceed 0.5, got $r2")
   }
+
+  test("graph serving: a second entry cell never hurts and hedges the entry miss") {
+    val path = "target/atrest/graph-servespec3"
+    Similarity.graphWriteAtRest(emb, cent, 10, 2, path)
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(emb, q, 10)
+      .select(col("q_id"), col("vec_id"))
+    def recall(probe: Int): Double = {
+      val g = Similarity.graphTopKAtRest(spark, path, q, cent,
+          beam = 8, rounds = 2, k = 10, entryProbe = probe)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      truth.join(g, Seq("q_id", "vec_id"), "left")
+        .agg(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)))
+        .head.getDouble(0)
+    }
+    val p1 = recall(1)
+    val p2 = recall(2)
+    assert(p2 >= p1,
+      s"a superset of entry points cannot lose candidates ($p1 -> $p2)")
+  }
 }
