@@ -1074,26 +1074,63 @@ object Dedup {
     * shingle and compared directly, so no single-reducer window
     * exists anywhere. Shuffles: shingle agg (df), per-doc prefix
     * window (partitioned by doc_id), candidate equi-join on prefix
-    * shingle, verify join keyed (doc, shingle).
+    * shingle, and a doc-keyed verify join per pair side — the verify
+    * is a projection over per-doc shingle arrays, never a re-exploded
+    * (doc, shingle) aggregate (measured: the exploded form was 83% of
+    * the sf10 wall).
     */
   def ppjoin(docs: DataFrame, n: Int = 3,
              minJaccard: Double = 0.5): DataFrame = {
     val cand = ppjoinCandidates(docs, n, minJaccard)
-    val rows = shingleRows(docs, n)
-    // verify: exact overlap for candidate pairs only
-    val common = cand
-      .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
-      .join(rows.as("rb"),
-        col("doc_b") === col("rb.doc_id") &&
-          col("ra.shingle") === col("rb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
-      .agg(count(lit(1)).as("common"))
+    // verify: exact overlap for candidate pairs only, as a PROJECTION
+    // over per-doc sorted shingle arrays (size ∘ array_intersect) —
+    // NOT a re-explode. The exploded form shuffled candidates ×
+    // |shingles| rows (≈ 690M at the synthesized sf10) into a fixed-
+    // width aggregate and spilled: measured 143 s of dedup_ppjoin's
+    // 173 s sf10 wall lived in that verify while candidates and true
+    // pairs both scale exactly linearly (687k/6.9M candidates,
+    // 2.5k/25.6k pairs at sf1/sf10). The array form ships ONE row per
+    // candidate per join (the array payload rides the row), needs no
+    // aggregate state at all, and computes the same distinct-set
+    // overlap (shingleRows is distinct; array_intersect of distinct
+    // sorted arrays has identical cardinality to the equi-join count).
+    val common = verifyCommon(docs, n, cand)
     common
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The shared candidate-pair verify: per-doc sorted distinct shingle
+    * arrays joined to each pair side, overlap = size(array_intersect).
+    * Expects `cand` with (doc_a, doc_b) and passes any extra columns
+    * through; emits `common` (BIGINT) alongside nsh_a/nsh_b taken from
+    * the arrays' sizes when the pair relation does not carry them.
+    */
+  private def verifyCommon(docs: DataFrame, n: Int,
+                           cand: DataFrame): DataFrame = {
+    val sets = shingleRows(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("sh"))
+    val withNsh = cand.columns.contains("nsh_a")
+    // SHUFFLE_HASH on the per-doc array side: a sort-merge join would
+    // SORT the fat candidate stream (pairs × array payload) per task;
+    // hashing builds on the doc-keyed side (corpus/width rows) and
+    // streams the pairs untouched — the fact-join discipline
+    val a = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "doc_b")
+    val base = a.withColumn("common",
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    (if (withNsh) base
+     else base
+       .withColumn("nsh_a", size(col("sh_a")).cast("long"))
+       .withColumn("nsh_b", size(col("sh_b")).cast("long")))
+      .drop("sh_a", "sh_b")
   }
 
   /** [[ppjoin]]'s candidate pairs BEFORE the verify step — exposed so
@@ -1198,19 +1235,15 @@ object Dedup {
     *
     * Scale shape: identical to [[ppjoin]] (this IS ppjoin with the
     * verify emitted instead of filtered) — prefix-bounded candidate
-    * join, (doc, shingle)-keyed verify, no global rank, no cartesian.
+    * join, array-intersect projection verify, no global rank, no
+    * cartesian. Every candidate shares a prefix token by
+    * construction, so common ≥ 1 and no audit row can be a
+    * zero-overlap artifact of the projection form.
     */
   def ppjoinAudit(docs: DataFrame, n: Int = 3,
                   minJaccard: Double = 0.5): DataFrame = {
     val cand = ppjoinCandidates(docs, n, minJaccard)
-    val rows = shingleRows(docs, n)
-    cand
-      .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
-      .join(rows.as("rb"),
-        col("doc_b") === col("rb.doc_id") &&
-          col("ra.shingle") === col("rb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
-      .agg(count(lit(1)).as("common"))
+    verifyCommon(docs, n, cand)
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
@@ -1235,8 +1268,8 @@ object Dedup {
     * corpus into one bucket = one reducer). Neighborhood pairs come
     * from TWO equi-joins on the rank group g = rk div window
     * (same-group and adjacent-group — lossless for distance ≤ window
-    * by construction), never a range join; the verify re-joins
-    * shingles pair-scoped exactly like [[ppjoin]].
+    * by construction), never a range join; the verify is [[ppjoin]]'s
+    * shared array-intersect projection.
     */
   def sortedNeighborhood(docs: DataFrame, n: Int = 3, window: Int = 4,
                          minJaccard: Double = 0.6): DataFrame = {
@@ -1253,19 +1286,11 @@ object Dedup {
       .filter(col("rb") > col("ra") && col("rb") <= col("ra") + window)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"))
-    val rows = shingleRows(docs, n)
-    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    cand
-      .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
-      .join(rows.as("rb"),
-        col("doc_b") === col("rb.doc_id") &&
-          col("ra.shingle") === col("rb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("nsh_a")),
-        "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nsh_b")),
-        "doc_b")
+    // pair-scoped verify as the shared array-intersect projection
+    // (see [[ppjoin]] — the exploded re-join form spilled at sf10);
+    // zero-overlap neighbors get jaccard 0 and fall to the threshold
+    // exactly as their absent join rows did in the exploded form
+    verifyCommon(docs, n, cand)
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
