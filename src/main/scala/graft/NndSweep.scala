@@ -19,6 +19,8 @@ object NndSweep {
     spark.sparkContext.setLogLevel("ERROR")
     val rounds = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2, 3, 4)
     val e = graft.core.Tables.read(spark, dir, "embeddings")
+    val cent = e.filter(col("vec_id") <
+      graft.operators.Similarity.autoCells(e))
     val truth = graft.operators.Similarity.bruteForceTopK(e, e, 5)
       .select(col("q_id").as("vec_id"), col("vec_id").as("nb_id"))
       .localCheckpoint()
@@ -26,14 +28,14 @@ object NndSweep {
       def once(): Double = {
         val t0 = System.nanoTime()
         graft.operators.Similarity
-          .knnGraph(e, e.filter(col("vec_id") < 8), 10, r)
+          .knnGraph(e, cent, 10, r)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm
       val sec = math.min(once(), once())
       val g = graft.operators.Similarity
-        .knnGraph(e, e.filter(col("vec_id") < 8), 10, r)
+        .knnGraph(e, cent, 10, r)
         .filter(col("rn") <= 5)
         .select(col("vec_id"), col("nb_id"), lit(1).as("hit"))
       val recall = truth.join(g, Seq("vec_id", "nb_id"), "left")

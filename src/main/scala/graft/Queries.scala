@@ -4993,8 +4993,17 @@ object Queries {
       s"(sqrt(list_sum([$a[i+1]*$a[i+1] for i in range(64)])) * " +
       s"sqrt(list_sum([$b[i+1]*$b[i+1] for i in range(64)])))"
 
+  /** The SQL twin of `Similarity.autoCells`: IVF cell count ⌈√n⌉
+    * clamped to [8, 1024], computed over the same corpus both engines
+    * read — sqrt/ceil on an exact integer count are IEEE-identical, so
+    * the two engines always pick the same centroid set.
+    */
+  private val autoCellsSql: String =
+    "(SELECT LEAST(1024, GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) FROM c)"
+
   /** Unrolled NN-Descent (Dong et al. WWW'11) as oracle CTEs — the
-    * SQL twin of `Similarity.knnGraph(emb, cent(vec_id<8), k, rounds)`:
+    * SQL twin of `Similarity.knnGraph(emb, cent(vec_id<autoCells), k,
+    * rounds)`:
     * capped per-cell seeding, then per round the symmetric closure,
     * the id-ordered cap-2k incident lists, the middle-node wedge
     * self-join, a fresh cosine score (same double fold), keep-best
@@ -5006,7 +5015,7 @@ object Queries {
     val cap = 2 * k
     val b = new StringBuilder(
       s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < $autoCellsSql),
          |sc AS (SELECT c.vec_id, c.v, c_id, list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
          |asg AS (SELECT vec_id, v, c_id AS cell FROM (
          |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM sc) WHERE rn <= 2),
@@ -5041,7 +5050,7 @@ object Queries {
 
   /** Unrolled greedy best-first graph search as oracle CTEs — the SQL
     * twin of `Similarity.graphTopKAtRest` over a
-    * `graphWriteAtRest(emb, cent(vec_id<8), k, gRounds)` layout:
+    * `graphWriteAtRest(emb, cent(vec_id<autoCells), k, gRounds)` layout:
     * adjacency = the [[knnGraphOracle]] edge table; each query enters
     * at its top-1 cell's first `beam` heads (the stored head rule),
     * then `sRounds` rounds of expand-top-beam-through-adjacency,
@@ -5056,7 +5065,7 @@ object Queries {
     val b = new StringBuilder(
       s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
          |adj AS MATERIALIZED (SELECT vec_id AS src, nb_id AS dst FROM (${knnGraphOracle(k, gRounds)})),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < $autoCellsSql),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
          |qsc AS (SELECT q_id, c_id, list_sum([qv[i+1]*cv[i+1] for i in range(64)]) AS cd FROM q, cent),
          |qcell AS (SELECT q_id, c_id AS cell FROM (
@@ -5245,7 +5254,8 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val e = emb(s, d)
-        Similarity.knnGraph(e, e.filter(col("vec_id") < 8), 10, 3)
+        Similarity.knnGraph(e,
+          e.filter(col("vec_id") < Similarity.autoCells(e)), 10, 3)
       },
       Some(knnGraphOracle(10, 3))),
 
@@ -5259,7 +5269,8 @@ object Queries {
         val e = emb(s, d)
         val truth = Similarity.bruteForceTopK(e, e, 5)
           .select(col("q_id").as("vec_id"), col("vec_id").as("nb_id"))
-        val approx = Similarity.knnGraph(e, e.filter(col("vec_id") < 8), 10, 3)
+        val approx = Similarity.knnGraph(e,
+            e.filter(col("vec_id") < Similarity.autoCells(e)), 10, 3)
           .filter(col("rn") <= 5)
           .select(col("vec_id"), col("nb_id"), lit(1).as("hit"))
         truth.join(approx, Seq("vec_id", "nb_id"), "left")
@@ -5290,17 +5301,24 @@ object Queries {
     // bucket-pruned reads alone — the corpus relation is never
     // scanned (plan-pinned in PlanShapeSpec). The oracle replays the
     // identical walk over the unrolled NN-Descent edge table.
+    // Declared serving config (GraphSweep-measured r13): √n-scaled
+    // entry cells (autoCells — the fixed-8 budget was the per-decade
+    // recall collapse: 0.35 at sf0.1 and 0.00 at the synthesized sf1,
+    // where the declared config reads 0.81 and 1.00), beam 16 of the
+    // stored 20-head cap, 3 expansion rounds (the decade-robust point:
+    // rounds=2 reads 0.80/0.87 across the same decades), 2 entry cells
+    // (the multi-probe hedge against the wrong-entry-cell miss class).
     "sim_topk_graph" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val e = emb(s, d)
+        val cent = e.filter(col("vec_id") < Similarity.autoCells(e))
         val path = s"target/atrest/graph-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        Similarity.graphWriteAtRest(e, e.filter(col("vec_id") < 8),
-          10, 3, path)
+        Similarity.graphWriteAtRest(e, cent, 10, 3, path)
         Similarity.graphTopKAtRest(s, path, e.filter(col("vec_id") < 10),
-          e.filter(col("vec_id") < 8), beam = 8, rounds = 2, k = 10)
+          cent, beam = 16, rounds = 3, k = 10, entryProbe = 2)
       },
-      Some(graphSearchOracle(10, 3, 8, 2))),
+      Some(graphSearchOracle(10, 3, 16, 3, entryProbe = 2))),
 
     // Recall@10 of the graph walk against the brute-force truth, per
     // query — what the beam/rounds knobs buy (read next to
@@ -5311,16 +5329,16 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.functions._
         val e = emb(s, d)
+        val cent = e.filter(col("vec_id") < Similarity.autoCells(e))
         val path =
           s"target/atrest/graphrc-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        Similarity.graphWriteAtRest(e, e.filter(col("vec_id") < 8),
-          10, 3, path)
+        Similarity.graphWriteAtRest(e, cent, 10, 3, path)
         val truth = Similarity
           .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
           .select(col("q_id"), col("vec_id"))
         val approx = Similarity
           .graphTopKAtRest(s, path, e.filter(col("vec_id") < 10),
-            e.filter(col("vec_id") < 8), beam = 8, rounds = 2, k = 10)
+            cent, beam = 16, rounds = 3, k = 10, entryProbe = 2)
           .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
         truth.join(approx, Seq("q_id", "vec_id"), "left")
           .groupBy(col("q_id"))
@@ -5336,7 +5354,7 @@ object Queries {
               |truth AS (SELECT q_id, vec_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
               |  WHERE rn <= 10),
-              |approx AS (SELECT q_id, vec_id FROM (${graphSearchOracle(10, 3, 8, 2)}))
+              |approx AS (SELECT q_id, vec_id FROM (${graphSearchOracle(10, 3, 16, 3, entryProbe = 2)}))
               |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
               |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
               |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
@@ -5344,27 +5362,28 @@ object Queries {
               |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
               |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
 
-    // The multi-entry hedge priced: the same walk entered at the TWO
-    // nearest cells' heads (the Lv et al. multi-probe idea applied to
-    // graph entry points). Read next to sim_graph_recall: the delta
-    // is exactly what a second entry cell buys against the
-    // wrong-entry-cell miss class (a perfect graph cannot recover
-    // from a bad entry within a fixed round budget).
-    "sim_graph_recall_probe2" -> Decl(
+    // The multi-entry hedge priced from below: the declared serving
+    // walk entered at ONE cell instead of two (the Lv et al.
+    // multi-probe idea applied to graph entry points). Read next to
+    // sim_graph_recall: the delta is exactly what the second entry
+    // cell buys against the wrong-entry-cell miss class (a perfect
+    // graph cannot recover from a bad entry within a fixed round
+    // budget).
+    "sim_graph_recall_probe1" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.functions._
         val e = emb(s, d)
+        val cent = e.filter(col("vec_id") < Similarity.autoCells(e))
         val path =
-          s"target/atrest/graphp2-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        Similarity.graphWriteAtRest(e, e.filter(col("vec_id") < 8),
-          10, 3, path)
+          s"target/atrest/graphp1-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.graphWriteAtRest(e, cent, 10, 3, path)
         val truth = Similarity
           .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
           .select(col("q_id"), col("vec_id"))
         val approx = Similarity
           .graphTopKAtRest(s, path, e.filter(col("vec_id") < 10),
-            e.filter(col("vec_id") < 8), beam = 8, rounds = 2, k = 10,
-            entryProbe = 2)
+            cent, beam = 16, rounds = 3, k = 10,
+            entryProbe = 1)
           .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
         truth.join(approx, Seq("q_id", "vec_id"), "left")
           .groupBy(col("q_id"))
@@ -5380,7 +5399,7 @@ object Queries {
               |truth AS (SELECT q_id, vec_id FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
               |  WHERE rn <= 10),
-              |approx AS (SELECT q_id, vec_id FROM (${graphSearchOracle(10, 3, 8, 2, entryProbe = 2)}))
+              |approx AS (SELECT q_id, vec_id FROM (${graphSearchOracle(10, 3, 16, 3, entryProbe = 1)}))
               |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
               |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
               |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k

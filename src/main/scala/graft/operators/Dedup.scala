@@ -1094,8 +1094,11 @@ object Dedup {
     // aggregate state at all, and computes the same distinct-set
     // overlap (shingleRows is distinct; array_intersect of distinct
     // sorted arrays has identical cardinality to the equi-join count).
-    val common = verifyCommon(docs, n, cand)
-    common
+    // common >= 1 pins the old inner equi-join semantics at the
+    // degenerate minJaccard = 0.0 edge (a zero-overlap candidate had
+    // no join row in the exploded form, so it must not surface here)
+    verifyCommon(docs, n, cand)
+      .filter(col("common") >= 1)
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
@@ -1288,9 +1291,11 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("doc_b"))
     // pair-scoped verify as the shared array-intersect projection
     // (see [[ppjoin]] — the exploded re-join form spilled at sf10);
-    // zero-overlap neighbors get jaccard 0 and fall to the threshold
-    // exactly as their absent join rows did in the exploded form
+    // common >= 1 keeps the old inner equi-join semantics exactly:
+    // zero-overlap neighbors produced NO row there, so they must not
+    // surface here even at the degenerate minJaccard = 0.0
     verifyCommon(docs, n, cand)
+      .filter(col("common") >= 1)
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))

@@ -200,6 +200,23 @@ object Similarity {
     * drift between paths whose correctness claims are mutual
     * bit-equality.
     */
+  /** Entry-budget rule for the IVF/graph index family: cell count
+    * scaled to the corpus, ⌈√n⌉ clamped to [8, 1024]. A FIXED cell
+    * count starves index seeding and query entry as the corpus grows —
+    * the per-cell stored-head budget is constant, so entry coverage
+    * shrinks ∝ 1/n (measured: serving recall@10 fell 0.81 → 0.23-0.27
+    * across one synthetic decade under 8 fixed cells, and recovered to
+    * 0.80+ under this rule). √n keeps per-cell occupancy ≈ √n and the
+    * centroid set driver-collectable (cap 1024 ≪ the 4096 anchor rule,
+    * and centroid scoring stays one literal-vector projection).
+    * Beyond n ≈ 10⁶ the cap binds; production would refine entry with
+    * Lloyd rounds ([[kmeansIter]]) or a hierarchical entry tier — the
+    * rule here fixes the BUDGET, which is what decayed.
+    */
+  def autoCells(corpus: DataFrame): Int =
+    math.min(1024L, math.max(8L,
+      math.ceil(math.sqrt(corpus.count().toDouble)).toLong)).toInt
+
   private def cellScores(cent: Seq[(Int, Array[Double])]): Column =
     array(cent.map { case (id, cv) =>
       struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
@@ -402,7 +419,67 @@ object Similarity {
       .filter(col("hr") <= cap)
       .select(col("cell"), col("vec_id"), col("hr"))
       .write.mode("overwrite").parquet(s"$path/heads")
+    // layout metadata: the stored per-cell head cap (2·build-k) and
+    // bucket count, so SERVING validates against what was written —
+    // not against its own serve-time parameters (a serve k > build k
+    // must not admit beams above the stored heads)
+    import corpus.sparkSession.implicits._
+    Seq((k, cap, buckets)).toDF("build_k", "head_cap", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the entry centroids themselves (≤1024 rows by the autoCells
+    // cap): a layout must be servable with the EXACT cell set its
+    // heads were assigned under — readers that resolve an index by
+    // path/version take centroids from here, so a rebuild is free to
+    // change its cell count without coordinating with servers
+    cent.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
   }
+
+  /** Stored entry-centroid set of a [[graphWriteAtRest]] layout. */
+  def graphStoredCentroids(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    spark.read.parquet(s"$path/cent")
+
+  /** Versioned at-rest graph index with atomic swap: `$root/v=N` is a
+    * complete [[graphWriteAtRest]] layout, committed by creating an
+    * empty `_PUBLISHED` marker LAST. Readers resolve max(published N)
+    * once per batch, so a half-written rebuild is invisible (marker
+    * creation is the atomic commit — no pointer file to race on), an
+    * in-flight batch never mixes versions (it resolved one path), and
+    * old versions stay readable until explicitly removed — the
+    * blue/green index rotation a serving tier needs under
+    * [[graft.streaming.IvfStream]]-detected drift.
+    */
+  def graphPublishVersion(corpus: DataFrame, centroids: DataFrame,
+                          k: Int, rounds: Int, root: String,
+                          buckets: Int = 64): Int = {
+    val spark = corpus.sparkSession
+    val next = graphCurrentVersion(spark, root).map(_ + 1).getOrElse(0)
+    val dir = graphVersionPath(root, next)
+    graphWriteAtRest(corpus, centroids, k, rounds, dir, buckets)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PUBLISHED"), true)
+      .close()
+    next
+  }
+
+  /** Highest PUBLISHED version under `root`, if any. */
+  def graphCurrentVersion(spark: org.apache.spark.sql.SparkSession,
+                          root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2) }
+      .flatMap(n => scala.util.Try(n.toInt).toOption)
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"${graphVersionPath(root, v)}/_PUBLISHED")))
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def graphVersionPath(root: String, version: Int): String =
+    s"$root/v=$version"
 
   /** The pruned adjacency read of one search round: bucket isin
     * (partition/file-level pruning) + src isin (row-level). Split out
@@ -456,8 +533,18 @@ object Similarity {
       .localCheckpoint(eager = false)
     val qIds = qdf.select(col("q_id")).collect().map(_.getLong(0))
     require(qIds.length <= 4096, s"query set too large: ${qIds.length}")
-    require(beam >= 1 && beam <= 2 * k,
-      "beam must fit the stored per-cell head cap (2k)")
+    // validate against the layout's OWN metadata: the stored per-cell
+    // head cap is 2·BUILD-k, which the serve-time k does not determine
+    // — bounding beam by 2·serve-k would silently truncate entry heads
+    // whenever serve k > build k and diverge from the oracle's
+    // uncapped hr <= beam
+    val meta = spark.read.parquet(s"$path/meta").head
+    val storedCap = meta.getAs[Int]("head_cap")
+    require(buckets == meta.getAs[Int]("buckets"),
+      s"layout was written with ${meta.getAs[Int]("buckets")} buckets, " +
+        s"caller passed $buckets")
+    require(beam >= 1 && beam <= storedCap,
+      s"beam must fit the stored per-cell head cap ($storedCap)")
     // an empty query batch (a quiet streaming trigger) answers itself
     if (qIds.isEmpty)
       return Seq.empty[(Long, Long, Double, Int)]

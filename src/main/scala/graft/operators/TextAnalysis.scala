@@ -1471,7 +1471,20 @@ object TextAnalysis {
       .head().getLong(0) * 2L
     val base = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    val parts = math.max(base, (approxPairs / targetRowsPerTask).toInt + 1)
+    // width rounded UP to a multiple of the session width: a count
+    // marginally above `base` (e.g. 34 tasks on 32 cores) schedules a
+    // nearly-empty second wave that doubles the stage wall for no
+    // state reduction; whole multiples keep every wave full. Logged
+    // because the r12→r13 "regression" hunt needed exactly this
+    // number to tell a plan change from box noise (it was noise: at
+    // sf0.1 approxPairs = 531k → parts = 32 under BOTH the 500k and
+    // the old 1.5M setting — plan-identical, and a quiet paired A/B
+    // measured r11 4.11 s vs r12 4.13 s).
+    val parts = math.max(base,
+      base * ((approxPairs + targetRowsPerTask * base - 1) /
+        (targetRowsPerTask * base)).toInt)
+    System.err.println(
+      s"[textrank] approxPairs=$approxPairs parts=$parts base=$base")
     val prs = toks.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, size(w)-2), i -> struct(w[i] AS a, w[i+1] AS b))"))

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.operators.Similarity
+
 /** Online serving from the at-rest graph-ANN index — the query side
   * of the vector store gone streaming (18th streaming operator):
   * query vectors arrive as a stream, and every micro-batch is
@@ -16,17 +18,64 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Scale: per-batch cost ∝ the batch — the walk reads bucket-pruned
   * adjacency and node files sized by the batch's frontier, never the
-  * corpus; the ≤4096 anchor rule bounds each batch's query count
-  * (size triggers accordingly). The index is immutable at rest;
-  * [[IvfStream]] is the load-drift monitor that says when to rebuild
-  * it. Restart semantics are at-least-once (the foreachBatch caveat
+  * corpus; the ≤4096 anchor rule bounds each chunk's query count
+  * (oversized batches are split, see [[start]]). A layout is
+  * immutable once written; [[startVersioned]] adds the rebuild story:
+  * [[IvfStream]] detects the drift, a batch job publishes a fresh
+  * version ([[graft.operators.Similarity.graphPublishVersion]]), and
+  * serving rotates to it atomically at the next micro-batch. Restart
+  * semantics are at-least-once (the foreachBatch caveat
   * [[CurationStream]] documents): a replayed batch re-appends its
   * answers — identical rows, keyed (q_id, rn) downstream.
   */
 object GraphServeStream {
 
+  /** Serve one micro-batch against one resolved layout path,
+    * splitting batches beyond the walk's 4096-query anchor bound into
+    * ≤4096-row chunks rather than letting the `require` inside
+    * [[graft.operators.Similarity.graphTopKAtRest]] terminate the
+    * whole streaming query: answers are batch-split invariant (the
+    * spec pins it — each query's walk depends only on its own vector
+    * and the immutable index), so chunking changes nothing but the
+    * number of jobs. Chunks cut on a vec_id-ordered row_number —
+    * exact ≤4096 sizing regardless of id skew; the single-partition
+    * window is fine at micro-batch scale.
+    */
+  private def serveBatch(spark: SparkSession, batch: DataFrame,
+                         indexPath: String, centroids: DataFrame,
+                         outDir: String, beam: Int, rounds: Int, k: Int,
+                         indexVersion: Option[Int]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def serve(chunk: DataFrame): Unit = {
+      val answered = Similarity
+        .graphTopKAtRest(spark, indexPath, chunk, centroids,
+          beam, rounds, k)
+      indexVersion.fold(answered)(v =>
+          answered.withColumn("index_version", lit(v)))
+        .write.mode("append").parquet(outDir)
+    }
+    val b = batch.persist()
+    try {
+      val n = b.count()
+      if (n <= 4096) serve(b)
+      else {
+        val marked = b.withColumn("__chunk",
+          ((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            / 4096).cast("int")).persist()
+        try {
+          val chunks = ((n + 4095) / 4096).toInt
+          (0 until chunks).foreach { i =>
+            serve(marked.filter(col("__chunk") === i).drop("__chunk"))
+          }
+        } finally { marked.unpersist(); () }
+      }
+    } finally { b.unpersist(); () }
+  }
+
   /** Wire a streaming query-vector relation (`vec_id`, `embedding`)
-    * to the walk; answers append to `outDir` as parquet.
+    * to the walk against a FIXED layout; answers append to `outDir`
+    * as parquet.
     */
   def start(spark: SparkSession, queries: DataFrame, indexPath: String,
             centroids: DataFrame, outDir: String, checkpoint: String,
@@ -37,10 +86,37 @@ object GraphServeStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity
-          .graphTopKAtRest(spark, indexPath, batch, centroids,
-            beam, rounds, k)
-          .write.mode("append").parquet(outDir)
+        serveBatch(spark, batch, indexPath, centroids, outDir,
+          beam, rounds, k, indexVersion = None)
+      }
+      .start()
+
+  /** Serve from a VERSIONED index root
+    * ([[graft.operators.Similarity.graphPublishVersion]] layouts):
+    * each micro-batch resolves the highest `_PUBLISHED` version ONCE,
+    * serves entirely from that layout with its own STORED centroid
+    * set (a rebuild may change the cell count — the entry rule must
+    * match the heads it enters), and tags answers `index_version` —
+    * so a rebuild landing mid-stream takes effect atomically at the
+    * next batch, an in-flight batch never mixes versions, and the
+    * answer's provenance is auditable downstream.
+    */
+  def startVersioned(spark: SparkSession, queries: DataFrame,
+                     indexRoot: String, outDir: String,
+                     checkpoint: String, beam: Int, rounds: Int, k: Int,
+                     trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val v = Similarity.graphCurrentVersion(spark, indexRoot)
+          .getOrElse(throw new IllegalStateException(
+            s"no published index version under $indexRoot"))
+        val path = Similarity.graphVersionPath(indexRoot, v)
+        serveBatch(spark, batch, path,
+          Similarity.graphStoredCentroids(spark, path), outDir,
+          beam, rounds, k, indexVersion = Some(v))
       }
       .start()
 }

@@ -68,4 +68,88 @@ class GraphServeStreamSpec extends SparkSpec {
     assert(split === oneBatch,
       "the walk depends only on the query and the immutable index")
   }
+
+  test("a rebuild published mid-stream rotates answers atomically; old version stays readable") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-serve-vroot").toString
+    assert(Similarity.graphCurrentVersion(spark, root).isEmpty)
+    val v0 = Similarity.graphPublishVersion(emb, cent, 10, 2, root)
+    assert(v0 === 0)
+    val input = MemoryStream[Vec]
+    val outDir = Files.createTempDirectory("graft-serve-vout").toString
+    val q = GraphServeStream.startVersioned(spark, input.toDF(), root,
+      outDir, Files.createTempDirectory("graft-serve-vckpt").toString,
+      beam = 6, rounds = 2, k = 10)
+    val vecs = queryVecs(5)
+    try {
+      input.addData(vecs: _*); q.processAllAvailable()
+      // rebuild with a different graph (0 descent rounds: seed edges
+      // only) lands mid-stream — the next batch must serve from it
+      val v1 = Similarity.graphPublishVersion(emb, cent, 10, 0, root)
+      assert(v1 === 1)
+      assert(Similarity.graphCurrentVersion(spark, root) === Some(1))
+      input.addData(vecs: _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).collect()
+    val sets = out.groupBy(_.getAs[Int]("index_version"))
+      .map { case (v, rows) =>
+        v -> rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cos_sim"), r.getAs[Int]("rn"))).toSet
+      }
+    assert(sets.keySet === Set(0, 1), "both versions must have served")
+    def direct(v: Int): Set[(Long, Long, Double, Int)] = {
+      val p = Similarity.graphVersionPath(root, v)
+      Similarity.graphTopKAtRest(spark, p, emb.filter(col("vec_id") < 5),
+          Similarity.graphStoredCentroids(spark, p),
+          beam = 6, rounds = 2, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    }
+    assert(sets(0) === direct(0),
+      "pre-rebuild batch must be served whole from v0")
+    assert(sets(1) === direct(1),
+      "post-rebuild batch must rotate to v1 atomically")
+    assert(sets(0) !== sets(1),
+      "fixture degenerate: the rebuild did not change any answer")
+  }
+
+  test("a micro-batch beyond the 4096-query anchor bound is served chunked, not killed") {
+    // 4150 queries in ONE trigger: the walk's require(<=4096) would
+    // terminate the stream if foreachBatch handed the batch through
+    // whole; chunked serving must instead produce exactly the answers
+    // the same queries get when the triggers are small
+    implicit val sqlCtx = spark.sqlContext
+    val base = queryVecs(10)
+    val big = (0 until 415).flatMap { i =>
+      base.map(v => Vec(v.vec_id + 10000L * (i + 1), v.embedding))
+    }
+    def serve(batches: Seq[Seq[Vec]]): Set[(Long, Long, Double, Int)] = {
+      val input = MemoryStream[Vec]
+      val outDir = Files.createTempDirectory("graft-serve-big").toString
+      val q = GraphServeStream.start(spark, input.toDF(), indexPath, cent,
+        outDir, Files.createTempDirectory("graft-serve-big-ckpt").toString,
+        beam = 4, rounds = 1, k = 5)
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    }
+    val chunked = serve(Seq(big))
+    assert(chunked.map(_._1).size === big.length,
+      "every query in the oversized batch must be answered")
+    // replicas of the same vector under fresh ids walk identically —
+    // the per-chunk answers are the batch-split-invariant answers
+    val byVec = chunked.groupBy(t => t._1 % 10000L)
+      .map { case (orig, rows) =>
+        orig -> rows.groupBy(_._1).values
+          .map(_.map(t => (t._2, t._3, t._4)).toSet).toSet
+      }
+    byVec.foreach { case (orig, answerSets) =>
+      assert(answerSets.size === 1,
+        s"replicated query $orig got ${answerSets.size} distinct answer sets")
+    }
+  }
 }

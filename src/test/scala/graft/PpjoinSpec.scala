@@ -175,6 +175,22 @@ class PpjoinSpec extends SparkSpec {
       "two-level rank must equal the single global ROW_NUMBER")
   }
 
+  test("sortedNeighborhood at minJaccard 0.0 never emits zero-overlap neighbors") {
+    // the array-intersect projection verify scores EVERY candidate
+    // pair (the old inner equi-join form produced no row at all for
+    // zero overlap), so the degenerate 0.0 threshold must not surface
+    // sort-adjacent documents with disjoint shingle sets
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee"),
+      (2L, "aab qqq rrr sss ttt"), // sorts adjacent, zero 3-shingles shared
+      (3L, "zzz yyy xxx www vvv"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(docs, 3, 4, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 > 0.0),
+      s"zero-overlap neighbors surfaced at the 0.0 threshold: ${got.mkString(",")}")
+  }
+
   test("sortedNeighborhood finds a planted near-dup pair under a shared prefix") {
     val prefix = "y" * 2000
     val docs = ((0 until 60).map { i =>
