@@ -136,6 +136,14 @@ object ScaleBench {
     // same round a full regeneration records them)
     "sim_topk_graph")
 
+  /** Queries whose largest point sits at the 8 GiB heap edge and
+    * swings run-to-run on GC luck for an UNCHANGED plan
+    * (dedup_ppjoin: 30.5–51.1 s observed at sf10 across r12): their
+    * sf10 measurement is min-of-3 so the recorded curve is the
+    * stable point, not the draw.
+    */
+  val VarianceProne: Set[String] = Set("dedup_ppjoin")
+
   def main(args: Array[String]): Unit = {
     val testdata =
       sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
@@ -199,10 +207,11 @@ object ScaleBench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    def minOf2(name: String, dir: String): Double = {
-      val a = once(name, dir); val b = once(name, dir)
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    def minOfN(name: String, dir: String, n: Int): Double = {
+      val runs = (1 to n).map(_ => once(name, dir))
+      if (runs.exists(_ < 0)) -1.0 else runs.min
     }
+    def minOf2(name: String, dir: String): Double = minOfN(name, dir, 2)
 
     // warm codegen/broadcast machinery on the small point first
     ScaleQueries.foreach(q => once(q, s"$testdata/sf0.01", warmup = true))
@@ -217,7 +226,12 @@ object ScaleBench {
           sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "3.0").toDouble)
         midRunContended |= !BenchEnv.awaitQuiet()
       q -> pointsFor(q).map { case (label, dir) =>
-        label -> minOf2(q, dir) }.toMap
+        // variance-prone queries take min-of-3 at the heap-edge sf10
+        // point: dedup_ppjoin's unchanged plan swung 30.5-51.1 s on
+        // GC luck there (r12 verdict watch) — one extra pass records
+        // the stable point instead of the draw
+        val passes = if (label == "sf10" && VarianceProne(q)) 3 else 2
+        label -> minOfN(q, dir, passes) }.toMap
     }.toMap
 
     // maxBlock cost/recall sweep for the suite's most expensive query:
@@ -265,6 +279,10 @@ object ScaleBench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val vJson = violations.map(v => s""""$v"""").mkString("[", ",", "]")
+    // NOTE deliberately NOT flagged on end-of-run loadavg: this
+    // harness's own 32-thread sf10 work keeps the 1-min loadavg ≈ 14
+    // at the end of a CLEAN run (SCALING_r12 measured exactly that) —
+    // the per-query re-armed gate above is the contention protection
     val contended = !quiet || midRunContended
     val line = s"""{"metric":"scale","queries":$qJson,"bound":$bound,""" +
       s""""edit_blocked_sweep":$sweepJson,""" +

@@ -222,6 +222,38 @@ object Similarity {
       struct((-dot(col("v"), lit(cv))).as("negcd"), lit(id).as("c_id"))
     }: _*)
 
+  /** The top-2 cell ids of vector column `v` against literal
+    * centroids by the SAME (dot DESC, c_id ASC) rule as
+    * [[cellScores]] + array_sort — but as one fold over the dotted
+    * cells with a 4-field accumulator instead of materializing and
+    * SORTING a |cells|-struct array per row. At [[autoCells]]-scale
+    * cell counts (hundreds, vs the fixed 8 where the sort was free)
+    * the per-row sort dominated the dot products; the fold does the
+    * identical dot work once per cell (dots pre-computed by a
+    * `transform` so the when-chain never re-evaluates them) with
+    * O(1) state. Strict `>` keeps the first-seen (smallest c_id) on
+    * ties — exactly the sort's (negcd, c_id) order. Returns struct
+    * (b1d, b1i, b2d, b2i); b2i = -1 when |cells| = 1.
+    */
+  private def top2Cells(cent: Seq[(Int, Array[Double])]): Column = {
+    val dotted = array(cent.map { case (id, cv) =>
+      struct(dot(col("v"), lit(cv)).as("d"), lit(id).as("c_id"))
+    }: _*)
+    val init = struct(
+      lit(Double.NegativeInfinity).as("b1d"), lit(-1).as("b1i"),
+      lit(Double.NegativeInfinity).as("b2d"), lit(-1).as("b2i"))
+    aggregate(dotted, init, (acc, x) => {
+      val d = x.getField("d"); val id = x.getField("c_id")
+      when(d > acc.getField("b1d"), struct(
+          d.as("b1d"), id.as("b1i"),
+          acc.getField("b1d").as("b2d"), acc.getField("b1i").as("b2i")))
+        .when(d > acc.getField("b2d"), struct(
+          acc.getField("b1d").as("b1d"), acc.getField("b1i").as("b1i"),
+          d.as("b2d"), id.as("b2i")))
+        .otherwise(acc)
+    })
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
     * SIGIR 1998) — the diversity-aware retrieval finisher: greedily
     * pick m results that balance relevance to the query against
@@ -309,17 +341,26 @@ object Similarity {
     val cap = 2 * k
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val scoresArr = c.withColumn("scores_arr", cellScores(cent))
-      .withColumn("cells", expr("transform(array_sort(scores_arr), x -> x.c_id)"))
-      .drop("scores_arr")
+    // score every vector against the centroids ONCE, into a
+    // 3-scalar-per-row relation pinned with a lazy checkpoint (the
+    // small-relation discipline — at autoCells-scale cell counts the
+    // per-row scoring is the dominant seeding cost, and the naive
+    // two-subtree shape re-ran it for the assignment AND the head
+    // sides); each consumer joins the vectors back by id, the same
+    // id-keyed re-score idiom as the wedge rounds below
+    val t2rel = c
+      .select(col("vec_id"), top2Cells(cent).as("t2"))
+      .select(col("vec_id"), col("t2.b1i").as("c1"), col("t2.b2i").as("c2"))
+      .localCheckpoint(eager = false)
     // soft assignment: each node seeds from its top-2 cells (the IVF
-    // probe rule on the corpus side — same trick as sim_neardup_cells)
-    val assigned = scoresArr
+    // probe rule on the corpus side — same trick as sim_neardup_cells);
+    // the cell >= 0 filter drops the c2 sentinel of a 1-cell codebook
+    val assigned = c.join(t2rel, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(slice(col("cells"), 1, 2)).as("cell"))
-    val heads = scoresArr
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("cells").getItem(0).as("cell"))
+        explode(array(col("c1"), col("c2"))).as("cell"))
+      .filter(col("cell") >= 0)
+    val heads = c.join(t2rel, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("c1").as("cell"))
       .withColumn("hr", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
       .filter(col("hr") <= cap)
@@ -412,8 +453,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/nodes")
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("scores_arr", cellScores(cent))
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .withColumn("cell", top2Cells(cent).getField("b1i"))
       .withColumn("hr", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
       .filter(col("hr") <= cap)
