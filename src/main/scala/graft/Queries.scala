@@ -5179,7 +5179,7 @@ object Queries {
   private lazy val ivfPqTopKOracle: String =
     s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
        |$pqTrainCtes,
-       |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < $autoCellsSql),
        |cellscore AS (SELECT c.vec_id, c.v, c_id,
        |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
        |assign AS (SELECT vec_id, c_id AS cell FROM (
@@ -5441,6 +5441,12 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val e = emb(s, d)
+        // cells stay at the FIXED 8 here on measurement: selection
+        // results are exact at ANY cell count (only pruning
+        // granularity changes), and 45 cells cost 4.6 -> 11.7 s at
+        // sf0.1 in round-trip file overhead with no recorded scale
+        // curve to justify it — unlike the ANN tier, where autoCells
+        // buys recall AND an 8x smaller probed fraction
         val path = s"target/atrest/kc-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
         Similarity.ivfWriteAtRest(e, e.filter(col("vec_id") < 8), path)
         Similarity.ivfWriteCellStats(s, path, e.filter(col("vec_id") < 8))
@@ -5618,13 +5624,14 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val e = emb(s, d)
+        val cent = e.filter(col("vec_id") < Similarity.autoCells(e))
         val path = s"target/atrest/ivf-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        Similarity.ivfWriteAtRest(e, e.filter(col("vec_id") < 8), path)
+        Similarity.ivfWriteAtRest(e, cent, path)
         Similarity.ivfTopKAtRest(s, path, e.filter(col("vec_id") < 10),
-          e.filter(col("vec_id") < 8), nProbe = 3, k = 10)
+          cent, nProbe = 3, k = 10)
       },
       Some(s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < 8),
+              |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < $autoCellsSql),
               |scored AS (SELECT c.vec_id, c.v, c_id,
               |   ${"list_sum([v[i+1]*cv[i+1] for i in range(64)])"} AS cd FROM c, cent),
               |assign AS (SELECT vec_id, v, c_id AS cell FROM (
@@ -5916,7 +5923,8 @@ object Queries {
         val books = Similarity.pqTrainBooks(e,
           e.filter(col("vec_id") < 16), m = 16, iters = 2)
         Similarity.ivfPqTopKWith(e, e.filter(col("vec_id") < 10),
-          e.filter(col("vec_id") < 8), books, nProbe = 2, k = 10)
+          e.filter(col("vec_id") < Similarity.autoCells(e)), books,
+          nProbe = 2, k = 10)
       },
       Some(ivfPqTopKOracle)),
 
@@ -5933,11 +5941,11 @@ object Queries {
         val e = emb(s, d)
         val books = Similarity.pqTrainBooks(e,
           e.filter(col("vec_id") < 16), m = 16, iters = 2)
+        val cent = e.filter(col("vec_id") < Similarity.autoCells(e))
         val path = s"target/atrest/ivfpq-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        Similarity.ivfPqWriteAtRest(e, e.filter(col("vec_id") < 8),
-          books, path)
+        Similarity.ivfPqWriteAtRest(e, cent, books, path)
         Similarity.ivfPqTopKAtRest(s, path, e.filter(col("vec_id") < 10),
-          e.filter(col("vec_id") < 8), books, nProbe = 2, k = 10)
+          cent, books, nProbe = 2, k = 10)
       },
       Some(ivfPqTopKOracle)),
 
