@@ -14,6 +14,17 @@ class KnnGraphSpec extends SparkSpec {
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
   private lazy val cent = emb.filter(col("vec_id") < 8)
 
+  test("autoCells: ceil(sqrt(n)) clamped to [8, 1024], same rule as the oracle SQL") {
+    // 500 rows -> ceil(sqrt(500)) = 23; the clamps guard the driver
+    // collect (<= 1024 literal centroids) and degenerate corpora
+    assert(Similarity.autoCells(emb) === 23)
+    assert(Similarity.autoCells(emb.limit(10)) === 8, "floor at 8")
+    val wide = emb.crossJoin(spark.range(4000).select(col("id")))
+      .select((col("vec_id") + col("id") * 1000L).as("vec_id"),
+        col("embedding"))
+    assert(Similarity.autoCells(wide) === 1024, "cap at 1024")
+  }
+
   test("keep-best: every (node, rank) slot improves or holds per round") {
     val g0 = Similarity.knnGraph(emb, cent, 10, 0)
       .select(col("vec_id"), col("rn"), col("cos_sim").as("c0"))
