@@ -30,10 +30,13 @@ import org.apache.spark.sql.SparkSession
   *    arm-time check and inflated three r12 numbers 2-3×) the loadavg
   *    is read again AFTER each measurement (`query_load_end`); a
   *    post-load breach plus a >1.5× regression vs best-known re-runs
-  *    under the gate, and any query still in that state after the
-  *    rerun budget lands in `suspect` and flags the artifact
+  *    under the gate; a query still in that state whose reruns never
+  *    armed quiet lands in `suspect` and flags the artifact
   *    `contended` — a contaminated number can no longer present as a
-  *    quiet one.
+  *    quiet one, while a value that reproduces under a quiet-armed
+  *    rerun is accepted as a legitimate cost change (a heavy query's
+  *    own threads keep the post-load above the gate even on an idle
+  *    box, so post-load alone cannot condemn it).
   */
 object Bench {
 
@@ -170,6 +173,15 @@ object Bench {
     // read AFTER each measurement: a query whose post-load breached the
     // gate AND whose time regressed >1.5× its best-known value is
     // treated as contaminated and re-run under the quiet gate.
+    // a query is "quiet-verified" when at least one rerun pass ARMED
+    // quiet (loadavg below the gate at rerun start): a value that
+    // reproduces under a quiet arm is a legitimate cost, not
+    // contamination — without this, any heavy query that genuinely
+    // got slower would flag itself forever, because its OWN 30+ s of
+    // 32-thread work keeps the post-measurement loadavg above the
+    // gate on a perfectly quiet box
+    val quietVerified =
+      scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
     def run(name: String): Double = {
       if (BenchEnv.load1() >= quietLoad)
         everContended |= !BenchEnv.awaitQuiet()
@@ -187,7 +199,10 @@ object Bench {
         System.err.println(f"[bench] $name%s ${best}%.2f s suspect " +
           f"(prev ${prev.getOrElse(name, -1.0)}%.2f s, post-load " +
           f"${queryLoadEnd(name)}%.2f) - rerun $tries")
-        everContended |= !BenchEnv.awaitQuiet()
+        val armedQuiet = BenchEnv.awaitQuiet()
+        everContended |= !armedQuiet
+        quietVerified(name) = quietVerified.getOrElse(name, false) ||
+          armedQuiet
         queryLoad(name) = BenchEnv.load1()
         val again = minOf2(name)
         queryLoadEnd(name) = BenchEnv.load1()
@@ -228,15 +243,17 @@ object Bench {
       .mkString("{", ",", "}")
     // self-identification rule for the r12 failure mode (a load ramp
     // DURING measurement recorded as quiet): a query whose
-    // post-measurement load breached the gate AND whose reported time
-    // is still >1.5× its best-known value after the rerun budget is a
-    // number this run could not verify on a quiet box — list it and
-    // flag the artifact. (A blanket end-loadavg flag would false-flag
-    // clean runs: the harness's own final heavy query keeps the 1-min
-    // loadavg elevated at run end.)
+    // post-measurement load breached the gate, whose reported time is
+    // still >1.5× its best-known value, AND that never got a
+    // quiet-armed rerun is a number this run could not verify — list
+    // it and flag the artifact. A value that REPRODUCED under a
+    // quiet-armed rerun is a legitimate cost change, and a blanket
+    // end-loadavg flag would false-flag clean runs (the harness's own
+    // final heavy query keeps the 1-min loadavg elevated at run end).
     val suspect = results.collect { case (n, v) if v > 0 &&
         queryLoadEnd.getOrElse(n, 0.0) >= quietLoad &&
-        prev.get(n).exists(p => p > 0 && v > p * 1.5) => n }
+        prev.get(n).exists(p => p > 0 && v > p * 1.5) &&
+        !quietVerified.getOrElse(n, false) => n }
     everContended |= suspect.nonEmpty
     val suspectJson = suspect.map(n => s""""$n"""").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","contended":$everContended,"suspect":$suspectJson,"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","query_load":$loadJson,"query_load_end":$loadEndJson,"reruns":$rerunJson,"passes":"min_of_2"}""")
