@@ -190,7 +190,19 @@ object Bench {
       queryLoadEnd(name) = BenchEnv.load1()
       def contaminated: Boolean =
         queryLoadEnd(name) >= quietLoad &&
-          prev.get(name).exists(p => p > 0 && best > p * 1.5)
+          (prev.get(name) match {
+            // no best-known floor (brand-new query, first round): a
+            // post-load breach alone is enough to demand ONE
+            // quiet-armed confirmation pass — without this, a load
+            // ramp during a first-round measurement records as a
+            // quiet number because every regression check needs a
+            // baseline to regress FROM (r13 ADVICE). One quiet-armed
+            // pass settles it: the query's own threads keep post-load
+            // high on an idle box, so repeating would burn reruns
+            // forever on every heavy newcomer.
+            case None => !quietVerified.getOrElse(name, false)
+            case Some(p) => p > 0 && best > p * 1.5
+          })
       var tries = 0
       while (best > 0 && tries < maxReruns &&
           (prev.get(name).exists(p => p > 0 && best > p * rerunFactor) ||
@@ -250,9 +262,12 @@ object Bench {
     // quiet-armed rerun is a legitimate cost change, and a blanket
     // end-loadavg flag would false-flag clean runs (the harness's own
     // final heavy query keeps the 1-min loadavg elevated at run end).
+    // unbaselined queries (no prev entry) flag on the post-load breach
+    // alone — with no floor to regress from, an unverified number
+    // under load is exactly the class the rule exists to catch
     val suspect = results.collect { case (n, v) if v > 0 &&
         queryLoadEnd.getOrElse(n, 0.0) >= quietLoad &&
-        prev.get(n).exists(p => p > 0 && v > p * 1.5) &&
+        prev.get(n).fold(true)(p => p > 0 && v > p * 1.5) &&
         !quietVerified.getOrElse(n, false) => n }
     everContended |= suspect.nonEmpty
     val suspectJson = suspect.map(n => s""""$n"""").mkString("[", ",", "]")

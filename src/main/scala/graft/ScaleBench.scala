@@ -87,7 +87,13 @@ object ScaleBench {
     // write + fixed-round greedy walk; the claim is the walk's reads
     // are bucket-pruned (cost ∝ frontier, not corpus) so the curve
     // should track the BUILD's near-linear cost
-    "sim_topk_graph")
+    "sim_topk_graph",
+    // round 14: the walk ALONE against a standing layout (built once
+    // per point by the query's build-if-absent path; min-of-2 takes
+    // the serve-only pass) — the claim is the sharpest in the suite:
+    // serving cost ∝ frontier, NOT corpus, so the curve should be
+    // near-FLAT across both decades
+    "sim_topk_graph_serve")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -134,7 +140,10 @@ object ScaleBench {
     // before wiring: 20.8 s sf1 / see SCALING_r12 for the recorded
     // curve (the lesson stands: queries join these sets only in the
     // same round a full regeneration records them)
-    "sim_topk_graph")
+    "sim_topk_graph",
+    // round 14: serve-only at both decades — the near-flat claim is
+    // exactly what a second decade distinguishes from small-point luck
+    "sim_topk_graph_serve")
 
   /** Queries whose largest point sits at the 8 GiB heap edge and
     * swings run-to-run on GC luck for an UNCHANGED plan
@@ -143,6 +152,38 @@ object ScaleBench {
     * stable point, not the draw.
     */
   val VarianceProne: Set[String] = Set("dedup_ppjoin")
+
+  /** Per-(query, point) MINIMUM seconds across every SCALING_r*.json
+    * in `dir` — the rerun reference (the [[Bench.bestKnown]] idea at
+    * point granularity). The r13 scale record's absolutes were
+    * 1.4–1.6× ambient-inflated while reporting `contended: false`
+    * (the per-query ARM gate held but the load ramped during
+    * measurement); the min over history is the floor a contaminated
+    * point is checked against. Point labels are the `"sfX":seconds`
+    * pairs inside each query's object; ratio/sweep/error fields don't
+    * match the sf-prefixed label pattern.
+    */
+  def bestKnownPoints(dir: java.io.File): Map[(String, String), Double] = {
+    val filePat = """SCALING_r\d+\.json""".r
+    val obj = """"([A-Za-z0-9_]+)"\s*:\s*\{([^{}]*)\}""".r
+    val pair = """"(sf[0-9.]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => filePat.findFirstIn(f.getName).contains(f.getName))
+    files.flatMap { f =>
+      scala.util.Try {
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString finally src.close()
+      }.toOption.toSeq.flatMap { text =>
+        obj.findAllMatchIn(text).flatMap { m =>
+          val q = m.group(1)
+          pair.findAllMatchIn(m.group(2)).flatMap { p =>
+            scala.util.Try((q, p.group(1)) -> p.group(2).toDouble).toOption
+          }
+        }
+      }
+    }.filter(_._2 > 0)
+      .groupMapReduce(_._1)(_._2)(math.min)
+  }
 
   def main(args: Array[String]): Unit = {
     val testdata =
@@ -221,9 +262,24 @@ object ScaleBench {
     // quiet gate re-arms per query so load arriving mid-run shows up
     // as a wait, not a poisoned ratio (round 7's driver-bench lesson)
     var midRunContended = false
+    val quietLoadT =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "3.0").toDouble
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_MAX_RERUNS", "2").toInt
+    val prevPts = bestKnownPoints(new java.io.File("."))
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the r13 hole, closed with the Bench post-measurement rule at
+    // POINT granularity: the arm-time gate is blind to a load ramp
+    // DURING a measurement, so the loadavg is read again after each
+    // point; a post-load breach while the value sits >1.5× its
+    // best-known floor (or has NO floor — a first-round point) re-runs
+    // under the quiet gate, and a point that never got a quiet-armed
+    // pass lands in `suspect` — a contaminated absolute can no longer
+    // present as a quiet one. A value that REPRODUCES under a
+    // quiet-armed rerun is a legitimate cost change (the harness's own
+    // 32-thread work keeps post-load high on an idle box, so post-load
+    // alone cannot condemn it).
     val times: Map[String, Map[String, Double]] = ScaleQueries.map { q =>
-      if (BenchEnv.load1() >=
-          sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "3.0").toDouble)
+      if (BenchEnv.load1() >= quietLoadT)
         midRunContended |= !BenchEnv.awaitQuiet()
       q -> pointsFor(q).map { case (label, dir) =>
         // variance-prone queries take min-of-3 at the heap-edge sf10
@@ -231,7 +287,26 @@ object ScaleBench {
         // GC luck there (r12 verdict watch) — one extra pass records
         // the stable point instead of the draw
         val passes = if (label == "sf10" && VarianceProne(q)) 3 else 2
-        label -> minOfN(q, dir, passes) }.toMap
+        var best = minOfN(q, dir, passes)
+        var loadEnd = BenchEnv.load1()
+        def contaminated: Boolean =
+          best > 0 && loadEnd >= quietLoadT &&
+            prevPts.get((q, label)).fold(true)(p => p > 0 && best > p * 1.5)
+        var quietVerified = false
+        var tries = 0
+        while (contaminated && !quietVerified && tries < maxReruns) {
+          tries += 1
+          System.err.println(f"[scale] $q@$label ${best}%.2f s suspect " +
+            f"(floor ${prevPts.getOrElse((q, label), -1.0)}%.2f s, " +
+            f"post-load $loadEnd%.2f) - quiet rerun $tries")
+          quietVerified = BenchEnv.awaitQuiet()
+          midRunContended |= !quietVerified
+          val again = minOfN(q, dir, passes)
+          loadEnd = BenchEnv.load1()
+          if (again > 0) best = math.min(best, again)
+        }
+        if (contaminated && !quietVerified) suspects += s"$q@$label"
+        label -> best }.toMap
     }.toMap
 
     // maxBlock cost/recall sweep for the suite's most expensive query:
@@ -279,13 +354,16 @@ object ScaleBench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val vJson = violations.map(v => s""""$v"""").mkString("[", ",", "]")
-    // NOTE deliberately NOT flagged on end-of-run loadavg: this
+    // NOTE deliberately NOT flagged on end-of-RUN loadavg: this
     // harness's own 32-thread sf10 work keeps the 1-min loadavg ≈ 14
-    // at the end of a CLEAN run (SCALING_r12 measured exactly that) —
-    // the per-query re-armed gate above is the contention protection
-    val contended = !quiet || midRunContended
+    // at the end of a CLEAN run (SCALING_r12 measured exactly that).
+    // Contention protection is the per-query re-armed gate PLUS the
+    // per-POINT post-measurement suspect rule above — `suspect` lists
+    // the points this run could not quiet-verify.
+    val contended = !quiet || midRunContended || suspects.nonEmpty
+    val suspectJson = suspects.map(s => s""""$s"""").mkString("[", ",", "]")
     val line = s"""{"metric":"scale","queries":$qJson,"bound":$bound,""" +
-      s""""edit_blocked_sweep":$sweepJson,""" +
+      s""""edit_blocked_sweep":$sweepJson,"suspect":$suspectJson,""" +
       s""""violations":$vJson,"contended":$contended,"errors":$errJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}",""" +
       s""""passes":"min_of_2","sf1_docs":$docRows,"sf1_vecs":$embRows}"""

@@ -213,9 +213,16 @@ object Similarity {
     * Lloyd rounds ([[kmeansIter]]) or a hierarchical entry tier — the
     * rule here fixes the BUDGET, which is what decayed.
     */
-  def autoCells(corpus: DataFrame): Int =
+  def autoCells(corpus: DataFrame): Int = autoCellsOf(corpus.count())
+
+  /** [[autoCells]] from an already-known corpus size — callers that
+    * have counted once (a declared query building several tiers, the
+    * streaming drift monitor's running total) reuse the count instead
+    * of re-scanning the corpus per call.
+    */
+  def autoCellsOf(n: Long): Int =
     math.min(1024L, math.max(8L,
-      math.ceil(math.sqrt(corpus.count().toDouble)).toLong)).toInt
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   private def cellScores(cent: Seq[(Int, Array[Double])]): Column =
     array(cent.map { case (id, cv) =>
@@ -335,14 +342,14 @@ object Similarity {
     * literal centroids.
     */
   def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int,
-               rounds: Int): DataFrame = {
+               rounds: Int, centralSeeds: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 0, "top-k size and a fixed round count")
     val cent = collectVectors(centroids)
     val cap = 2 * k
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     // score every vector against the centroids ONCE, into a
-    // 3-scalar-per-row relation pinned with a lazy checkpoint (the
+    // 4-scalar-per-row relation pinned with a lazy checkpoint (the
     // small-relation discipline — at autoCells-scale cell counts the
     // per-row scoring is the dominant seeding cost, and the naive
     // two-subtree shape re-ran it for the assignment AND the head
@@ -350,7 +357,8 @@ object Similarity {
     // id-keyed re-score idiom as the wedge rounds below
     val t2rel = c
       .select(col("vec_id"), top2Cells(cent).as("t2"))
-      .select(col("vec_id"), col("t2.b1i").as("c1"), col("t2.b2i").as("c2"))
+      .select(col("vec_id"), col("t2.b1i").as("c1"), col("t2.b2i").as("c2"),
+        col("t2.b1d").as("d1"))
       .localCheckpoint(eager = false)
     // soft assignment: each node seeds from its top-2 cells (the IVF
     // probe rule on the corpus side — same trick as sim_neardup_cells);
@@ -359,10 +367,16 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"),
         explode(array(col("c1"), col("c2"))).as("cell"))
       .filter(col("cell") >= 0)
+    // seed-head rank mirrors the at-rest entry-head rule: central
+    // seeds join every cellmate to the cell's most CENTRAL members
+    // (dot to centroid desc), first-by-id keeps arbitrary members
+    val seedWin = Window.partitionBy(col("cell")).orderBy(
+      (if (centralSeeds) Seq(col("d1").desc, col("vec_id"))
+       else Seq(col("vec_id"))): _*)
     val heads = c.join(t2rel, "vec_id")
-      .select(col("vec_id"), col("v"), col("nrm"), col("c1").as("cell"))
-      .withColumn("hr", row_number().over(
-        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c1").as("cell"),
+        col("d1"))
+      .withColumn("hr", row_number().over(seedWin))
       .filter(col("hr") <= cap)
       .select(col("cell"), col("vec_id").as("dst"),
         col("v").as("dv"), col("nrm").as("dn"))
@@ -438,7 +452,8 @@ object Similarity {
     */
   def graphWriteAtRest(corpus: DataFrame, centroids: DataFrame, k: Int,
                        rounds: Int, path: String,
-                       buckets: Int = 64): Unit = {
+                       buckets: Int = 64,
+                       centralHeads: Boolean = false): Unit = {
     val cent = collectVectors(centroids)
     val cap = 2 * k
     knnGraph(corpus, centroids, k, rounds)
@@ -452,19 +467,34 @@ object Similarity {
         pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/nodes")
+    // entry-head rank within each cell: `centralHeads` ranks by dot
+    // to the cell centroid (desc, ties to the smallest id) so a
+    // query's entry points are the cell's most CENTRAL members — the
+    // first-by-id rule keeps arbitrary members as entries, which is
+    // the entry-quality loss the r14 sweep measured
+    val headWin = Window.partitionBy(col("cell")).orderBy(
+      (if (centralHeads) Seq(col("cd").desc, col("vec_id"))
+       else Seq(col("vec_id"))): _*)
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", top2Cells(cent).getField("b1i"))
-      .withColumn("hr", row_number().over(
-        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .withColumn("t2", top2Cells(cent))
+      .select(col("vec_id"), col("t2.b1i").as("cell"),
+        col("t2.b1d").as("cd"))
+      .withColumn("hr", row_number().over(headWin))
       .filter(col("hr") <= cap)
       .select(col("cell"), col("vec_id"), col("hr"))
       .write.mode("overwrite").parquet(s"$path/heads")
     // layout metadata: the stored per-cell head cap (2·build-k) and
     // bucket count, so SERVING validates against what was written —
     // not against its own serve-time parameters (a serve k > build k
-    // must not admit beams above the stored heads)
+    // must not admit beams above the stored heads). `built_n` and
+    // `cells` record the corpus size and entry-cell count the layout
+    // was built at — the reference point the streaming drift monitor
+    // ([[graft.streaming.IvfStream.rebuildSignal]]) compares live
+    // growth against.
     import corpus.sparkSession.implicits._
-    Seq((k, cap, buckets)).toDF("build_k", "head_cap", "buckets")
+    Seq((k, cap, buckets, corpus.count(), cent.length, centralHeads))
+      .toDF("build_k", "head_cap", "buckets", "built_n", "cells",
+        "central_heads")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // the entry centroids themselves (≤1024 rows by the autoCells
     // cap): a layout must be servable with the EXACT cell set its
@@ -492,11 +522,13 @@ object Similarity {
     */
   def graphPublishVersion(corpus: DataFrame, centroids: DataFrame,
                           k: Int, rounds: Int, root: String,
-                          buckets: Int = 64): Int = {
+                          buckets: Int = 64,
+                          centralHeads: Boolean = false): Int = {
     val spark = corpus.sparkSession
     val next = graphCurrentVersion(spark, root).map(_ + 1).getOrElse(0)
     val dir = graphVersionPath(root, next)
-    graphWriteAtRest(corpus, centroids, k, rounds, dir, buckets)
+    graphWriteAtRest(corpus, centroids, k, rounds, dir, buckets,
+      centralHeads)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PUBLISHED"), true)
@@ -520,6 +552,42 @@ object Similarity {
 
   def graphVersionPath(root: String, version: Int): String =
     s"$root/v=$version"
+
+  /** Retention for the versioned index root: delete PUBLISHED versions
+    * beyond the newest `keepLast`, returning the versions removed.
+    * Invariants that keep rotation safe for in-flight readers:
+    *  - the CURRENT (max published) version is never deleted, whatever
+    *    `keepLast` says — a reader that just resolved it must survive;
+    *  - only versions with a `_PUBLISHED` marker are candidates: an
+    *    unpublished `v=N` directory is either a rebuild IN PROGRESS
+    *    (newer than current — deleting it would race the writer) or a
+    *    failed one (harmless, diagnosable), so pruning leaves both;
+    *  - a reader mid-batch on any RETAINED version is unaffected —
+    *    prune removes only strictly older published versions, and a
+    *    batch resolves its version exactly once
+    *    ([[graft.streaming.GraphServeStream]]), so the window where an
+    *    old version must stay readable is one micro-batch, which
+    *    `keepLast >= 2` covers with a full version to spare.
+    */
+  def graphRetainVersions(spark: org.apache.spark.sql.SparkSession,
+                          root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "retention must keep at least the current version")
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val published = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2) }
+      .flatMap(n => scala.util.Try(n.toInt).toOption)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${graphVersionPath(root, v)}/_PUBLISHED")))
+      .sorted(Ordering[Int].reverse)
+    val doomed = published.drop(math.max(keepLast, 1))
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(graphVersionPath(root, v)),
+        true)
+    }
+    doomed
+  }
 
   /** The pruned adjacency read of one search round: bucket isin
     * (partition/file-level pruning) + src isin (row-level). Split out
@@ -563,7 +631,7 @@ object Similarity {
   def graphTopKAtRest(spark: org.apache.spark.sql.SparkSession,
                       path: String, queries: DataFrame,
                       centroids: DataFrame, beam: Int, rounds: Int,
-                      k: Int, buckets: Int = 64,
+                      k: Int, buckets: Int = -1,
                       entryProbe: Int = 1): DataFrame = {
     import spark.implicits._
     val cent = collectVectors(centroids)
@@ -577,12 +645,26 @@ object Similarity {
     // head cap is 2·BUILD-k, which the serve-time k does not determine
     // — bounding beam by 2·serve-k would silently truncate entry heads
     // whenever serve k > build k and diverge from the oracle's
-    // uncapped hr <= beam
+    // uncapped hr <= beam. A layout without meta predates the format
+    // (or was written by external tooling) — fail with the format
+    // story, not a raw path-not-found from the parquet reader.
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    require(metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(metaPath),
+      s"graph layout at $path has no meta relation — a legacy or " +
+        "foreign layout; rebuild it with graphWriteAtRest (the layout " +
+        "format stores build_k/head_cap/buckets so serving validates " +
+        "against what was written)")
     val meta = spark.read.parquet(s"$path/meta").head
     val storedCap = meta.getAs[Int]("head_cap")
-    require(buckets == meta.getAs[Int]("buckets"),
-      s"layout was written with ${meta.getAs[Int]("buckets")} buckets, " +
-        s"caller passed $buckets")
+    val storedBuckets = meta.getAs[Int]("buckets")
+    // bucket count is a LAYOUT property: default (-1) takes it from
+    // meta — serving can never disagree with the files it prunes — and
+    // an explicit caller value is a validation assertion only
+    require(buckets == -1 || buckets == storedBuckets,
+      s"layout was written with $storedBuckets buckets, " +
+        s"caller asserted $buckets")
+    val useBuckets = storedBuckets
     require(beam >= 1 && beam <= storedCap,
       s"beam must fit the stored per-cell head cap ($storedCap)")
     // an empty query batch (a quiet streaming trigger) answers itself
@@ -596,7 +678,8 @@ object Similarity {
     // more than |pairs| of them
     def scorePairs(pairs: Seq[(Long, Long)]): DataFrame = {
       val ids = pairs.map(_._2).distinct
-      val bks = ids.map(id => (((id % buckets) + buckets) % buckets).toInt)
+      val bks = ids
+        .map(id => (((id % useBuckets) + useBuckets) % useBuckets).toInt)
         .distinct.sorted
       val nodes = spark.read.parquet(s"$path/nodes")
         .filter(col("bucket").isin(bks.map(Integer.valueOf): _*) &&
@@ -652,7 +735,7 @@ object Similarity {
         .collect().map(row => (row.getLong(0), row.getLong(1)))
       val fPairs = frontier.toSeq.toDF("q_id", "src")
       val candPairs = graphAdjPruned(spark, path,
-          frontier.map(_._2).distinct.toSeq, buckets)
+          frontier.map(_._2).distinct.toSeq, useBuckets)
         .join(broadcast(fPairs), Seq("src"))
         .filter(col("dst") =!= col("q_id"))
         .select(col("q_id"), col("dst"))
@@ -1313,11 +1396,13 @@ object Similarity {
     val init = collectVectors(corpus.filter(col("vec_id") < k))
       .map { case (id, v) => (id, normalize(v)) }
     (0 until iters).foldLeft(init) { (cent, _) =>
-      val scores = cellScores(cent)
+      // assignment by the shared top-2 fold's first slot — the same
+      // (dot desc, c_id asc) rule as cellScores+array_sort, without
+      // materializing and sorting a |cells|-struct array per row
+      // (at autoCells-scale cell counts the per-row sort dominates)
       val sums = corpus
         .select(asDouble(col("embedding")).as("v"))
-        .withColumn("scores_arr", scores)
-        .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+        .withColumn("cell", top2Cells(cent).getField("b1i"))
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("x")).as("sx"))
@@ -1333,6 +1418,20 @@ object Similarity {
         }
       }
     }
+  }
+
+  /** [[kmeansCentroids]] as a (vec_id, embedding) relation — the
+    * Lloyd-refined entry tier in the shape every index builder/server
+    * ([[knnGraph]], [[graphWriteAtRest]], [[graphTopKAtRest]],
+    * [[ivfWriteAtRest]], [[ivfTopKWith]]-style callers) takes its
+    * centroids in. With `iters = 0` this is exactly the normalized
+    * first-`k` seed, so the declared queries' Lloyd knob prices
+    * refinement against the raw-seed baseline on one axis.
+    */
+  def lloydCentroidDf(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    kmeansCentroids(corpus, k, iters).toDF("vec_id", "embedding")
   }
 
   /** Mean max-cosine of the corpus against a centroid set — the

@@ -47,6 +47,10 @@ object GraphServeStream {
                          indexVersion: Option[Int]): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // bucket count comes from the layout's OWN meta (graphTopKAtRest's
+    // default): a layout written or published with a non-default
+    // bucket count serves without any parameter threading — serving
+    // can never disagree with the files it prunes
     def serve(chunk: DataFrame): Unit = {
       val answered = Similarity
         .graphTopKAtRest(spark, indexPath, chunk, centroids,
@@ -91,15 +95,52 @@ object GraphServeStream {
       }
       .start()
 
+  /** The batchId → resolved-index-version record that makes replay
+    * deterministic: written ATOMICALLY (temp + rename) next to the
+    * output BEFORE the batch serves, so a checkpoint-replayed batch
+    * re-reads the version its original run resolved instead of
+    * re-resolving — a rebuild landing between original serve and
+    * replay can no longer make the replay append DIFFERENT answers
+    * under a different `index_version` (the at-least-once contract is
+    * "identical rows re-appended", and identical requires the same
+    * index).
+    */
+  private[graft] def pinnedVersion(spark: SparkSession, outDir: String,
+                                   batchId: Long,
+                                   resolve: => Int): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$outDir.batchver")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = new org.apache.hadoop.fs.Path(dir, s"b=$batchId")
+    if (fs.exists(rec)) {
+      val in = fs.open(rec)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    } else {
+      val v = resolve
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".b=$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      // rename is the atomic commit; a concurrent/crashed duplicate
+      // attempt is harmless — both wrote the same resolved version
+      if (!fs.rename(tmp, rec) && !fs.exists(rec))
+        throw new IllegalStateException(s"could not pin version for $rec")
+      v
+    }
+  }
+
   /** Serve from a VERSIONED index root
     * ([[graft.operators.Similarity.graphPublishVersion]] layouts):
-    * each micro-batch resolves the highest `_PUBLISHED` version ONCE,
-    * serves entirely from that layout with its own STORED centroid
-    * set (a rebuild may change the cell count — the entry rule must
-    * match the heads it enters), and tags answers `index_version` —
-    * so a rebuild landing mid-stream takes effect atomically at the
-    * next batch, an in-flight batch never mixes versions, and the
-    * answer's provenance is auditable downstream.
+    * each micro-batch resolves the highest `_PUBLISHED` version ONCE
+    * and PINS it in a batchId-keyed sidecar record (see
+    * [[pinnedVersion]] — a checkpoint replay serves from the version
+    * the original run resolved, not whatever is newest at replay
+    * time), serves entirely from that layout with its own STORED
+    * centroid set (a rebuild may change the cell count — the entry
+    * rule must match the heads it enters), and tags answers
+    * `index_version` — so a rebuild landing mid-stream takes effect
+    * atomically at the next batch, an in-flight batch never mixes
+    * versions, and the answer's provenance is auditable downstream.
     */
   def startVersioned(spark: SparkSession, queries: DataFrame,
                      indexRoot: String, outDir: String,
@@ -109,10 +150,11 @@ object GraphServeStream {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val v = Similarity.graphCurrentVersion(spark, indexRoot)
-          .getOrElse(throw new IllegalStateException(
-            s"no published index version under $indexRoot"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = pinnedVersion(spark, outDir, batchId,
+          Similarity.graphCurrentVersion(spark, indexRoot)
+            .getOrElse(throw new IllegalStateException(
+              s"no published index version under $indexRoot")))
         val path = Similarity.graphVersionPath(indexRoot, v)
         serveBatch(spark, batch, path,
           Similarity.graphStoredCentroids(spark, path), outDir,

@@ -82,4 +82,53 @@ object IvfStream {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(stateFn)
   }
+
+  /** One rebuild recommendation per trigger: live corpus size,
+    * the entry-cell count THAT size wants, and whether to rebuild.
+    */
+  final case class RebuildSignal(corpus_n: Long, built_n: Long,
+                                 built_cells: Int, auto_cells: Int,
+                                 rebuild: Boolean)
+
+  /** Corpus-growth drift monitor — the rebuild TRIGGER for the at-rest
+    * index tier: the batch layouts derive their entry-cell budget from
+    * the corpus ([[graft.operators.Similarity.autoCellsOf]], ⌈√n⌉
+    * clamped), so on material growth the signal must say not just
+    * "rebuild" but "rebuild AT THE NEW CELL COUNT" — a rebuild at the
+    * stale count re-creates the fixed-budget recall decay the √n rule
+    * exists to prevent. `builtN` is the corpus size the serving layout
+    * was built at (stored in the layout's meta relation by
+    * [[graft.operators.Similarity.graphWriteAtRest]]); arriving
+    * vectors accrete a single running count, and the recommendation
+    * fires once corpus_n ≥ `factor`·built_n (default 2 — a corpus
+    * doubling halves per-cell entry coverage at the stale budget).
+    * The recommended `auto_cells` feeds
+    * [[graft.operators.Similarity.graphPublishVersion]]: rebuild at
+    * the new count, publish, serving rotates atomically
+    * ([[GraphServeStream.startVersioned]]).
+    *
+    * Scale: state is ONE long (the arrival count); per-trigger output
+    * is one row. The single group key is deliberate — this is a
+    * monitor emitting a scalar recommendation, not a data path.
+    */
+  def rebuildSignal(vecs: Dataset[Vec], builtN: Long, builtCells: Int,
+                    factor: Double = 2.0): Dataset[RebuildSignal] = {
+    require(builtN >= 0 && builtCells >= 1 && factor > 1.0,
+      "built size, built cells, and a growth factor > 1")
+    implicit val rsEnc = Encoders.product[RebuildSignal]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val intEnc = Encoders.scalaInt
+    def fn(key: Int, batch: Iterator[Vec],
+           state: GroupState[Long]): Iterator[RebuildSignal] = {
+      val arrived = state.getOption.getOrElse(0L) + batch.size
+      state.update(arrived)
+      val n = builtN + arrived
+      Iterator.single(RebuildSignal(n, builtN, builtCells,
+        graft.operators.Similarity.autoCellsOf(n),
+        n >= math.ceil(factor * builtN).toLong))
+    }
+    vecs.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -98,4 +98,39 @@ class BenchHarnessSpec extends AnyFunSuite {
       dir.delete()
     }
   }
+
+  test("bestKnownPoints merges per-(query, point) minima across SCALING rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec4").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try w.print(body) finally w.close()
+    }
+    try {
+      // the real artifact shape: per-query point seconds + ratio
+      // fields (not sf-labeled, must be ignored), a sweep object whose
+      // inner keys are not sf-labeled, an errors object, and a -1
+      // errored point that must not become a floor
+      write("SCALING_r12.json",
+        """{"metric":"scale","queries":{"q1":{"sf0.1":2.0,"sf1":20.0,""" +
+        """"ratio_10x":10.0},"q2":{"sf0.1":-1.0,"sf1":4.0}},""" +
+        """"edit_blocked_sweep":{"cap_32":{"sec":9.9,"pairs":25}},""" +
+        """"errors":{}}""")
+      write("SCALING_r13.json",
+        """{"metric":"scale","queries":{"q1":{"sf0.1":1.4,"sf1":31.0,""" +
+        """"ratio_10x":22.1},"q2":{"sf0.1":0.9,"sf1":5.0}}}""")
+      write("BENCH_r13.json", """{"queries":{"q1":0.01}}""")
+      val got = ScaleBench.bestKnownPoints(dir)
+      assert(got(("q1", "sf0.1")) === 1.4)
+      assert(got(("q1", "sf1")) === 20.0)
+      assert(got(("q2", "sf0.1")) === 0.9)
+      assert(got(("q2", "sf1")) === 4.0)
+      assert(!got.keySet.exists(_._2 == "ratio_10x"))
+      assert(!got.contains(("q1", "sf0.01")), "no invented points")
+      assert(!got.keySet.exists(_._1.startsWith("cap_")))
+      assert(got.size === 4, s"unexpected extras: $got")
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
 }

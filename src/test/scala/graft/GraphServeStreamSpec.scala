@@ -114,6 +114,101 @@ class GraphServeStreamSpec extends SparkSpec {
       "fixture degenerate: the rebuild did not change any answer")
   }
 
+  test("a replayed batch re-reads its pinned index version instead of re-resolving") {
+    val outDir = Files.createTempDirectory("graft-serve-pin").toString
+    // original run resolves 0 and pins it
+    assert(GraphServeStream.pinnedVersion(spark, outDir, 7L, 0) === 0)
+    // a rebuild lands (resolver now says 1); the REPLAY of batch 7
+    // must still serve from 0 — different answers under a different
+    // index_version would break the "identical rows re-appended"
+    // at-least-once contract
+    assert(GraphServeStream.pinnedVersion(spark, outDir, 7L,
+      fail("replay must not re-resolve")) === 0)
+    // a NEW batch resolves fresh
+    assert(GraphServeStream.pinnedVersion(spark, outDir, 8L, 1) === 1)
+  }
+
+  test("serving takes the bucket count from the layout's own meta (non-default buckets)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-serve-bkt").toString
+    // published with a NON-default bucket count: serving has no
+    // buckets parameter to thread — it must come from the stored meta
+    Similarity.graphPublishVersion(emb, cent, 10, 2, root, buckets = 16)
+    val input = MemoryStream[Vec]
+    val outDir = Files.createTempDirectory("graft-serve-bkt-out").toString
+    val q = GraphServeStream.startVersioned(spark, input.toDF(), root,
+      outDir, Files.createTempDirectory("graft-serve-bkt-ckpt").toString,
+      beam = 6, rounds = 2, k = 10)
+    val vecs = queryVecs(5)
+    try { input.addData(vecs: _*); q.processAllAvailable() } finally q.stop()
+    val p = Similarity.graphVersionPath(root, 0)
+    val direct = Similarity.graphTopKAtRest(spark, p,
+        emb.filter(col("vec_id") < 5),
+        Similarity.graphStoredCentroids(spark, p),
+        beam = 6, rounds = 2, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val got = spark.read.parquet(outDir)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got === direct)
+    // an explicit WRONG bucket assertion still fails loud
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.graphTopKAtRest(spark, p, emb.filter(col("vec_id") < 5),
+        Similarity.graphStoredCentroids(spark, p),
+        beam = 6, rounds = 2, k = 10, buckets = 64)
+    }
+    assert(ex.getMessage.contains("16 buckets"))
+  }
+
+  test("a legacy layout without meta fails with the format story, not a raw path error") {
+    val p = Files.createTempDirectory("graft-serve-legacy").toString
+    // fabricate a pre-meta layout: adj/nodes/heads only
+    emb.limit(1).select(col("vec_id").as("src"), col("vec_id").as("dst"))
+      .write.mode("overwrite").parquet(s"$p/adj")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.graphTopKAtRest(spark, p, emb.filter(col("vec_id") < 2),
+        cent, beam = 4, rounds = 1, k = 5)
+    }
+    assert(ex.getMessage.contains("no meta relation"))
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
+  test("retention prunes old published versions but never the current one or an in-flight reader's") {
+    val root = Files.createTempDirectory("graft-serve-retain").toString
+    val v0 = Similarity.graphPublishVersion(emb, cent, 10, 0, root)
+    val v1 = Similarity.graphPublishVersion(emb, cent, 10, 1, root)
+    val v2 = Similarity.graphPublishVersion(emb, cent, 10, 2, root)
+    assert(Seq(v0, v1, v2) === Seq(0, 1, 2))
+    // a reader resolved v1 just before the prune (one micro-batch in
+    // flight); keepLast=2 retains {v1, v2} and removes only v0
+    val removed = Similarity.graphRetainVersions(spark, root, keepLast = 2)
+    assert(removed === Seq(0))
+    assert(Similarity.graphCurrentVersion(spark, root) === Some(2))
+    val p1 = Similarity.graphVersionPath(root, 1)
+    val midBatch = Similarity.graphTopKAtRest(spark, p1,
+        emb.filter(col("vec_id") < 3),
+        Similarity.graphStoredCentroids(spark, p1),
+        beam = 6, rounds = 2, k = 10)
+      .collect()
+    assert(midBatch.nonEmpty, "the in-flight reader's version must survive")
+    // keepLast=1 never touches the current version
+    assert(Similarity.graphRetainVersions(spark, root, 1) === Seq(1))
+    assert(Similarity.graphCurrentVersion(spark, root) === Some(2))
+    assert(Similarity.graphRetainVersions(spark, root, 1) === Seq.empty)
+    // an UNPUBLISHED directory (in-progress or failed rebuild) is not
+    // a retention candidate
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v=3"))
+    assert(Similarity.graphRetainVersions(spark, root, 1) === Seq.empty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=3")),
+      "an unpublished rebuild-in-progress dir must survive the prune")
+  }
+
   test("a micro-batch beyond the 4096-query anchor bound is served chunked, not killed") {
     // 4150 queries in ONE trigger: the walk's require(<=4096) would
     // terminate the stream if foreachBatch handed the batch through

@@ -84,4 +84,61 @@ class IvfStreamSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("dim"))
   }
+
+  test("a corpus doubling triggers a rebuild recommendation at the NEW autoCells count") {
+    implicit val sqlCtx = spark.sqlContext
+    // layout built at n=100 → autoCells(100)=10 entry cells
+    val builtN = 100L
+    val builtCells = graft.operators.Similarity.autoCellsOf(builtN)
+    assert(builtCells === 10)
+    val input = MemoryStream[Vec]
+    val q = IvfStream.rebuildSignal(input.toDS(), builtN, builtCells)
+      .writeStream.format("memory").queryName("ivf_rebuild")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ivf-rb-ckpt").toString)
+      .start()
+    def signals() = {
+      q.processAllAvailable()
+      spark.table("ivf_rebuild").as[IvfStream.RebuildSignal]
+        .collect().sortBy(_.corpus_n).toSeq
+    }
+    def vecs(ids: Range) = ids.map(i => Vec(i.toLong, Seq(i.toDouble, 1.0)))
+    try {
+      // +60 arrivals: corpus 160 < 2×100 — watch, don't rebuild
+      input.addData(vecs(0 until 60): _*)
+      val s1 = signals().last
+      assert(s1.corpus_n === 160L && !s1.rebuild,
+        s"premature rebuild at $s1")
+      // +40 more: corpus 200 = 2×100 — rebuild, and AT THE NEW COUNT
+      input.addData(vecs(60 until 100): _*)
+      val s2 = signals().last
+      assert(s2.corpus_n === 200L && s2.rebuild, s"missed doubling at $s2")
+      assert(s2.auto_cells ===
+        graft.operators.Similarity.autoCellsOf(200L) &&
+        s2.auto_cells > builtCells,
+        "the recommendation must carry the grown corpus's cell count")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ivf_rebuild")
+    }
+  }
+
+  test("the rebuild recommendation drives the versioned publish path end to end") {
+    // the wiring the drift monitor exists for: signal says (rebuild,
+    // auto_cells) → a batch job publishes a fresh version with that
+    // many entry centroids → readers resolve it atomically
+    val emb = graft.core.Tables.read(spark, sf, "embeddings")
+    val n = emb.count()
+    val rec = graft.operators.Similarity.autoCellsOf(2 * n)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-rb-pub").toString
+    val v = graft.operators.Similarity.graphPublishVersion(
+      emb, emb.filter(col("vec_id") < rec), 10, 0, root)
+    val p = graft.operators.Similarity.graphVersionPath(root, v)
+    val meta = spark.read.parquet(s"$p/meta").head
+    assert(meta.getAs[Int]("cells") === rec,
+      "the published layout must record the recommended cell count")
+    assert(meta.getAs[Long]("built_n") === n)
+  }
 }
