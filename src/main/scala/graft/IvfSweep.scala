@@ -30,12 +30,22 @@ object IvfSweep {
     val auto = Similarity.autoCells(e)
     val cellCounts =
       if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, auto)
-    println(s"[ivfsweep] dir=$dir n=$n autoCells=$auto")
+    // r14 axis: Lloyd refinement of the coarse quantizer (the graph
+    // tier's entry-quality treatment applied to the IVF sibling) —
+    // "raw" = the first-`cells` vectors, an integer = kmeansCentroids
+    // iterations over that seed
+    val lloyds = sys.env.getOrElse("SPARK_GRAFT_LLOYD", "raw")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    println(s"[ivfsweep] dir=$dir n=$n autoCells=$auto lloyd=$lloyds")
     val truth = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
       .select(col("q_id"), col("vec_id")).localCheckpoint()
-    for (cells <- cellCounts; probe <- Seq(1, 2, 3, 4, 8)
+    for (cells <- cellCounts; ll <- lloyds; probe <- Seq(1, 2, 3, 4, 8)
          if probe <= cells) {
-      val cent = e.filter(col("vec_id") < cells)
+      val cent = ll match {
+        case "raw" => e.filter(col("vec_id") < cells)
+        case it => Similarity.lloydCentroidDf(e, cells, it.toInt)
+          .localCheckpoint()
+      }
       def once(): (Double, Double) = {
         val t0 = System.nanoTime()
         val approx = Similarity
@@ -48,7 +58,7 @@ object IvfSweep {
       }
       once() // warm
       val (recall, sec) = once()
-      println(f"[ivfsweep] cells=$cells%4d probe=$probe%2d " +
+      println(f"[ivfsweep] cells=$cells%4d lloyd=$ll%3s probe=$probe%2d " +
         f"recall_at_10=$recall%.4f sec=$sec%.2f")
     }
     spark.stop()
