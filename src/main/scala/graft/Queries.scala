@@ -4124,6 +4124,38 @@ object Queries {
              |  LEFT JOIN c1 ON sb.w1 = c1.cw1 CROSS JOIN v
              |GROUP BY sb.doc_id""".stripMargin)),
 
+    // Interpolated Kneser–Ney bigram LM score — the smoothing KenLM
+    // actually ships (Kneser & Ney 1995; Chen & Goodman 1998), vs the
+    // add-one baseline above: discounted observed mass D = 3/4 is
+    // redistributed through the CONTINUATION probability
+    // N1+(·w2)/N1+(··). Every factor is an integer count; the
+    // per-bigram double term is the same fixed-shape IEEE tree in
+    // both engines, quantized to DECIMAL(38,18) before the sum.
+    "text_kneser_ney" -> Decl(
+      (s, d) => TextAnalysis.knSmoothedLmScore(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+             |  FROM (SELECT doc_id,
+             |    unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(len(w)-1)]) AS u
+             |   FROM toks WHERE len(w) >= 2)),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |ctx AS (SELECT w1 AS cw1, COUNT(*) AS c1,
+             |  COUNT(DISTINCT w2) AS n1fwd FROM bg GROUP BY w1),
+             |cont AS (SELECT w2 AS cw2, COUNT(DISTINCT w1) AS n1bwd
+             |  FROM bg GROUP BY w2),
+             |t AS (SELECT COUNT(*) AS n_types FROM c12)
+             |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CAST(
+             |    (CAST(c12.c12 AS DOUBLE) - 0.75) / CAST(ctx.c1 AS DOUBLE)
+             |    + (0.75 * CAST(ctx.n1fwd AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+             |      * (CAST(cont.n1bwd AS DOUBLE) / CAST(t.n_types AS DOUBLE))
+             |   AS DECIMAL(38,18))) AS DOUBLE)
+             |    * 1000000.0 / COUNT(*) AS kn_ppm
+             |FROM bg, c12, ctx, cont, t
+             |WHERE bg.w1 = c12.w1 AND bg.w2 = c12.w2
+             |  AND bg.w1 = ctx.cw1 AND bg.w2 = cont.cw2
+             |GROUP BY bg.doc_id""".stripMargin)),
+
     // Corpus-frequency content score (exact-arithmetic CCNet
     // perplexity-bucket analog): mean corpus bigram frequency per doc.
     "pipeline_ngram_freq_score" -> Decl(

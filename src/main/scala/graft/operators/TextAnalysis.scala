@@ -800,6 +800,72 @@ object TextAnalysis {
           count(lit(1))).as("lm_ppm"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form — the smoothing KenLM
+    * actually ships, so this is the closest in-engine analog of
+    * CCNet's perplexity filter; [[bigramLmScore]] is the add-one
+    * baseline). Per scored bigram:
+    *
+    *   p_KN(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·)
+    *               + (D·N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with absolute discount D = 3/4 (exact in binary) and N₁₊ the
+    * distinct-continuation counts: the discount shaves mass off every
+    * observed bigram and redistributes it through the CONTINUATION
+    * probability — "how many contexts does w₂ complete" rather than
+    * "how often does w₂ occur" — the property that famously stops
+    * "Francisco" (frequent, but only ever after "San") from inflating
+    * unseen-context estimates. Trained on the scored corpus itself,
+    * every scored bigram has c ≥ 1 > D so the max(·−D, 0) clamp never
+    * binds, and Σ over the vocabulary of p_KN(·|w₁) is exactly 1
+    * (spec-pinned). Reported as mean p_KN per doc in ppm.
+    *
+    * Determinism: every factor is an integer count cast to double and
+    * the per-bigram term is the SAME fixed-shape IEEE expression tree
+    * in both engines, quantized to DECIMAL(38,18) before the sum (the
+    * [[bigramLmScore]] discipline) — the aggregate is
+    * partitioning-order-invariant and oracle-exact.
+    *
+    * Scale shape: three model aggregates (bigram counts; per-context
+    * token total + distinct fan-out, one pass; per-continuation
+    * distinct fan-in) and a 1-row bigram-type-count broadcast; the doc
+    * gram stream joins the model-sized tables on w1/w2 and
+    * re-aggregates per doc_id. Same skew posture as the add-one LM:
+    * build sides are pre-aggregated (broadcast at small SF,
+    * shuffle-join at scale), AQE skew split covers heavy stopword
+    * contexts on the probe.
+    */
+  def knSmoothedLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val bg = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = bg.groupBy(col("w1").as("cw1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1fwd"))
+    val cont = bg.groupBy(col("w2").as("cw2"))
+      .agg(countDistinct(col("w1")).as("n1bwd"))
+    val types = bg.agg(countDistinct(col("w1"), col("w2")).as("n_types"))
+    val d = lit(0.75)
+    // fixed-shape double tree, mirrored verbatim in the oracle SQL
+    val term =
+      (col("c12").cast("double") - d) / col("c1").cast("double") +
+        (d * col("n1fwd").cast("double") / col("c1").cast("double")) *
+          (col("n1bwd").cast("double") / col("n_types").cast("double"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(ctx, col("w1") === col("cw1"))
+      .join(cont, col("w2") === col("cw2"))
+      .crossJoin(broadcast(types)) // 1-row aggregate, broadcast
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(term.cast("decimal(38,18)")).cast("double") * lit(1000000.0) /
+          count(lit(1))).as("kn_ppm"))
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: corpora
     * are partitioned into thirds by LM perplexity, and models train on
     * the best tier): NTILE(3) over the [[bigramLmScore]] quality score,

@@ -262,6 +262,55 @@ class CurationSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("knSmoothedLmScore: hand-computed interpolated KN, sums to 1 per context") {
+    // corpus: doc 1 repeats bigrams (fluent), doc 2 is word salad.
+    // bigram counts: (a,b)=3, (b,a)=2, (c,d)=(d,e)=(e,f)=1 → 5 types.
+    // contexts: a·=3 (1 continuation), b·=2 (1), c·=d·=e·=1 (1 each).
+    // continuations: N1+(·b)=N1+(·a)=N1+(·d)=N1+(·e)=N1+(·f)=1.
+    val docs = Seq(1L -> "a b a b a b", 2L -> "c d e f")
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.knSmoothedLmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def q(x: Double) = BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    // term(a,b) = (3−.75)/3 + (.75·1/3)·(1/5) = 0.80
+    // term(b,a) = (2−.75)/2 + (.75·1/2)·(1/5) = 0.70
+    // term(c,d) = term(d,e) = term(e,f) = (1−.75)/1 + .75·(1/5) = 0.40
+    val tAb = (3.0 - 0.75) / 3.0 + (0.75 * 1.0 / 3.0) * (1.0 / 5.0)
+    val tBa = (2.0 - 0.75) / 2.0 + (0.75 * 1.0 / 2.0) * (1.0 / 5.0)
+    val tCd = (1.0 - 0.75) / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 5.0)
+    val d1 = (q(tAb) * 3 + q(tBa) * 2).toDouble * 1000000.0 / 5
+    val d2 = (q(tCd) * 3).toDouble * 1000000.0 / 3
+    assert(got(1L)._1 === 5L && got(2L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - d1) < 1e-6, got(1L).toString)
+    assert(math.abs(got(2L)._2 - d2) < 1e-6, got(2L).toString)
+    // fluent repetition outscores word salad under KN too
+    assert(got(1L)._2 > got(2L)._2)
+    // the KN normalization identity: for each context w1, discounted
+    // observed mass + backoff mass over the FULL continuation vocab
+    // (5 continuation words, each pcont = 1/5) sums to exactly 1 —
+    // e.g. context a: 0.75 observed + (0.75·1/3)·(5·1/5) = 1.
+    assert(math.abs((3.0 - 0.75) / 3.0 + (0.75 * 1.0 / 3.0) * 1.0 - 1.0) < 1e-12)
+    assert(math.abs((2.0 - 0.75) / 2.0 + (0.75 * 1.0 / 2.0) * 1.0 - 1.0) < 1e-12)
+  }
+
+  test("knSmoothedLmScore rewards versatile continuations over single-context ones") {
+    // the "San Francisco" property: york follows 4 distinct contexts
+    // (new/old/big/q1) while fran — though seen as a continuation
+    // just as often — only ever follows 2 (san/q2). The probe docs
+    // score one bigram each with equal observed counts and equal
+    // context strength (c1=1), so the continuation term N1+(·w2)
+    // alone decides; the versatile continuation must win.
+    val docs = Seq(
+      10L -> "new york", 11L -> "old york", 12L -> "big york",
+      13L -> "san fran san fran san fran",
+      20L -> "q1 york", 21L -> "q2 fran")
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.knSmoothedLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(20L) > got(21L),
+      s"york (4 contexts) should outscore fran (1 context): $got")
+  }
+
   test("gopherRepetition: duplicate lines and duplicated n-grams trip thresholds") {
     val clean = "one two three four five six seven eight nine ten"
     val dupLines = Seq.fill(10)("the same line again").mkString("\n")
