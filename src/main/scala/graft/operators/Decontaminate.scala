@@ -76,4 +76,40 @@ object Decontaminate {
       .withColumn("contamination_frac",
         col("n_seen").cast("double") / col("n_shingles").cast("double"))
   }
+
+  /** EMBEDDING-space decontamination — the semantic complement of the
+    * n-gram collision check above (the "fuzzy" eval-overlap audit:
+    * paraphrased or translated benchmark items share no n-grams but
+    * sit next to the eval set in embedding space): flag every corpus
+    * vector whose max cosine against the eval set reaches `tau`.
+    *
+    * Scale shape — the cheapest possible: the eval set (≤4096 vectors
+    * by the anchor rule, benchmarks are small by construction)
+    * inlines as literals, so the whole operator is ONE corpus scan
+    * with a per-row |eval|-way `greatest` fold of the codegen'd dot —
+    * no join, no shuffle, output ∝ flagged rows. The same
+    * broadcast-the-eval-side discipline as [[overlaps]], taken to its
+    * limit.
+    *
+    * Determinism: each cosine is [[graft.functions.VectorFunctions
+    * .cosine]] — the same left-to-right double fold as every `sim_*`
+    * operator, both norms computed at run time — and `greatest` /
+    * SQL `MAX` agree on the IEEE total order, so the flagged set and
+    * the reported maxima are oracle-exact.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, cosine}
+    val ev = evalSet
+      .select(col("vec_id"), asDouble(col("embedding"))).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(ev.nonEmpty && ev.length <= 4096,
+      s"eval set must be 1..4096 vectors, got ${ev.length}")
+    val sims = ev.map(qv => cosine(col("v"), lit(qv))).toSeq
+    val best = if (sims.length == 1) sims.head else greatest(sims: _*)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("max_eval_sim", best)
+      .filter(col("max_eval_sim") >= lit(tau))
+      .select(col("vec_id"), col("max_eval_sim"))
+  }
 }

@@ -1099,6 +1099,67 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** Self-contained IVF index at rest: `$path/codes` is the
+    * [[ivfWriteAtRest]] cell-partitioned corpus, `$path/meta` records
+    * the corpus size and cell count the index was built at (the
+    * reference point the streaming drift monitor compares live growth
+    * against, the [[graphWriteAtRest]] convention), and `$path/cent`
+    * — written LAST, the layout's completeness marker — carries the
+    * trained coarse quantizer itself. A FAISS index ships its
+    * quantizer inside the index file for the same reason: serving
+    * must assign query probes under the EXACT cell set the corpus was
+    * partitioned by, and re-deriving centroids from the corpus at
+    * serve time is a full corpus scan per serving session (plus a
+    * correctness hazard — a corpus that grew since the build would
+    * train DIFFERENT centroids than the stored cells were assigned
+    * under, silently mis-probing every query).
+    */
+  def ivfWriteIndex(corpus: DataFrame, centroids: DataFrame,
+                    path: String): Unit = {
+    val cent = collectVectors(centroids)
+    ivfWriteAtRest(corpus, centroids, s"$path/codes")
+    import corpus.sparkSession.implicits._
+    Seq((corpus.count(), cent.length)).toDF("built_n", "cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    cent.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+  }
+
+  /** Stored quantizer of an [[ivfWriteIndex]] layout — the centroid
+    * relation serving resolves INSTEAD of retraining (bit-identical
+    * by construction: it IS the trained set, persisted).
+    */
+  def ivfStoredCentroids(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    spark.read.parquet(s"$path/cent")
+
+  /** Versioned self-contained IVF index with atomic swap — the
+    * [[graphPublishVersion]] rotation applied to the IVF tier:
+    * `$root/v=N` is a complete [[ivfWriteIndex]] layout, committed by
+    * creating an empty `_PUBLISHED` marker LAST. The version helpers
+    * are layout-agnostic ([[graphCurrentVersion]] /
+    * [[graphVersionPath]] / [[graphRetainVersions]] inspect only
+    * `v=N` directory names and `_PUBLISHED` markers, never layout
+    * contents), so the graph and IVF tiers share one
+    * rotation/retention story end to end: [[graft.streaming.IvfStream
+    * .rebuildSignal]] recommends the rebuild at the new ⌈√n⌉ cell
+    * count, a batch job publishes here, and
+    * [[graft.streaming.IvfServeStream]] rotates to it at the next
+    * micro-batch.
+    */
+  def ivfPublishVersion(corpus: DataFrame, centroids: DataFrame,
+                        root: String): Int = {
+    val spark = corpus.sparkSession
+    val next = graphCurrentVersion(spark, root).map(_ + 1).getOrElse(0)
+    val dir = graphVersionPath(root, next)
+    ivfWriteIndex(corpus, centroids, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PUBLISHED"), true)
+      .close()
+    next
+  }
+
   /** Materialize the FAISS-style IVFPQ layout at rest: one directory
     * per IVF cell (partition pruning at probe time, the
     * [[ivfWriteAtRest]] rationale), and inside each cell the corpus

@@ -56,4 +56,40 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("semanticDecontaminate flags embedding-space neighbors, zero shuffle") {
+    // eval vector e1 = (1,0,0,...); corpus: an exact copy (cos 1.0),
+    // a near copy (cos ~0.89), and an orthogonal vector (cos 0)
+    val dim = 8
+    def v(xs: Double*): Seq[Double] = xs ++ Seq.fill(dim - xs.length)(0.0)
+    val evalSet = Seq((1000L, v(1.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(1.0)),        // exact duplicate of the eval item
+      (2L, v(2.0, 1.0)),   // near: cos = 2/sqrt(5) ≈ 0.894
+      (3L, v(0.0, 1.0)))   // orthogonal: cos = 0
+      .toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticDecontaminate(corpus, evalSet, 0.8)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L) - 2.0 / math.sqrt(5.0)) < 1e-12)
+    // the whole operator is one scan + a map-side greatest fold
+    val plan = Decontaminate.semanticDecontaminate(corpus, evalSet, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("semanticDecontaminate with a multi-vector eval set takes the max") {
+    val dim = 4
+    def v(xs: Double*): Seq[Double] = xs ++ Seq.fill(dim - xs.length)(0.0)
+    val evalSet = Seq((1000L, v(1.0)), (1001L, v(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    // aligned with the SECOND eval vector only
+    val corpus = Seq((1L, v(0.0, 3.0))).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticDecontaminate(corpus, evalSet, 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L))
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+  }
 }

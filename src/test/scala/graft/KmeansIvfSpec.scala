@@ -140,6 +140,36 @@ class KmeansIvfSpec extends SparkSpec {
     assert(refined > 0.3, s"refined recall too low: $refined")
   }
 
+  test("ivfWriteIndex is self-contained: stored quantizer serves bit-identically") {
+    val path = s"target/test-atrest/ivfidx-${System.nanoTime()}"
+    val cent = Similarity.lloydCentroidDf(emb, 8, 1)
+    Similarity.ivfWriteIndex(emb, cent, path)
+    // layout completeness: codes + meta + cent all present, meta
+    // records the corpus size and cell count the index was built at
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    assert(meta.getAs[Long]("built_n") === emb.count())
+    assert(meta.getAs[Int]("cells") === 8)
+    // the stored quantizer IS the trained set, bit-exact
+    val stored = Similarity.ivfStoredCentroids(spark, path)
+      .orderBy("vec_id").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val trained = cent.orderBy("vec_id").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    assert(stored.map(_._1).toSeq === trained.map(_._1).toSeq)
+    stored.zip(trained).foreach { case ((_, s), (_, t)) =>
+      assert(s.toSeq === t.toSeq)
+    }
+    // serving from the standing layout == the full-lifecycle result
+    val queries = emb.filter(col("vec_id") < 5)
+    val servedStanding = Similarity.ivfTopKAtRest(spark, s"$path/codes",
+      queries, Similarity.ivfStoredCentroids(spark, path),
+      nProbe = 2, k = 5).orderBy("q_id", "rn").collect()
+    val servedFresh = Similarity.ivfTopKAtRest(spark, s"$path/codes",
+      queries, cent, nProbe = 2, k = 5).orderBy("q_id", "rn").collect()
+    assert(servedStanding.toSeq === servedFresh.toSeq)
+    assert(servedStanding.nonEmpty)
+  }
+
   test("PQ training monotonically reduces its own measured distortion") {
     def totalDist2(books: Similarity.Books): Double =
       Similarity.pqDistortionWith(emb, books)

@@ -349,6 +349,22 @@ class PropertySpec extends SparkSpec {
     assert(run(8) === one && run(32) === one)
   }
 
+  test("knSmoothedLmScore is invariant to input partitioning (exact-decimal sum)") {
+    val docs = (0 until 120).map { i =>
+      val ws = (0 until 6 + i % 9).map(k => s"w${(i * 7 + k * k) % 40}")
+      (i.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(parts: Int) =
+      graft.operators.TextAnalysis.knSmoothedLmScore(docs.repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val one = run(1)
+    assert(one.size === 120)
+    // same discipline as the add-one LM: the per-bigram KN term is a
+    // fixed-shape double, the sum is exact decimal
+    assert(run(8) === one && run(32) === one)
+  }
+
   test("greedyPieces and simhashDedup are partitioning-invariant") {
     // the greedy segmenter's mapPartitions walk and the simhash star's
     // bucket aggregates must not depend on row placement: the vocab
