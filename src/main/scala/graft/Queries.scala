@@ -6161,6 +6161,38 @@ object Queries {
       },
       Some(ivfPqTopKOracle)),
 
+    // The probe priced alone on the IVFPQ tier — the tier where
+    // self-containment matters MOST: this index has TWO trained
+    // components (coarse quantizer + m PQ codebooks), and stored
+    // codes are meaningless under any other codebook set, so serving
+    // resolves BOTH from the layout (ivfPqWriteIndex persists
+    // codes + books + cent, the FAISS index-file contents). Built
+    // once per (corpus, config); every later pass pays the pruned
+    // probe + the code-table scoring alone. Same oracle as the
+    // scan-time and lifecycle IVFPQ queries — bit-equality with the
+    // standing index IS the claim.
+    "sim_topk_ivfpq_atrest_serve" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val cells = autoCellsFor(s, d)
+        val path = s"target/atrest/ivfpqsv-${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+          s"-c${cells}m16i2"
+        val done = new org.apache.hadoop.fs.Path(s"$path/cent")
+        if (!done.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .exists(done)) {
+          val books = Similarity.pqTrainBooks(e,
+            e.filter(col("vec_id") < 16), m = 16, iters = 2)
+          Similarity.ivfPqWriteIndex(e, e.filter(col("vec_id") < cells),
+            books, path)
+        }
+        Similarity.ivfPqTopKAtRest(s, s"$path/codes",
+          e.filter(col("vec_id") < 10),
+          Similarity.ivfStoredCentroids(s, path),
+          Similarity.ivfPqStoredBooks(s, path), nProbe = 2, k = 10)
+      },
+      Some(ivfPqTopKOracle)),
+
     // SemDedup: cluster-scoped semantic dedup (keep-lowest-id). The
     // oracle reuses the IVF assignment CTE shape and recomputes the
     // same within-cell pairs.
@@ -6510,5 +6542,9 @@ object Queries {
     // against a standing self-contained index (stored quantizer,
     // pruned cell reads); sim_topk_ivf_atrest keeps the lifecycle
     // price
-    "sim_topk_ivf_atrest_serve")
+    "sim_topk_ivf_atrest_serve",
+    // round-14 addition: the split on the IVFPQ tier — BOTH trained
+    // components (coarse quantizer + PQ codebooks) resolve from the
+    // standing layout; sim_topk_ivfpq_atrest keeps the lifecycle price
+    "sim_topk_ivfpq_atrest_serve")
 }

@@ -1133,6 +1133,51 @@ object Similarity {
                          path: String): DataFrame =
     spark.read.parquet(s"$path/cent")
 
+  /** Self-contained IVFPQ index at rest — the [[ivfWriteIndex]]
+    * discipline on the FAISS IVFPQ layout, where self-containment
+    * matters MOST: this index has TWO trained components (the coarse
+    * quantizer AND the m per-subspace PQ codebooks), and the stored
+    * codes are meaningless under any other codebook set. Layout:
+    * `$path/codes` = the [[ivfPqWriteAtRest]] cell-partitioned coded
+    * corpus, `$path/books` = the codebooks as (m, c_id, cv) rows,
+    * `$path/meta` = (built_n, cells, m), and `$path/cent` — written
+    * LAST, the completeness marker — the coarse quantizer. Serving
+    * resolves all trained state from the layout; re-training either
+    * component at serve time would be a corpus pass AND would decode
+    * the stored codes under the wrong codebooks.
+    */
+  def ivfPqWriteIndex(corpus: DataFrame, cellCentroids: DataFrame,
+                      books: Books, path: String): Unit = {
+    val cent = collectVectors(cellCentroids)
+    ivfPqWriteAtRest(corpus, cellCentroids, books, s"$path/codes")
+    import corpus.sparkSession.implicits._
+    books.zipWithIndex
+      .flatMap { case (bk, j) => bk.map { case (id, cv) => (j, id, cv) } }
+      .toDF("m", "c_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    Seq((corpus.count(), cent.length, books.length))
+      .toDF("built_n", "cells", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    cent.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+  }
+
+  /** Stored PQ codebooks of an [[ivfPqWriteIndex]] layout, rebuilt in
+    * the exact [[Books]] structure they were trained as (subspaces in
+    * order, entries sorted by code id — bit-identical literals).
+    */
+  def ivfPqStoredBooks(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Books = {
+    val rows = spark.read.parquet(s"$path/books")
+      .select(col("m"), col("c_id"), col("cv")).collect()
+    require(rows.length <= 4096, s"codebook set too large: ${rows.length}")
+    rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, es) =>
+        es.sortBy(_._2).map { case (_, id, cv) => (id, cv) }.toSeq
+      }
+  }
+
   /** Versioned self-contained IVF index with atomic swap — the
     * [[graphPublishVersion]] rotation applied to the IVF tier:
     * `$root/v=N` is a complete [[ivfWriteIndex]] layout, committed by

@@ -170,6 +170,38 @@ class KmeansIvfSpec extends SparkSpec {
     assert(servedStanding.nonEmpty)
   }
 
+  test("ivfPqWriteIndex persists both trained components; stored books serve bit-identically") {
+    val path = s"target/test-atrest/ivfpqidx-${System.nanoTime()}"
+    val cent = emb.filter(col("vec_id") < 8)
+    val books = Similarity.pqTrainBooks(emb, emb.filter(col("vec_id") < 16),
+      m = 16, iters = 2)
+    Similarity.ivfPqWriteIndex(emb, cent, books, path)
+    // stored codebooks rebuild to the EXACT trained structure
+    val stored = Similarity.ivfPqStoredBooks(spark, path)
+    assert(stored.length === books.length)
+    stored.zip(books).foreach { case (sb, tb) =>
+      assert(sb.map(_._1) === tb.map(_._1))
+      sb.zip(tb).foreach { case ((_, s), (_, t)) =>
+        assert(s.toSeq === t.toSeq)
+      }
+    }
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    assert(meta.getAs[Long]("built_n") === emb.count())
+    assert(meta.getAs[Int]("cells") === 8)
+    assert(meta.getAs[Int]("m") === 16)
+    // serving with stored quantizer + stored books == fresh components
+    val queries = emb.filter(col("vec_id") < 5)
+    val standing = Similarity.ivfPqTopKAtRest(spark, s"$path/codes",
+      queries, Similarity.ivfStoredCentroids(spark, path),
+      Similarity.ivfPqStoredBooks(spark, path), nProbe = 2, k = 5)
+      .orderBy("q_id", "rn").collect()
+    val fresh = Similarity.ivfPqTopKAtRest(spark, s"$path/codes",
+      queries, cent, books, nProbe = 2, k = 5)
+      .orderBy("q_id", "rn").collect()
+    assert(standing.toSeq === fresh.toSeq)
+    assert(standing.nonEmpty)
+  }
+
   test("PQ training monotonically reduces its own measured distortion") {
     def totalDist2(books: Similarity.Books): Double =
       Similarity.pqDistortionWith(emb, books)
