@@ -4180,6 +4180,40 @@ object Queries {
              |  AND bg.w1 = ctx.cw1 AND bg.w2 = cont.cw2
              |GROUP BY bg.doc_id""".stripMargin)),
 
+    // The CCNet tier split under the smoothing its deployed filter
+    // actually uses: NTILE(3) over the Kneser-Ney score instead of
+    // the add-one baseline (pipeline_ccnet_buckets). Scores are
+    // bit-identical doubles across engines, ties break on doc_id, so
+    // the tiers match exactly.
+    "pipeline_kn_buckets" -> Decl(
+      (s, d) => TextAnalysis.knBuckets(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+             |  FROM (SELECT doc_id,
+             |    unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(len(w)-1)]) AS u
+             |   FROM toks WHERE len(w) >= 2)),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |ctx AS (SELECT w1 AS cw1, COUNT(*) AS c1,
+             |  COUNT(DISTINCT w2) AS n1fwd FROM bg GROUP BY w1),
+             |cont AS (SELECT w2 AS cw2, COUNT(DISTINCT w1) AS n1bwd
+             |  FROM bg GROUP BY w2),
+             |t AS (SELECT COUNT(*) AS n_types FROM c12),
+             |lm AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CAST(
+             |    (CAST(c12.c12 AS DOUBLE) - 0.75) / CAST(ctx.c1 AS DOUBLE)
+             |    + (0.75 * CAST(ctx.n1fwd AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+             |      * (CAST(cont.n1bwd AS DOUBLE) / CAST(t.n_types AS DOUBLE))
+             |   AS DECIMAL(38,18))) AS DOUBLE)
+             |    * 1000000.0 / COUNT(*) AS kn_ppm
+             | FROM bg, c12, ctx, cont, t
+             | WHERE bg.w1 = c12.w1 AND bg.w2 = c12.w2
+             |   AND bg.w1 = ctx.cw1 AND bg.w2 = cont.cw2
+             | GROUP BY bg.doc_id)
+             |SELECT doc_id, n_bigrams, kn_ppm,
+             |  CASE NTILE(3) OVER (ORDER BY kn_ppm DESC, doc_id)
+             |   WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+             |FROM lm""".stripMargin)),
+
     // Corpus-frequency content score (exact-arithmetic CCNet
     // perplexity-bucket analog): mean corpus bigram frequency per doc.
     "pipeline_ngram_freq_score" -> Decl(

@@ -886,6 +886,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_ppm"), col("tier"))
   }
 
+  /** The [[ccnetBuckets]] tier split under the smoothing CCNet's
+    * deployed filter actually uses — NTILE(3) over the interpolated
+    * Kneser–Ney score ([[knSmoothedLmScore]]) instead of the add-one
+    * baseline. Same determinism story (bit-identical doubles, doc_id
+    * tie-break) and the same two-pass-quantile scale shape.
+    */
+  def knBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    knSmoothedLmScore(docs)
+      .withColumn("tier",
+        element_at(lit(Array("head", "middle", "tail")),
+          ntile(3).over(
+            Window.orderBy(col("kn_ppm").desc, col("doc_id")))))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_ppm"), col("tier"))
+  }
+
   /** Feature-hashing document embeddings (the "hashing trick",
     * Weinberger et al. 2009): every token hashes to one of `dims`
     * buckets with a ±1 sign drawn from an independent hash, and the
