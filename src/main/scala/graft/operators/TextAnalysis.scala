@@ -866,41 +866,106 @@ object TextAnalysis {
           count(lit(1))).as("kn_ppm"))
   }
 
+  /** Distributed NTILE(3) over (`scoreCol` DESC, doc_id) — the tier
+    * assignment behind [[ccnetBuckets]]/[[knBuckets]], computed WITHOUT
+    * the single-reducer global window a literal `ntile(3) OVER (ORDER
+    * BY …)` compiles to. The machinery is the range-exchange two-level
+    * rank this repo already trusts bit-exactly
+    * ([[graft.operators.Dedup.snGlobalRank]],
+    * [[graft.operators.Sampling.deterministicShuffle]]):
+    * `repartitionByRange` reservoir-samples the ACTUAL (score, doc_id)
+    * keys for its boundaries (so a degenerate score distribution still
+    * splits across buckets), partition ids are monotone in the range
+    * order, and bucket-prefix counts + a within-bucket physical row
+    * offset compose to exactly the oracle's one global ROW_NUMBER. The
+    * tile then falls out of the dense rank `r` over `N` rows by the
+    * standard NTILE arithmetic — q = N div 3, rem = N mod 3, the first
+    * `rem` tiles take q+1 rows — so the result is invariant to WHICH
+    * boundaries the sample picked and bit-identical to the oracle's
+    * NTILE(3).
+    *
+    * The ranked relation is lazily localCheckpoint-ed because two
+    * consumers read it (the bucket-count table and the final join):
+    * RangePartitioner re-samples per execution and
+    * `monotonically_increasing_id` is nondeterministic, so offsets
+    * from one sampling must never compose with local ranks from
+    * another. Every window here runs over the ≤|partitions|-row bucket
+    * table; no corpus-sized relation ever passes through one reducer.
+    */
+  /** The pre-checkpoint ranked relation behind [[tierByScore]]: range
+    * exchange on (`scoreCol` DESC, doc_id), bucket-local sort, and the
+    * zipWithIndex idiom for (bucket id, within-bucket rank) in one
+    * pass. Factored out so its plan shape (a PARALLEL range exchange,
+    * never a global sort) is pinnable — the checkpoint boundary in
+    * [[tierByScore]] hides this subtree behind a Scan ExistingRDD.
+    */
+  private[graft] def rankKeyed(scored: DataFrame,
+                               scoreCol: String): DataFrame = {
+    val parts = math.max(1, scored.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    scored
+      .repartitionByRange(parts, col(scoreCol).desc, col("doc_id"))
+      .sortWithinPartitions(col(scoreCol).desc, col("doc_id"))
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__bucket", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__lrk",
+        col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("__mid")
+  }
+
+  private[graft] def tierByScore(scored: DataFrame,
+                                 scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = rankKeyed(scored, scoreCol).localCheckpoint(eager = false)
+    val offsets = keyed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bn")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n",
+        sum(col("__bn")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .drop("__bn")
+    keyed.join(broadcast(offsets), "__bucket")
+      .withColumn("__rk", col("__boff") + col("__lrk"))
+      // NTILE(3): first (N mod 3) tiles hold (N div 3)+1 rows each.
+      // The ELSE divisor is 0 only when N < 3, where every row takes
+      // the THEN branch (rk <= rem), so the division never evaluates.
+      .withColumn("tier",
+        element_at(lit(Array("head", "middle", "tail")),
+          expr("""CASE WHEN __rk <= (__n % 3) * (__n div 3 + 1)
+                 |  THEN cast((__rk - 1) div (__n div 3 + 1) + 1 as int)
+                 |  ELSE cast(__n % 3 +
+                 |    (__rk - (__n % 3) * (__n div 3 + 1) - 1)
+                 |      div (__n div 3) + 1 as int)
+                 |END""".stripMargin)))
+      .drop("__bucket", "__lrk", "__boff", "__n", "__rk")
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: corpora
     * are partitioned into thirds by LM perplexity, and models train on
     * the best tier): NTILE(3) over the [[bigramLmScore]] quality score,
     * best-scoring third labeled `head`. Ties break on doc_id, so the
-    * split is deterministic and engine-portable. The window is global
-    * but carries only (doc_id, score) — at 100 TB this is the classic
-    * two-pass quantile: the heavy lifting is the LM scoring; the final
-    * rank is a sort of an id+double relation, the same shape as the
-    * deterministic-shuffle operator.
+    * split is deterministic and engine-portable. The tiering runs
+    * through [[tierByScore]]'s range-sampled two-level rank — the
+    * oracle keeps the literal global-window NTILE form, so the two
+    * derivations check each other — and no corpus-sized relation ever
+    * funnels through a single reducer.
     */
-  def ccnetBuckets(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    bigramLmScore(docs)
-      .withColumn("tier",
-        element_at(lit(Array("head", "middle", "tail")),
-          ntile(3).over(
-            Window.orderBy(col("lm_ppm").desc, col("doc_id")))))
+  def ccnetBuckets(docs: DataFrame): DataFrame =
+    tierByScore(bigramLmScore(docs), "lm_ppm")
       .select(col("doc_id"), col("n_bigrams"), col("lm_ppm"), col("tier"))
-  }
 
   /** The [[ccnetBuckets]] tier split under the smoothing CCNet's
     * deployed filter actually uses — NTILE(3) over the interpolated
     * Kneser–Ney score ([[knSmoothedLmScore]]) instead of the add-one
     * baseline. Same determinism story (bit-identical doubles, doc_id
-    * tie-break) and the same two-pass-quantile scale shape.
+    * tie-break) and the same distributed [[tierByScore]] rank.
     */
-  def knBuckets(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    knSmoothedLmScore(docs)
-      .withColumn("tier",
-        element_at(lit(Array("head", "middle", "tail")),
-          ntile(3).over(
-            Window.orderBy(col("kn_ppm").desc, col("doc_id")))))
+  def knBuckets(docs: DataFrame): DataFrame =
+    tierByScore(knSmoothedLmScore(docs), "kn_ppm")
       .select(col("doc_id"), col("n_bigrams"), col("kn_ppm"), col("tier"))
-  }
 
   /** Feature-hashing document embeddings (the "hashing trick",
     * Weinberger et al. 2009): every token hashes to one of `dims`
@@ -1113,22 +1178,37 @@ object TextAnalysis {
     *
     * Scale shape: one (term, doc) distinct + a term-keyed min — both
     * map-side-partial aggregations — then a per-first-doc count. The
-    * cumulative window is unpartitioned but runs over AT MOST
-    * |vocabulary| rows (one per first-seen doc), the same provably-tiny
-    * relation class as the daily series — never corpus-scaled.
+    * per-first-doc relation is bounded by min(#docs, |vocab|), which
+    * early-corpus is ≈ #docs, so the cumulative sum runs through the
+    * two-level distributed prefix sum ([[tokenPrefix]]'s shape):
+    * fixed-width doc_id buckets yield per-bucket totals (a tiny
+    * relation whose running sum is a cheap window, broadcast back),
+    * and each within-bucket cumulative window is bounded by
+    * `bucketWidth` docs — bit-identical to the single global window,
+    * without the one-reducer global sort.
     */
-  def vocabGrowth(docs: DataFrame): DataFrame = {
+  def vocabGrowth(docs: DataFrame, bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val firstSeen = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(min(col("doc_id")).as("first_doc"))
-    firstSeen.groupBy(col("first_doc"))
+    val grouped = firstSeen.groupBy(col("first_doc"))
       .agg(count(lit(1)).as("new_terms"))
+      .withColumn("__bucket", expr(s"first_doc div $bucketWidth"))
+    val offsets = grouped.groupBy(col("__bucket"))
+      .agg(sum(col("new_terms")).as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bt")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bt")
+    val within = Window.partitionBy(col("__bucket"))
+      .orderBy(col("first_doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped.join(broadcast(offsets), "__bucket")
       .withColumn("cum_vocab",
-        sum(col("new_terms")).over(
-          Window.orderBy(col("first_doc"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        col("__boff") + sum(col("new_terms")).over(within))
+      .select(col("first_doc"), col("new_terms"), col("cum_vocab"))
   }
 
   /** Fixed-size token chunking with stride (the RAG/embedding-prep

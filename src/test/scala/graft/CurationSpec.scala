@@ -308,7 +308,7 @@ class CurationSpec extends SparkSpec {
     val got = graft.operators.TextAnalysis.knSmoothedLmScore(docs).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(20L) > got(21L),
-      s"york (4 contexts) should outscore fran (1 context): $got")
+      s"york (4 contexts) should outscore fran (2 contexts): $got")
   }
 
   test("gopherRepetition: duplicate lines and duplicated n-grams trip thresholds") {
@@ -785,6 +785,25 @@ class CurationSpec extends SparkSpec {
     val got = TextAnalysis.vocabGrowth(docs).orderBy("first_doc").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 3L), (4L, 1L, 4L)))
+  }
+
+  test("tierByScore is bit-identical to the global-window NTILE(3) it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    // every NTILE regime: N < 3 (each row its own tile), N % 3 ∈
+    // {0,1,2}, heavy score ties (the doc_id tie-break carries the
+    // order), and N far above the partition count so every range
+    // bucket holds many rows
+    for (n <- Seq(1, 2, 3, 4, 5, 30, 100, 257)) {
+      val df = (1 to n).map(i => (i.toLong, (i % 7).toDouble))
+        .toDF("doc_id", "s")
+      val exp = df.withColumn("tier",
+          element_at(lit(Array("head", "middle", "tail")),
+            ntile(3).over(Window.orderBy(col("s").desc, col("doc_id")))))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      val got = TextAnalysis.tierByScore(df, "s")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(got === exp, s"n=$n")
+    }
   }
 
   test("langVocabOverlap: exact intersections, unordered pairs once") {

@@ -212,6 +212,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("ccnet/kn tiers + vocab growth: no corpus through one reducer") {
+    // the r14 verdict's last single-reducer plans: the tier split now
+    // rides the range-exchange two-level rank and the growth curve the
+    // two-level prefix sum — the ONLY rows allowed across a singleton
+    // exchange are bucket-count aggregates (≤ shuffle-partition rows)
+    for (q <- Seq("pipeline_ccnet_buckets", "pipeline_kn_buckets",
+        "text_vocab_growth")) {
+      val p = plan(q)
+      assert(!p.contains("ntile"), s"$q: global NTILE window survived")
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Exchange SinglePartition"))
+          assert(lines.slice(i + 1, i + 3).exists(_.contains("HashAggregate")),
+            s"$q: a singleton exchange moves non-aggregated rows:\n" +
+              lines.slice(math.max(0, i - 2), i + 4).mkString("\n"))
+      }
+    }
+    // the tier rank rides a PARALLEL range exchange (hidden behind the
+    // checkpoint boundary in the query plans above, so pinned on the
+    // factored pre-checkpoint relation): rangepartitioning across the
+    // shuffle partitions, never `Exchange SinglePartition` + Sort
+    import spark.implicits._
+    val ranked = graft.operators.TextAnalysis
+      .rankKeyed(Seq((1L, 1.0), (2L, 2.0)).toDF("doc_id", "s"), "s")
+      .queryExecution.executedPlan.toString
+    assert(ranked.contains("Exchange rangepartitioning"), ranked.take(2000))
+    assert(!ranked.contains("Exchange SinglePartition"), ranked.take(2000))
+  }
+
   test("deterministic shuffle never plans a global range sort") {
     // the whole point of the two-level form: rank without funneling
     // the corpus through one ordered partition
