@@ -5531,11 +5531,10 @@ object Queries {
         val cells = autoCellsFor(s, d)
         val path = s"target/atrest/graphsv-${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
           s"-k10g3c${cells}L$GraphLloydIters"
-        // cent is written LAST by graphWriteAtRest — its presence is
-        // the layout's completeness marker
-        val done = new org.apache.hadoop.fs.Path(s"$path/cent")
-        if (!done.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .exists(done)) {
+        // complete (cent written last) AND fingerprint-fresh: a corpus
+        // regenerated under the same name/row-count rebuilds instead
+        // of silently serving stale cells (r14 ADVICE)
+        if (!Similarity.indexFresh(s, path, e)) {
           val cent = Similarity.lloydCentroidDf(e, cells, GraphLloydIters)
           Similarity.graphWriteAtRest(e, cent, 10, 3, path)
         }
@@ -5880,11 +5879,8 @@ object Queries {
         val cells = autoCellsFor(s, d)
         val path = s"target/atrest/ivfsv-${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
           s"-c${cells}L$GraphLloydIters"
-        // cent is written LAST by ivfWriteIndex — its presence is the
-        // layout's completeness marker (the graph-serve convention)
-        val done = new org.apache.hadoop.fs.Path(s"$path/cent")
-        if (!done.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .exists(done)) {
+        // complete AND fingerprint-fresh (the graph-serve convention)
+        if (!Similarity.indexFresh(s, path, e)) {
           val cent = Similarity.lloydCentroidDf(e, cells, GraphLloydIters)
           Similarity.ivfWriteIndex(e, cent, path)
         }
@@ -6212,9 +6208,8 @@ object Queries {
         val cells = autoCellsFor(s, d)
         val path = s"target/atrest/ivfpqsv-${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
           s"-c${cells}m16i2"
-        val done = new org.apache.hadoop.fs.Path(s"$path/cent")
-        if (!done.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .exists(done)) {
+        // complete AND fingerprint-fresh (the graph-serve convention)
+        if (!Similarity.indexFresh(s, path, e)) {
           val books = Similarity.pqTrainBooks(e,
             e.filter(col("vec_id") < 16), m = 16, iters = 2)
           Similarity.ivfPqWriteIndex(e, e.filter(col("vec_id") < cells),

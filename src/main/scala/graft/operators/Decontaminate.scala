@@ -99,15 +99,23 @@ object Decontaminate {
     */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
                             tau: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{asDouble, cosine}
+    import graft.functions.VectorFunctions.{asDouble, dot, norm}
     val ev = evalSet
       .select(col("vec_id"), asDouble(col("embedding"))).collect()
       .map(_.getSeq[Double](1).toArray)
     require(ev.nonEmpty && ev.length <= 4096,
       s"eval set must be 1..4096 vectors, got ${ev.length}")
-    val sims = ev.map(qv => cosine(col("v"), lit(qv))).toSeq
+    // the corpus-side norm is hoisted into its own column so each of
+    // the up-to-4096 cosines costs one dot, not dot + a redundant
+    // norm(v) recomputation per eval vector (non-cheap expressions
+    // referenced more than once survive CollapseProject, so `nv`
+    // evaluates once per row); numerically identical — the same
+    // dot/(norm·norm) expression tree per cosine
+    val sims = ev.map(qv =>
+      dot(col("v"), lit(qv)) / (col("nv") * norm(lit(qv)))).toSeq
     val best = if (sims.length == 1) sims.head else greatest(sims: _*)
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
       .withColumn("max_eval_sim", best)
       .filter(col("max_eval_sim") >= lit(tau))
       .select(col("vec_id"), col("max_eval_sim"))

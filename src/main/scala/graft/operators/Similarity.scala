@@ -492,9 +492,10 @@ object Similarity {
     // ([[graft.streaming.IvfStream.rebuildSignal]]) compares live
     // growth against.
     import corpus.sparkSession.implicits._
-    Seq((k, cap, buckets, corpus.count(), cent.length, centralHeads))
+    val (builtN, sig) = corpusFingerprint(corpus)
+    Seq((k, cap, buckets, builtN, cent.length, centralHeads, sig))
       .toDF("build_k", "head_cap", "buckets", "built_n", "cells",
-        "central_heads")
+        "central_heads", "sig")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // the entry centroids themselves (≤1024 rows by the autoCells
     // cap): a layout must be servable with the EXACT cell set its
@@ -503,6 +504,57 @@ object Similarity {
     // change its cell count without coordinating with servers
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+  }
+
+  /** Rows probed by [[corpusFingerprint]]'s content signature. */
+  private[graft] val FingerprintSample = 4096L
+
+  /** (row count, corpus content signature) stamped into every at-rest
+    * index's meta so serving can detect a corpus regenerated under the
+    * same name/row-count and rebuild instead of silently probing stale
+    * cells. Priced for the SERVE path, which must stay
+    * corpus-independent (the flat-curve claim): the count is a
+    * zero-column scan (parquet answers it from footer statistics), and
+    * the signature — BIT_XOR of xxhash64(vec_id, embedding), XOR for
+    * partition-order independence — reads only the fixed
+    * vec_id < [[FingerprintSample]] probe window (a pushed-down
+    * predicate; row-group stats skip the rest), so the freshness check
+    * costs O(sample), not O(corpus). A regeneration that changes
+    * content only OUTSIDE the probe window escapes the signature and
+    * is caught by the row count or, structurally, by the versioned
+    * publish + drift-monitor path a standing deployment uses.
+    * Engine-private (never oracle-compared), so Spark's xxhash64 is
+    * fine here.
+    */
+  private[graft] def corpusFingerprint(corpus: DataFrame): (Long, Long) = {
+    val n = corpus.count()
+    val sig = corpus.filter(col("vec_id") < FingerprintSample)
+      .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L))
+        .as("sig")).head.getLong(0)
+    (n, sig)
+  }
+
+  /** True when the index at `path` is complete (cent written — the
+    * completeness marker) AND its stamped corpus fingerprint matches
+    * `corpus` — the build-if-absent guard of the unversioned serve
+    * convenience paths. A legacy meta without `sig` reads as stale
+    * (one rebuild re-stamps it). The probe is corpus-independent by
+    * construction (footer-stat count + the fixed sample window — see
+    * [[corpusFingerprint]]), so serve-only pricing stays flat; a
+    * standing 100 TB deployment pins freshness structurally instead —
+    * the versioned [[graphPublishVersion]]/[[ivfPublishVersion]]
+    * rotation plus the [[graft.streaming.IvfStream.rebuildSignal]]
+    * drift monitor — and never re-checks per batch.
+    */
+  def indexFresh(spark: org.apache.spark.sql.SparkSession, path: String,
+                 corpus: DataFrame): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val centP = new org.apache.hadoop.fs.Path(s"$path/cent")
+    if (!centP.getFileSystem(conf).exists(centP)) return false
+    val meta = spark.read.parquet(s"$path/meta")
+    if (!meta.columns.contains("sig")) return false
+    val m = meta.select(col("built_n"), col("sig")).head
+    (m.getLong(0), m.getLong(1)) == corpusFingerprint(corpus)
   }
 
   /** Stored entry-centroid set of a [[graphWriteAtRest]] layout. */
@@ -589,18 +641,47 @@ object Similarity {
     doomed
   }
 
+  /** Above this many candidate ids, the walk's ROW-level id filters
+    * ship as a broadcast semi-join instead of an `isin` literal list:
+    * at the documented 4096-query serve cap with beam 20 / k 10, a
+    * literal list would be an ~800k-node expression tree per round
+    * (driver memory + codegen limits), where a broadcast of the same
+    * ids costs nothing at small batches and stays flat at the cap.
+    * The bucket `isin` (≤ `buckets` literals) always stays literal —
+    * that is what prunes partitions at the FILE level, which a join
+    * cannot do.
+    */
+  private[graft] val IdInlineCap = 10000
+
+  /** Row-level id filter under [[IdInlineCap]]: literal `isin` when
+    * the list is small (pushes into the parquet scan), broadcast
+    * LEFT SEMI join above it (same rows, no giant expression tree).
+    */
+  private def filterIds(df: DataFrame, idCol: String,
+                        ids: Seq[Long]): DataFrame =
+    if (ids.length <= IdInlineCap)
+      df.filter(col(idCol).isin(ids.map(java.lang.Long.valueOf): _*))
+    else {
+      val session = df.sparkSession
+      import session.implicits._
+      df.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+    }
+
   /** The pruned adjacency read of one search round: bucket isin
-    * (partition/file-level pruning) + src isin (row-level). Split out
-    * so its plan shape is pinnable independently of the driver loop.
+    * (partition/file-level pruning) + src id filter (row-level —
+    * literal under [[IdInlineCap]], broadcast semi-join above). Split
+    * out so its plan shape is pinnable independently of the driver
+    * loop.
     */
   private[graft] def graphAdjPruned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       srcIds: Seq[Long], buckets: Int): DataFrame = {
     val bks = srcIds.map(id => (((id % buckets) + buckets) % buckets).toInt)
       .distinct.sorted
-    spark.read.parquet(s"$path/adj")
-      .filter(col("bucket").isin(bks.map(Integer.valueOf): _*) &&
-        col("src").isin(srcIds.map(java.lang.Long.valueOf): _*))
+    filterIds(
+      spark.read.parquet(s"$path/adj")
+        .filter(col("bucket").isin(bks.map(Integer.valueOf): _*)),
+      "src", srcIds)
       .select(col("src"), col("dst"))
   }
 
@@ -681,9 +762,10 @@ object Similarity {
       val bks = ids
         .map(id => (((id % useBuckets) + useBuckets) % useBuckets).toInt)
         .distinct.sorted
-      val nodes = spark.read.parquet(s"$path/nodes")
-        .filter(col("bucket").isin(bks.map(Integer.valueOf): _*) &&
-          col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      val nodes = filterIds(
+          spark.read.parquet(s"$path/nodes")
+            .filter(col("bucket").isin(bks.map(Integer.valueOf): _*)),
+          "vec_id", ids)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("c_nrm", norm(col("v")))
       nodes
@@ -1119,7 +1201,8 @@ object Similarity {
     val cent = collectVectors(centroids)
     ivfWriteAtRest(corpus, centroids, s"$path/codes")
     import corpus.sparkSession.implicits._
-    Seq((corpus.count(), cent.length)).toDF("built_n", "cells")
+    val (builtN, sig) = corpusFingerprint(corpus)
+    Seq((builtN, cent.length, sig)).toDF("built_n", "cells", "sig")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
@@ -1148,6 +1231,13 @@ object Similarity {
     */
   def ivfPqWriteIndex(corpus: DataFrame, cellCentroids: DataFrame,
                       books: Books, path: String): Unit = {
+    // mirror ivfPqStoredBooks's read-side bound at WRITE time: an
+    // index that persists more codebook rows than serving will accept
+    // is a delayed failure dressed as a successful build
+    val bookRows = books.iterator.map(_.size).sum
+    require(bookRows <= 4096,
+      s"codebook set too large to serve: $bookRows rows (m × codes " +
+        "per book must stay ≤ 4096, the ivfPqStoredBooks read bound)")
     val cent = collectVectors(cellCentroids)
     ivfPqWriteAtRest(corpus, cellCentroids, books, s"$path/codes")
     import corpus.sparkSession.implicits._
@@ -1155,8 +1245,9 @@ object Similarity {
       .flatMap { case (bk, j) => bk.map { case (id, cv) => (j, id, cv) } }
       .toDF("m", "c_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
-    Seq((corpus.count(), cent.length, books.length))
-      .toDF("built_n", "cells", "m")
+    val (builtN, sig) = corpusFingerprint(corpus)
+    Seq((builtN, cent.length, books.length, sig))
+      .toDF("built_n", "cells", "m", "sig")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")

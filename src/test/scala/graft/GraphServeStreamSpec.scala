@@ -209,6 +209,33 @@ class GraphServeStreamSpec extends SparkSpec {
       "an unpublished rebuild-in-progress dir must survive the prune")
   }
 
+  test("big candidate id lists ride a broadcast semi-join; buckets still prune files") {
+    // below IdInlineCap the id filter is a literal isin pushed into
+    // the scan; above it (cap-sized serve batches: ~800k ids/round)
+    // the same rows come from a broadcast LEFT SEMI join — no giant
+    // expression tree — while the bucket isin keeps partition pruning
+    val small = Similarity.graphAdjPruned(spark, indexPath, Seq(1L, 2L), 64)
+    val ps = small.queryExecution.executedPlan.toString
+    assert(ps.contains("PartitionFilters: [") && ps.contains("bucket"),
+      ps.take(2000))
+    assert(!ps.contains("Join"), "small id lists must stay literal")
+    val bigIds = (0L until (Similarity.IdInlineCap + 5L)).toSeq
+    val big = Similarity.graphAdjPruned(spark, indexPath, bigIds, 64)
+    val pb = big.queryExecution.executedPlan.toString
+    assert(pb.contains("LeftSemi"), pb.take(2000))
+    assert(pb.contains("PartitionFilters: [") && pb.contains("bucket"),
+      pb.take(2000))
+    // both paths produce exactly the adjacency rows whose src is in
+    // the id set (every bucket is probed here, so the row filter does
+    // all the work)
+    val idSet = bigIds.toSet
+    val expected = spark.read.parquet(s"$indexPath/adj")
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(p => idSet(p._1)).toSet
+    val got = big.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("a micro-batch beyond the 4096-query anchor bound is served chunked, not killed") {
     // 4150 queries in ONE trigger: the walk's require(<=4096) would
     // terminate the stream if foreachBatch handed the batch through

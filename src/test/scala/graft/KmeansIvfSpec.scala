@@ -202,6 +202,45 @@ class KmeansIvfSpec extends SparkSpec {
     assert(standing.nonEmpty)
   }
 
+  test("indexFresh: fresh layout serves; regenerated corpus (same rows) rebuilds") {
+    import spark.implicits._
+    val path = s"target/test-atrest/ivffresh-${System.nanoTime()}"
+    val cent = Similarity.lloydCentroidDf(emb, 8, 1)
+    Similarity.ivfWriteIndex(emb, cent, path)
+    assert(Similarity.indexFresh(spark, path, emb))
+    // same name, same ROW COUNT, different contents — the failure the
+    // cent-exists check could not see (r14 ADVICE): one embedding
+    // value perturbed must read stale
+    val perturbed = emb.withColumn("embedding",
+      when(col("vec_id") === 0L,
+        transform(col("embedding"), x => x + lit(1.0f)))
+        .otherwise(col("embedding")))
+    assert(!Similarity.indexFresh(spark, path, perturbed))
+    // a legacy meta without the sig column reads stale, not an error
+    // (collect first: Spark refuses to overwrite a path it reads from)
+    val legacy = spark.read.parquet(s"$path/meta").drop("sig")
+    val legacyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(legacy.collect().toSeq), legacy.schema)
+    legacyDf.write.mode("overwrite").parquet(s"$path/meta")
+    assert(!Similarity.indexFresh(spark, path, emb))
+    // and an incomplete layout (no cent marker) is never fresh
+    assert(!Similarity.indexFresh(spark, s"$path-nowhere", emb))
+  }
+
+  test("ivfPqWriteIndex refuses a codebook set serving would refuse") {
+    // read side caps total stored rows at 4096 (ivfPqStoredBooks);
+    // the write side must enforce the SAME bound or a successful
+    // build becomes a read-time failure (r14 ADVICE: asymmetric)
+    val big: Similarity.Books = (0 until 32).map { _ =>
+      (0 until 256).map(c => (c, Array.fill(2)(0.0))).toSeq
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqWriteIndex(emb, emb.filter(col("vec_id") < 4),
+        big, s"target/test-atrest/ivfpqcap-${System.nanoTime()}")
+    }
+    assert(e.getMessage.contains("4096"))
+  }
+
   test("PQ training monotonically reduces its own measured distortion") {
     def totalDist2(books: Similarity.Books): Double =
       Similarity.pqDistortionWith(emb, books)
