@@ -156,6 +156,11 @@ object Bench {
       scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val queryLoadEnd =
       scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // hypervisor-steal core-seconds observed across a query's
+    // measurement passes — the contaminant loadavg cannot see (r14
+    // textrank decomposition); -1 when /proc/stat is unreadable
+    val querySteal =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var everContended = false
     val quietLoad =
@@ -186,10 +191,20 @@ object Bench {
       if (BenchEnv.load1() >= quietLoad)
         everContended |= !BenchEnv.awaitQuiet()
       queryLoad(name) = BenchEnv.load1()
+      val st0 = BenchEnv.stealTicks()
       var best = minOf2(name)
+      querySteal(name) = BenchEnv.stealSecondsSince(st0)
       queryLoadEnd(name) = BenchEnv.load1()
+      // a measurement is environment-tainted when the post-load
+      // breached the gate OR the hypervisor stole >5% of the window's
+      // core-time (steal core-s vs wall × cores of the ~2 passes) —
+      // the r14 steal-based trigger; either taint plus a regression
+      // (or no floor at all) demands a quiet-armed confirmation
+      def stealHigh: Boolean =
+        querySteal.getOrElse(name, -1.0) > 0 && best > 0 &&
+          querySteal(name) > 0.05 * cpus.toInt * (2.0 * best)
       def contaminated: Boolean =
-        queryLoadEnd(name) >= quietLoad &&
+        (queryLoadEnd(name) >= quietLoad || stealHigh) &&
           (prev.get(name) match {
             // no best-known floor (brand-new query, first round): a
             // post-load breach alone is enough to demand ONE
@@ -216,7 +231,11 @@ object Bench {
         quietVerified(name) = quietVerified.getOrElse(name, false) ||
           armedQuiet
         queryLoad(name) = BenchEnv.load1()
+        val stR = BenchEnv.stealTicks()
         val again = minOf2(name)
+        // overwrite with the latest pass's delta: the trigger and the
+        // recorded annotation describe the most recent environment
+        querySteal(name) = BenchEnv.stealSecondsSince(stR)
         queryLoadEnd(name) = BenchEnv.load1()
         if (again > 0) best = math.min(best, again)
       }
@@ -253,6 +272,8 @@ object Bench {
       .mkString("{", ",", "}")
     val loadEndJson = queryLoadEnd.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+    val stealJson = querySteal.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     // self-identification rule for the r12 failure mode (a load ramp
     // DURING measurement recorded as quiet): a query whose
     // post-measurement load breached the gate, whose reported time is
@@ -266,12 +287,14 @@ object Bench {
     // alone — with no floor to regress from, an unverified number
     // under load is exactly the class the rule exists to catch
     val suspect = results.collect { case (n, v) if v > 0 &&
-        queryLoadEnd.getOrElse(n, 0.0) >= quietLoad &&
+        (queryLoadEnd.getOrElse(n, 0.0) >= quietLoad ||
+          (querySteal.getOrElse(n, -1.0) > 0 &&
+            querySteal(n) > 0.05 * cpus.toInt * (2.0 * v))) &&
         prev.get(n).fold(true)(p => p > 0 && v > p * 1.5) &&
         !quietVerified.getOrElse(n, false) => n }
     everContended |= suspect.nonEmpty
     val suspectJson = suspect.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","contended":$everContended,"suspect":$suspectJson,"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","query_load":$loadJson,"query_load_end":$loadEndJson,"reruns":$rerunJson,"passes":"min_of_2"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","contended":$everContended,"suspect":$suspectJson,"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","query_load":$loadJson,"query_load_end":$loadEndJson,"query_steal":$stealJson,"reruns":$rerunJson,"passes":"min_of_2"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -25,6 +25,31 @@ object BenchEnv {
     try loadavg().split(",")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Cumulative hypervisor steal time from /proc/stat's aggregate cpu
+    * line (field 8, USER_HZ ticks summed over all CPUs), or -1 when
+    * unreadable. Steal is the contaminant the loadavg cannot see: the
+    * r14 textrank decomposition measured ~21 stolen core-seconds in
+    * one 51 s window while every loadavg read sat inside the quiet
+    * band — so the bench records a steal delta per measurement and
+    * the suspect rule triggers on it (not only on post-load).
+    */
+  def stealTicks(): Long =
+    try {
+      val s = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = s.getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } finally s.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Steal CORE-seconds since `t0` ticks (USER_HZ = 100 on Linux),
+    * or -1 when either sample was unreadable.
+    */
+  def stealSecondsSince(t0: Long): Double = {
+    val t1 = stealTicks()
+    if (t0 < 0 || t1 < 0) -1.0 else (t1 - t0) / 100.0
+  }
+
   /** Wait (poll every 5 s) until the 1-minute loadavg drops below
     * `threshold`, up to `maxWaitS` seconds. Returns true when the box
     * is quiet, false on timeout — the caller reports the run as

@@ -93,7 +93,13 @@ object ScaleBench {
     // the serve-only pass) — the claim is the sharpest in the suite:
     // serving cost ∝ frontier, NOT corpus, so the curve should be
     // near-FLAT across both decades
-    "sim_topk_graph_serve")
+    "sim_topk_graph_serve",
+    // round 15: the other two standing-index probes (self-contained
+    // IVF and IVFPQ layouts; build-if-stale, so min-of-2 records the
+    // serve-only pass) — the expectation is graph-serve-class flat
+    // curves: probe reads prune to probe/√n cell dirs and the scoring
+    // join is query-side-bounded; a non-flat curve here is a finding
+    "sim_topk_ivf_atrest_serve", "sim_topk_ivfpq_atrest_serve")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -143,7 +149,9 @@ object ScaleBench {
     "sim_topk_graph",
     // round 14: serve-only at both decades — the near-flat claim is
     // exactly what a second decade distinguishes from small-point luck
-    "sim_topk_graph_serve")
+    "sim_topk_graph_serve",
+    // round 15: both at-rest probes at both decades, same rationale
+    "sim_topk_ivf_atrest_serve", "sim_topk_ivfpq_atrest_serve")
 
   /** Queries whose largest point sits at the 8 GiB heap edge and
     * swings run-to-run on GC luck for an UNCHANGED plan
@@ -267,6 +275,11 @@ object ScaleBench {
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_MAX_RERUNS", "2").toInt
     val prevPts = bestKnownPoints(new java.io.File("."))
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-point hypervisor-steal core-seconds (latest measurement) —
+    // the contaminant loadavg cannot see (the Bench steal rule at
+    // point granularity); keyed "q@label" in its own JSON object so
+    // bestKnownPoints's "sfX":sec parser never sees these entries
+    val steal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // the r13 hole, closed with the Bench post-measurement rule at
     // POINT granularity: the arm-time gate is blind to a load ramp
     // DURING a measurement, so the loadavg is read again after each
@@ -287,10 +300,19 @@ object ScaleBench {
         // GC luck there (r12 verdict watch) — one extra pass records
         // the stable point instead of the draw
         val passes = if (label == "sf10" && VarianceProne(q)) 3 else 2
+        val st0 = BenchEnv.stealTicks()
         var best = minOfN(q, dir, passes)
+        steal(s"$q@$label") = BenchEnv.stealSecondsSince(st0)
         var loadEnd = BenchEnv.load1()
+        // taint = post-load breach OR >5% of the window's core-time
+        // stolen by the hypervisor (steal core-s vs wall × cores over
+        // the `passes` measurements) — the Bench steal trigger
+        def stealHigh: Boolean =
+          steal(s"$q@$label") > 0 && best > 0 &&
+            steal(s"$q@$label") >
+              0.05 * cpus.toInt * (passes.toDouble * best)
         def contaminated: Boolean =
-          best > 0 && loadEnd >= quietLoadT &&
+          best > 0 && (loadEnd >= quietLoadT || stealHigh) &&
             prevPts.get((q, label)).fold(true)(p => p > 0 && best > p * 1.5)
         var quietVerified = false
         var tries = 0
@@ -298,10 +320,13 @@ object ScaleBench {
           tries += 1
           System.err.println(f"[scale] $q@$label ${best}%.2f s suspect " +
             f"(floor ${prevPts.getOrElse((q, label), -1.0)}%.2f s, " +
-            f"post-load $loadEnd%.2f) - quiet rerun $tries")
+            f"post-load $loadEnd%.2f, steal ${steal(s"$q@$label")}%.2f " +
+            "core-s) - quiet rerun " + tries)
           quietVerified = BenchEnv.awaitQuiet()
           midRunContended |= !quietVerified
+          val stR = BenchEnv.stealTicks()
           val again = minOfN(q, dir, passes)
+          steal(s"$q@$label") = BenchEnv.stealSecondsSince(stR)
           loadEnd = BenchEnv.load1()
           if (again > 0) best = math.min(best, again)
         }
@@ -362,8 +387,11 @@ object ScaleBench {
     // the points this run could not quiet-verify.
     val contended = !quiet || midRunContended || suspects.nonEmpty
     val suspectJson = suspects.map(s => s""""$s"""").mkString("[", ",", "]")
+    val stealJson = steal.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"scale","queries":$qJson,"bound":$bound,""" +
       s""""edit_blocked_sweep":$sweepJson,"suspect":$suspectJson,""" +
+      s""""query_steal":$stealJson,""" +
       s""""violations":$vJson,"contended":$contended,"errors":$errJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}",""" +
       s""""passes":"min_of_2","sf1_docs":$docRows,"sf1_vecs":$embRows}"""
