@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the train/eval overlap scan every
@@ -95,29 +95,68 @@ object Decontaminate {
     * .cosine]] — the same left-to-right double fold as every `sim_*`
     * operator, both norms computed at run time — and `greatest` /
     * SQL `MAX` agree on the IEEE total order, so the flagged set and
-    * the reported maxima are oracle-exact.
+    * the reported maxima are oracle-exact. (Doc applies to
+    * [[semanticDecontaminate]] below; [[semanticKeep]] is the same
+    * gate inverted for the ingest path.)
     */
-  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
-                            tau: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{asDouble, dot, norm}
+  /** Eval vectors collected to driver literals, bounds-checked — the
+    * broadcast-the-eval-side step shared by [[semanticDecontaminate]]
+    * and [[semanticKeep]].
+    */
+  private def evalVectors(evalSet: DataFrame): Array[Array[Double]] = {
+    import graft.functions.VectorFunctions.asDouble
     val ev = evalSet
       .select(col("vec_id"), asDouble(col("embedding"))).collect()
       .map(_.getSeq[Double](1).toArray)
     require(ev.nonEmpty && ev.length <= 4096,
       s"eval set must be 1..4096 vectors, got ${ev.length}")
-    // the corpus-side norm is hoisted into its own column so each of
-    // the up-to-4096 cosines costs one dot, not dot + a redundant
-    // norm(v) recomputation per eval vector (non-cheap expressions
-    // referenced more than once survive CollapseProject, so `nv`
-    // evaluates once per row); numerically identical — the same
-    // dot/(norm·norm) expression tree per cosine
-    val sims = ev.map(qv =>
-      dot(col("v"), lit(qv)) / (col("nv") * norm(lit(qv)))).toSeq
-    val best = if (sims.length == 1) sims.head else greatest(sims: _*)
+    ev
+  }
+
+  /** Greatest eval-cosine of row vector `v` (with its norm hoisted
+    * into `nv` so each of the up-to-4096 cosines costs one dot, not
+    * dot + a redundant norm(v) per eval vector — non-cheap expressions
+    * referenced more than once survive CollapseProject, so `nv`
+    * evaluates once per row). Each cosine is the same dot/(norm·norm)
+    * IEEE tree as every `sim_*` operator.
+    */
+  private def bestEvalSim(ev: Array[Array[Double]],
+                          v: Column, nv: Column): Column = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    val sims = ev.map(qv => dot(v, lit(qv)) / (nv * norm(lit(qv)))).toSeq
+    if (sims.length == 1) sims.head else greatest(sims: _*)
+  }
+
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, norm}
+    val ev = evalVectors(evalSet)
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
-      .withColumn("max_eval_sim", best)
+      .withColumn("max_eval_sim", bestEvalSim(ev, col("v"), col("nv")))
       .filter(col("max_eval_sim") >= lit(tau))
       .select(col("vec_id"), col("max_eval_sim"))
+  }
+
+  /** The [[semanticDecontaminate]] gate inverted into a KEEP filter —
+    * the curate-at-ingest form: returns `corpus` rows whose max
+    * eval-cosine stays BELOW `tau`, all original columns intact, as
+    * ONE zero-shuffle projection+filter over the input (no join back,
+    * nothing flagged-side materialized). Rows with a NULL embedding
+    * pass through: the gate only judges what it can see — dropping
+    * unembedded rows would make ingest availability depend on an
+    * upstream embedder, which is a different policy than
+    * decontamination.
+    */
+  def semanticKeep(corpus: DataFrame, evalSet: DataFrame, tau: Double,
+                   embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, norm}
+    val ev = evalVectors(evalSet)
+    corpus
+      .withColumn("__v", asDouble(col(embCol)))
+      .withColumn("__nv", norm(col("__v")))
+      .withColumn("__sim", bestEvalSim(ev, col("__v"), col("__nv")))
+      .filter(col("__sim") < lit(tau) || col("__sim").isNull)
+      .drop("__v", "__nv", "__sim")
   }
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, TextAnalysis}
 
 /** Curate-at-ingest: the streaming front door of the training-data
   * pipeline. Each micro-batch of raw documents is quality-gated,
@@ -97,18 +97,34 @@ object CurationStream {
   def start(spark: SparkSession, inputDir: String, corpusDir: String,
             checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-            state: CorpusBloom = new CorpusBloom()): StreamingQuery =
+            state: CorpusBloom = new CorpusBloom(),
+            evalSet: Option[DataFrame] = None,
+            deconTau: Double = 0.95): StreamingQuery = {
+    // with an eval set, the ingest schema carries the document's
+    // embedding and step 0 is the SEMANTIC DECONTAMINATION gate
+    // ([[graft.operators.Decontaminate.semanticKeep]]): eval vectors
+    // inline as literals (≤4096, the broadcast-the-eval-side
+    // discipline), so benchmark-adjacent documents are dropped at the
+    // door by one zero-shuffle projection+filter — the same replay
+    // story as quality (a pure function of the row), so at-least-once
+    // replays converge identically
+    val schema =
+      if (evalSet.isDefined)
+        "doc_id LONG, text STRING, embedding ARRAY<FLOAT>"
+      else "doc_id LONG, text STRING"
     spark.readStream
-      .schema("doc_id LONG, text STRING")
+      .schema(schema)
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val gated = evalSet.fold(batch)(ev =>
+          Decontaminate.semanticKeep(batch, ev, deconTau))
         // survivors feed the append AND the filter update: pin them so
         // the curate+dedup pipeline runs once, not once per consumer
         val survivors =
-          dropKnown(spark, curateBatch(batch), corpusDir, Some(state))
+          dropKnown(spark, curateBatch(gated), corpusDir, Some(state))
             .localCheckpoint()
         survivors.write.mode("append").parquet(corpusDir)
         // executor-side fold: one bit-array merge, never a raw-column
@@ -116,4 +132,5 @@ object CurationStream {
         state.recordAppendedFrom(survivors, col("fp"))
       }
       .start()
+  }
 }

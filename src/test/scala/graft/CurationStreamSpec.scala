@@ -60,6 +60,53 @@ class CurationStreamSpec extends SparkSpec {
     assert(fps.distinct.length === fps.length)
   }
 
+  test("semantic decon at ingest: benchmark-adjacent docs drop at the door, replay converges") {
+    val in = tmp("graft-cur3-in")
+    val corpus = tmp("graft-cur3-corpus") + "/corpus"
+    val ckpt = tmp("graft-cur3-ckpt")
+    val evalSet = Seq((100L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def writeEmb(name: String,
+                 docs: Seq[(Long, String, Option[Seq[Float]])]): Unit = {
+      val lines = docs.map { case (id, t, e) =>
+        val emb = e.fold("")(v => s""","embedding":[${v.mkString(",")}]""")
+        s"""{"doc_id":$id,"text":"$t"$emb}"""
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(in, name), lines.getBytes("UTF-8"),
+        StandardOpenOption.CREATE)
+    }
+    def runOnce(): Unit =
+      CurationStream.start(spark, in, corpus, ckpt, Trigger.AvailableNow(),
+          new graft.streaming.CorpusBloom(), Some(evalSet), deconTau = 0.95)
+        .awaitTermination(120000)
+
+    // run 1: doc 1 points exactly along the eval vector (cos 1.0 ≥
+    // tau → dropped at the door), doc 2 is orthogonal (cos 0 →
+    // survives), doc 3 has no embedding (the gate only judges what it
+    // can see → survives)
+    writeEmb("b1.json", Seq(
+      (1L, goodText("alpha"), Some(Seq(0.5f, 0f, 0f))),
+      (2L, goodText("beta"), Some(Seq(0f, 1f, 0f))),
+      (3L, goodText("gamma"), None)))
+    runOnce()
+    val after1 = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after1 === Seq(2L, 3L))
+
+    // run 2: a corpus duplicate of the clean doc (fingerprint dedup
+    // drops it), a NOVEL benchmark-adjacent doc (door drops it), and
+    // a novel clean doc (lands) — the stream converges to exactly the
+    // decontaminated content across runs
+    writeEmb("b2.json", Seq(
+      (4L, goodText("beta"), Some(Seq(0f, 0f, 1f))),
+      (5L, goodText("delta"), Some(Seq(0.9f, 0.01f, 0f))),
+      (6L, goodText("epsilon"), Some(Seq(0f, 0.3f, 0.7f)))))
+    runOnce()
+    val after2 = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after2 === Seq(2L, 3L, 6L))
+  }
+
   test("cross-batch Bloom state rebuilds only on material corpus growth") {
     val in = tmp("graft-cur2-in")
     val corpus = tmp("graft-cur2-corpus") + "/corpus"
