@@ -5387,7 +5387,18 @@ object Queries {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
        |WHERE rn <= 10""".stripMargin
 
-  private lazy val pqTrainCtes: String = {
+  private lazy val pqTrainCtes: String =
+    pqTrainCtesOn("c", "vec_id", "vec_id < 16")
+
+  /** [[pqTrainCtes]] parameterized on its training relation and seed
+    * window — the residual twin trains on `resid` with codes seeded
+    * from the first 16 rows BEYOND the centroid id range (renumbered
+    * dense; see `Similarity.pqTrainBooksResidual`: the first rows ARE
+    * the raw-seed centroids, so their residuals are ≈ 0 and seeding
+    * from them degenerates every codebook).
+    */
+  private def pqTrainCtesOn(src: String, seedSel: String,
+                            seedWhere: String): String = {
     val d2 = "list_sum([(s.sv[i+1]-b.cv[i+1])*(s.sv[i+1]-b.cv[i+1]) for i in range(4)])"
     def assign(out: String, book: String) =
       s"""$out AS (SELECT m, vec_id, sv, c_id FROM (
@@ -5400,8 +5411,8 @@ object Queries {
          |   FROM $a, range(4) t(i) GROUP BY 1, 2, 3) GROUP BY 1, 2),
          |$next AS (SELECT $prev.m, $prev.c_id, COALESCE($out.cv, $prev.cv) AS cv
          |   FROM $prev LEFT JOIN $out ON $prev.m = $out.m AND $prev.c_id = $out.c_id)""".stripMargin
-    s"""sub AS (SELECT t.m, vec_id, [v[4*t.m+i+1] for i in range(4)] AS sv FROM c, range(16) t(m)),
-       |b0 AS (SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 16),
+    s"""sub AS (SELECT t.m, vec_id, [v[4*t.m+i+1] for i in range(4)] AS sv FROM $src, range(16) t(m)),
+       |b0 AS (SELECT m, $seedSel AS c_id, sv AS cv FROM sub WHERE $seedWhere),
        |${assign("a1", "b0")},
        |${meanStep("m1", "a1", "b0", "b1")},
        |${assign("a2", "b1")},
@@ -5411,6 +5422,42 @@ object Queries {
        |     ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id ORDER BY $d2 ASC, b.c_id ASC) AS rn
        |   FROM sub s JOIN b2 b USING (m)) WHERE rn = 1)""".stripMargin
   }
+
+  /** The residual-IVFPQ top-k oracle (`sim_topk_ivfpq_residual`):
+    * FAISS's quantize-the-residual recipe replayed in SQL — residuals
+    * under the assigned cell, PQ training on them (seed window beyond
+    * the centroid range), and the asymmetric score as EXACT q·c(x)
+    * plus the decoded-residual dot (`MIN(cd)` is the constant coarse
+    * term of the (q, vec) group; `+ list_sum(... ORDER BY m)` is the
+    * Spark side's cd + left-fold, same IEEE order).
+    */
+  private lazy val ivfPqResidualTopKOracle: String =
+    s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM c WHERE vec_id < $autoCellsSql),
+       |cellscore AS (SELECT c.vec_id, c.v, c_id,
+       |   list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+       |assign AS (SELECT vec_id, c_id AS cell FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM cellscore) WHERE rn = 1),
+       |resid AS (SELECT c.vec_id, [c.v[i+1] - ct.cv[i+1] for i in range(64)] AS v
+       |   FROM c JOIN assign a ON c.vec_id = a.vec_id JOIN cent ct ON ct.c_id = a.cell),
+       |${pqTrainCtesOn("resid", s"vec_id - $autoCellsSql",
+            s"vec_id >= $autoCellsSql AND vec_id < $autoCellsSql + 16")},
+       |qprobe AS (SELECT vec_id AS q_id, c_id AS cell, cd FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn
+       |   FROM cellscore WHERE vec_id < 10) WHERE rn <= 2),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+       |parts AS (SELECT qp.q_id, a.vec_id, qp.cd, cd2.m,
+       |   list_sum([qv[4*cd2.m+i+1]*b.cv[i+1] for i in range(4)]) AS part
+       |  FROM qprobe qp JOIN assign a USING (cell)
+       |    JOIN codes cd2 ON cd2.vec_id = a.vec_id
+       |    JOIN b2 b ON b.m = cd2.m AND b.c_id = cd2.c_id
+       |    JOIN q ON q.q_id = qp.q_id
+       |  WHERE a.vec_id <> qp.q_id),
+       |s2 AS (SELECT q_id, vec_id, MIN(cd) + list_sum(list(part ORDER BY m)) AS approx_dot
+       |  FROM parts GROUP BY 1, 2)
+       |SELECT q_id, vec_id, approx_dot, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, vec_id) AS rn FROM s2)
+       |WHERE rn <= 10""".stripMargin
 
   private val similarity: Seq[(String, Decl)] = Seq(
     "sim_topk_bruteforce" -> Decl(
@@ -6170,6 +6217,29 @@ object Queries {
       },
       Some(ivfPqTopKOracle)),
 
+    // IVFPQ with RESIDUAL encoding — FAISS's quantize-x-minus-c(x)
+    // recipe (Jégou et al. 2011 §III), the standard recall lever at
+    // equal m/probe, declared as the measured NEGATIVE result the r15
+    // PqSweep recorded on this corpus: recall@10 0.37 vs raw 0.49-0.53
+    // at every probe and quantizer axis (raw seeds / 1 / 3 Lloyd
+    // rounds), probe-INVARIANT because the exact q·c(x) term dominates
+    // ranking when the quantizer explains none of a near-uniform
+    // corpus's variance (residual rel_dist2 0.34-0.37 vs raw 0.35 — no
+    // shrink, so the residual premise fails here). The raw tier stays
+    // the declared serving config; this query keeps the rejected
+    // variant oracle-gated so the finding reproduces cross-engine.
+    "sim_topk_ivfpq_residual" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val cent = e.filter(col("vec_id") < autoCellsFor(s, d))
+        val books =
+          Similarity.pqTrainBooksResidual(e, cent, seedK = 16, 16, 2)
+        Similarity.ivfPqResidualTopKWith(e, e.filter(col("vec_id") < 10),
+          cent, books, nProbe = 2, k = 10)
+      },
+      Some(ivfPqResidualTopKOracle)),
+
     // The FAISS-style IVFPQ layout end to end: write the corpus
     // partitioned by cell carrying ONLY its trained PQ codes, then
     // answer queries off a partition-pruned scan of the stored codes
@@ -6575,5 +6645,10 @@ object Queries {
     // round-14 addition: the split on the IVFPQ tier — BOTH trained
     // components (coarse quantizer + PQ codebooks) resolve from the
     // standing layout; sim_topk_ivfpq_atrest keeps the lifecycle price
-    "sim_topk_ivfpq_atrest_serve")
+    "sim_topk_ivfpq_atrest_serve",
+    // round-15 addition: the residual-encoding IVFPQ variant — kept
+    // declared and priced although the PqSweep REJECTED it for the
+    // serving tier (recall@10 0.37 vs raw 0.49-0.53 at equal budget on
+    // this corpus); the negative result stays measured round-over-round
+    "sim_topk_ivfpq_residual")
 }

@@ -1404,6 +1404,184 @@ object Similarity {
     ivfPqTopKWith(corpus, queries, cellCentroids,
       pqInitBooks(pqCentroids, m), nProbe, k)
 
+  /** The corpus re-expressed as RESIDUALS under the coarse quantizer
+    * (Jégou et al. 2011 §III: FAISS's IVFPQ quantizes x − c(x), not x
+    * itself — residuals are smaller in magnitude than raw vectors, so
+    * the same m×k code budget spends itself on the part of the vector
+    * the cell assignment did NOT already explain): (vec_id,
+    * embedding = v − centroid[cell], cell), cell by the shared
+    * [[cellScores]] argmax rule. One map-side projection; the
+    * subtraction is element-wise IEEE, identical in the oracle's list
+    * comprehension. Requires dense 0..k−1 cell ids (every declared
+    * centroid set is), so the centroid lookup is a literal
+    * array-index, not a join.
+    */
+  private[graft] def residualsWith(corpus: DataFrame,
+      cent: Seq[(Int, Array[Double])]): DataFrame = {
+    require(cent.map(_._1) == cent.indices,
+      "residual coding needs dense 0..k-1 cell ids")
+    val centArr = array(cent.map { case (_, cv) => lit(cv) }: _*)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scores_arr", cellScores(cent))
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .drop("scores_arr")
+      .select(col("vec_id"),
+        zip_with(col("v"), element_at(centArr, col("cell") + 1),
+          (a, b) => a - b).as("embedding"),
+        col("cell"))
+  }
+
+  /** [[residualsWith]] with DataFrame centroids — the public face. */
+  def residuals(corpus: DataFrame, cellCentroids: DataFrame): DataFrame =
+    residualsWith(corpus, collectVectors(cellCentroids))
+
+  /** PQ codebooks trained on the RESIDUALS (the FAISS IVFPQ training
+    * recipe): seed = the `seedK` residuals of vec_ids
+    * [|cells|, |cells| + seedK), renumbered to dense 0..seedK−1 codes,
+    * then [[pqTrainBooks]]'s per-subspace Lloyd unchanged. The seed
+    * window starts BEYOND the centroid id range on purpose: under the
+    * declared raw-seed quantizer (centroids = the first ⌈√n⌉ corpus
+    * rows) the first rows' residuals are ≈ 0 — seeding from them
+    * degenerates every codebook to near-zero entries and recall
+    * collapses (measured 0.53 → 0.27 before this rule).
+    */
+  def pqTrainBooksResidual(corpus: DataFrame, cellCentroids: DataFrame,
+                           seedK: Int, m: Int, iters: Int): Books = {
+    val cells = collectVectors(cellCentroids)
+    val rc = residualsWith(corpus, cells)
+      // two consumers (seed + training passes) of a projection that
+      // re-sorts |cells| structs per row — pin it
+      .localCheckpoint(eager = false)
+    val lo = cells.length.toLong
+    val seed = rc
+      .filter(col("vec_id") >= lo && col("vec_id") < lo + seedK)
+      .select((col("vec_id") - lo).as("vec_id"), col("embedding"))
+    pqTrainBooks(rc, seed, m, iters)
+  }
+
+  /** (vec_id, cell, code_0…code_{m−1}) — the coded corpus both
+    * residual paths share: cell by the argmax rule, codes = min-L2
+    * assignment of the RESIDUAL's sub-vectors under `books`.
+    */
+  private def residualCoded(corpus: DataFrame,
+      cent: Seq[(Int, Array[Double])], books: Books): DataFrame = {
+    val m = books.length
+    val sub = books.head.head._2.length
+    residualsWith(corpus, cent)
+      .select(col("vec_id"), col("cell"),
+        asDouble(col("embedding")).as("v"))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(j => assignStruct(col("v"), books(j), j, sub)
+          .getField("c_id").as(s"code_$j")): _*)
+  }
+
+  /** Probe rows carrying the EXACT query·centroid dot (`cd`) of each
+    * probed cell — residual scoring's correction term: the true dot
+    * q·x = q·c(x) + q·r decomposes into the exact coarse part plus
+    * the PQ-approximated residual part, so the asymmetric score is
+    * cd + Σ_j dot(q_sub_j, book_j[code_j]). cd = −negcd of the sorted
+    * probe struct (IEEE negation is exact).
+    */
+  private def probesWithCd(queries: DataFrame,
+      cent: Seq[(Int, Array[Double])], nProbe: Int): DataFrame =
+    queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scores_arr", cellScores(cent))
+      .withColumn("probe",
+        explode(slice(array_sort(col("scores_arr")), 1, nProbe)))
+      .select(col("q_id"), col("v").as("q_vec"),
+        col("probe.c_id").as("cell"), (-col("probe.negcd")).as("cd"))
+
+  /** IVFPQ with RESIDUAL encoding — [[ivfPqTopKWith]] under the FAISS
+    * quantize-the-residual recipe: codes approximate x − c(x), and the
+    * asymmetric score adds the exact q·c(x) back
+    * ([[probesWithCd]]). Same plan shape as the raw path (map-side
+    * coding, query-side-bounded probe join, windowed top-k); the
+    * recall difference at equal m/probe is the PqSweep finding.
+    */
+  def ivfPqResidualTopKWith(corpus: DataFrame, queries: DataFrame,
+                            cellCentroids: DataFrame, books: Books,
+                            nProbe: Int, k: Int): DataFrame = {
+    val cells = collectVectors(cellCentroids)
+    val sub = books.head.head._2.length
+    val coded = residualCoded(corpus, cells, books)
+    val probes = probesWithCd(queries, cells, nProbe)
+    val scored = coded.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("cd") + pqApproxDot(books, sub)).as("approx_dot"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("approx_dot"), col("rn"))
+  }
+
+  /** [[ivfPqWriteAtRest]] under residual encoding: one directory per
+    * cell, rows carry only the m residual codes.
+    */
+  def ivfPqResidualWriteAtRest(corpus: DataFrame, cellCentroids: DataFrame,
+                               books: Books, path: String): Unit =
+    residualCoded(corpus, collectVectors(cellCentroids), books)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Self-contained residual-IVFPQ index — [[ivfPqWriteIndex]]'s
+    * layout (codes + books + meta + cent-written-last) with
+    * `encoding = "residual"` stamped in meta so serving can refuse to
+    * score residual codes as raw ones (they are meaningless under the
+    * wrong decomposition, the same class of mistake as foreign
+    * codebooks).
+    */
+  def ivfPqResidualWriteIndex(corpus: DataFrame, cellCentroids: DataFrame,
+                              books: Books, path: String): Unit = {
+    val bookRows = books.iterator.map(_.size).sum
+    require(bookRows <= 4096,
+      s"codebook set too large to serve: $bookRows rows (m × codes " +
+        "per book must stay ≤ 4096, the ivfPqStoredBooks read bound)")
+    val cent = collectVectors(cellCentroids)
+    ivfPqResidualWriteAtRest(corpus, cellCentroids, books, s"$path/codes")
+    import corpus.sparkSession.implicits._
+    books.zipWithIndex
+      .flatMap { case (bk, j) => bk.map { case (id, cv) => (j, id, cv) } }
+      .toDF("m", "c_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    val (builtN, sig) = corpusFingerprint(corpus)
+    Seq((builtN, cent.length, books.length, sig, "residual"))
+      .toDF("built_n", "cells", "m", "sig", "encoding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    cent.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+  }
+
+  /** [[ivfPqTopKAtRest]] under residual encoding: partition-pruned
+    * probe over the stored residual codes, score = exact coarse dot +
+    * decoded-residual dot. Bit-identical to
+    * [[ivfPqResidualTopKWith]] — same cells, same codes, same
+    * fixed-order arithmetic.
+    */
+  def ivfPqResidualTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame,
+                              cellCentroids: DataFrame, books: Books,
+                              nProbe: Int, k: Int): DataFrame = {
+    val cells = collectVectors(cellCentroids)
+    val sub = books.head.head._2.length
+    val probes = probesWithCd(queries, cells, nProbe)
+      .localCheckpoint(eager = false)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val coded = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = coded.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("cd") + pqApproxDot(books, sub)).as("approx_dot"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("approx_dot"), col("rn"))
+  }
+
   /** Same-bucket near-dup pairs: [[nearDupPairs]] restricted to
     * same-sign-bucket candidates, so a 100 TB corpus never
     * cross-products. Precision is exact (every candidate is

@@ -241,6 +241,44 @@ class KmeansIvfSpec extends SparkSpec {
     assert(e.getMessage.contains("4096"))
   }
 
+  test("residual IVFPQ: reconstruction identity, self-contained index, scan == at-rest") {
+    val cent = emb.filter(col("vec_id") < 8)
+    // residual + centroid[cell] recovers the original vector (the
+    // decomposition the scoring identity q·x = q·c + q·r rests on)
+    val orig = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val centVecs = cent.orderBy("vec_id").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble))
+    Similarity.residuals(emb, cent).collect().foreach { r =>
+      val id = r.getLong(0)
+      val res = r.getSeq[Double](1)
+      val cv = centVecs(r.getInt(2))
+      res.zip(cv).zip(orig(id)).foreach { case ((a, b), x) =>
+        assert(math.abs(a + b - x) < 1e-9, s"vec $id")
+      }
+    }
+    // the trained-residual index is self-contained and serves
+    // bit-identically from stored components
+    val books = Similarity.pqTrainBooksResidual(emb, cent,
+      seedK = 16, 16, 2)
+    val path = s"target/test-atrest/ivfpqres-${System.nanoTime()}"
+    Similarity.ivfPqResidualWriteIndex(emb, cent, books, path)
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    assert(meta.getAs[String]("encoding") === "residual")
+    val queries = emb.filter(col("vec_id") < 5)
+    val standing = Similarity.ivfPqResidualTopKAtRest(spark,
+        s"$path/codes", queries,
+        Similarity.ivfStoredCentroids(spark, path),
+        Similarity.ivfPqStoredBooks(spark, path), nProbe = 2, k = 5)
+      .orderBy("q_id", "rn").collect()
+    val scan = Similarity.ivfPqResidualTopKWith(emb, queries, cent,
+        books, nProbe = 2, k = 5)
+      .orderBy("q_id", "rn").collect()
+    assert(standing.toSeq === scan.toSeq)
+    assert(standing.nonEmpty)
+  }
+
   test("PQ training monotonically reduces its own measured distortion") {
     def totalDist2(books: Similarity.Books): Double =
       Similarity.pqDistortionWith(emb, books)
