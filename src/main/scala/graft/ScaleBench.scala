@@ -99,7 +99,13 @@ object ScaleBench {
     // serve-only pass) — the expectation is graph-serve-class flat
     // curves: probe reads prune to probe/√n cell dirs and the scoring
     // join is query-side-bounded; a non-flat curve here is a finding
-    "sim_topk_ivf_atrest_serve", "sim_topk_ivfpq_atrest_serve")
+    "sim_topk_ivf_atrest_serve", "sim_topk_ivfpq_atrest_serve",
+    // round 15: the de-NTILE'd corpus tier splits (the r14 verdict's
+    // last single-reducer plans, now the range-sampled two-level
+    // rank) — the curve is the proof the fix holds at decade scale:
+    // the heavy lifting is the LM scoring (linear bigram joins), the
+    // rank is bucket-local sorts over (doc_id, score) rows
+    "pipeline_ccnet_buckets", "pipeline_kn_buckets")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -151,7 +157,11 @@ object ScaleBench {
     // exactly what a second decade distinguishes from small-point luck
     "sim_topk_graph_serve",
     // round 15: both at-rest probes at both decades, same rationale
-    "sim_topk_ivf_atrest_serve", "sim_topk_ivfpq_atrest_serve")
+    "sim_topk_ivf_atrest_serve", "sim_topk_ivfpq_atrest_serve",
+    // round 15: both tier splits at both decades — a distributed-rank
+    // claim is exactly what a second decade distinguishes from
+    // fixed-overhead luck (the sorted-neighborhood precedent)
+    "pipeline_ccnet_buckets", "pipeline_kn_buckets")
 
   /** Queries whose largest point sits at the 8 GiB heap edge and
     * swings run-to-run on GC luck for an UNCHANGED plan
