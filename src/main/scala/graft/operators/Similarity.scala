@@ -1296,6 +1296,25 @@ object Similarity {
     next
   }
 
+  /** [[ivfPublishVersion]] on the IVFPQ tier: `$root/v=N` is a
+    * complete [[ivfPqWriteIndex]] layout (codes + books + meta +
+    * cent), committed by the `_PUBLISHED` marker created LAST. Shares
+    * the layout-agnostic version helpers with the graph and IVF
+    * tiers, so one rotation/retention story covers all three.
+    */
+  def ivfPqPublishVersion(corpus: DataFrame, cellCentroids: DataFrame,
+                          books: Books, root: String): Int = {
+    val spark = corpus.sparkSession
+    val next = graphCurrentVersion(spark, root).map(_ + 1).getOrElse(0)
+    val dir = graphVersionPath(root, next)
+    ivfPqWriteIndex(corpus, cellCentroids, books, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PUBLISHED"), true)
+      .close()
+    next
+  }
+
   /** Materialize the FAISS-style IVFPQ layout at rest: one directory
     * per IVF cell (partition pruning at probe time, the
     * [[ivfWriteAtRest]] rationale), and inside each cell the corpus

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+
+/** Online serving from the self-contained at-rest IVFPQ index — the
+  * [[IvfServeStream]] story on the COMPRESSED tier (20th streaming
+  * operator), the one a 100 TB deployment actually serves from: the
+  * probed cells' bytes are `m` small ints per vector instead of the
+  * full embedding. Every micro-batch is answered by the SAME
+  * partition-pruned probe as the batch operator
+  * ([[graft.operators.Similarity.ivfPqTopKAtRest]] against an
+  * [[graft.operators.Similarity.ivfPqWriteIndex]] layout), with BOTH
+  * trained components resolved from the layout — the stored coarse
+  * quantizer assigns the query probes and the stored codebooks score
+  * the codes; retraining either at serve time would decode the stored
+  * codes under the wrong model (`IvfPqServeStreamSpec` pins the
+  * streaming == batch twin and batch-split invariance).
+  *
+  * Scale: per-batch cost ∝ the batch — file-level PartitionFilters
+  * prune to the batch's probed cells (≈ nProbe/√n of directories),
+  * the codebooks are a ≤4096-row driver-side literal (the
+  * [[graft.operators.Similarity.ivfPqStoredBooks]] read bound,
+  * enforced at write time too), and the only other collect is the
+  * probed-cell id set (≤1024 by the cell cap). Restart semantics are
+  * at-least-once with replay pinned to the originally-resolved
+  * version ([[GraphServeStream.pinnedVersion]]), exactly the graph
+  * and IVF tiers' contract.
+  */
+object IvfPqServeStream {
+
+  private def serveBatch(spark: SparkSession, batch: DataFrame,
+                         indexPath: String, outDir: String,
+                         nProbe: Int, k: Int,
+                         indexVersion: Option[Int]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val answered = Similarity.ivfPqTopKAtRest(spark, s"$indexPath/codes",
+      batch, Similarity.ivfStoredCentroids(spark, indexPath),
+      Similarity.ivfPqStoredBooks(spark, indexPath), nProbe, k)
+    indexVersion.fold(answered)(v =>
+        answered.withColumn("index_version", lit(v)))
+      .write.mode("append").parquet(outDir)
+  }
+
+  /** Wire a streaming query-vector relation (`vec_id`, `embedding`)
+    * to the probe against a FIXED [[graft.operators.Similarity
+    * .ivfPqWriteIndex]] layout; answers append to `outDir` as parquet.
+    */
+  def start(spark: SparkSession, queries: DataFrame, indexPath: String,
+            outDir: String, checkpoint: String, nProbe: Int, k: Int,
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        serveBatch(spark, batch, indexPath, outDir, nProbe, k,
+          indexVersion = None)
+      }
+      .start()
+
+  /** Serve from a VERSIONED index root
+    * ([[graft.operators.Similarity.ivfPqPublishVersion]] layouts):
+    * each micro-batch resolves the highest `_PUBLISHED` version ONCE,
+    * pins it in the batchId-keyed sidecar
+    * ([[GraphServeStream.pinnedVersion]]), probes under that
+    * version's OWN stored quantizer and codebooks, and tags answers
+    * `index_version`. A rebuild landing mid-stream — which may change
+    * the cell count AND retrain every codebook — takes effect
+    * atomically at the next batch; an in-flight batch never mixes
+    * versions' models.
+    */
+  def startVersioned(spark: SparkSession, queries: DataFrame,
+                     indexRoot: String, outDir: String,
+                     checkpoint: String, nProbe: Int, k: Int,
+                     trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = GraphServeStream.pinnedVersion(spark, outDir, batchId,
+          Similarity.graphCurrentVersion(spark, indexRoot)
+            .getOrElse(throw new IllegalStateException(
+              s"no published index version under $indexRoot")))
+        val path = Similarity.graphVersionPath(indexRoot, v)
+        serveBatch(spark, batch, path, outDir, nProbe, k,
+          indexVersion = Some(v))
+      }
+      .start()
+}
