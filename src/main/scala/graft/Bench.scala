@@ -85,12 +85,17 @@ object Bench {
   def bestKnown(dir: java.io.File): Map[String, Double] = {
     val pat = """BENCH_r(\d+)\.json""".r
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => pat.findFirstIn(f.getName).contains(f.getName))
+      .filter(f => pat.findFirstIn(f.getName).contains(f.getName)) ++
+      // the local per-run floor history (see main): every line is one
+      // full bench line, immune to the driver artifact's truncation
+      Option(new java.io.File(dir, "BENCH_LOCAL.jsonl"))
+        .filter(_.isFile).toArray
     files.flatMap { f =>
       scala.util.Try {
         val src = scala.io.Source.fromFile(f)
-        try parsePrevQueries(src.mkString) finally src.close()
-      }.getOrElse(Map.empty).toSeq
+        try src.getLines().flatMap(l => parsePrevQueries(l).toSeq).toList
+        finally src.close()
+      }.getOrElse(List.empty)
     }.filter(_._2 > 0)
       .groupMapReduce(_._1)(_._2)(math.min)
   }
@@ -294,7 +299,23 @@ object Bench {
         !quietVerified.getOrElse(n, false) => n }
     everContended |= suspect.nonEmpty
     val suspectJson = suspect.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","contended":$everContended,"suspect":$suspectJson,"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","query_load":$loadJson,"query_load_end":$loadEndJson,"query_steal":$stealJson,"reruns":$rerunJson,"passes":"min_of_2"}""")
+    // `queries` rides at the END of the line: the driver's BENCH_r*.json
+    // stores only the TAIL of this line, and from round 9 the leading
+    // `queries` object fell off the kept suffix — silently starving
+    // bestKnown of floors for every query newer than r08 (each one
+    // re-ran as "unbaselined" every round). Trailing placement keeps
+    // the per-query record inside any suffix that survives.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","contended":$everContended,"suspect":$suspectJson,"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","query_load":$loadJson,"query_load_end":$loadEndJson,"query_steal":$stealJson,"reruns":$rerunJson,"passes":"min_of_2","queries":$qs}"""
+    println(line)
+    // local floor history (BENCH_LOCAL.jsonl, appended per run): the
+    // in-repo reference bestKnown reads alongside the driver files, so
+    // the rerun guard keeps floors even if an artifact truncates again
+    try {
+      val w = new java.io.FileWriter("BENCH_LOCAL.jsonl", true)
+      try w.write(line + "\n") finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not append BENCH_LOCAL.jsonl: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -99,6 +99,35 @@ class BenchHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("bestKnown reads BENCH_LOCAL.jsonl and survives a left-truncated driver tail") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec5").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try w.print(body) finally w.close()
+    }
+    try {
+      // the r9+ driver failure mode this round surfaced: the stored
+      // tail keeps only the SUFFIX of the harness line, and with
+      // `queries` leading it fell off — every post-r08 query lost its
+      // floor and re-ran as "unbaselined" each round
+      write("BENCH_r14.json",
+        """{"n":14,"rc":0,"tail":"oad\":2.9},\"query_load_end\":""" +
+        """{\"a\":2.66},\"reruns\":{}}\n"}""")
+      // the fix, both halves: `queries` now trails the line (inside
+      // any surviving suffix), and the local per-run history keeps
+      // full lines
+      write("BENCH_LOCAL.jsonl",
+        """{"metric":"total","value":9.9,"passes":"min_of_2","queries":{"a":1.5,"e":7.0}}""" +
+          "\n" +
+          """{"metric":"total","value":9.1,"passes":"min_of_2","queries":{"a":1.2,"e":9.0}}""")
+      val got = Bench.bestKnown(dir)
+      assert(got === Map("a" -> 1.2, "e" -> 7.0))
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+
   test("bestKnownPoints merges per-(query, point) minima across SCALING rounds") {
     val dir = java.nio.file.Files.createTempDirectory("benchspec4").toFile
     def write(name: String, body: String): Unit = {
