@@ -603,6 +603,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(atRest === direct)
   }
 
+  test("residual IVFPQ at-rest layout: pruned cells, code columns only, scan == at-rest") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.core.Tables.read(spark, sf, "embeddings")
+    val cent = e.filter(col("vec_id") < 8)
+    val books = Similarity.pqTrainBooksResidual(e, cent,
+      seedK = 16, 16, 1)
+    val path = "target/atrest/ivfpqres-planshape"
+    Similarity.ivfPqResidualWriteAtRest(e, cent, books, path)
+    val df = Similarity.ivfPqResidualTopKAtRest(spark, path,
+      e.filter(col("vec_id") < 2), cent, books, nProbe = 2, k = 10)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("ivfpqres-planshape")) => s
+    }
+    assert(scans.nonEmpty, "at-rest scan missing from the plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"no cell PartitionFilter: ${scan.partitionFilters}")
+    val static = scan.partitionFilters
+      .filterNot(_.toString.contains("dynamicpruning"))
+    assert(scan.relation.location.listFiles(static, Nil).length <= 4,
+      "scan reads unprobed cells")
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      s"full vectors stored at rest: ${scan.schema.fieldNames.mkString(",")}")
+    assert(scan.schema.fieldNames.count(_.startsWith("code_")) === 16,
+      scan.schema.fieldNames.mkString(","))
+    val atRest = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.ivfPqResidualTopKWith(e,
+        e.filter(col("vec_id") < 2), cent, books, nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atRest === direct)
+  }
+
   test("no declared query plans an unbroadcast cartesian product") {
     // the blanket scale guard: a CartesianProduct in any declared
     // query's physical plan is a 100 TB killer. The broadcast-cross
