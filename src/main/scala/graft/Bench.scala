@@ -93,8 +93,17 @@ object Bench {
     files.flatMap { f =>
       scala.util.Try {
         val src = scala.io.Source.fromFile(f)
-        try src.getLines().flatMap(l => parsePrevQueries(l).toSeq).toList
-        finally src.close()
+        val text = try src.mkString finally src.close()
+        // line-by-line first (BENCH_LOCAL.jsonl holds one full bench
+        // line per run — a whole-file parse would stop at the FIRST
+        // queries object and drop every later run's floors), falling
+        // back to the whole file when no line parses on its own: a
+        // pretty-printed or line-wrapped BENCH_r*.json would otherwise
+        // silently contribute nothing, re-opening the unbaselined-
+        // rerun hole the floor history exists to close
+        val perLine = text.linesIterator
+          .flatMap(l => parsePrevQueries(l).toSeq).toList
+        if (perLine.nonEmpty) perLine else parsePrevQueries(text).toList
       }.getOrElse(List.empty)
     }.filter(_._2 > 0)
       .groupMapReduce(_._1)(_._2)(math.min)

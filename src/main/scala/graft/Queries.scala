@@ -4184,9 +4184,15 @@ object Queries {
     // actually uses: NTILE(3) over the Kneser-Ney score instead of
     // the add-one baseline (pipeline_ccnet_buckets). Scores are
     // bit-identical doubles across engines, ties break on doc_id, so
-    // the tiers match exactly.
+    // the tiers match exactly. r16: the KN MODEL (the four count
+    // tables — the query's dominant shuffles per SCALING_r15) is a
+    // STANDING fingerprint-keyed layout built once per corpus
+    // version (TextAnalysis.knModelWrite); a fresh model turns the
+    // split into gram-keyed joins against model-sized tables — same
+    // counts, same fixed-shape term, oracle unchanged.
     "pipeline_kn_buckets" -> Decl(
-      (s, d) => TextAnalysis.knBuckets(docs(s, d)),
+      (s, d) => TextAnalysis.knBucketsAtRest(docs(s, d),
+        s"target/atrest/knmodel-${d.replaceAll("[^A-Za-z0-9.]", "_")}"),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
              |  FROM (SELECT doc_id,
@@ -5937,6 +5943,35 @@ object Queries {
       },
       Some(ivfAtRestOracle)),
 
+    // FAISS-style incremental `add` under the oracle gate (the
+    // rebuild-on-change → incremental-maintenance step of the serving
+    // story): the index is built on 4/5 of the corpus, the remaining
+    // rows arrive as a delta and are APPENDED — assigned under the
+    // STORED quantizer, stamped epoch 1, meta count + fingerprint
+    // bumped incrementally (XOR window signature, never a base
+    // rescan) — and the probe over the grown standing index must be
+    // bit-identical to a fresh build on the grown corpus, which is
+    // exactly what the shared at-rest oracle computes. The freshness
+    // claim is asserted in-query: indexFresh(grown) holds via the
+    // incrementally-maintained fingerprint alone.
+    "sim_topk_ivf_append" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val cent = Similarity.lloydCentroidDf(e,
+          autoCellsFor(s, d), GraphLloydIters)
+        val path = s"target/atrest/ivfap-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.ivfWriteIndex(e.filter(col("vec_id") % 5 =!= 0),
+          cent, path)
+        Similarity.ivfAppendDelta(e.filter(col("vec_id") % 5 === 0), path)
+        require(Similarity.indexFresh(s, path, e),
+          "append must leave the index fresh wrt the grown corpus")
+        Similarity.ivfTopKAtRest(s, s"$path/codes",
+          e.filter(col("vec_id") < 10),
+          Similarity.ivfStoredCentroids(s, path), nProbe = 3, k = 10)
+      },
+      Some(ivfAtRestOracle)),
+
     // ANN self-evaluation: recall@10 of the IVF index against the
     // brute-force truth, per query — the measurement a production
     // vector index ships with (FAISS-style recall benchmarks). Both
@@ -6285,6 +6320,35 @@ object Queries {
           Similarity.ivfPqWriteIndex(e, e.filter(col("vec_id") < cells),
             books, path)
         }
+        Similarity.ivfPqTopKAtRest(s, s"$path/codes",
+          e.filter(col("vec_id") < 10),
+          Similarity.ivfStoredCentroids(s, path),
+          Similarity.ivfPqStoredBooks(s, path), nProbe = 2, k = 10)
+      },
+      Some(ivfPqTopKOracle)),
+
+    // Incremental `add` on the IVFPQ tier — the tier where append
+    // discipline matters MOST: the delta must be PQ-encoded under the
+    // STORED codebooks and cell-assigned under the STORED quantizer
+    // (re-deriving either would write codes the standing probe decodes
+    // wrongly). Build on 4/5 of the corpus, append the rest, probe the
+    // grown index: bit-identical to the fresh build the shared oracle
+    // recomputes, with the epoch stamp keeping replayed serve batches
+    // pinned to the rows they originally saw (IndexAppendSpec).
+    "sim_topk_ivfpq_append" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val books = Similarity.pqTrainBooks(e,
+          e.filter(col("vec_id") < 16), m = 16, iters = 2)
+        val cent = e.filter(col("vec_id") < autoCellsFor(s, d))
+        val path =
+          s"target/atrest/ivfpqap-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.ivfPqWriteIndex(e.filter(col("vec_id") % 5 =!= 0),
+          cent, books, path)
+        Similarity.ivfPqAppendDelta(e.filter(col("vec_id") % 5 === 0), path)
+        require(Similarity.indexFresh(s, path, e),
+          "append must leave the index fresh wrt the grown corpus")
         Similarity.ivfPqTopKAtRest(s, s"$path/codes",
           e.filter(col("vec_id") < 10),
           Similarity.ivfStoredCentroids(s, path),
@@ -6650,5 +6714,10 @@ object Queries {
     // declared and priced although the PqSweep REJECTED it for the
     // serving tier (recall@10 0.37 vs raw 0.49-0.53 at equal budget on
     // this corpus); the negative result stays measured round-over-round
-    "sim_topk_ivfpq_residual")
+    "sim_topk_ivfpq_residual",
+    // round-16 addition: FAISS-style incremental `add` on the IVFPQ
+    // tier end-to-end — build on 4/5 of the corpus, encode + assign
+    // the delta under the STORED books/quantizer, append at epoch 1,
+    // bump the fingerprint incrementally, probe the grown index
+    "sim_topk_ivfpq_append")
 }

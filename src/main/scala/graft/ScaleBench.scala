@@ -105,7 +105,20 @@ object ScaleBench {
     // rank) — the curve is the proof the fix holds at decade scale:
     // the heavy lifting is the LM scoring (linear bigram joins), the
     // rank is bucket-local sorts over (doc_id, score) rows
-    "pipeline_ccnet_buckets", "pipeline_kn_buckets")
+    "pipeline_ccnet_buckets", "pipeline_kn_buckets",
+    // round 16: the two remaining "bounded by construction" window
+    // claims get the measured treatment the tier splits got — the
+    // vocab-growth cumulative sum runs the two-level bucket prefix
+    // sum (windows only over ≤|partitions|-row offset tables), the
+    // NB-AUC rank runs over distinct integer vote sums (≤ vote range,
+    // not corpus-sized); both curves should be scan/agg-dominated
+    "text_vocab_growth", "pipeline_nb_auc",
+    // round 16: FAISS-style incremental add on the IVFPQ tier — the
+    // claim is append cost ∝ delta (assign + encode under stored
+    // state, footer-count + window-sig fingerprint), never a base
+    // rescan; the query prices build(4/5) + append(1/5) + probe, so
+    // its curve should track the fresh-build query's
+    "sim_topk_ivfpq_append")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -161,7 +174,11 @@ object ScaleBench {
     // round 15: both tier splits at both decades — a distributed-rank
     // claim is exactly what a second decade distinguishes from
     // fixed-overhead luck (the sorted-neighborhood precedent)
-    "pipeline_ccnet_buckets", "pipeline_kn_buckets")
+    "pipeline_ccnet_buckets", "pipeline_kn_buckets",
+    // round 16: the two newly-measured window claims at both decades,
+    // same rationale (a bounded-window claim that only LOOKS flat
+    // under decade one's fixed overheads shows at decade two)
+    "text_vocab_growth", "pipeline_nb_auc")
 
   /** Queries whose largest point sits at the 8 GiB heap edge and
     * swings run-to-run on GC luck for an UNCHANGED plan

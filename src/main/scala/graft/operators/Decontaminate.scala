@@ -156,7 +156,13 @@ object Decontaminate {
       .withColumn("__v", asDouble(col(embCol)))
       .withColumn("__nv", norm(col("__v")))
       .withColumn("__sim", bestEvalSim(ev, col("__v"), col("__nv")))
-      .filter(col("__sim") < lit(tau) || col("__sim").isNull)
+      // the literal complement of semanticDecontaminate's flag
+      // predicate (__sim >= tau) rather than a rewritten `< tau`:
+      // under engine NaN-ordering rules a NaN similarity (zero-norm
+      // embedding) can satisfy neither or both of `>= tau` / `< tau`
+      // depending on the engine — negating the flag predicate itself
+      // guarantees every row is exactly flagged or kept, never neither
+      .filter(!(col("__sim") >= lit(tau)) || col("__sim").isNull)
       .drop("__v", "__nv", "__sim")
   }
 }

@@ -1319,8 +1319,9 @@ object Dedup {
     * The within-bucket rank is NOT a second window over the text: the
     * range exchange already leaves every partition holding exactly one
     * bucket, so `sortWithinPartitions(k, doc_id)` followed by
-    * `monotonically_increasing_id()` (partition id in the high bits,
-    * physical row offset in the low 33 — the zipWithIndex idiom;
+    * [[Ranks.bucketLocal]] (spark_partition_id + the low 33 bits of
+    * monotonically_increasing_id — the zipWithIndex idiom, guarded
+    * against counter wrap at the offsets aggregation; the id is
     * nondeterministic, so the optimizer cannot reorder it below the
     * sort) yields the bucket id and the within-bucket ROW_NUMBER in
     * the SAME pass, with zero additional shuffle of the text.
@@ -1337,17 +1338,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val parts = math.max(1, docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
-    val keyed = docs.select(col("doc_id"), lower(col("text")).as("k"))
-      .repartitionByRange(parts, col("k"), col("doc_id"))
-      .sortWithinPartitions(col("k"), col("doc_id"))
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__bucket", shiftright(col("__mid"), 33).cast("int"))
-      .withColumn("__lrk",
-        col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
-      .drop("__mid")
+    val keyed = Ranks.bucketLocal(
+        docs.select(col("doc_id"), lower(col("text")).as("k"))
+          .repartitionByRange(parts, col("k"), col("doc_id"))
+          .sortWithinPartitions(col("k"), col("doc_id")))
       .localCheckpoint(eager = false)
     val offsets = keyed.groupBy(col("__bucket"))
-      .agg(count(lit(1)).as("__bn"))
+      .agg(Ranks.guardedBucketCount.as("__bn"))
       .withColumn("__boff", coalesce(
         sum(col("__bn")).over(Window.orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

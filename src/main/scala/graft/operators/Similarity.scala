@@ -385,7 +385,7 @@ object Similarity {
     def topk(df: DataFrame): DataFrame = df
       .withColumn("rn", row_number().over(wSrc))
       .filter(col("rn") <= k)
-    var edges = topk(
+    val edges0 = topk(
       assigned.join(heads, Seq("cell"))
         .filter(col("vec_id") =!= col("dst"))
         .select(col("vec_id").as("src"), col("dst"),
@@ -393,6 +393,25 @@ object Similarity {
             .as("cos_sim"))
         .distinct())
       .select(col("src"), col("dst"), col("cos_sim"))
+    nndRounds(c, edges0, k, rounds)
+  }
+
+  /** The NN-Descent refinement loop factored from [[knnGraph]] so the
+    * warm-start path ([[knnGraphWarm]]) can enter it with a DIFFERENT
+    * seed edge set: per round the symmetric closure, cap-2k incident
+    * lists, middle-node wedge join, fresh cosine, keep-best top-k.
+    * `c` is the (vec_id, v, nrm) vector relation; `edges0` the seed
+    * (src, dst, cos_sim) edges.
+    */
+  private def nndRounds(c: DataFrame, edges0: DataFrame, k: Int,
+                        rounds: Int): DataFrame = {
+    val cap = 2 * k
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= k)
+    var edges = edges0
     for (_ <- 1 to rounds) {
       val sym = edges
         .union(edges.select(col("dst").as("src"), col("src").as("dst"),
@@ -431,6 +450,84 @@ object Similarity {
       col("cos_sim"), col("rn"))
   }
 
+  /** Warm-start NN-Descent (the published incremental-NND recipe): a
+    * drift-triggered REBUILD seeds from the previous version's
+    * neighbor lists instead of from scratch — old nodes keep their
+    * lists (re-scored against the current vectors in one linear
+    * id-keyed join; the at-rest adj carries no scores), new nodes
+    * seed from their Lloyd cell's capped heads exactly like a cold
+    * build — and converges in 1–2 rounds instead of 3 because the
+    * prior lists are already near-correct for the unchanged mass.
+    * Edges into nodes that LEFT the corpus drop at the re-score join
+    * (inner on both endpoints), so deletions are handled by the same
+    * mechanism.
+    *
+    * NOT oracle-gated: the warm graph is a different (equally valid)
+    * approximate index than the cold build — its gate is the recall
+    * floor (WarmSweep: ≥0.9 avg / ≥0.7 min recall@10, the GraphSweep
+    * bar) plus the serve-twin spec; the WALK over any published
+    * layout stays deterministic and spec-pinned.
+    *
+    * `prevAdj` = the prior layout's `adj` relation (src, dst);
+    * `prevNodes` = its `nodes` (vec_id) — both straight reads of a
+    * [[graphWriteAtRest]] layout.
+    */
+  def knnGraphWarm(corpus: DataFrame, centroids: DataFrame, k: Int,
+                   rounds: Int, prevNodes: DataFrame,
+                   prevAdj: DataFrame): DataFrame = {
+    require(k >= 1 && rounds >= 0, "top-k size and a fixed round count")
+    val cent = collectVectors(centroids)
+    val cap = 2 * k
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // prior lists re-scored against CURRENT vectors: one id-keyed
+    // join pass over nk edge rows; endpoints that left the corpus
+    // drop here (inner join)
+    val carried = prevAdj.select(col("src"), col("dst"))
+      .join(c.select(col("vec_id").as("src"),
+        col("v").as("sv"), col("nrm").as("sn")), "src")
+      .join(c.select(col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        (dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+          .as("cos_sim"))
+    // NEW nodes (not in the previous version) get the cold build's
+    // soft top-2-cell seeding against the full corpus's heads — the
+    // wedge rounds then bridge them into the carried neighborhoods
+    val newIds = c.select(col("vec_id"))
+      .join(prevNodes.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val t2rel = c
+      .select(col("vec_id"), top2Cells(cent).as("t2"))
+      .select(col("vec_id"), col("t2.b1i").as("c1"), col("t2.b2i").as("c2"),
+        col("t2.b1d").as("d1"))
+      .localCheckpoint(eager = false)
+    val assignedNew = c.join(newIds, Seq("vec_id"), "left_semi")
+      .join(t2rel, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(col("c1"), col("c2"))).as("cell"))
+      .filter(col("cell") >= 0)
+    val seedWin = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val heads = c.join(t2rel, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("c1").as("cell"))
+      .withColumn("hr", row_number().over(seedWin))
+      .filter(col("hr") <= cap)
+      .select(col("cell"), col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dn"))
+    val newSeeds = assignedNew.join(heads, Seq("cell"))
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"),
+        (dot(col("v"), col("dv")) / (col("nrm") * col("dn")))
+          .as("cos_sim"))
+      .distinct()
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val edges0 = carried.unionByName(newSeeds)
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos_sim"))
+    nndRounds(c, edges0, k, rounds)
+  }
+
   /** Materialize the [[knnGraph]] index AT REST — the serving layout
     * of a graph-based vector store (HNSW layer 0 in its batch
     * adaptation): three parquet relations under `path`:
@@ -450,13 +547,45 @@ object Similarity {
     * frontier is a SET of ids (no range locality to exploit), so
     * uniform buckets minimize the worst-case files-per-probe.
     */
+  /** Remove `$path/cent` — the completeness marker every at-rest
+    * index writes LAST — before a (re)build touches any other subdir.
+    * Writers overwrite subdirs in order ending with cent; without
+    * this, a rebuild that crashes after the new meta lands but before
+    * cent is overwritten leaves OLD cent + NEW meta, which
+    * [[indexFresh]] would read as a complete, fingerprint-matching
+    * layout and serve as fresh. Deleting the marker first makes every
+    * partial rebuild read as incomplete until the final write.
+    */
+  private def invalidateMarker(corpus: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/cent")
+    val fs = p.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   def graphWriteAtRest(corpus: DataFrame, centroids: DataFrame, k: Int,
                        rounds: Int, path: String,
                        buckets: Int = 64,
-                       centralHeads: Boolean = false): Unit = {
+                       centralHeads: Boolean = false): Unit =
+    writeGraphLayout(corpus, centroids,
+      knnGraph(corpus, centroids, k, rounds), k, path, buckets,
+      centralHeads)
+
+  /** The layout write of [[graphWriteAtRest]] with the edge relation
+    * supplied by the caller, so cold ([[knnGraph]]) and warm-start
+    * ([[knnGraphWarm]]) builds share one on-disk format byte for
+    * byte — serving cannot tell how the graph was built, which is the
+    * warm path's whole correctness story (the walk is deterministic
+    * over whatever layout is published).
+    */
+  private def writeGraphLayout(corpus: DataFrame, centroids: DataFrame,
+                               edges: DataFrame, k: Int, path: String,
+                               buckets: Int,
+                               centralHeads: Boolean): Unit = {
+    invalidateMarker(corpus, path)
     val cent = collectVectors(centroids)
     val cap = 2 * k
-    knnGraph(corpus, centroids, k, rounds)
+    edges
       .select(col("vec_id").as("src"), col("nb_id").as("dst"))
       .withColumn("bucket",
         pmod(col("src"), lit(buckets.toLong)).cast("int"))
@@ -506,6 +635,69 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
   }
 
+  /** Parametric OPQ rotation (Ge et al. CVPR 2013 §4, the
+    * eigenvalue-allocation solution): an ORTHOGONAL rotation applied
+    * before PQ so the m subspaces carry balanced variance — the
+    * published recall lever for exactly the case the r15 residual
+    * sweep hit (a coarse quantizer that explains little variance, so
+    * residual encoding can't help; rotation rebalances what the code
+    * budget sees instead). Orthogonality is the whole trick: (Rq)·(Rx)
+    * = q·x, so cell assignment, brute-force truth, and every dot-based
+    * score are EXACTLY preserved — only the PQ sub-vector decomposition
+    * changes.
+    *
+    * Recipe: the d×d Gramian Σxxᵀ in one distributed pass
+    * (RowMatrix.computeGramianMatrix), a local 64×64 symmetric
+    * eigendecomposition (breeze, on Spark's own classpath), then the
+    * greedy eigenvalue allocation — largest remaining eigenvalue joins
+    * the subspace with the smallest log-variance product — and R's
+    * rows are the eigenvectors in allocation order. One corpus scan,
+    * one driver-local O(d³) solve.
+    *
+    * Returns the d rotation rows. Sweep-tier (PqSweep's "opq" arm):
+    * the Gramian's float sum is partitioning-order-dependent, so the
+    * rotation is run-deterministic only — adoption into an
+    * oracle-gated query would need the exact-decimal gram pass.
+    */
+  def opqParametricRotation(corpus: DataFrame, m: Int): Seq[Array[Double]] = {
+    import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = corpus.select(asDouble(col("embedding")).as("v"))
+      .rdd.map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
+    val gram = new RowMatrix(rows).computeGramianMatrix()
+    val d = gram.numCols
+    require(d % m == 0, s"dim $d must split into $m subspaces")
+    val sub = d / m
+    val bg = breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) => gram(i, j))
+    val es = breeze.linalg.eigSym(bg)
+    // eigenvalues ascending from breeze; walk them descending and give
+    // each to the least-loaded (log-product) unfilled subspace
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i))
+    val loads = Array.fill(m)(0.0)
+    val fill = Array.fill(m)(0)
+    val slots = Array.fill(d)(0)
+    for (i <- order) {
+      val j = (0 until m).filter(fill(_) < sub)
+        .minBy(j => (loads(j), j))
+      loads(j) += math.log(math.max(es.eigenvalues(i), 1e-300))
+      slots(j * sub + fill(j)) = i
+      fill(j) += 1
+    }
+    (0 until d).map { r =>
+      val ev = slots(r)
+      Array.tabulate(d)(c => es.eigenvectors(c, ev))
+    }
+  }
+
+  /** Apply a [[opqParametricRotation]] (or any literal row matrix) to
+    * the embedding column: one codegen-pure projection of d literal
+    * dots per row — the [[cellScores]] cost class, never a shuffle.
+    */
+  def rotated(corpus: DataFrame, rows: Seq[Array[Double]]): DataFrame =
+    corpus.select(col("vec_id"),
+      array(rows.map(r => dot(asDouble(col("embedding")), lit(r))): _*)
+        .as("embedding"))
+
   /** Rows probed by [[corpusFingerprint]]'s content signature. */
   private[graft] val FingerprintSample = 4096L
 
@@ -526,13 +718,21 @@ object Similarity {
     * Engine-private (never oracle-compared), so Spark's xxhash64 is
     * fine here.
     */
-  private[graft] def corpusFingerprint(corpus: DataFrame): (Long, Long) = {
-    val n = corpus.count()
-    val sig = corpus.filter(col("vec_id") < FingerprintSample)
+  private[graft] def corpusFingerprint(corpus: DataFrame): (Long, Long) =
+    (corpus.count(), windowSig(corpus))
+
+  /** The content-signature half of [[corpusFingerprint]]: BIT_XOR of
+    * xxhash64(vec_id, embedding) over the fixed probe window. XOR
+    * makes the signature INCREMENTALLY maintainable — the grown
+    * corpus's signature is exactly oldSig ^ windowSig(delta), which is
+    * how [[ivfAppendDelta]] keeps the stamped fingerprint equal to
+    * what [[corpusFingerprint]] would compute over base ∪ delta
+    * without ever scanning the base again.
+    */
+  private def windowSig(rows: DataFrame): Long =
+    rows.filter(col("vec_id") < FingerprintSample)
       .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L))
         .as("sig")).head.getLong(0)
-    (n, sig)
-  }
 
   /** True when the index at `path` is complete (cent written — the
     * completeness marker) AND its stamped corpus fingerprint matches
@@ -586,6 +786,47 @@ object Similarity {
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PUBLISHED"), true)
       .close()
     next
+  }
+
+  /** [[graphPublishVersion]] seeded from the PREVIOUS published
+    * version's neighbor lists ([[knnGraphWarm]]) — the
+    * drift-triggered rebuild a standing deployment actually runs: the
+    * graph lifecycle is the engine's biggest absolute build cost, and
+    * warm-started NN-Descent converges in `warmRounds` (default 1)
+    * instead of a cold build's 3 because the prior lists are already
+    * near-correct for the unchanged mass. Falls back to a cold build
+    * (`coldRounds`) when no version is published yet. The published
+    * layout is format-identical to a cold one ([[writeGraphLayout]]),
+    * so rotation, retention, pinning, and the serve walk are
+    * untouched; the warm graph's quality gate is WarmSweep's measured
+    * recall floor, not the cold build's oracle.
+    */
+  def graphPublishVersionWarm(corpus: DataFrame, centroids: DataFrame,
+                              k: Int, root: String,
+                              warmRounds: Int = 1, coldRounds: Int = 3,
+                              buckets: Int = 64,
+                              centralHeads: Boolean = false): Int = {
+    val spark = corpus.sparkSession
+    graphCurrentVersion(spark, root) match {
+      case None =>
+        graphPublishVersion(corpus, centroids, k, coldRounds, root,
+          buckets, centralHeads)
+      case Some(prev) =>
+        val prevPath = graphVersionPath(root, prev)
+        val edges = knnGraphWarm(corpus, centroids, k, warmRounds,
+          spark.read.parquet(s"$prevPath/nodes").select(col("vec_id")),
+          spark.read.parquet(s"$prevPath/adj")
+            .select(col("src"), col("dst")))
+        val next = prev + 1
+        val dir = graphVersionPath(root, next)
+        writeGraphLayout(corpus, centroids, edges, k, dir, buckets,
+          centralHeads)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PUBLISHED"), true)
+          .close()
+        next
+    }
   }
 
   /** Highest PUBLISHED version under `root`, if any. */
@@ -1137,6 +1378,10 @@ object Similarity {
       .withColumn("scores_arr", scores)
       .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
       .drop("scores_arr", "v")
+      // epoch 0 = the build; incremental adds ([[ivfAppendDelta]])
+      // stamp 1, 2, … so a probe pinned to an epoch sees exactly the
+      // rows that existed when it resolved the index
+      .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
@@ -1150,7 +1395,8 @@ object Similarity {
     */
   def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, centroids: DataFrame,
-                    nProbe: Int, k: Int): DataFrame = {
+                    nProbe: Int, k: Int,
+                    maxEpoch: Long = Long.MaxValue): DataFrame = {
     val cent = collectVectors(centroids)
     val scores = cellScores(cent)
     val probes = queries
@@ -1165,7 +1411,7 @@ object Similarity {
       .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpus = spark.read.parquet(path)
+    val corpus = epochBound(spark.read.parquet(path), maxEpoch)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("cell"))
       .withColumn("c_nrm", norm(col("v")))
@@ -1198,11 +1444,13 @@ object Similarity {
     */
   def ivfWriteIndex(corpus: DataFrame, centroids: DataFrame,
                     path: String): Unit = {
+    invalidateMarker(corpus, path)
     val cent = collectVectors(centroids)
     ivfWriteAtRest(corpus, centroids, s"$path/codes")
     import corpus.sparkSession.implicits._
     val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((builtN, cent.length, sig)).toDF("built_n", "cells", "sig")
+    Seq((builtN, cent.length, sig, 0L))
+      .toDF("built_n", "cells", "sig", "epoch")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
@@ -1238,6 +1486,7 @@ object Similarity {
     require(bookRows <= 4096,
       s"codebook set too large to serve: $bookRows rows (m × codes " +
         "per book must stay ≤ 4096, the ivfPqStoredBooks read bound)")
+    invalidateMarker(corpus, path)
     val cent = collectVectors(cellCentroids)
     ivfPqWriteAtRest(corpus, cellCentroids, books, s"$path/codes")
     import corpus.sparkSession.implicits._
@@ -1246,19 +1495,44 @@ object Similarity {
       .toDF("m", "c_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
     val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((builtN, cent.length, books.length, sig))
-      .toDF("built_n", "cells", "m", "sig")
+    Seq((builtN, cent.length, books.length, sig, 0L))
+      .toDF("built_n", "cells", "m", "sig", "epoch")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
   }
 
+  /** Encoding stamped in a layout's meta — "raw" when the column is
+    * absent (pre-residual layouts never carried one; every writer that
+    * stamps anything else stamps it explicitly).
+    */
+  def indexEncoding(spark: org.apache.spark.sql.SparkSession,
+                    path: String): String = {
+    val meta = spark.read.parquet(s"$path/meta")
+    if (!meta.columns.contains("encoding")) "raw"
+    else meta.select(col("encoding")).head.getString(0)
+  }
+
   /** Stored PQ codebooks of an [[ivfPqWriteIndex]] layout, rebuilt in
     * the exact [[Books]] structure they were trained as (subspaces in
     * order, entries sorted by code id — bit-identical literals).
+    *
+    * Refuses a layout whose meta encoding differs from
+    * `expectEncoding` ("raw" by default): a residual layout
+    * ([[ivfPqResidualWriteIndex]]) is shape-identical to a raw one and
+    * shares the versioned-publish helpers, so without this gate a
+    * serving path pointed at the wrong layout would silently score
+    * residual codes as raw and return wrong neighbors. Residual
+    * readers opt in with `expectEncoding = "residual"`.
     */
   def ivfPqStoredBooks(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Books = {
+                       path: String,
+                       expectEncoding: String = "raw"): Books = {
+    val enc = indexEncoding(spark, path)
+    require(enc == expectEncoding,
+      s"layout at $path is '$enc'-encoded; this reader scores " +
+        s"'$expectEncoding' codes — serving it would decode under the " +
+        "wrong decomposition")
     val rows = spark.read.parquet(s"$path/books")
       .select(col("m"), col("c_id"), col("cv")).collect()
     require(rows.length <= 4096, s"codebook set too large: ${rows.length}")
@@ -1267,6 +1541,142 @@ object Similarity {
       .map { case (_, es) =>
         es.sortBy(_._2).map { case (_, id, cv) => (id, cv) }.toSeq
       }
+  }
+
+  /** Current append epoch of a self-contained layout — the highest
+    * epoch whose rows a probe may score. 0 when the meta predates
+    * append support or the layout was never appended to.
+    */
+  def indexEpoch(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Long = {
+    val meta = spark.read.parquet(s"$path/meta")
+    if (!meta.columns.contains("epoch")) 0L
+    else meta.select(col("epoch")).head.getLong(0)
+  }
+
+  /** Restrict an at-rest codes relation to rows visible at `maxEpoch`.
+    * No-op at the default Long.MaxValue so the common probe neither
+    * reads nor filters the epoch column; an epoch-pinned probe (the
+    * serving streams — replay determinism under concurrent append)
+    * filters `epoch <= maxEpoch`, which also hides the ghost rows a
+    * crashed append leaves behind (codes landed, meta never bumped).
+    */
+  private def epochBound(codes: DataFrame, maxEpoch: Long): DataFrame =
+    if (maxEpoch == Long.MaxValue || !codes.columns.contains("epoch")) codes
+    else codes.filter(col("epoch") <= lit(maxEpoch))
+
+  /** FAISS-style `add` on the self-contained IVF index: assign the
+    * delta under the STORED coarse quantizer (the exact build-time
+    * argmax — never retrained, so old and new rows live under one
+    * cell set), append the rows to the existing cell partitions at
+    * epoch N+1, and bump meta's count + fingerprint + epoch — the
+    * daily-delta path a 100 TB deployment takes instead of the full
+    * rebuild, which [[graft.streaming.IvfStream.rebuildSignal]]
+    * reserves for actual cell-histogram drift.
+    *
+    * Crash discipline: codes append FIRST, meta bump LAST. A crash
+    * between leaves ghost rows at epoch N+1 that (a) epoch-pinned
+    * probes never see (meta still says N) and (b) leave the stamped
+    * fingerprint ≠ the grown corpus's, so [[indexFresh]] reports
+    * stale and the convenience paths rebuild. [[appendGuard]] refuses
+    * to stack a second append onto an un-recovered crash (its rows
+    * would share the ghosts' epoch and resurrect them as duplicates).
+    *
+    * The fingerprint stays EXACT without rescanning the base corpus:
+    * the signature is a window XOR, so newSig = oldSig ^
+    * windowSig(delta) equals [[corpusFingerprint]] over base ∪ delta
+    * by XOR associativity; the count adds. `indexFresh(path, grown)`
+    * therefore holds after an append exactly as if the index had been
+    * rebuilt on the grown corpus.
+    *
+    * Returns the new epoch. Delta must carry (vec_id, embedding).
+    */
+  def ivfAppendDelta(delta: DataFrame, path: String): Long = {
+    val spark = delta.sparkSession
+    val epoch = appendGuard(spark, path)
+    val cent = collectVectors(ivfStoredCentroids(spark, path))
+    delta.select(col("vec_id"), col("embedding"))
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("scores_arr", cellScores(cent))
+      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .drop("scores_arr", "v")
+      .withColumn("epoch", lit(epoch))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    bumpAppendedMeta(spark, path, delta, epoch)
+    epoch
+  }
+
+  /** [[ivfAppendDelta]] on the IVFPQ tier: the delta is PQ-encoded
+    * under the STORED codebooks (raw or residual per the layout's own
+    * meta encoding — appended codes are always decodable by the books
+    * the probe will score with) and cell-assigned under the stored
+    * quantizer. Same crash discipline, same incremental fingerprint.
+    */
+  def ivfPqAppendDelta(delta: DataFrame, path: String): Long = {
+    val spark = delta.sparkSession
+    val epoch = appendGuard(spark, path)
+    val enc = indexEncoding(spark, path)
+    val books = ivfPqStoredBooks(spark, path, expectEncoding = enc)
+    val cells = collectVectors(ivfStoredCentroids(spark, path))
+    val coded =
+      if (enc == "residual") residualCoded(delta, cells, books)
+      else pqCodesWith(delta, books)
+        .withColumn("scores_arr", cellScores(cells))
+        .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+        .drop("scores_arr", "v")
+    coded.withColumn("epoch", lit(epoch))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    bumpAppendedMeta(spark, path, delta, epoch)
+    epoch
+  }
+
+  /** Preconditions of an append, returning the epoch to stamp:
+    *  - the layout is complete (cent marker present) and epoch-aware
+    *    (meta carries `epoch` — pre-append layouts rebuild once);
+    *  - no ghost rows above meta's epoch (a crashed append that was
+    *    never recovered; stacking another append would reuse the
+    *    ghosts' epoch and make them visible as duplicates). The scan
+    *    is footer-cheap when clean: `epoch > N` prunes every row
+    *    group whose max-epoch statistic is ≤ N — metadata-only, like
+    *    the fingerprint's count.
+    */
+  private def appendGuard(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Long = {
+    val centP = new org.apache.hadoop.fs.Path(s"$path/cent")
+    require(centP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(centP), s"no complete index at $path (cent missing)")
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.columns.contains("epoch"),
+      s"layout at $path predates append support; rebuild it once")
+    val cur = meta.select(col("epoch")).head.getLong(0)
+    val ghosts = spark.read.parquet(s"$path/codes")
+      .filter(col("epoch") > lit(cur)).limit(1).count()
+    require(ghosts == 0L,
+      s"layout at $path holds rows above epoch $cur - a crashed " +
+        "append; rebuild before appending again")
+    cur + 1
+  }
+
+  /** Meta bump of a successful append: built_n += |delta|, sig ^=
+    * windowSig(delta), epoch = new. Collect-then-rewrite (the row is
+    * a single tuple) because parquet can't overwrite a path it is
+    * lazily reading; every other meta column rides through unchanged,
+    * so the bump is layout-agnostic across the IVF and IVFPQ tiers.
+    */
+  private def bumpAppendedMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, delta: DataFrame,
+                               epoch: Long): Unit = {
+    val deltaN = delta.count()
+    val deltaSig = windowSig(delta)
+    val meta = spark.read.parquet(s"$path/meta")
+    val bumped = meta
+      .withColumn("built_n", col("built_n") + lit(deltaN))
+      .withColumn("sig", col("sig").bitwiseXOR(lit(deltaSig)))
+      .withColumn("epoch", lit(epoch))
+    val rows = bumped.collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), bumped.schema)
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Versioned self-contained IVF index with atomic swap — the
@@ -1333,6 +1743,7 @@ object Similarity {
       .withColumn("scores_arr", scores)
       .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
       .drop("scores_arr", "v")
+      .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
@@ -1348,7 +1759,8 @@ object Similarity {
   def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession,
                       path: String, queries: DataFrame,
                       cellCentroids: DataFrame, books: Books,
-                      nProbe: Int, k: Int): DataFrame = {
+                      nProbe: Int, k: Int,
+                      maxEpoch: Long = Long.MaxValue): DataFrame = {
     val cells = collectVectors(cellCentroids)
     val sub = books.head.head._2.length
     val scores = cellScores(cells)
@@ -1362,7 +1774,7 @@ object Similarity {
       .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val coded = spark.read.parquet(path)
+    val coded = epochBound(spark.read.parquet(path), maxEpoch)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val scored = coded.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1542,6 +1954,7 @@ object Similarity {
   def ivfPqResidualWriteAtRest(corpus: DataFrame, cellCentroids: DataFrame,
                                books: Books, path: String): Unit =
     residualCoded(corpus, collectVectors(cellCentroids), books)
+      .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Self-contained residual-IVFPQ index — [[ivfPqWriteIndex]]'s
@@ -1557,6 +1970,7 @@ object Similarity {
     require(bookRows <= 4096,
       s"codebook set too large to serve: $bookRows rows (m × codes " +
         "per book must stay ≤ 4096, the ivfPqStoredBooks read bound)")
+    invalidateMarker(corpus, path)
     val cent = collectVectors(cellCentroids)
     ivfPqResidualWriteAtRest(corpus, cellCentroids, books, s"$path/codes")
     import corpus.sparkSession.implicits._
@@ -1565,8 +1979,8 @@ object Similarity {
       .toDF("m", "c_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
     val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((builtN, cent.length, books.length, sig, "residual"))
-      .toDF("built_n", "cells", "m", "sig", "encoding")
+    Seq((builtN, cent.length, books.length, sig, "residual", 0L))
+      .toDF("built_n", "cells", "m", "sig", "encoding", "epoch")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
@@ -1581,14 +1995,15 @@ object Similarity {
   def ivfPqResidualTopKAtRest(spark: org.apache.spark.sql.SparkSession,
                               path: String, queries: DataFrame,
                               cellCentroids: DataFrame, books: Books,
-                              nProbe: Int, k: Int): DataFrame = {
+                              nProbe: Int, k: Int,
+                              maxEpoch: Long = Long.MaxValue): DataFrame = {
     val cells = collectVectors(cellCentroids)
     val sub = books.head.head._2.length
     val probes = probesWithCd(queries, cells, nProbe)
       .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val coded = spark.read.parquet(path)
+    val coded = epochBound(spark.read.parquet(path), maxEpoch)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val scored = coded.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -37,15 +37,24 @@ object GraphServeStream {
     * whole streaming query: answers are batch-split invariant (the
     * spec pins it — each query's walk depends only on its own vector
     * and the immutable index), so chunking changes nothing but the
-    * number of jobs. Chunks cut on a vec_id-ordered row_number —
-    * exact ≤4096 sizing regardless of id skew; the single-partition
-    * window is fine at micro-batch scale.
+    * number of jobs. Chunk membership is `pmod(xxhash64(vec_id, salt),
+    * chunks)` — a narrow map, no window, no exchange: membership
+    * needn't be rank-contiguous (determinism and the ≤4096-per-chunk
+    * contract are all that matter), so a backlogged trigger delivering
+    * millions of queries never funnels the whole batch through the one
+    * reducer a global row_number chunker would. Hash chunks are only
+    * EXPECTED-size bounded, so the chunk count targets half the cap
+    * (~2048 expected) and the observed max chunk size — read from the
+    * same per-chunk count pass that enumerates non-empty chunks — is
+    * checked against the hard cap; a hash hot spot (>2× uniform over
+    * DISTINCT vec_ids, i.e. xxhash64 collisions, not data skew)
+    * deterministically re-salts with double the chunks rather than
+    * letting graphTopKAtRest's `require` kill the streaming query.
     */
   private def serveBatch(spark: SparkSession, batch: DataFrame,
                          indexPath: String, centroids: DataFrame,
                          outDir: String, beam: Int, rounds: Int, k: Int,
                          indexVersion: Option[Int]): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     // bucket count comes from the layout's OWN meta (graphTopKAtRest's
     // default): a layout written or published with a non-default
@@ -64,15 +73,27 @@ object GraphServeStream {
       val n = b.count()
       if (n <= 4096) serve(b)
       else {
-        val marked = b.withColumn("__chunk",
-          ((row_number().over(Window.orderBy(col("vec_id"))) - 1)
-            / 4096).cast("int")).persist()
-        try {
-          val chunks = ((n + 4095) / 4096).toInt
-          (0 until chunks).foreach { i =>
-            serve(marked.filter(col("__chunk") === i).drop("__chunk"))
-          }
-        } finally { marked.unpersist(); () }
+        var chunks = 2 * ((n + 4095) / 4096)
+        var salt = 0
+        var served = false
+        while (!served) {
+          val marked = b.withColumn("__chunk",
+            pmod(xxhash64(col("vec_id"), lit(salt)), lit(chunks))
+              .cast("int")).persist()
+          try {
+            // one distributed pass yields the non-empty chunk ids AND
+            // the max-size check (collects ≤ n/2048 chunk counts, not
+            // queries)
+            val sizes = marked.groupBy(col("__chunk")).count()
+              .collect().map(r => (r.getInt(0), r.getLong(1)))
+            if (sizes.map(_._2).max <= 4096) {
+              sizes.map(_._1).sorted.foreach { i =>
+                serve(marked.filter(col("__chunk") === i).drop("__chunk"))
+              }
+              served = true
+            } else { chunks *= 2; salt += 1 }
+          } finally { marked.unpersist(); () }
+        }
       }
     } finally { b.unpersist(); () }
   }
@@ -107,24 +128,39 @@ object GraphServeStream {
     */
   private[graft] def pinnedVersion(spark: SparkSession, outDir: String,
                                    batchId: Long,
-                                   resolve: => Int): Int = {
+                                   resolve: => Int): Int =
+    pinnedRecord(spark, outDir, batchId, resolve.toString).toInt
+
+  /** The general form of [[pinnedVersion]]: pin ANY resolved serving
+    * state as an opaque string — the IVF tiers pin "version:epoch" in
+    * ONE atomic record ([[IvfServeStream]]/[[IvfPqServeStream]]), so
+    * a replayed batch can neither re-resolve a newer index version
+    * NOR see rows appended ([[graft.operators.Similarity
+    * .ivfAppendDelta]]) after its original run — two-sidecar pinning
+    * would leave a crash window where version committed but epoch
+    * didn't, and the replay would serve the old model over a grown
+    * row set.
+    */
+  private[graft] def pinnedRecord(spark: SparkSession, outDir: String,
+                                  batchId: Long,
+                                  resolve: => String): String = {
     val dir = new org.apache.hadoop.fs.Path(s"$outDir.batchver")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rec = new org.apache.hadoop.fs.Path(dir, s"b=$batchId")
     if (fs.exists(rec)) {
       val in = fs.open(rec)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
     } else {
       val v = resolve
       fs.mkdirs(dir)
       val tmp = new org.apache.hadoop.fs.Path(dir, s".b=$batchId.tmp")
       val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(v.getBytes("UTF-8")) finally out.close()
       // rename is the atomic commit; a concurrent/crashed duplicate
-      // attempt is harmless — both wrote the same resolved version
+      // attempt is harmless — both wrote the same resolved record
       if (!fs.rename(tmp, rec) && !fs.exists(rec))
-        throw new IllegalStateException(s"could not pin version for $rec")
+        throw new IllegalStateException(s"could not pin record for $rec")
       v
     }
   }
@@ -151,10 +187,19 @@ object GraphServeStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val v = pinnedVersion(spark, outDir, batchId,
-          Similarity.graphCurrentVersion(spark, indexRoot)
+        // pins share the IVF tiers' "version:epoch" record — the
+        // graph layout has no append path yet (epoch reads 0), but a
+        // shared format means a future graph append slots into the
+        // same replay contract with no pin migration
+        val rec = pinnedRecord(spark, outDir, batchId, {
+          val v = Similarity.graphCurrentVersion(spark, indexRoot)
             .getOrElse(throw new IllegalStateException(
-              s"no published index version under $indexRoot")))
+              s"no published index version under $indexRoot"))
+          val e = Similarity.indexEpoch(spark,
+            Similarity.graphVersionPath(indexRoot, v))
+          s"$v:$e"
+        })
+        val v = rec.split(":")(0).toInt
         val path = Similarity.graphVersionPath(indexRoot, v)
         serveBatch(spark, batch, path,
           Similarity.graphStoredCentroids(spark, path), outDir,

@@ -33,12 +33,15 @@ object IvfPqServeStream {
 
   private def serveBatch(spark: SparkSession, batch: DataFrame,
                          indexPath: String, outDir: String,
-                         nProbe: Int, k: Int,
+                         nProbe: Int, k: Int, maxEpoch: Long,
                          indexVersion: Option[Int]): Unit = {
     import org.apache.spark.sql.functions.lit
+    // ivfPqStoredBooks's default expectEncoding guards this read: a
+    // residual layout resolved here refuses to serve rather than
+    // silently scoring residual codes as raw
     val answered = Similarity.ivfPqTopKAtRest(spark, s"$indexPath/codes",
       batch, Similarity.ivfStoredCentroids(spark, indexPath),
-      Similarity.ivfPqStoredBooks(spark, indexPath), nProbe, k)
+      Similarity.ivfPqStoredBooks(spark, indexPath), nProbe, k, maxEpoch)
     indexVersion.fold(answered)(v =>
         answered.withColumn("index_version", lit(v)))
       .write.mode("append").parquet(outDir)
@@ -47,6 +50,12 @@ object IvfPqServeStream {
   /** Wire a streaming query-vector relation (`vec_id`, `embedding`)
     * to the probe against a FIXED [[graft.operators.Similarity
     * .ivfPqWriteIndex]] layout; answers append to `outDir` as parquet.
+    * Fixed but not static: [[graft.operators.Similarity
+    * .ivfPqAppendDelta]] may grow the layout mid-stream — each batch
+    * pins the current append epoch ([[GraphServeStream.pinnedRecord]])
+    * and probes `epoch <=` it, so appended vectors are findable at
+    * the next batch while checkpoint replays reproduce their original
+    * rows exactly.
     */
   def start(spark: SparkSession, queries: DataFrame, indexPath: String,
             outDir: String, checkpoint: String, nProbe: Int, k: Int,
@@ -55,9 +64,11 @@ object IvfPqServeStream {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val e = GraphServeStream.pinnedRecord(spark, outDir, batchId,
+          Similarity.indexEpoch(spark, indexPath).toString).toLong
         serveBatch(spark, batch, indexPath, outDir, nProbe, k,
-          indexVersion = None)
+          maxEpoch = e, indexVersion = None)
       }
       .start()
 
@@ -81,13 +92,20 @@ object IvfPqServeStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val v = GraphServeStream.pinnedVersion(spark, outDir, batchId,
-          Similarity.graphCurrentVersion(spark, indexRoot)
+        // one atomic pin carries version AND append epoch — replay
+        // sees neither a newer rebuild nor later-appended rows
+        val rec = GraphServeStream.pinnedRecord(spark, outDir, batchId, {
+          val v = Similarity.graphCurrentVersion(spark, indexRoot)
             .getOrElse(throw new IllegalStateException(
-              s"no published index version under $indexRoot")))
-        val path = Similarity.graphVersionPath(indexRoot, v)
-        serveBatch(spark, batch, path, outDir, nProbe, k,
-          indexVersion = Some(v))
+              s"no published index version under $indexRoot"))
+          val e = Similarity.indexEpoch(spark,
+            Similarity.graphVersionPath(indexRoot, v))
+          s"$v:$e"
+        })
+        val Array(v, e) = rec.split(":").map(_.toLong)
+        serveBatch(spark, batch,
+          Similarity.graphVersionPath(indexRoot, v.toInt), outDir,
+          nProbe, k, maxEpoch = e, indexVersion = Some(v.toInt))
       }
       .start()
 }

@@ -33,11 +33,12 @@ object IvfServeStream {
 
   private def serveBatch(spark: SparkSession, batch: DataFrame,
                          indexPath: String, outDir: String,
-                         nProbe: Int, k: Int,
+                         nProbe: Int, k: Int, maxEpoch: Long,
                          indexVersion: Option[Int]): Unit = {
     import org.apache.spark.sql.functions.lit
     val answered = Similarity.ivfTopKAtRest(spark, s"$indexPath/codes",
-      batch, Similarity.ivfStoredCentroids(spark, indexPath), nProbe, k)
+      batch, Similarity.ivfStoredCentroids(spark, indexPath), nProbe, k,
+      maxEpoch)
     indexVersion.fold(answered)(v =>
         answered.withColumn("index_version", lit(v)))
       .write.mode("append").parquet(outDir)
@@ -46,6 +47,13 @@ object IvfServeStream {
   /** Wire a streaming query-vector relation (`vec_id`, `embedding`)
     * to the probe against a FIXED [[graft.operators.Similarity
     * .ivfWriteIndex]] layout; answers append to `outDir` as parquet.
+    * The layout is fixed but not necessarily static: [[graft
+    * .operators.Similarity.ivfAppendDelta]] may grow it mid-stream,
+    * so each batch resolves the CURRENT append epoch once, pins it
+    * ([[GraphServeStream.pinnedRecord]]), and probes `epoch <=`
+    * that — appended vectors become findable at the next batch, while
+    * a checkpoint replay reproduces its original rows even if the
+    * index grew in between.
     */
   def start(spark: SparkSession, queries: DataFrame, indexPath: String,
             outDir: String, checkpoint: String, nProbe: Int, k: Int,
@@ -54,9 +62,11 @@ object IvfServeStream {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val e = GraphServeStream.pinnedRecord(spark, outDir, batchId,
+          Similarity.indexEpoch(spark, indexPath).toString).toLong
         serveBatch(spark, batch, indexPath, outDir, nProbe, k,
-          indexVersion = None)
+          maxEpoch = e, indexVersion = None)
       }
       .start()
 
@@ -81,13 +91,21 @@ object IvfServeStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val v = GraphServeStream.pinnedVersion(spark, outDir, batchId,
-          Similarity.graphCurrentVersion(spark, indexRoot)
+        // version AND append epoch in ONE atomic pin: a replay must
+        // see neither a newer rebuild nor rows appended to the pinned
+        // version after the original run
+        val rec = GraphServeStream.pinnedRecord(spark, outDir, batchId, {
+          val v = Similarity.graphCurrentVersion(spark, indexRoot)
             .getOrElse(throw new IllegalStateException(
-              s"no published index version under $indexRoot")))
-        val path = Similarity.graphVersionPath(indexRoot, v)
-        serveBatch(spark, batch, path, outDir, nProbe, k,
-          indexVersion = Some(v))
+              s"no published index version under $indexRoot"))
+          val e = Similarity.indexEpoch(spark,
+            Similarity.graphVersionPath(indexRoot, v))
+          s"$v:$e"
+        })
+        val Array(v, e) = rec.split(":").map(_.toLong)
+        serveBatch(spark, batch,
+          Similarity.graphVersionPath(indexRoot, v.toInt), outDir,
+          nProbe, k, maxEpoch = e, indexVersion = Some(v.toInt))
       }
       .start()
 }

@@ -1036,4 +1036,27 @@ class CurationSpec extends SparkSpec {
     assert(r(2L)._4 === 0.0 && r(2L)._5 === 0.0)
     assert(math.abs(r(3L)._4 - math.log(2.0)) < 1e-12)
   }
+
+  test("knBucketsAtRest: standing model == per-query aggregation, and a regenerated corpus retrains") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = Files.createTempDirectory("graft-knmodel").toString
+    assert(!TextAnalysis.knModelFresh(spark, path, docs))
+    val atRest = TextAnalysis.knBucketsAtRest(docs, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(TextAnalysis.knModelFresh(spark, path, docs))
+    val fresh = TextAnalysis.knBuckets(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    // bit-identical: the stored counts ARE the aggregates, and the
+    // per-bigram term is the same fixed-shape double tree
+    assert(atRest === fresh)
+    assert(atRest.nonEmpty)
+    // a regenerated corpus under the same name/row-count reads stale
+    // (content signature) and the next call retrains
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val regen = docs.withColumn("text", concat(col("text"), lit(" x")))
+    assert(!TextAnalysis.knModelFresh(spark, path, regen))
+  }
 }

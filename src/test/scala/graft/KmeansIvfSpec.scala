@@ -267,10 +267,18 @@ class KmeansIvfSpec extends SparkSpec {
     val meta = spark.read.parquet(s"$path/meta").collect().head
     assert(meta.getAs[String]("encoding") === "residual")
     val queries = emb.filter(col("vec_id") < 5)
+    // the raw read path must REFUSE this layout (shape-identical to a
+    // raw index; scoring residual codes as raw returns wrong
+    // neighbors) — the residual reader opts in explicitly
+    val refused = intercept[IllegalArgumentException] {
+      Similarity.ivfPqStoredBooks(spark, path)
+    }
+    assert(refused.getMessage.contains("residual"))
     val standing = Similarity.ivfPqResidualTopKAtRest(spark,
         s"$path/codes", queries,
         Similarity.ivfStoredCentroids(spark, path),
-        Similarity.ivfPqStoredBooks(spark, path), nProbe = 2, k = 5)
+        Similarity.ivfPqStoredBooks(spark, path, expectEncoding = "residual"),
+        nProbe = 2, k = 5)
       .orderBy("q_id", "rn").collect()
     val scan = Similarity.ivfPqResidualTopKWith(emb, queries, cent,
         books, nProbe = 2, k = 5)
@@ -370,5 +378,41 @@ class KmeansIvfSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       plan.take(2000))
+  }
+
+  test("OPQ parametric rotation is orthogonal, preserves dots, and balances subspace variance") {
+    import org.apache.spark.sql.functions.avg
+    val rot = Similarity.opqParametricRotation(emb, 16)
+    // R is orthogonal: R Rᵀ = I (row dots), so every dot-based score
+    // — cell assignment, truth, cosine — is exactly preserved
+    for (i <- rot.indices; j <- rot.indices) {
+      val d = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)")
+    }
+    // the brute-force top-10 under rotation returns the SAME ids in
+    // the same order (cosines equal to float tolerance)
+    val q = emb.filter(col("vec_id") < 3)
+    val raw = Similarity.bruteForceTopK(emb, q, 10)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rq = Similarity.rotated(q, rot)
+    val rr = Similarity.bruteForceTopK(Similarity.rotated(emb, rot), rq, 10)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(raw.toSeq === rr.toSeq)
+    // and the point of the exercise: the PQ code budget sees a more
+    // balanced decomposition — rotated-vector PQ distortion must not
+    // exceed the raw decomposition's under the same training budget
+    val rawBooks = Similarity.pqTrainBooks(emb,
+      emb.filter(col("vec_id") < 16), 16, 1)
+    val eRot = Similarity.rotated(emb, rot)
+    val rotBooks = Similarity.pqTrainBooks(eRot,
+      eRot.filter(col("vec_id") < 16), 16, 1)
+    val dRaw = Similarity.pqDistortionWith(emb, rawBooks)
+      .agg(avg(col("rel_dist2"))).head.getDouble(0)
+    val dRot = Similarity.pqDistortionWith(eRot, rotBooks)
+      .agg(avg(col("rel_dist2"))).head.getDouble(0)
+    assert(dRot <= dRaw * 1.05,
+      s"rotation should not worsen PQ distortion ($dRot vs $dRaw)")
   }
 }
