@@ -37,25 +37,47 @@ object PqSweep {
     println(s"[pqsweep] dir=$dir n=$n cells=$cells m=16 iters=2")
     val truth = Similarity.bruteForceTopK(e, queries, 10)
       .select(col("q_id"), col("vec_id")).localCheckpoint()
-    for (ll <- lloyds; enc <- Seq("raw", "residual")) {
-      val cent = (ll match {
+    // r16: the "opq" arm — the post-residual recall lever (Ge et al.
+    // OPQ, parametric/eigenvalue-allocation form): an ORTHOGONAL
+    // rotation balances subspace variance before PQ; dots (hence cell
+    // assignment and the truth) are exactly preserved, so the arm
+    // reuses the raw scorer on the rotated relations with rotated
+    // centroids
+    val encs = sys.env.getOrElse("SPARK_GRAFT_ENCS", "raw,residual,opq")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    lazy val (rot, eRot, rotSec) = {
+      val t0 = System.nanoTime()
+      val r = Similarity.opqParametricRotation(e, 16)
+      val er = Similarity.rotated(e, r).localCheckpoint()
+      er.count() // force the rotation pass into the measured window
+      (r, er, (System.nanoTime() - t0) / 1e9)
+    }
+    for (ll <- lloyds; enc <- encs) {
+      val cent0 = (ll match {
         case "raw" => e.filter(col("vec_id") < cells)
         case it => Similarity.lloydCentroidDf(e, cells, it.toInt)
       }).localCheckpoint()
+      val cent = if (enc == "opq")
+        Similarity.rotated(cent0, rot).localCheckpoint() else cent0
       val tTrain0 = System.nanoTime()
       val books = enc match {
         case "raw" =>
           Similarity.pqTrainBooks(e, e.filter(col("vec_id") < 16), 16, 2)
+        case "opq" =>
+          Similarity.pqTrainBooks(eRot,
+            eRot.filter(col("vec_id") < 16), 16, 2)
         case _ =>
           Similarity.pqTrainBooksResidual(e, cent, seedK = 16, 16, 2)
       }
-      val trainSec = (System.nanoTime() - tTrain0) / 1e9
+      val trainSec = (System.nanoTime() - tTrain0) / 1e9 +
+        (if (enc == "opq") rotSec else 0.0)
       // mean relative reconstruction error of what the codes encode
-      // (raw: the vector; residual: the residual) — the variance the
-      // code budget is actually spending itself on
+      // (raw: the vector; residual: the residual; opq: the rotated
+      // vector) — the variance the code budget is spending itself on
       val distCorpus = enc match {
         case "raw" => e
-        case _ => Similarity.residuals(e, cent)
+        case "opq" => eRot
+        case _ => Similarity.residuals(e, cent0)
       }
       val dist = Similarity.pqDistortionWith(distCorpus, books)
         .agg(avg(col("rel_dist2"))).head.getDouble(0)
@@ -65,6 +87,9 @@ object PqSweep {
           val approx = (enc match {
             case "raw" =>
               Similarity.ivfPqTopKWith(e, queries, cent, books, probe, 10)
+            case "opq" =>
+              Similarity.ivfPqTopKWith(eRot,
+                Similarity.rotated(queries, rot), cent, books, probe, 10)
             case _ => Similarity
               .ivfPqResidualTopKWith(e, queries, cent, books, probe, 10)
           }).select(col("q_id"), col("vec_id"), lit(1).as("hit"))
