@@ -122,4 +122,49 @@ class IvfServeStreamSpec extends SparkSpec {
     assert(Similarity.ivfStoredCentroids(spark,
       Similarity.graphVersionPath(root, 1)).count() === 4L)
   }
+
+  test("vectors appended mid-stream are served by the next batch; replays stay epoch-pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val path = Files.createTempDirectory("graft-ivfserve-app").toString
+    Similarity.ivfWriteIndex(base, Similarity.lloydCentroidDf(emb, 8, 1),
+      path)
+    val input = MemoryStream[Vec]
+    val outDir = Files.createTempDirectory("graft-ivfserve-appout").toString
+    val q = IvfServeStream.start(spark, input.toDF(), path, outDir,
+      Files.createTempDirectory("graft-ivfserve-appckpt").toString,
+      nProbe = 2, k = 10)
+    val vecs = queryVecs(5)
+    try {
+      input.addData(vecs: _*); q.processAllAvailable()
+      // the corpus grows mid-stream: no rebuild, no rotation
+      assert(Similarity.ivfAppendDelta(delta, path) === 1L)
+      input.addData(vecs: _*); q.processAllAvailable()
+    } finally q.stop()
+    def direct(e: Long): Set[(Long, Long, Double, Int)] =
+      Similarity.ivfTopKAtRest(spark, s"$path/codes",
+          emb.filter(col("vec_id") < 5),
+          Similarity.ivfStoredCentroids(spark, path), nProbe = 2, k = 10,
+          maxEpoch = e)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // batch 0 served at epoch 0, batch 1 at epoch 1 — and the second
+    // batch found appended vectors
+    assert(out === (direct(0L) ++ direct(1L)))
+    val deltaIds = delta.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(direct(1L).exists(t => deltaIds(t._2)))
+    assert(!direct(0L).exists(t => deltaIds(t._2)))
+    // replay pins survive the growth: neither batch re-resolves
+    import graft.streaming.GraphServeStream
+    assert(GraphServeStream.pinnedRecord(spark, outDir, 0L,
+      fail("replay must not re-resolve")) === "0")
+    assert(GraphServeStream.pinnedRecord(spark, outDir, 1L,
+      fail("replay must not re-resolve")) === "1")
+  }
 }
