@@ -734,6 +734,13 @@ object Similarity {
       .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L))
         .as("sig")).head.getLong(0)
 
+  /** Highest vec_id covered by an index build/append — the growth
+    * frontier [[ivfFreshen]] splits the delta at (parquet answers max
+    * from column statistics; −1 on an empty relation).
+    */
+  private def maxVecId(rows: DataFrame): Long =
+    rows.agg(coalesce(max(col("vec_id")), lit(-1L))).head.getLong(0)
+
   /** True when the index at `path` is complete (cent written — the
     * completeness marker) AND its stamped corpus fingerprint matches
     * `corpus` — the build-if-absent guard of the unversioned serve
@@ -1449,8 +1456,8 @@ object Similarity {
     ivfWriteAtRest(corpus, centroids, s"$path/codes")
     import corpus.sparkSession.implicits._
     val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((builtN, cent.length, sig, 0L))
-      .toDF("built_n", "cells", "sig", "epoch")
+    Seq((builtN, cent.length, sig, 0L, maxVecId(corpus)))
+      .toDF("built_n", "cells", "sig", "epoch", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
@@ -1495,8 +1502,8 @@ object Similarity {
       .toDF("m", "c_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
     val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((builtN, cent.length, books.length, sig, 0L))
-      .toDF("built_n", "cells", "m", "sig", "epoch")
+    Seq((builtN, cent.length, books.length, sig, 0L, maxVecId(corpus)))
+      .toDF("built_n", "cells", "m", "sig", "epoch", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
@@ -1630,6 +1637,65 @@ object Similarity {
     epoch
   }
 
+  /** Append-if-grown, rebuild-if-changed — the build-if-stale
+    * convenience guard upgraded to take the incremental path when the
+    * mismatch is pure GROWTH: the corpus gained rows strictly above
+    * the stored `max_vec_id` frontier (append-only ingest, the usual
+    * shape) while the fingerprint's probe window is unchanged. Then
+    * the daily delta is [[ivfAppendDelta]]-ed instead of rebuilding
+    * the whole index; any other mismatch (regenerated content, a
+    * shrink, rows inserted below the frontier, a pre-frontier or
+    * crashed layout) falls back to the full rebuild via `rebuild`.
+    * Returns what happened: "fresh" | "appended" | "rebuilt".
+    *
+    * Detection is frontier arithmetic — two single-column predicate
+    * counts and the fixed window XOR, run only AFTER the cheap
+    * freshness probe already failed (i.e. on the path that was about
+    * to pay a full rebuild anyway); like [[corpusFingerprint]], a
+    * change entirely outside both the probe window and the counts is
+    * structurally the versioned publish + drift-monitor path's job.
+    */
+  def ivfFreshen(corpus: DataFrame, path: String,
+                 rebuild: DataFrame => Unit,
+                 append: DataFrame => Unit): String = {
+    val spark = corpus.sparkSession
+    if (indexFresh(spark, path, corpus)) return "fresh"
+    growthDelta(spark, corpus, path) match {
+      case Some(delta) =>
+        // the append guard's refusals (crashed append, pre-epoch
+        // layout) are exactly the cases whose recovery IS a rebuild
+        try { append(delta); "appended" }
+        catch { case _: IllegalArgumentException =>
+          rebuild(corpus); "rebuilt" }
+      case None => rebuild(corpus); "rebuilt"
+    }
+  }
+
+  /** The pure-growth delta of `corpus` vs the layout at `path`, when
+    * the mismatch IS pure growth (see [[ivfFreshen]]); None otherwise.
+    */
+  private def growthDelta(spark: org.apache.spark.sql.SparkSession,
+                          corpus: DataFrame,
+                          path: String): Option[DataFrame] = {
+    val centP = new org.apache.hadoop.fs.Path(s"$path/cent")
+    if (!centP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(centP)) return None
+    val meta = scala.util.Try(spark.read.parquet(s"$path/meta"))
+      .toOption.getOrElse(return None)
+    if (!Seq("sig", "epoch", "max_vec_id").forall(meta.columns.contains))
+      return None
+    val m = meta.select(col("built_n"), col("sig"), col("max_vec_id")).head
+    val (bn, sig, frontier) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    val delta = corpus.filter(col("vec_id") > frontier)
+    val dn = delta.count()
+    if (dn == 0) return None
+    // base portion unchanged as far as the probe window sees, and the
+    // grown corpus is exactly base + delta by count
+    val base = corpus.filter(col("vec_id") <= frontier)
+    if (base.count() != bn || windowSig(base) != sig) return None
+    Some(delta)
+  }
+
   /** Preconditions of an append, returning the epoch to stamp:
     *  - the layout is complete (cent marker present) and epoch-aware
     *    (meta carries `epoch` — pre-append layouts rebuild once);
@@ -1668,11 +1734,18 @@ object Similarity {
                                epoch: Long): Unit = {
     val deltaN = delta.count()
     val deltaSig = windowSig(delta)
+    val deltaMax = maxVecId(delta)
     val meta = spark.read.parquet(s"$path/meta")
-    val bumped = meta
+    val bumped0 = meta
       .withColumn("built_n", col("built_n") + lit(deltaN))
       .withColumn("sig", col("sig").bitwiseXOR(lit(deltaSig)))
       .withColumn("epoch", lit(epoch))
+    // pre-frontier layouts (no max_vec_id) stay appendable; they just
+    // never take the freshen-by-growth shortcut
+    val bumped =
+      if (!meta.columns.contains("max_vec_id")) bumped0
+      else bumped0.withColumn("max_vec_id",
+        greatest(col("max_vec_id"), lit(deltaMax)))
     val rows = bumped.collect().toSeq
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), bumped.schema)
@@ -1979,8 +2052,10 @@ object Similarity {
       .toDF("m", "c_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
     val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((builtN, cent.length, books.length, sig, "residual", 0L))
-      .toDF("built_n", "cells", "m", "sig", "encoding", "epoch")
+    Seq((builtN, cent.length, books.length, sig, "residual", 0L,
+        maxVecId(corpus)))
+      .toDF("built_n", "cells", "m", "sig", "encoding", "epoch",
+        "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")

@@ -147,6 +147,39 @@ class IndexAppendSpec extends SparkSpec {
     assert(err.getMessage.contains("crashed append"))
   }
 
+  test("ivfFreshen: fresh is a no-op, pure growth appends, changed content rebuilds") {
+    val path = Files.createTempDirectory("graft-freshen").toString
+    var rebuilds = 0
+    def freshen(c: org.apache.spark.sql.DataFrame): String =
+      Similarity.ivfFreshen(c, path,
+        rebuild = cc => { rebuilds += 1; Similarity.ivfWriteIndex(cc, cent, path) },
+        append = d => { Similarity.ivfAppendDelta(d, path); () })
+    // base corpus: the low 4/5 by id (a contiguous frontier, the
+    // append-only ingest shape)
+    val frontier = emb.agg(org.apache.spark.sql.functions
+      .expr("percentile(vec_id, 0.8)")).head.getDouble(0).toLong
+    val baseLow = emb.filter(col("vec_id") <= frontier)
+    assert(freshen(baseLow) === "rebuilt" && rebuilds === 1)
+    assert(freshen(baseLow) === "fresh" && rebuilds === 1)
+    // pure growth: rows strictly above the stored frontier — appended,
+    // and the result equals a fresh build on the grown corpus under
+    // the same quantizer
+    assert(freshen(emb) === "appended" && rebuilds === 1)
+    assert(Similarity.indexFresh(spark, path, emb))
+    val viaFreshen = probe(path)
+    val freshPath = Files.createTempDirectory("graft-freshen-ref").toString
+    Similarity.ivfWriteIndex(emb, cent, freshPath)
+    assert(viaFreshen === probe(freshPath))
+    // regenerated content (same ids, different text of the window
+    // rows) is NOT growth — full rebuild
+    val regen = emb.withColumn("embedding",
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> x * CAST(1.5 AS FLOAT))"))
+    assert(freshen(regen) === "rebuilt" && rebuilds === 2)
+    // a shrink is not growth either
+    assert(freshen(baseLow) === "rebuilt" && rebuilds === 3)
+  }
+
   test("append to a pre-epoch layout is refused, not silently wrong") {
     val path = Files.createTempDirectory("graft-append-legacy").toString
     Similarity.ivfWriteIndex(base, cent, path)
