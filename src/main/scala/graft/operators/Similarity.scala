@@ -758,7 +758,12 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val centP = new org.apache.hadoop.fs.Path(s"$path/cent")
     if (!centP.getFileSystem(conf).exists(centP)) return false
-    val meta = spark.read.parquet(s"$path/meta")
+    // a missing/corrupt meta under a PRESENT cent is the
+    // bumpAppendedMeta crash window — stale, not an error: the
+    // convenience paths' answer to stale is exactly the rebuild that
+    // recovers it
+    val meta = scala.util.Try(spark.read.parquet(s"$path/meta"))
+      .toOption.getOrElse(return false)
     if (!meta.columns.contains("sig")) return false
     val m = meta.select(col("built_n"), col("sig")).head
     (m.getLong(0), m.getLong(1)) == corpusFingerprint(corpus)
@@ -1403,7 +1408,8 @@ object Similarity {
   def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, centroids: DataFrame,
                     nProbe: Int, k: Int,
-                    maxEpoch: Long = Long.MaxValue): DataFrame = {
+                    maxEpoch: Long = EpochCommitted): DataFrame = {
+    val epochCap = resolveMaxEpoch(spark, path, maxEpoch)
     val cent = collectVectors(centroids)
     val scores = cellScores(cent)
     val probes = queries
@@ -1418,7 +1424,7 @@ object Similarity {
       .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpus = epochBound(spark.read.parquet(path), maxEpoch)
+    val corpus = epochBound(spark.read.parquet(path), epochCap)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("cell"))
       .withColumn("c_nrm", norm(col("v")))
@@ -1562,15 +1568,47 @@ object Similarity {
   }
 
   /** Restrict an at-rest codes relation to rows visible at `maxEpoch`.
-    * No-op at the default Long.MaxValue so the common probe neither
-    * reads nor filters the epoch column; an epoch-pinned probe (the
-    * serving streams — replay determinism under concurrent append)
+    * No-op at Long.MaxValue (the explicit everything-including-ghosts
+    * opt-in) so that probe neither reads nor filters the epoch column;
+    * an epoch-pinned probe (the serving streams — replay determinism
+    * under concurrent append — and the [[EpochCommitted]] default)
     * filters `epoch <= maxEpoch`, which also hides the ghost rows a
     * crashed append leaves behind (codes landed, meta never bumped).
     */
   private def epochBound(codes: DataFrame, maxEpoch: Long): DataFrame =
     if (maxEpoch == Long.MaxValue || !codes.columns.contains("epoch")) codes
     else codes.filter(col("epoch") <= lit(maxEpoch))
+
+  /** Sentinel default of the at-rest probes' `maxEpoch`: resolve the
+    * COMMITTED epoch from the layout's own meta, so a probe against an
+    * index someone else is appending to sees exactly the rows the meta
+    * has committed — never the epoch-N+1 ghosts of a crashed or
+    * in-flight append. The unfiltered scan (every row present on disk,
+    * ghosts included) is the explicit `Long.MaxValue` opt-in, not the
+    * default.
+    */
+  val EpochCommitted: Long = -1L
+
+  /** Resolve [[EpochCommitted]] against the layout the codes relation
+    * belongs to: a self-contained index keeps its codes at
+    * `<index>/codes` with meta beside it; a bare [[ivfWriteAtRest]]
+    * relation has no meta sibling (nothing to pin — every row is the
+    * build) and an unreadable meta (the append-crash window) degrades
+    * to unfiltered rather than failing the probe.
+    */
+  private def resolveMaxEpoch(spark: org.apache.spark.sql.SparkSession,
+                              codesPath: String, maxEpoch: Long): Long = {
+    if (maxEpoch != EpochCommitted) return maxEpoch
+    val parent =
+      if (codesPath.endsWith("/codes"))
+        codesPath.substring(0, codesPath.length - "/codes".length)
+      else codesPath
+    val metaP = new org.apache.hadoop.fs.Path(s"$parent/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaP)) Long.MaxValue
+    else scala.util.Try(indexEpoch(spark, parent))
+      .getOrElse(Long.MaxValue)
+  }
 
   /** FAISS-style `add` on the self-contained IVF index: assign the
     * delta under the STORED coarse quantizer (the exact build-time
@@ -1711,7 +1749,13 @@ object Similarity {
     val centP = new org.apache.hadoop.fs.Path(s"$path/cent")
     require(centP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(centP), s"no complete index at $path (cent missing)")
-    val meta = spark.read.parquet(s"$path/meta")
+    // unreadable meta (the bumpAppendedMeta crash window) refuses with
+    // the rebuild-class error — IllegalArgumentException is what
+    // ivfFreshen's rebuild fallback catches
+    val meta = scala.util.Try(spark.read.parquet(s"$path/meta"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"layout at $path has no readable meta - a crashed meta " +
+          "rewrite; rebuild before appending again"))
     require(meta.columns.contains("epoch"),
       s"layout at $path predates append support; rebuild it once")
     val cur = meta.select(col("epoch")).head.getLong(0)
@@ -1747,9 +1791,27 @@ object Similarity {
       else bumped0.withColumn("max_vec_id",
         greatest(col("max_vec_id"), lit(deltaMax)))
     val rows = bumped.collect().toSeq
+    // temp-then-rename, NOT overwrite-in-place: mode("overwrite") is
+    // delete-then-write, and this rewrite runs while the cent
+    // completeness marker is still present — a crash mid-overwrite
+    // would leave a complete-LOOKING layout with a missing/corrupt
+    // meta. Writing beside and renaming shrinks the unreadable window
+    // to the delete+rename pair, and the readers treat an unreadable
+    // meta under a present cent as stale ([[indexFresh]]) or refuse
+    // with the rebuild-class error ([[appendGuard]]), so even that
+    // window recovers through the ivfFreshen rebuild fallback.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.meta.append.tmp")
+    if (fs.exists(tmp)) { fs.delete(tmp, true); () }
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), bumped.schema)
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.parquet(tmp.toString)
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
+    fs.delete(metaP, true)
+    if (!fs.rename(tmp, metaP))
+      throw new IllegalStateException(
+        s"could not commit appended meta at $metaP")
   }
 
   /** Versioned self-contained IVF index with atomic swap — the
@@ -1833,7 +1895,8 @@ object Similarity {
                       path: String, queries: DataFrame,
                       cellCentroids: DataFrame, books: Books,
                       nProbe: Int, k: Int,
-                      maxEpoch: Long = Long.MaxValue): DataFrame = {
+                      maxEpoch: Long = EpochCommitted): DataFrame = {
+    val epochCap = resolveMaxEpoch(spark, path, maxEpoch)
     val cells = collectVectors(cellCentroids)
     val sub = books.head.head._2.length
     val scores = cellScores(cells)
@@ -1847,7 +1910,7 @@ object Similarity {
       .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val coded = epochBound(spark.read.parquet(path), maxEpoch)
+    val coded = epochBound(spark.read.parquet(path), epochCap)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val scored = coded.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -2071,14 +2134,15 @@ object Similarity {
                               path: String, queries: DataFrame,
                               cellCentroids: DataFrame, books: Books,
                               nProbe: Int, k: Int,
-                              maxEpoch: Long = Long.MaxValue): DataFrame = {
+                              maxEpoch: Long = EpochCommitted): DataFrame = {
+    val epochCap = resolveMaxEpoch(spark, path, maxEpoch)
     val cells = collectVectors(cellCentroids)
     val sub = books.head.head._2.length
     val probes = probesWithCd(queries, cells, nProbe)
       .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val coded = epochBound(spark.read.parquet(path), maxEpoch)
+    val coded = epochBound(spark.read.parquet(path), epochCap)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val scored = coded.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

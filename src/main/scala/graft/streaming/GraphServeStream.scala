@@ -56,6 +56,7 @@ object GraphServeStream {
                          outDir: String, beam: Int, rounds: Int, k: Int,
                          indexVersion: Option[Int]): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     // bucket count comes from the layout's OWN meta (graphTopKAtRest's
     // default): a layout written or published with a non-default
     // bucket count serves without any parameter threading — serving
@@ -76,7 +77,15 @@ object GraphServeStream {
         var chunks = 2 * ((n + 4095) / 4096)
         var salt = 0
         var served = false
-        while (!served) {
+        // bounded retries: hash membership sends EVERY copy of a
+        // duplicated vec_id to the same chunk under every salt, so a
+        // batch with one id repeated >4096 times (an at-least-once
+        // source replaying upstream) can never pass the size check —
+        // unbounded re-salting would double-and-recount forever. After
+        // the retry budget the batch degrades to rank chunking (a
+        // global row_number — one reducer pass, but it splits
+        // duplicates fine), instead of hanging the streaming query.
+        while (!served && salt < 3) {
           val marked = b.withColumn("__chunk",
             pmod(xxhash64(col("vec_id"), lit(salt)), lit(chunks))
               .cast("int")).persist()
@@ -93,6 +102,18 @@ object GraphServeStream {
               served = true
             } else { chunks *= 2; salt += 1 }
           } finally { marked.unpersist(); () }
+        }
+        if (!served) {
+          val ranked = b.withColumn("__chunk",
+            ((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+              / 4096).cast("int")).persist()
+          try {
+            val ids = ranked.select(col("__chunk")).distinct()
+              .collect().map(_.getInt(0)).sorted
+            ids.foreach { i =>
+              serve(ranked.filter(col("__chunk") === i).drop("__chunk"))
+            }
+          } finally { ranked.unpersist(); () }
         }
       }
     } finally { b.unpersist(); () }

@@ -102,10 +102,16 @@ object IvfPqServeStream {
             Similarity.graphVersionPath(indexRoot, v))
           s"$v:$e"
         })
-        val Array(v, e) = rec.split(":").map(_.toLong)
+        // tolerant parse (the GraphServeStream rule): a legacy
+        // pinnedVersion sidecar holds "<version>" with no epoch —
+        // replay of a pre-upgrade batch pins epoch 0 (the build)
+        // instead of crashing on a MatchError
+        val p = rec.split(":")
+        val v = p(0).toInt
+        val e = if (p.length > 1) p(1).toLong else 0L
         serveBatch(spark, batch,
-          Similarity.graphVersionPath(indexRoot, v.toInt), outDir,
-          nProbe, k, maxEpoch = e, indexVersion = Some(v.toInt))
+          Similarity.graphVersionPath(indexRoot, v), outDir,
+          nProbe, k, maxEpoch = e, indexVersion = Some(v))
       }
       .start()
 }

@@ -102,10 +102,17 @@ object IvfServeStream {
             Similarity.graphVersionPath(indexRoot, v))
           s"$v:$e"
         })
-        val Array(v, e) = rec.split(":").map(_.toLong)
+        // tolerant parse: a sidecar written by the pre-append
+        // pinnedVersion path holds just "<version>" — a checkpoint
+        // replay of such a batch must reproduce its rows (epoch 0 =
+        // the build, all any pre-append run could have served), not
+        // crash the stream on a MatchError
+        val p = rec.split(":")
+        val v = p(0).toInt
+        val e = if (p.length > 1) p(1).toLong else 0L
         serveBatch(spark, batch,
-          Similarity.graphVersionPath(indexRoot, v.toInt), outDir,
-          nProbe, k, maxEpoch = e, indexVersion = Some(v.toInt))
+          Similarity.graphVersionPath(indexRoot, v), outDir,
+          nProbe, k, maxEpoch = e, indexVersion = Some(v))
       }
       .start()
 }

@@ -136,6 +136,10 @@ class IndexAppendSpec extends SparkSpec {
     // (a) an epoch-pinned probe at meta's epoch never sees the ghosts
     assert(Similarity.indexEpoch(spark, path) === 0L)
     assert(probe(path, maxEpoch = 0L) === atBuild)
+    // (a') the DEFAULT probe resolves the committed epoch from meta —
+    //      ghosts are invisible without anyone passing an epoch; the
+    //      unfiltered scan is the explicit Long.MaxValue opt-in
+    assert(probe(path, maxEpoch = Similarity.EpochCommitted) === atBuild)
     // (b) the stamped fingerprint no longer matches the grown corpus
     //     (the meta bump never ran) — the convenience paths rebuild
     assert(!Similarity.indexFresh(spark, path, emb))
