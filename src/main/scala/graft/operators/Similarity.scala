@@ -585,15 +585,21 @@ object Similarity {
     invalidateMarker(corpus, path)
     val cent = collectVectors(centroids)
     val cap = 2 * k
+    // epoch 0 = the build; [[graphAppendDelta]] stamps 1, 2, … on the
+    // inserted nodes and their forward/reverse edges, so a walk pinned
+    // to an epoch sees exactly the graph that existed when it resolved
+    // the index (the [[ivfWriteAtRest]] convention)
     edges
       .select(col("vec_id").as("src"), col("nb_id").as("dst"))
       .withColumn("bucket",
         pmod(col("src"), lit(buckets.toLong)).cast("int"))
+      .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/adj")
     corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket",
         pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
+      .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/nodes")
     // entry-head rank within each cell: `centralHeads` ranks by dot
@@ -622,9 +628,10 @@ object Similarity {
     // growth against.
     import corpus.sparkSession.implicits._
     val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((k, cap, buckets, builtN, cent.length, centralHeads, sig))
+    Seq((k, cap, buckets, builtN, cent.length, centralHeads, sig, 0L,
+        maxVecId(corpus)))
       .toDF("build_k", "head_cap", "buckets", "built_n", "cells",
-        "central_heads", "sig")
+        "central_heads", "sig", "epoch", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // the entry centroids themselves (≤1024 rows by the autoCells
     // cap): a layout must be servable with the EXACT cell set its
@@ -928,11 +935,12 @@ object Similarity {
     */
   private[graft] def graphAdjPruned(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      srcIds: Seq[Long], buckets: Int): DataFrame = {
+      srcIds: Seq[Long], buckets: Int,
+      maxEpoch: Long = Long.MaxValue): DataFrame = {
     val bks = srcIds.map(id => (((id % buckets) + buckets) % buckets).toInt)
       .distinct.sorted
     filterIds(
-      spark.read.parquet(s"$path/adj")
+      epochBound(spark.read.parquet(s"$path/adj"), maxEpoch)
         .filter(col("bucket").isin(bks.map(Integer.valueOf): _*)),
       "src", srcIds)
       .select(col("src"), col("dst"))
@@ -966,8 +974,10 @@ object Similarity {
                       path: String, queries: DataFrame,
                       centroids: DataFrame, beam: Int, rounds: Int,
                       k: Int, buckets: Int = -1,
-                      entryProbe: Int = 1): DataFrame = {
+                      entryProbe: Int = 1,
+                      maxEpoch: Long = EpochCommitted): DataFrame = {
     import spark.implicits._
+    val epochCap = resolveMaxEpoch(spark, path, maxEpoch)
     val cent = collectVectors(centroids)
     val qdf = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
@@ -1016,7 +1026,7 @@ object Similarity {
         .map(id => (((id % useBuckets) + useBuckets) % useBuckets).toInt)
         .distinct.sorted
       val nodes = filterIds(
-          spark.read.parquet(s"$path/nodes")
+          epochBound(spark.read.parquet(s"$path/nodes"), epochCap)
             .filter(col("bucket").isin(bks.map(Integer.valueOf): _*)),
           "vec_id", ids)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1070,7 +1080,7 @@ object Similarity {
         .collect().map(row => (row.getLong(0), row.getLong(1)))
       val fPairs = frontier.toSeq.toDF("q_id", "src")
       val candPairs = graphAdjPruned(spark, path,
-          frontier.map(_._2).distinct.toSeq, useBuckets)
+          frontier.map(_._2).distinct.toSeq, useBuckets, epochCap)
         .join(broadcast(fPairs), Seq("src"))
         .filter(col("dst") =!= col("q_id"))
         .select(col("q_id"), col("dst"))
@@ -1675,6 +1685,95 @@ object Similarity {
     epoch
   }
 
+  /** Incremental insertion into the at-rest graph-ANN index — the
+    * published insertion-by-search recipe (the HNSW `add` on layer 0,
+    * Malkov & Yashunin 2016 §4, applied to the NN-Descent layout):
+    * each new node finds its `build_k` nearest neighbors by the SAME
+    * greedy walk serving runs ([[graphTopKAtRest]] under the stored
+    * entry tier, pinned to the committed epoch so in-flight writes are
+    * invisible), then joins the graph as its forward adjacency plus
+    * the reverse edges that make it REACHABLE (neighbor → new node;
+    * without them the walk could never leave the base graph to find
+    * an inserted node). Reverse insertion is append-only — the touched
+    * base nodes' lists GROW by ≤1 edge per insertion that chose them
+    * instead of being re-ranked in place, which only widens the walk's
+    * candidate set (the fixed-beam frontier, not list length, bounds
+    * per-round cost) and keeps the write path free of base-file
+    * rewrites.
+    *
+    * Cost ∝ delta, never the corpus: one bounded walk per inserted
+    * node (bucket-pruned frontier reads — the serve cost class,
+    * chunked at the ≤4096 anchor rule) and ≤2·build_k appended edge
+    * rows per node; the base graph is neither re-descended nor
+    * re-written — the asymmetric cost [[graphPublishVersionWarm]]'s
+    * full warm rebuild pays is exactly what this path avoids on pure
+    * growth. Entry heads stay the build's (the static-entry-point
+    * rule): inserted nodes are reached THROUGH their reverse edges,
+    * not as entries.
+    *
+    * Same crash discipline as [[ivfAppendDelta]]: nodes/adj rows land
+    * FIRST at epoch N+1, meta bumps LAST (count + window-XOR
+    * fingerprint + frontier, incrementally); a crash leaves ghosts
+    * invisible to committed-epoch walks and [[appendGuard]] refuses to
+    * stack a second append onto them. [[ivfFreshen]] is layout-
+    * agnostic, so the same append-if-grown convenience wraps this tier
+    * (`ivfFreshen(corpus, path, rebuild, d => graphAppendDelta(d,
+    * path))`).
+    *
+    * Returns the new epoch. Delta must carry (vec_id, embedding) with
+    * vec_ids not already in the graph.
+    */
+  def graphAppendDelta(delta: DataFrame, path: String,
+                       beam: Int = 20, rounds: Int = 4,
+                       entryProbe: Int = 3): Long = {
+    val spark = delta.sparkSession
+    val epoch = appendGuard(spark, path, Seq("nodes", "adj"))
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("build_k"), col("buckets")).head
+    val (buildK, buckets) = (meta.getInt(0), meta.getInt(1))
+    val centroids = graphStoredCentroids(spark, path)
+    val d = delta.select(col("vec_id"), col("embedding")).persist()
+    try {
+      val n = d.count()
+      require(n > 0, "empty delta")
+      // ≤4096-query walk batches (the serve anchor rule), membership
+      // by hash — a narrow map, no global window; 2× chunks targets
+      // ~2048 expected per chunk so a uniform-hash hot spot cannot
+      // breach the walk's require
+      val nChunks = (2 * ((n + 4095) / 4096)).toInt
+      val marked =
+        if (nChunks <= 2) d.withColumn("__chunk", lit(0))
+        else d.withColumn("__chunk",
+          pmod(xxhash64(col("vec_id")), lit(nChunks.toLong)).cast("int"))
+      val chunkIds = marked.select(col("__chunk")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val walks = chunkIds.map { i =>
+        graphTopKAtRest(spark, path,
+          marked.filter(col("__chunk") === i).drop("__chunk"),
+          centroids, beam, rounds, buildK, entryProbe = entryProbe)
+      }
+      // pin the walk answers BEFORE appending to the files they read:
+      // the returned plans still reference $path/adj and $path/nodes,
+      // and a lazy evaluation during the append would race the writes
+      val links = walks.reduce(_ unionByName _)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint(eager = true)
+      val fwd = links.select(col("q_id").as("src"), col("vec_id").as("dst"))
+      val rev = links.select(col("vec_id").as("src"), col("q_id").as("dst"))
+      fwd.unionByName(rev)
+        .withColumn("bucket",
+          pmod(col("src"), lit(buckets.toLong)).cast("int"))
+        .withColumn("epoch", lit(epoch))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/adj")
+      d.withColumn("bucket",
+          pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
+        .withColumn("epoch", lit(epoch))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
+      bumpAppendedMeta(spark, path, d, epoch)
+      epoch
+    } finally { d.unpersist(); () }
+  }
+
   /** Append-if-grown, rebuild-if-changed — the build-if-stale
     * convenience guard upgraded to take the incremental path when the
     * mismatch is pure GROWTH: the corpus gained rows strictly above
@@ -1745,7 +1844,8 @@ object Similarity {
     *    the fingerprint's count.
     */
   private def appendGuard(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Long = {
+                          path: String,
+                          rowDirs: Seq[String] = Seq("codes")): Long = {
     val centP = new org.apache.hadoop.fs.Path(s"$path/cent")
     require(centP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(centP), s"no complete index at $path (cent missing)")
@@ -1759,11 +1859,17 @@ object Similarity {
     require(meta.columns.contains("epoch"),
       s"layout at $path predates append support; rebuild it once")
     val cur = meta.select(col("epoch")).head.getLong(0)
-    val ghosts = spark.read.parquet(s"$path/codes")
-      .filter(col("epoch") > lit(cur)).limit(1).count()
-    require(ghosts == 0L,
-      s"layout at $path holds rows above epoch $cur - a crashed " +
-        "append; rebuild before appending again")
+    // the IVF tiers hold their rows in one `codes` relation; the graph
+    // tier appends to BOTH `nodes` and `adj`, and a crash between the
+    // two leaves ghosts in whichever landed first — so every row
+    // relation of the layout is checked
+    rowDirs.foreach { dir =>
+      val ghosts = spark.read.parquet(s"$path/$dir")
+        .filter(col("epoch") > lit(cur)).limit(1).count()
+      require(ghosts == 0L,
+        s"layout at $path holds $dir rows above epoch $cur - a " +
+          "crashed append; rebuild before appending again")
+    }
     cur + 1
   }
 

@@ -54,7 +54,8 @@ object GraphServeStream {
   private def serveBatch(spark: SparkSession, batch: DataFrame,
                          indexPath: String, centroids: DataFrame,
                          outDir: String, beam: Int, rounds: Int, k: Int,
-                         indexVersion: Option[Int]): Unit = {
+                         indexVersion: Option[Int],
+                         maxEpoch: Long): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     // bucket count comes from the layout's OWN meta (graphTopKAtRest's
@@ -64,7 +65,7 @@ object GraphServeStream {
     def serve(chunk: DataFrame): Unit = {
       val answered = Similarity
         .graphTopKAtRest(spark, indexPath, chunk, centroids,
-          beam, rounds, k)
+          beam, rounds, k, maxEpoch = maxEpoch)
       indexVersion.fold(answered)(v =>
           answered.withColumn("index_version", lit(v)))
         .write.mode("append").parquet(outDir)
@@ -121,7 +122,13 @@ object GraphServeStream {
 
   /** Wire a streaming query-vector relation (`vec_id`, `embedding`)
     * to the walk against a FIXED layout; answers append to `outDir`
-    * as parquet.
+    * as parquet. Fixed but not necessarily static:
+    * [[graft.operators.Similarity.graphAppendDelta]] may grow the
+    * graph mid-stream, so each batch resolves the CURRENT append
+    * epoch once, pins it ([[pinnedRecord]]), and walks `epoch <=`
+    * that — inserted nodes become findable at the next batch, while a
+    * checkpoint replay reproduces its original rows even if the graph
+    * grew in between (the [[IvfServeStream]] contract on this tier).
     */
   def start(spark: SparkSession, queries: DataFrame, indexPath: String,
             centroids: DataFrame, outDir: String, checkpoint: String,
@@ -131,9 +138,11 @@ object GraphServeStream {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val e = pinnedRecord(spark, outDir, batchId,
+          Similarity.indexEpoch(spark, indexPath).toString).toLong
         serveBatch(spark, batch, indexPath, centroids, outDir,
-          beam, rounds, k, indexVersion = None)
+          beam, rounds, k, indexVersion = None, maxEpoch = e)
       }
       .start()
 
@@ -208,10 +217,11 @@ object GraphServeStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // pins share the IVF tiers' "version:epoch" record — the
-        // graph layout has no append path yet (epoch reads 0), but a
-        // shared format means a future graph append slots into the
-        // same replay contract with no pin migration
+        // one atomic "version:epoch" pin (the IVF tiers' record): a
+        // replay sees neither a newer rebuild nor nodes appended
+        // ([[graft.operators.Similarity.graphAppendDelta]]) after its
+        // original run. Tolerant parse: a legacy version-only sidecar
+        // pins epoch 0 (the build).
         val rec = pinnedRecord(spark, outDir, batchId, {
           val v = Similarity.graphCurrentVersion(spark, indexRoot)
             .getOrElse(throw new IllegalStateException(
@@ -220,11 +230,13 @@ object GraphServeStream {
             Similarity.graphVersionPath(indexRoot, v))
           s"$v:$e"
         })
-        val v = rec.split(":")(0).toInt
+        val parts = rec.split(":")
+        val v = parts(0).toInt
+        val e = if (parts.length > 1) parts(1).toLong else 0L
         val path = Similarity.graphVersionPath(indexRoot, v)
         serveBatch(spark, batch, path,
           Similarity.graphStoredCentroids(spark, path), outDir,
-          beam, rounds, k, indexVersion = Some(v))
+          beam, rounds, k, indexVersion = Some(v), maxEpoch = e)
       }
       .start()
 }
