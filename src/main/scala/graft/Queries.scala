@@ -5200,10 +5200,12 @@ object Queries {
     * cos_sim, rn`.
     */
   private def knnGraphOracle(k: Int, rounds: Int,
-                             lloyd: Int = GraphLloydIters): String = {
+                             lloyd: Int = GraphLloydIters,
+                             corpusWhere: String = ""): String = {
     val cap = 2 * k
+    val w = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
     val b = new StringBuilder(
-      s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+      s"""WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings$w),
          |${lloydCentCtes(lloyd)},
          |cent AS (SELECT c_id, cv FROM kc$lloyd),
          |sc AS (SELECT c.vec_id, c.v, c_id, list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
@@ -5286,6 +5288,89 @@ object Queries {
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM v$sRounds)
              |WHERE rn <= $k""".stripMargin
     b.toString
+  }
+
+  /** One unrolled greedy walk as PREFIX-NAMED oracle CTEs, so two
+    * walks can live in one WITH scope (the append oracle runs the
+    * insertion walk and the serve walk back to back). Expects in
+    * scope: `cent(c_id, cv)` — the entry centroids; `$qRel(q_id, qv)`
+    * — the query table; `$headsRel(cell, vec_id)` — the entry heads;
+    * `$scoreRel(vec_id, v)` — the relation candidate vectors are
+    * scored from; `$adjRel(src, dst)` — the adjacency. Yields
+    * `${p}ans(q_id, vec_id, cos_sim, rn)`, the per-query top-`k`.
+    * Round structure, ranks, and tie-breaks mirror
+    * [[graphSearchOracle]] (and therefore `graphTopKAtRest`) exactly.
+    */
+  private def graphWalkCtes(p: String, qRel: String, scoreRel: String,
+                            adjRel: String, headsRel: String,
+                            beam: Int, sRounds: Int, k: Int,
+                            entryProbe: Int): String = {
+    val b = new StringBuilder(
+      s"""${p}qsc AS (SELECT q_id, c_id, list_sum([qv[i+1]*cv[i+1] for i in range(64)]) AS cd FROM $qRel, cent),
+         |${p}qcell AS (SELECT q_id, c_id AS cell FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, c_id) AS rn FROM ${p}qsc) WHERE rn <= $entryProbe),
+         |${p}v0 AS MATERIALIZED (SELECT DISTINCT qc.q_id, h.vec_id, ${duckCosine("x.v", "q.qv")} AS cos_sim
+         |   FROM ${p}qcell qc JOIN $headsRel h USING (cell) JOIN $scoreRel x ON x.vec_id = h.vec_id
+         |   JOIN $qRel q ON q.q_id = qc.q_id WHERE h.vec_id <> qc.q_id)""".stripMargin)
+    for (r <- 1 to sRounds) {
+      val prev = s"${p}v${r - 1}"
+      b ++= s""",
+               |${p}f$r AS (SELECT q_id, vec_id FROM (
+               |   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM $prev) WHERE rn <= $beam),
+               |${p}nb$r AS (SELECT DISTINCT f.q_id, a.dst AS vec_id
+               |   FROM ${p}f$r f JOIN $adjRel a ON a.src = f.vec_id WHERE a.dst <> f.q_id),
+               |${p}sc$r AS (SELECT n.q_id, n.vec_id, ${duckCosine("x.v", "q.qv")} AS cos_sim
+               |   FROM ${p}nb$r n JOIN $scoreRel x ON x.vec_id = n.vec_id JOIN $qRel q ON q.q_id = n.q_id),
+               |${p}v$r AS MATERIALIZED (SELECT DISTINCT * FROM (SELECT * FROM $prev UNION ALL SELECT * FROM ${p}sc$r))""".stripMargin
+    }
+    b ++= s""",
+             |${p}ans AS MATERIALIZED (SELECT q_id, vec_id, cos_sim, rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM ${p}v$sRounds)
+             |  WHERE rn <= $k)""".stripMargin
+    b.toString
+  }
+
+  /** The SQL twin of the graph APPEND lifecycle (`graphWriteAtRest` on
+    * the 4/5 base + `graphAppendDelta` of the rest + the serve walk on
+    * the grown graph), yielding the serve walk's top-10 from `sans`:
+    *  - base corpus `c` = vec_id % 5 <> 0, entry centroids and heads
+    *    trained/ranked on the BASE (append never touches them);
+    *  - base adjacency = the unrolled NN-Descent over the base;
+    *  - insertion walk `i…`: each delta node (query from the FULL
+    *    relation) walks the BASE graph scoring BASE nodes — top
+    *    build-k = its neighbors;
+    *  - grown adjacency = base ∪ forward (delta→nb) ∪ reverse
+    *    (nb→delta), the append-only reverse-edge rule;
+    *  - serve walk `s…` over the grown adjacency scoring the FULL
+    *    relation (inserted nodes are findable), entries still base.
+    * Every rank is (cos DESC, id) and every cosine the same double
+    * fold, so the whole lifecycle replays bit-identically.
+    */
+  private def graphAppendWalkCtes(k: Int, gRounds: Int, beam: Int,
+                                  sRounds: Int, entryProbe: Int,
+                                  lloyd: Int = GraphLloydIters): String = {
+    val baseW = "vec_id % 5 <> 0"
+    // adjb's nested query carries its own MATERIALIZED kc CTEs; DuckDB
+    // rejects a MATERIALIZED alias shadowing an outer one already in
+    // scope, so the nested subquery must precede the outer lloyd CTEs
+    s"""WITH call AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |adjb AS MATERIALIZED (SELECT vec_id AS src, nb_id AS dst FROM (${knnGraphOracle(k, gRounds, lloyd, baseW)})),
+       |c AS (SELECT vec_id, v FROM call WHERE $baseW),
+       |${lloydCentCtes(lloyd)},
+       |cent AS (SELECT c_id, cv FROM kc$lloyd),
+       |csc AS (SELECT c.vec_id, c_id, list_sum([v[i+1]*cv[i+1] for i in range(64)]) AS cd FROM c, cent),
+       |hcell AS (SELECT vec_id, c_id AS cell FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, c_id) AS rn FROM csc) WHERE rn = 1),
+       |heads0 AS (SELECT cell, vec_id FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS hr FROM hcell) WHERE hr <= $beam),
+       |insq AS (SELECT vec_id AS q_id, v AS qv FROM call WHERE vec_id % 5 = 0),
+       |${graphWalkCtes("i", "insq", "c", "adjb", "heads0", beam, sRounds, k, entryProbe)},
+       |adjg AS MATERIALIZED (
+       |  SELECT src, dst FROM adjb
+       |  UNION ALL SELECT q_id AS src, vec_id AS dst FROM ians
+       |  UNION ALL SELECT vec_id AS src, q_id AS dst FROM ians),
+       |srvq AS (SELECT vec_id AS q_id, v AS qv FROM call WHERE vec_id < 10),
+       |${graphWalkCtes("s", "srvq", "call", "adjg", "heads0", beam, sRounds, 10, entryProbe)}""".stripMargin
   }
 
   /** Unrolled MMR (Carbonell & Goldstein 1998) as oracle CTEs — the
@@ -5683,6 +5768,89 @@ object Queries {
               |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
               |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
               |FROM truth t LEFT JOIN approx a
+              |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+              |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
+
+    // Incremental insertion under the oracle gate — the FAISS-`add`
+    // story ported to the graph tier (the last serve-tier asymmetry):
+    // the graph is built on 4/5 of the corpus, the rest arrives as a
+    // delta and is INSERTED by search — each new node walks the
+    // existing graph (the same greedy serve walk, pinned to the
+    // committed epoch) to find its build-k neighbors, then joins as
+    // forward adjacency plus the reverse edges that make it
+    // reachable, all at epoch 1 with meta count/fingerprint bumped
+    // incrementally. The serve walk over the grown graph then replays
+    // bit-identically in the oracle, which unrolls the ENTIRE
+    // lifecycle in SQL: base NN-Descent, per-delta insertion walk,
+    // append-only reverse edges, serve walk on the union. Unlike the
+    // IVF appends there is no fresh-build equivalence to lean on (an
+    // inserted graph differs from a re-descended one by construction)
+    // — the oracle IS the append algorithm, and the recall audit
+    // below prices what insertion costs against the fresh build.
+    "sim_topk_graph_append" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = emb(s, d)
+        val base = e.filter(col("vec_id") % 5 =!= 0)
+        val cent = Similarity.lloydCentroidDf(base,
+          Similarity.autoCells(base), GraphLloydIters)
+        val path = s"target/atrest/graphap-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.graphWriteAtRest(base, cent, 10, 3, path)
+        Similarity.graphAppendDelta(e.filter(col("vec_id") % 5 === 0),
+          path, beam = 20, rounds = 4, entryProbe = 3)
+        require(Similarity.indexFresh(s, path, e),
+          "append must leave the graph fresh wrt the grown corpus")
+        Similarity.graphTopKAtRest(s, path, e.filter(col("vec_id") < 10),
+          Similarity.graphStoredCentroids(s, path),
+          beam = 20, rounds = 4, k = 10, entryProbe = 3)
+      },
+      Some(s"""${graphAppendWalkCtes(10, 3, 20, 4, 3)}
+              |SELECT q_id, vec_id, cos_sim, rn FROM sans""".stripMargin)),
+
+    // Recall@10 of the APPENDED graph's walk against the brute-force
+    // truth on the grown corpus — the quality gate of the insertion
+    // path (read next to sim_graph_recall, the fresh build's number:
+    // the delta is what append-only insertion costs in walk quality,
+    // measured, not assumed). GraphAppendSpec pins the fresh-build
+    // comparison; this row keeps the grown graph's recall under the
+    // oracle gate at every SF the driver runs.
+    "sim_graph_recall_append" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val base = e.filter(col("vec_id") % 5 =!= 0)
+        val cent = Similarity.lloydCentroidDf(base,
+          Similarity.autoCells(base), GraphLloydIters)
+        val path =
+          s"target/atrest/graphapr-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.graphWriteAtRest(base, cent, 10, 3, path)
+        Similarity.graphAppendDelta(e.filter(col("vec_id") % 5 === 0),
+          path, beam = 20, rounds = 4, entryProbe = 3)
+        val truth = Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity
+          .graphTopKAtRest(s, path, e.filter(col("vec_id") < 10),
+            Similarity.graphStoredCentroids(s, path),
+            beam = 20, rounds = 4, k = 10, entryProbe = 3)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        truth.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+          .withColumn("recall_at_k",
+            col("hits").cast("double") / col("k"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""${graphAppendWalkCtes(10, 3, 20, 4, 3)},
+              |bs AS (SELECT q.q_id, x.vec_id, ${duckCosine("q.qv", "x.v")} AS cos_sim
+              |       FROM call x, srvq q WHERE x.vec_id <> q.q_id),
+              |truth AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM bs)
+              |  WHERE rn <= 10)
+              |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+              |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+              |FROM truth t LEFT JOIN sans a
               |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
               |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
 
@@ -6719,5 +6887,11 @@ object Queries {
     // tier end-to-end — build on 4/5 of the corpus, encode + assign
     // the delta under the STORED books/quantizer, append at epoch 1,
     // bump the fingerprint incrementally, probe the grown index
-    "sim_topk_ivfpq_append")
+    "sim_topk_ivfpq_append",
+    // round-17 addition: incremental insertion on the GRAPH tier —
+    // build the NN-Descent index on 4/5, insert the rest by greedy
+    // search (forward + reverse edges at epoch 1, heads untouched),
+    // then serve off the grown graph; the last serve tier to close
+    // the grow-without-rebuild story
+    "sim_topk_graph_append")
 }

@@ -105,7 +105,7 @@ class ServeStressSpec extends SparkSpec {
     assert(!direct(0, 0L).exists(t => deltaIds(t._2)))
   }
 
-  test("graph tier: rotation + warm rebuild + replay pins interact cleanly") {
+  test("graph tier: serve, append mid-stream, serve, warm rebuild, serve — every batch pinned, no model mixing") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-stress-groot").toString
     val outDir = Files.createTempDirectory("graft-stress-gout").toString
@@ -117,37 +117,53 @@ class ServeStressSpec extends SparkSpec {
       beam = 20, rounds = 4, k = 10)
     val vecs = queryVecs(5)
     try {
+      // batch 0: v0 epoch 0
       input.addData(vecs: _*); q.processAllAvailable()
-      // drift: the corpus grew — the WARM rebuild publishes v1
+      // the corpus grows INSIDE v0 — insertion-by-search, no rotation
+      val v0path = Similarity.graphVersionPath(root, 0)
+      assert(Similarity.graphAppendDelta(delta, v0path) === 1L)
+      // batch 1: v0 epoch 1 — walks the grown graph
+      input.addData(vecs: _*); q.processAllAvailable()
+      // drift beyond growth: the WARM rebuild publishes v1 — the
+      // epoch clock resets to 0
       assert(Similarity.graphPublishVersionWarm(emb, cent, 10, root,
         warmRounds = 1) === 1)
+      // batch 2: v1 epoch 0
       input.addData(vecs: _*); q.processAllAvailable()
     } finally q.stop()
-    // pins carry version:epoch even on the graph tier (epoch is 0 —
-    // the tier has no append — but the pin FORMAT is shared, so a
-    // future graph append slots into the same replay contract)
+    // every batch's pin is the (version, epoch) that first served it
     def pin(b: Long): String =
       GraphServeStream.pinnedRecord(spark, outDir, b,
         fail(s"replay of batch $b must not re-resolve"))
     assert(pin(0L) === "0:0")
-    assert(pin(1L) === "1:0")
+    assert(pin(1L) === "0:1")
+    assert(pin(2L) === "1:0")
     val out = spark.read.parquet(outDir).collect()
     val byVersion = out.groupBy(_.getAs[Int]("index_version"))
       .map { case (v, rows) =>
         v -> rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
           r.getAs[Double]("cos_sim"), r.getAs[Int]("rn"))).toSet
       }
-    def direct(v: Int): Set[(Long, Long, Double, Int)] = {
+    def direct(v: Int, e: Long): Set[(Long, Long, Double, Int)] = {
       val p = Similarity.graphVersionPath(root, v)
       Similarity.graphTopKAtRest(spark, p, emb.filter(col("vec_id") < 5),
           Similarity.graphStoredCentroids(spark, p),
-          beam = 20, rounds = 4, k = 10)
+          beam = 20, rounds = 4, k = 10, maxEpoch = e)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet
     }
     assert(byVersion.keySet === Set(0, 1))
-    assert(byVersion(0) === direct(0))
-    assert(byVersion(1) === direct(1))
+    assert(byVersion(0) === (direct(0, 0L) ++ direct(0, 1L)),
+      "v0 rows must be exactly the epoch-0 plus epoch-1 walks")
+    assert(byVersion(1) === direct(1, 0L))
+    // the append actually changed v0's answers: inserted nodes are
+    // findable at epoch 1, invisible at the epoch-0 pin
+    assert(direct(0, 0L) !== direct(0, 1L),
+      "fixture degenerate: the append changed no answer")
+    val deltaIds = delta.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(direct(0, 1L).exists(t => deltaIds(t._2)))
+    assert(!direct(0, 0L).exists(t => deltaIds(t._2)))
   }
 }
