@@ -118,7 +118,14 @@ object ScaleBench {
     // state, footer-count + window-sig fingerprint), never a base
     // rescan; the query prices build(4/5) + append(1/5) + probe, so
     // its curve should track the fresh-build query's
-    "sim_topk_ivfpq_append")
+    "sim_topk_ivfpq_append",
+    // round 17: insertion-by-search on the graph tier — the append
+    // claim here is one bounded walk per inserted node (cost ∝ delta
+    // × serve-walk cost, never a re-descent), so the lifecycle curve
+    // should track sim_topk_graph's build-dominated shape; the append
+    // phase ALONE is priced by graft.AppendSweep (build/append/probe
+    // split + delta-proportionality at two corpus sizes)
+    "sim_topk_graph_append")
 
   /** The subset also measured at the SECOND synthesized decade (sf10 =
     * 100× sf0.1 via the two-level substitution). Two consecutive
@@ -178,7 +185,12 @@ object ScaleBench {
     // round 16: the two newly-measured window claims at both decades,
     // same rationale (a bounded-window claim that only LOOKS flat
     // under decade one's fixed overheads shows at decade two)
-    "text_vocab_growth", "pipeline_nb_auc")
+    "text_vocab_growth", "pipeline_nb_auc",
+    // round 17: the IVFPQ append lifecycle completes its decade (the
+    // r16 verdict's missing point) — the end-to-end curve should
+    // track the fresh-build query's, and the append phase alone is
+    // separately priced by graft.AppendSweep
+    "sim_topk_ivfpq_append")
 
   /** Queries whose largest point sits at the 8 GiB heap edge and
     * swings run-to-run on GC luck for an UNCHANGED plan
