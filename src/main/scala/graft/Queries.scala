@@ -2716,8 +2716,15 @@ object Queries {
     // Score step: per-doc sum of bucket votes, predicted_keep =
     // score > 0 — the distilled gate that generalizes past the hard
     // rule conjunction, the role shipped fastText classifiers play.
+    // r17: the vote table is a STANDING fingerprint-keyed layout
+    // (Curation.nbModelWrite — the knModelWrite pattern on the
+    // classifier tier): the training explode runs once per corpus
+    // version, scoring is one scan against the stored broadcast
+    // model. Path carries the label/dims config tag.
     "pipeline_nb_score" -> Decl(
-      (s, d) => Curation.nbQualityScore(docs(s, d), 64, label = nbWcLabel),
+      (s, d) => Curation.nbQualityScoreStanding(docs(s, d), 64,
+        s"target/atrest/nbmodel-wc64-${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+        label = nbWcLabel),
       Some(s"""WITH $nbModelCtes,
               |sc AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim
               |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents))
@@ -2747,8 +2754,11 @@ object Queries {
     // concordant pairs + the ties, all integer, so both engines agree
     // bit-for-bit; no pairwise join exists (one score-keyed aggregate
     // plus a window over the <=|distinct vote sums| groups).
+    // r17: rides the same standing vote table as pipeline_nb_score.
     "pipeline_nb_auc" -> Decl(
-      (s, d) => Curation.nbAuc(docs(s, d), 64, label = nbWcLabel),
+      (s, d) => Curation.nbAucStanding(docs(s, d), 64,
+        s"target/atrest/nbmodel-wc64-${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+        label = nbWcLabel),
       Some(s"""WITH $nbModelCtes,
               |sc AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim
               |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
@@ -4067,8 +4077,14 @@ object Queries {
     // in-engine analog of KenLM perplexity filtering. Per-bigram
     // ratios quantize to DECIMAL(38,18) before the exact sum, so both
     // engines agree bit-for-bit despite the float division.
+    // r17: the bigram MODEL (c12/c1/vocab — this query's dominant
+    // shuffles) resolves from the STANDING knModelWrite layout shared
+    // with the KN tier, built once per corpus fingerprint; per-query
+    // cost becomes gram-keyed joins against model-sized tables. Same
+    // counts, same quantized sum, oracle unchanged.
     "text_bigram_lm" -> Decl(
-      (s, d) => TextAnalysis.bigramLmScore(docs(s, d)),
+      (s, d) => TextAnalysis.bigramLmScoreAtRest(docs(s, d),
+        s"target/atrest/knmodel-${d.replaceAll("[^A-Za-z0-9.]", "_")}"),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
              |  FROM (SELECT doc_id,
@@ -4090,8 +4106,10 @@ object Queries {
     // train on). Ties break on doc_id; the double scores are
     // bit-identical across engines (text_bigram_lm), so the ordering
     // and tiers match exactly.
+    // r17: rides the same standing LM model as text_bigram_lm.
     "pipeline_ccnet_buckets" -> Decl(
-      (s, d) => TextAnalysis.ccnetBuckets(docs(s, d)),
+      (s, d) => TextAnalysis.ccnetBucketsAtRest(docs(s, d),
+        s"target/atrest/knmodel-${d.replaceAll("[^A-Za-z0-9.]", "_")}"),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
              |  FROM (SELECT doc_id,
@@ -4122,8 +4140,12 @@ object Queries {
         import org.apache.spark.sql.functions._
         val all = docs(s, d)
         val isTrain = expr("cast(substr(source, 4) as int) < 10")
-        TextAnalysis.bigramLmCrossScore(
-          all.filter(isTrain), all.filter(!isTrain))
+        // r17: the REFERENCE model stands at rest keyed by the train
+        // slice's fingerprint — retrained when the reference corpus
+        // changes, not once per scored crawl slice
+        TextAnalysis.bigramLmCrossScoreAtRest(
+          all.filter(isTrain), all.filter(!isTrain),
+          s"target/atrest/knmodel-cross-${d.replaceAll("[^A-Za-z0-9.]", "_")}")
       },
       Some("""WITH tr AS (SELECT * FROM documents WHERE CAST(substr(source,4) AS INTEGER) < 10),
              |sc AS (SELECT * FROM documents WHERE CAST(substr(source,4) AS INTEGER) >= 10),
@@ -4155,8 +4177,11 @@ object Queries {
     // N1+(·w2)/N1+(··). Every factor is an integer count; the
     // per-bigram double term is the same fixed-shape IEEE tree in
     // both engines, quantized to DECIMAL(38,18) before the sum.
+    // r17: resolves the four count tables from the standing layout
+    // (built-if-stale), the pipeline_kn_buckets treatment.
     "text_kneser_ney" -> Decl(
-      (s, d) => TextAnalysis.knSmoothedLmScore(docs(s, d)),
+      (s, d) => TextAnalysis.knSmoothedLmScoreStanding(docs(s, d),
+        s"target/atrest/knmodel-${d.replaceAll("[^A-Za-z0-9.]", "_")}"),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
              |  FROM (SELECT doc_id,

@@ -879,7 +879,7 @@ object TextAnalysis {
     * text) over the fixed doc_id probe window, so freshness checks on
     * a standing LM model cost O(sample), not O(corpus).
     */
-  private def docsFingerprint(docs: DataFrame): (Long, Long) = {
+  private[graft] def docsFingerprint(docs: DataFrame): (Long, Long) = {
     val n = docs.count()
     val sig = docs.filter(col("doc_id") < DocsFingerprintSample)
       .agg(coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))
@@ -918,6 +918,13 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$path/cont")
     bg.agg(countDistinct(col("w1"), col("w2")).as("n_types"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/types")
+    // the add-one LM tier ([[bigramLmScoreAtRest]]) shares this layout
+    // and needs the unigram vocabulary size — over ALL tokens (docs
+    // below the bigram length floor still contribute words, matching
+    // [[bigramLmScore]]'s vocab aggregate exactly)
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
     val (n, sig) = docsFingerprint(docs)
     Seq((n, sig)).toDF("built_n", "sig")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -928,9 +935,14 @@ object TextAnalysis {
     */
   def knModelFresh(spark: org.apache.spark.sql.SparkSession,
                    path: String, docs: DataFrame): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
-    if (!metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(metaP)) return false
+    if (!metaP.getFileSystem(conf).exists(metaP)) return false
+    // a layout written before the vocab table joined the format reads
+    // as stale (one rebuild re-stamps it) — the add-one tier must
+    // never find a fingerprint-fresh layout missing its table
+    val vocabP = new org.apache.hadoop.fs.Path(s"$path/vocab")
+    if (!vocabP.getFileSystem(conf).exists(vocabP)) return false
     val m = spark.read.parquet(s"$path/meta")
       .select(col("built_n"), col("sig")).head
     (m.getLong(0), m.getLong(1)) == docsFingerprint(docs)
@@ -958,6 +970,68 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(term.cast("decimal(38,18)")).cast("double") * lit(1000000.0) /
           count(lit(1))).as("kn_ppm"))
+  }
+
+  /** [[bigramLmScore]] against the STANDING [[knModelWrite]] layout —
+    * the add-one tier rides the SAME model tables as KN (c12, ctx's
+    * c1, and the vocab table): per-doc grams join the stored counts
+    * instead of re-aggregating them, bit-identical by construction
+    * (stored counts ARE the aggregates; the per-bigram ratio is the
+    * same single IEEE division quantized to DECIMAL(38,18)), so the
+    * oracle is unchanged. Builds the model when the corpus
+    * fingerprint changed ([[knModelFresh]]).
+    */
+  def bigramLmScoreAtRest(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    if (!knModelFresh(spark, path, docs)) knModelWrite(docs, path)
+    val bg = bigramStream(docs)
+    bg.join(spark.read.parquet(s"$path/c12"), Seq("w1", "w2"))
+      .join(spark.read.parquet(s"$path/ctx")
+        .select(col("cw1"), col("c1")), col("w1") === col("cw1"))
+      .crossJoin(broadcast(spark.read.parquet(s"$path/vocab")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(((col("c12") + lit(1.0)) / (col("c1") + col("v")))
+          .cast("decimal(38,18)")).cast("double") * lit(1000000.0) /
+          count(lit(1))).as("lm_ppm"))
+  }
+
+  /** [[bigramLmCrossScore]] with the TRAIN-slice model standing at
+    * rest: counts and vocabulary resolve from a [[knModelWrite]]
+    * layout keyed by the train slice's fingerprint (built when
+    * stale), and the score-side gram stream left-joins them with the
+    * same explicit unseen-bigram backoff — bit-identical scores,
+    * oracle unchanged. The deployed-CCNet maintenance shape: the
+    * reference model retrains when the REFERENCE corpus changes, not
+    * once per scored crawl slice.
+    */
+  def bigramLmCrossScoreAtRest(train: DataFrame, score: DataFrame,
+                               path: String): DataFrame = {
+    val spark = train.sparkSession
+    if (!knModelFresh(spark, path, train)) knModelWrite(train, path)
+    bigramStream(score)
+      .join(spark.read.parquet(s"$path/c12"), Seq("w1", "w2"), "left")
+      .join(spark.read.parquet(s"$path/ctx")
+        .select(col("cw1"), col("c1")), col("w1") === col("cw1"), "left")
+      .crossJoin(broadcast(spark.read.parquet(s"$path/vocab")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        (sum(((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v")))
+          .cast("decimal(38,18)")).cast("double") * lit(1000000.0) /
+          count(lit(1))).as("lm_ppm"))
+  }
+
+  /** [[knSmoothedLmScore]] with the build-if-stale convenience — the
+    * [[knBucketsAtRest]] treatment for the bare KN score query: the
+    * model aggregates run once per corpus version, the per-query cost
+    * is gram-keyed joins against model-sized tables.
+    */
+  def knSmoothedLmScoreStanding(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    if (!knModelFresh(spark, path, docs)) knModelWrite(docs, path)
+    knSmoothedLmScoreAtRest(docs, path)
   }
 
   /** [[knBuckets]] with the LM model resolved from (or built into)
@@ -1058,6 +1132,15 @@ object TextAnalysis {
     */
   def ccnetBuckets(docs: DataFrame): DataFrame =
     tierByScore(bigramLmScore(docs), "lm_ppm")
+      .select(col("doc_id"), col("n_bigrams"), col("lm_ppm"), col("tier"))
+
+  /** [[ccnetBuckets]] with the LM model standing at rest
+    * ([[bigramLmScoreAtRest]] over the shared [[knModelWrite]]
+    * layout) — the [[knBucketsAtRest]] treatment for the add-one
+    * tier. Same result, same oracle.
+    */
+  def ccnetBucketsAtRest(docs: DataFrame, path: String): DataFrame =
+    tierByScore(bigramLmScoreAtRest(docs, path), "lm_ppm")
       .select(col("doc_id"), col("n_bigrams"), col("lm_ppm"), col("tier"))
 
   /** The [[ccnetBuckets]] tier split under the smoothing CCNet's
