@@ -274,4 +274,35 @@ class GraphServeStreamSpec extends SparkSpec {
         s"replicated query $orig got ${answerSets.size} distinct answer sets")
     }
   }
+
+  test("a batch with one vec_id duplicated past the cap degrades to rank chunking, not a livelock") {
+    // hash membership sends every copy of a duplicated vec_id to the
+    // same chunk under EVERY salt, so an at-least-once source
+    // replaying one query >4096 times could never pass the size check
+    // — the bounded-retry fallback must serve the batch via rank
+    // chunking instead of doubling-and-recounting forever
+    implicit val sqlCtx = spark.sqlContext
+    val one = queryVecs(1).head
+    val big = Seq.fill(5000)(one)
+    val input = MemoryStream[Vec]
+    val outDir = Files.createTempDirectory("graft-serve-dup").toString
+    val q = GraphServeStream.start(spark, input.toDF(), indexPath, cent,
+      outDir, Files.createTempDirectory("graft-serve-dup-ckpt").toString,
+      beam = 4, rounds = 1, k = 5)
+    try {
+      input.addData(big: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // the duplicated query's answer set is the single-query answer;
+    // each rank-chunk re-appended it (identical rows — the
+    // at-least-once contract), so distinct rows collapse to one set
+    val direct = Similarity.graphTopKAtRest(spark, indexPath,
+        emb.filter(col("vec_id") < 1), cent, beam = 4, rounds = 1, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got.toSet === direct)
+    assert(got.nonEmpty)
+  }
 }
