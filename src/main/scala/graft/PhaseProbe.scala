@@ -27,10 +27,50 @@ object PhaseProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // per-phase scheduler telemetry: jobs launched, stages completed,
+    // tasks run, summed executor task time — the decomposition that
+    // says whether a phase's wall is per-job overhead (many jobs/
+    // stages, low task time) or real compute (task time ≈ wall × cores)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobs.incrementAndGet(); () }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = { stages.incrementAndGet(); () }
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
+          if (e.taskMetrics != null)
+            taskMs.addAndGet(e.taskMetrics.executorRunTime)
+          ()
+        }
+      })
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compileMs: Long = {
+      val s = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot
+      // histogram of per-compilation ms; count × mean ≈ total
+      (CodegenMetrics.METRIC_COMPILATION_TIME.getCount * s.getMean).toLong
+    }
     def t[A](name: String)(f: => A): A = {
+      val (j0, s0, k0, m0, c0, cm0) =
+        (jobs.get, stages.get, tasks.get, taskMs.get,
+          CodegenMetrics.METRIC_COMPILATION_TIME.getCount, compileMs)
       val t0 = System.nanoTime()
       val r = f
-      println(f"[phase] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async; give the bus a beat before deltas
+      Thread.sleep(100)
+      println(f"[phase] $name%-28s $wall%7.2f s  " +
+        f"jobs=${jobs.get - j0}%3d stages=${stages.get - s0}%3d " +
+        f"tasks=${tasks.get - k0}%4d taskTime=${(taskMs.get - m0) / 1e3}%6.1f s " +
+        f"compiles=${CodegenMetrics.METRIC_COMPILATION_TIME.getCount - c0}%3d " +
+        f"compileMs=${compileMs - cm0}%5d")
       r
     }
     def noop(df: DataFrame): Unit =

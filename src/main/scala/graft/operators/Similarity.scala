@@ -391,7 +391,10 @@ object Similarity {
         .select(col("vec_id").as("src"), col("dst"),
           (dot(col("v"), col("dv")) / (col("nrm") * col("dn")))
             .as("cos_sim"))
-        .distinct())
+        // one exchange: hash by src, dedup inherits (keys ⊇ src),
+        // the src-keyed rank window inherits too (guide §2.4)
+        .repartition(col("src"))
+        .dropDuplicates(Seq("src", "dst", "cos_sim")))
       .select(col("src"), col("dst"), col("cos_sim"))
     nndRounds(c, edges0, k, rounds)
   }
@@ -413,10 +416,16 @@ object Similarity {
       .filter(col("rn") <= k)
     var edges = edges0
     for (_ <- 1 to rounds) {
+      // ONE exchange for dedup + incident-cap (guide §2.4): hash by
+      // src first — the dedup keys contain src, so dropDuplicates
+      // inherits the partitioning, and the incident-rank window is
+      // src-keyed too. The previous distinct() + window shape paid a
+      // (src,dst,cos) shuffle AND a src shuffle per round.
       val sym = edges
         .union(edges.select(col("dst").as("src"), col("src").as("dst"),
           col("cos_sim")))
-        .distinct()
+        .repartition(col("src"))
+        .dropDuplicates(Seq("src", "dst", "cos_sim"))
       // cap every incident list at the 2k CLOSEST neighbors (cos desc)
       // — the best bridges carry the local join, per NN-Descent
       val wMid = Window.partitionBy(col("src"))
@@ -425,6 +434,11 @@ object Similarity {
         .withColumn("cr", row_number().over(wMid))
         .filter(col("cr") <= cap)
         .select(col("src").as("mid"), col("dst"))
+      // (r17 note: generating each unordered wedge pair once and
+      // mirroring after scoring was tried and REVERTED — without a
+      // shuffle boundary at the join, the union's two branches
+      // re-execute the whole scoring subtree, doubling the work the
+      // halving saved; measured 7.3 s → 14 s on the 3-round build)
       val cand = capped.as("e1")
         .join(capped.as("e2"), col("e1.mid") === col("e2.mid") &&
           col("e1.dst") =!= col("e2.dst"))
@@ -442,7 +456,11 @@ object Similarity {
       // three scalars (never the corpus vectors), the SMALL-relation
       // case where per-round checkpointing is the right discipline —
       // without it the unrolled plan grows exponentially in rounds.
-      edges = topk(scored.union(edges).distinct())
+      // keep-best union: same one-exchange dedup+rank discipline as
+      // the symmetric closure above
+      edges = topk(scored.union(edges)
+          .repartition(col("src"))
+          .dropDuplicates(Seq("src", "dst", "cos_sim")))
         .select(col("src"), col("dst"), col("cos_sim"))
         .localCheckpoint(eager = false)
     }
@@ -563,9 +581,28 @@ object Similarity {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
+  /** Bucket count of a graph layout, derived from the corpus size —
+    * guide §2.5/§6: partitioning must scale with the input, not sit at
+    * a constant tuned for one scale. The old fixed 64 was both too
+    * many directories at sf0.1 (2 000 nodes → 64 near-empty dirs per
+    * relation, and layout writes cost MORE than the NN-Descent build
+    * they persist — PhaseProbe r17: 10.2 s write vs 7.5 s build) and
+    * too few at 100 TB (10⁹ nodes → 16 M rows ≈ 5 GB per nodes
+    * bucket, past the 128 MB–1 GB file guidance). ~65 k nodes per
+    * bucket lands mid-range at every scale; the cap bounds
+    * directory-listing and small-file overhead, the floor keeps
+    * file-level pruning meaningful. `SPARK_GRAFT_GRAPH_BUCKETS`
+    * overrides for cluster tuning. Serving always takes the count
+    * from the layout's meta, so the rule can evolve without
+    * invalidating standing layouts.
+    */
+  def graphBucketsFor(n: Long): Int =
+    sys.env.get("SPARK_GRAFT_GRAPH_BUCKETS").map(_.toInt).getOrElse(
+      math.max(8L, math.min(4096L, (n + 65535L) / 65536L * 8L)).toInt)
+
   def graphWriteAtRest(corpus: DataFrame, centroids: DataFrame, k: Int,
                        rounds: Int, path: String,
-                       buckets: Int = 64,
+                       buckets: Int = -1,
                        centralHeads: Boolean = false): Unit =
     writeGraphLayout(corpus, centroids,
       knnGraph(corpus, centroids, k, rounds), k, path, buckets,
@@ -580,26 +617,38 @@ object Similarity {
     */
   private def writeGraphLayout(corpus: DataFrame, centroids: DataFrame,
                                edges: DataFrame, k: Int, path: String,
-                               buckets: Int,
+                               buckets0: Int,
                                centralHeads: Boolean): Unit = {
     invalidateMarker(corpus, path)
     val cent = collectVectors(centroids)
     val cap = 2 * k
+    // one corpus pass for every meta statistic (count, window
+    // signature, growth frontier) — previously three separate scans —
+    // run FIRST so the bucket count can derive from the corpus size
+    val (builtN, sig, maxId) = fingerprintStats(corpus)
+    val buckets = if (buckets0 > 0) buckets0 else graphBucketsFor(builtN)
     // epoch 0 = the build; [[graphAppendDelta]] stamps 1, 2, … on the
     // inserted nodes and their forward/reverse edges, so a walk pinned
     // to an epoch sees exactly the graph that existed when it resolved
-    // the index (the [[ivfWriteAtRest]] convention)
+    // the index (the [[ivfWriteAtRest]] convention).
+    // Both row relations repartition BY THE PARTITION COLUMN before
+    // the partitioned write (guide §6, small files): without it every
+    // upstream task writes its own fragment into every bucket
+    // directory (up to tasks×buckets files); with it each bucket is
+    // one file whose size the bucket rule already bounds.
     edges
       .select(col("vec_id").as("src"), col("nb_id").as("dst"))
       .withColumn("bucket",
         pmod(col("src"), lit(buckets.toLong)).cast("int"))
       .withColumn("epoch", lit(0L))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/adj")
     corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket",
         pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
       .withColumn("epoch", lit(0L))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/nodes")
     // entry-head rank within each cell: `centralHeads` ranks by dot
@@ -617,6 +666,8 @@ object Similarity {
       .withColumn("hr", row_number().over(headWin))
       .filter(col("hr") <= cap)
       .select(col("cell"), col("vec_id"), col("hr"))
+      // ≤ cells·cap rows (≤ 1024·2k by the autoCells bound) — one file
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/heads")
     // layout metadata: the stored per-cell head cap (2·build-k) and
     // bucket count, so SERVING validates against what was written —
@@ -627,9 +678,8 @@ object Similarity {
     // ([[graft.streaming.IvfStream.rebuildSignal]]) compares live
     // growth against.
     import corpus.sparkSession.implicits._
-    val (builtN, sig) = corpusFingerprint(corpus)
     Seq((k, cap, buckets, builtN, cent.length, centralHeads, sig, 0L,
-        maxVecId(corpus)))
+        maxId))
       .toDF("build_k", "head_cap", "buckets", "built_n", "cells",
         "central_heads", "sig", "epoch", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -725,8 +775,30 @@ object Similarity {
     * Engine-private (never oracle-compared), so Spark's xxhash64 is
     * fine here.
     */
-  private[graft] def corpusFingerprint(corpus: DataFrame): (Long, Long) =
-    (corpus.count(), windowSig(corpus))
+  private[graft] def corpusFingerprint(corpus: DataFrame): (Long, Long) = {
+    val (n, sig, _) = fingerprintStats(corpus)
+    (n, sig)
+  }
+
+  /** (row count, window signature, max vec_id) in ONE aggregate pass —
+    * the three meta statistics every index writer stamps used to cost
+    * three separate scans of the corpus (count, windowSig, maxVecId);
+    * guide §1.2/§2.4: one pass computes all three. The signature
+    * expression is bit-identical to [[windowSig]]'s filter+BIT_XOR
+    * (aggregates skip the NULLs the `when` emits outside the probe
+    * window), so stamped fingerprints stay comparable across writer
+    * versions.
+    */
+  private[graft] def fingerprintStats(
+      rows: DataFrame): (Long, Long, Long) = {
+    val r = rows.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr(
+        s"bit_xor(CASE WHEN vec_id < ${FingerprintSample}L " +
+          "THEN xxhash64(vec_id, embedding) END)"), lit(0L)).as("sig"),
+      coalesce(max(col("vec_id")), lit(-1L)).as("mx")).head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
 
   /** The content-signature half of [[corpusFingerprint]]: BIT_XOR of
     * xxhash64(vec_id, embedding) over the fixed probe window. XOR
@@ -793,7 +865,7 @@ object Similarity {
     */
   def graphPublishVersion(corpus: DataFrame, centroids: DataFrame,
                           k: Int, rounds: Int, root: String,
-                          buckets: Int = 64,
+                          buckets: Int = -1,
                           centralHeads: Boolean = false): Int = {
     val spark = corpus.sparkSession
     val next = graphCurrentVersion(spark, root).map(_ + 1).getOrElse(0)
@@ -823,7 +895,7 @@ object Similarity {
   def graphPublishVersionWarm(corpus: DataFrame, centroids: DataFrame,
                               k: Int, root: String,
                               warmRounds: Int = 1, coldRounds: Int = 3,
-                              buckets: Int = 64,
+                              buckets: Int = -1,
                               centralHeads: Boolean = false): Int = {
     val spark = corpus.sparkSession
     graphCurrentVersion(spark, root) match {
@@ -946,6 +1018,27 @@ object Similarity {
       .select(col("src"), col("dst"))
   }
 
+  /** The pruned NODE read of a walk's scoring step: bucket isin
+    * (partition/file-level pruning) + vec_id filter (literal under
+    * [[IdInlineCap]], broadcast semi-join above). Split out so its
+    * plan shape is pinnable independently of the driver loop — the
+    * [[graphAdjPruned]] treatment for the vector side.
+    */
+  private[graft] def graphNodesPruned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[Long], buckets: Int,
+      maxEpoch: Long = Long.MaxValue): DataFrame = {
+    val bks = ids
+      .map(id => (((id % buckets) + buckets) % buckets).toInt)
+      .distinct.sorted
+    filterIds(
+      epochBound(spark.read.parquet(s"$path/nodes"), maxEpoch)
+        .filter(col("bucket").isin(bks.map(Integer.valueOf): _*)),
+      "vec_id", ids)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("c_nrm", norm(col("v")))
+  }
+
   /** Greedy best-first search over a [[graphWriteAtRest]] layout — the
     * serving half of the NN-Descent index (the HNSW layer-0 walk,
     * batched): every query enters at its nearest IVF cell's stored
@@ -981,6 +1074,12 @@ object Similarity {
     val cent = collectVectors(centroids)
     val qdf = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
+      // value-dedup ONCE: an at-least-once batch can repeat a query
+      // row; the old shape collapsed the duplicates in its per-round
+      // distinct() — with driver-merged rounds the dedup moves to the
+      // one place duplicates enter (broadcast joins would otherwise
+      // multiply every scored pair per copy)
+      .distinct()
       .withColumn("q_nrm", norm(col("q_vec")))
       .localCheckpoint(eager = false)
     val qIds = qdf.select(col("q_id")).collect().map(_.getLong(0))
@@ -1022,16 +1121,7 @@ object Similarity {
     // more than |pairs| of them
     def scorePairs(pairs: Seq[(Long, Long)]): DataFrame = {
       val ids = pairs.map(_._2).distinct
-      val bks = ids
-        .map(id => (((id % useBuckets) + useBuckets) % useBuckets).toInt)
-        .distinct.sorted
-      val nodes = filterIds(
-          epochBound(spark.read.parquet(s"$path/nodes"), epochCap)
-            .filter(col("bucket").isin(bks.map(Integer.valueOf): _*)),
-          "vec_id", ids)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("c_nrm", norm(col("v")))
-      nodes
+      graphNodesPruned(spark, path, ids, useBuckets, epochCap)
         .join(broadcast(pairs.toDF("q_id", "vec_id")), Seq("vec_id"))
         .join(broadcast(qdf), Seq("q_id"))
         .select(col("q_id"), col("vec_id"),
@@ -1066,33 +1156,98 @@ object Similarity {
         .map(_._2).filter(_ != q).map(id => (q, id))
     }.toSeq.distinct
 
-    var visited = scorePairs(seedPairs).distinct()
+    // Driver-merged walk state (r17, guide §2.4/§1.2): the previous
+    // shape kept `visited` as a growing Spark relation and paid, per
+    // round, a window shuffle (frontier rank), a distinct shuffle, a
+    // union lineage pin, and a second distinct on the candidate pairs
+    // — ~54 AQE stage-jobs / 400 tasks per 10-query walk, all over
+    // driver-bounded data the loop was ALREADY collecting as ids.
+    // Since every round must collect the frontier to prune the next
+    // adjacency read, collecting the scores next to the ids adds only
+    // 8 bytes/row to the same driver-bounded relations (≤ queries ·
+    // (entryProbe·beam + rounds·beam·k) pairs — the documented ≤4096
+    // anchor rule bounds it) and removes EVERY per-round shuffle: the
+    // driver keeps the best-known candidate set per query, computes
+    // the next frontier by the identical (cos desc, vec_id) rank, and
+    // skips already-scored pairs instead of re-scoring + distinct-ing
+    // them. Spark still does all vector work: each round is one
+    // bucket-pruned adjacency read + one bucket-pruned node scoring
+    // job, and the RETURNED relation re-scores the accumulated pairs
+    // in one pruned-scan pass + one window — the same plan shape
+    // (layout-only scans, bucket PartitionFilters) as before, so the
+    // walk's result and its plan pins are unchanged while the rounds
+    // drop from ~13 shuffles to zero.
+    val cmp: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+    val scored = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashMap[Long, Double]]
+    def merge(rows: Array[org.apache.spark.sql.Row]): Unit =
+      rows.foreach { r =>
+        scored.getOrElseUpdate(r.getLong(0),
+            scala.collection.mutable.HashMap.empty[Long, Double])
+          .update(r.getLong(1), r.getDouble(2))
+      }
+    if (seedPairs.nonEmpty) merge(scorePairs(seedPairs).collect())
+    for (_ <- 1 to rounds) {
+      val frontier = scored.iterator.flatMap { case (q, m) =>
+        m.iterator.map { case (id, c) => (q, id, c) }
+          .toSeq.sortBy(t => (t._3, t._2))(cmp).take(beam)
+      }.toSeq
+      val srcIds = frontier.map(_._2).distinct
+      if (srcIds.nonEmpty) {
+        // one pruned read of the frontier's adjacency; the frontier
+        // pair-join and candidate dedup are driver arithmetic over
+        // the rows this loop collected anyway
+        val adjRows = graphAdjPruned(spark, path, srcIds, useBuckets,
+            epochCap)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val bySrc = adjRows.groupBy(_._1)
+        val newPairs = frontier.flatMap { case (q, src, _) =>
+          bySrc.getOrElse(src, Array.empty[(Long, Long)]).iterator
+            .map(_._2)
+            .filter(d => d != q && !scored(q).contains(d))
+            .map(d => (q, d))
+        }.distinct
+        if (newPairs.nonEmpty) merge(scorePairs(newPairs).collect())
+      }
+    }
+    // final answer recomputed IN SPARK over the accumulated candidate
+    // pairs: one pruned node read + broadcast joins + the same
+    // (cos desc, vec_id) window — bit-identical scores (same
+    // expression over the same rows), and the returned plan carries
+    // the layout's pruned scans for the shape pins
+    val allPairs = scored.iterator.flatMap { case (q, m) =>
+      m.keysIterator.map(id => (q, id))
+    }.toSeq.sorted
+    if (allPairs.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("q_id", "vec_id", "cos_sim", "rn")
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    for (r <- 1 to rounds) {
-      // per-round lineage pin EXCEPT the last union, so the returned
-      // plan still carries the final round's pruned scans (pinnable)
-      val pinned = visited.localCheckpoint(eager = false)
-      val frontier = pinned
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= beam)
-        .select(col("q_id"), col("vec_id"))
-        .collect().map(row => (row.getLong(0), row.getLong(1)))
-      val fPairs = frontier.toSeq.toDF("q_id", "src")
-      val candPairs = graphAdjPruned(spark, path,
-          frontier.map(_._2).distinct.toSeq, useBuckets, epochCap)
-        .join(broadcast(fPairs), Seq("src"))
-        .filter(col("dst") =!= col("q_id"))
-        .select(col("q_id"), col("dst"))
-        .distinct()
-        .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
-      visited =
-        if (candPairs.isEmpty) pinned
-        else pinned.unionByName(scorePairs(candPairs)).distinct()
-    }
-    visited.withColumn("rn", row_number().over(wq))
+    scorePairs(allPairs)
+      .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** Parallelism floor for heavy per-row projections (guide §2.5,
+    * "input skew: one huge unsplittable file"): the PQ encode costs
+    * m·k dist2 folds per row, and a corpus that arrives as a single
+    * unsplittable parquet file (one row group — the local testdata
+    * shape) runs the WHOLE encode in one task while every other core
+    * idles. When the scan's planned parallelism is below the session
+    * default, repartition once after the read; at production scale
+    * the corpus arrives in many splits and this is a no-op (the
+    * condition, not the shuffle, is what ships). Deterministic:
+    * round-robin repartition sorts before exchanging
+    * (spark.sql.execution.sortBeforeRepartition) and every consumer
+    * is partition-order-independent (per-row projections, hash
+    * aggregates, id-keyed joins).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.min(p, 16)) df.repartition(p)
+    else df
   }
 
   /** Untrained codebook init (the k-means seed): codebook j = the j-th
@@ -1129,9 +1284,21 @@ object Similarity {
   private def assignStruct(v: Column, book: Seq[(Int, Array[Double])],
                            j: Int, sub: Int): Column = {
     val sv = slice(v, j * sub + 1, sub)
-    element_at(array_sort(array(book.map { case (id, cv) =>
+    // min by (d2 asc, c_id asc) as ONE O(k) fold instead of
+    // materializing and SORTING a k-struct array per (row, subspace)
+    // (guide §1.2 per-task work: the sort allocated and ordered 16
+    // structs per subspace per row — m·k struct churn per vector —
+    // where a strict-< fold keeps the first-seen minimum, which IS the
+    // smallest code id because [[Books]] entries are sorted by code
+    // id; bit-identical to the sorted head, measured ~2x off the PQ
+    // encode's single-task time)
+    val dotted = array(book.map { case (id, cv) =>
       struct(dist2(sv, cv).as("d2"), lit(id).as("c_id"))
-    }: _*)), 1)
+    }: _*)
+    val init = struct(lit(Double.PositiveInfinity).as("d2"),
+      lit(-1).as("c_id"))
+    aggregate(dotted, init, (acc, x) =>
+      when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
   }
 
   /** Train the PQ codebooks per sub-space (Jégou et al. 2011 §II:
@@ -1153,7 +1320,7 @@ object Similarity {
                    iters: Int): Books = {
     val init = pqInitBooks(centroids, m)
     val sub = init.head.head._2.length
-    val base = corpus.select(asDouble(col("embedding")).as("v"))
+    val base = spread(corpus.select(asDouble(col("embedding")).as("v")))
     (0 until iters).foldLeft(init) { (books, _) =>
       val perSub = array((0 until m).map { j =>
         struct(lit(j).as("m"),
@@ -1221,11 +1388,9 @@ object Similarity {
   def ivfCellBalance(corpus: DataFrame,
                      centroids: DataFrame): DataFrame = {
     val cent = collectVectors(centroids)
-    val scores = cellScores(cent)
     val assigned = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("scores_arr", scores)
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
+      .withColumn("cell", top2Cells(cent).getField("b1i"))
     val counts = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"))
     val total = broadcast(counts.agg(sum(col("n_vecs")).as("n_total")))
@@ -1256,7 +1421,7 @@ object Similarity {
     val sub = books.head.head._2.length
     val errCols = (0 until m).map(j =>
       assignStruct(col("v"), books(j), j, sub).getField("d2").as(s"e_$j"))
-    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    spread(corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .select(col("vec_id") +: col("v") +: errCols: _*)
       .select(col("vec_id"),
         dot(col("v"), col("v")).as("n2"),
@@ -1394,16 +1559,23 @@ object Similarity {
   def ivfWriteAtRest(corpus: DataFrame, centroids: DataFrame,
                      path: String): Unit = {
     val cent = collectVectors(centroids)
-    val scores = cellScores(cent)
+    // argmax via the top2Cells fold, not a |cells|-struct sort per row
+    // (the kmeansCentroids rationale — identical (dot desc, c_id asc)
+    // rule, O(1) state instead of O(cells) struct churn)
     corpus.select(col("vec_id"), col("embedding"))
       .withColumn("v", asDouble(col("embedding")))
-      .withColumn("scores_arr", scores)
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-      .drop("scores_arr", "v")
+      .withColumn("cell", top2Cells(cent).getField("b1i"))
+      .drop("v")
       // epoch 0 = the build; incremental adds ([[ivfAppendDelta]])
       // stamp 1, 2, … so a probe pinned to an epoch sees exactly the
       // rows that existed when it resolved the index
       .withColumn("epoch", lit(0L))
+      // repartition by the partition column (guide §6): one file per
+      // cell directory instead of one fragment per upstream task per
+      // cell — the assignment projection still runs pre-shuffle at
+      // full scan parallelism, and cell sizes are bounded by the
+      // autoCells rule (≈√n rows per cell)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
@@ -1471,8 +1643,8 @@ object Similarity {
     val cent = collectVectors(centroids)
     ivfWriteAtRest(corpus, centroids, s"$path/codes")
     import corpus.sparkSession.implicits._
-    val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((builtN, cent.length, sig, 0L, maxVecId(corpus)))
+    val (builtN, sig, maxId) = fingerprintStats(corpus)
+    Seq((builtN, cent.length, sig, 0L, maxId))
       .toDF("built_n", "cells", "sig", "epoch", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
@@ -1517,8 +1689,8 @@ object Similarity {
       .flatMap { case (bk, j) => bk.map { case (id, cv) => (j, id, cv) } }
       .toDF("m", "c_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
-    val (builtN, sig) = corpusFingerprint(corpus)
-    Seq((builtN, cent.length, books.length, sig, 0L, maxVecId(corpus)))
+    val (builtN, sig, maxId) = fingerprintStats(corpus)
+    Seq((builtN, cent.length, books.length, sig, 0L, maxId))
       .toDF("built_n", "cells", "m", "sig", "epoch", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cent.toDF("vec_id", "embedding")
@@ -1652,10 +1824,11 @@ object Similarity {
     val cent = collectVectors(ivfStoredCentroids(spark, path))
     delta.select(col("vec_id"), col("embedding"))
       .withColumn("v", asDouble(col("embedding")))
-      .withColumn("scores_arr", cellScores(cent))
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-      .drop("scores_arr", "v")
+      .withColumn("cell", top2Cells(cent).getField("b1i"))
+      .drop("v")
       .withColumn("epoch", lit(epoch))
+      // one file per appended cell directory (guide §6)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     bumpAppendedMeta(spark, path, delta, epoch)
     epoch
@@ -1676,10 +1849,11 @@ object Similarity {
     val coded =
       if (enc == "residual") residualCoded(delta, cells, books)
       else pqCodesWith(delta, books)
-        .withColumn("scores_arr", cellScores(cells))
-        .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-        .drop("scores_arr", "v")
+        .withColumn("cell", top2Cells(cells).getField("b1i"))
+        .drop("v")
     coded.withColumn("epoch", lit(epoch))
+      // one file per appended cell directory (guide §6)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     bumpAppendedMeta(spark, path, delta, epoch)
     epoch
@@ -1764,10 +1938,12 @@ object Similarity {
         .withColumn("bucket",
           pmod(col("src"), lit(buckets.toLong)).cast("int"))
         .withColumn("epoch", lit(epoch))
+        .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/adj")
       d.withColumn("bucket",
           pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
         .withColumn("epoch", lit(epoch))
+        .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
       bumpAppendedMeta(spark, path, d, epoch)
       epoch
@@ -1882,9 +2058,8 @@ object Similarity {
   private def bumpAppendedMeta(spark: org.apache.spark.sql.SparkSession,
                                path: String, delta: DataFrame,
                                epoch: Long): Unit = {
-    val deltaN = delta.count()
-    val deltaSig = windowSig(delta)
-    val deltaMax = maxVecId(delta)
+    // one pass over the delta for all three bump statistics
+    val (deltaN, deltaSig, deltaMax) = fingerprintStats(delta)
     val meta = spark.read.parquet(s"$path/meta")
     val bumped0 = meta
       .withColumn("built_n", col("built_n") + lit(deltaN))
@@ -1979,12 +2154,12 @@ object Similarity {
   def ivfPqWriteAtRest(corpus: DataFrame, cellCentroids: DataFrame,
                        books: Books, path: String): Unit = {
     val cells = collectVectors(cellCentroids)
-    val scores = cellScores(cells)
-    pqCodesWith(corpus, books)
-      .withColumn("scores_arr", scores)
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-      .drop("scores_arr", "v")
+    pqCodesWith(spread(corpus), books)
+      .withColumn("cell", top2Cells(cells).getField("b1i"))
+      .drop("v")
       .withColumn("epoch", lit(0L))
+      // one file per cell directory (the ivfWriteAtRest discipline)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
@@ -2050,9 +2225,8 @@ object Similarity {
     // corpus side: cell + PQ codes in ONE projection pass, full vector
     // dropped before the join (the point of the compression)
     val coded = pqCodesWith(corpus, books)
-      .withColumn("scores_arr", scores)
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-      .drop("scores_arr", "v")
+      .withColumn("cell", top2Cells(cells).getField("b1i"))
+      .drop("v")
     val probes = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
       .withColumn("v", col("q_vec"))
@@ -2095,9 +2269,7 @@ object Similarity {
       "residual coding needs dense 0..k-1 cell ids")
     val centArr = array(cent.map { case (_, cv) => lit(cv) }: _*)
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("scores_arr", cellScores(cent))
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-      .drop("scores_arr")
+      .withColumn("cell", top2Cells(cent).getField("b1i"))
       .select(col("vec_id"),
         zip_with(col("v"), element_at(centArr, col("cell") + 1),
           (a, b) => a - b).as("embedding"),
@@ -2195,8 +2367,10 @@ object Similarity {
     */
   def ivfPqResidualWriteAtRest(corpus: DataFrame, cellCentroids: DataFrame,
                                books: Books, path: String): Unit =
-    residualCoded(corpus, collectVectors(cellCentroids), books)
+    residualCoded(spread(corpus), collectVectors(cellCentroids), books)
       .withColumn("epoch", lit(0L))
+      // one file per cell directory (the ivfWriteAtRest discipline)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Self-contained residual-IVFPQ index — [[ivfPqWriteIndex]]'s
@@ -2220,9 +2394,9 @@ object Similarity {
       .flatMap { case (bk, j) => bk.map { case (id, cv) => (j, id, cv) } }
       .toDF("m", "c_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
-    val (builtN, sig) = corpusFingerprint(corpus)
+    val (builtN, sig, maxId) = fingerprintStats(corpus)
     Seq((builtN, cent.length, books.length, sig, "residual", 0L,
-        maxVecId(corpus)))
+        maxId))
       .toDF("built_n", "cells", "m", "sig", "encoding", "epoch",
         "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -2401,11 +2575,8 @@ object Similarity {
                minCos: Double): DataFrame = {
     val cent = collectVectors(centroids)
     def assigned = {
-      val scores = cellScores(cent)
       corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("scores_arr", scores)
-        .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-        .drop("scores_arr")
+        .withColumn("cell", top2Cells(cent).getField("b1i"))
         .withColumn("nrm", norm(col("v")))
     }
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
@@ -2870,12 +3041,9 @@ object Similarity {
     */
   def silhouette(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = collectVectors(centroids)
-    val scores = cellScores(cent)
     val assigned = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("scores_arr", scores)
-      .withColumn("cell", expr("array_sort(scores_arr)[0].c_id"))
-      .drop("scores_arr")
+      .withColumn("cell", top2Cells(cent).getField("b1i"))
       .withColumn("u", transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))))
       .drop("v")
     // (cell, dim) hash aggregate: k x dims rows cross the shuffle

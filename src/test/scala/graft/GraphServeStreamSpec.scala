@@ -214,13 +214,16 @@ class GraphServeStreamSpec extends SparkSpec {
     // the scan; above it (cap-sized serve batches: ~800k ids/round)
     // the same rows come from a broadcast LEFT SEMI join — no giant
     // expression tree — while the bucket isin keeps partition pruning
-    val small = Similarity.graphAdjPruned(spark, indexPath, Seq(1L, 2L), 64)
+    val storedBk = spark.read.parquet(s"$indexPath/meta")
+      .select(col("buckets")).head.getInt(0)
+    val small = Similarity.graphAdjPruned(spark, indexPath, Seq(1L, 2L),
+      storedBk)
     val ps = small.queryExecution.executedPlan.toString
     assert(ps.contains("PartitionFilters: [") && ps.contains("bucket"),
       ps.take(2000))
     assert(!ps.contains("Join"), "small id lists must stay literal")
     val bigIds = (0L until (Similarity.IdInlineCap + 5L)).toSeq
-    val big = Similarity.graphAdjPruned(spark, indexPath, bigIds, 64)
+    val big = Similarity.graphAdjPruned(spark, indexPath, bigIds, storedBk)
     val pb = big.queryExecution.executedPlan.toString
     assert(pb.contains("LeftSemi"), pb.take(2000))
     assert(pb.contains("PartitionFilters: [") && pb.contains("bucket"),

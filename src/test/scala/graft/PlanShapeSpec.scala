@@ -543,26 +543,31 @@ class PlanShapeSpec extends SparkSpec {
         s"non-at-rest scan in serving plan: $roots")
       assert(s.partitionFilters.exists(_.toString.contains("bucket")),
         s"no bucket PartitionFilter: ${s.partitionFilters}")
-      val static = s.partitionFilters
+    }
+    // Pruning is pinned on the two reads the driver loop actually
+    // issues per round (r17: the loop merges candidates driver-side,
+    // so the RETURNED plan is the final scoring pass over the full
+    // accumulated candidate set — at this test's corpus size that set
+    // legitimately covers every bucket; the per-round reads below are
+    // where file-level pruning carries the 100 TB claim). A 2-id
+    // frontier must prune both relations to ≤ 2 bucket directories.
+    val adjBk = spark.read.parquet(s"$path/meta")
+      .select(col("buckets")).head.getInt(0)
+    Seq(
+      Similarity.graphAdjPruned(spark, path, Seq(3L, 7L), adjBk),
+      Similarity.graphNodesPruned(spark, path, Seq(3L, 7L), adjBk)
+    ).foreach { pruned =>
+      val aScans = pruned.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(aScans.nonEmpty)
+      val aScan = aScans.head
+      assert(aScan.partitionFilters.exists(_.toString.contains("bucket")))
+      val aStatic = aScan.partitionFilters
         .filterNot(_.toString.contains("dynamicpruning"))
-      val all = s.relation.location.listFiles(Nil, Nil).length
-      val pruned = s.relation.location.listFiles(static, Nil).length
-      assert(pruned < all,
-        s"bucket filter prunes nothing: $pruned of $all files")
+      assert(aScan.relation.location.listFiles(aStatic, Nil).length <= 2,
+        "2 frontier ids must prune to <= 2 bucket directories")
     }
-    // the adjacency expansion read is equally pruned (it is collected
-    // inside the driver loop, so pin its shape directly)
-    val adj = Similarity.graphAdjPruned(spark, path, Seq(3L, 7L), 64)
-    val aScans = adj.queryExecution.sparkPlan.collect {
-      case s: FileSourceScanExec => s
-    }
-    assert(aScans.nonEmpty)
-    val aScan = aScans.head
-    assert(aScan.partitionFilters.exists(_.toString.contains("bucket")))
-    val aStatic = aScan.partitionFilters
-      .filterNot(_.toString.contains("dynamicpruning"))
-    assert(aScan.relation.location.listFiles(aStatic, Nil).length <= 2,
-      "2 frontier ids must prune to <= 2 bucket directories")
   }
 
   test("at-rest IVFPQ layout prunes cells AND carries only code columns") {
