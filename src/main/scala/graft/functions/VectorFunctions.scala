@@ -35,6 +35,16 @@ object VectorFunctions {
       DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Squared L2 distance via the native codegen'd [[DistSqExpr]] —
+    * bit-identical to `dot(zip_with(a,b,-), zip_with(a,b,-))` without
+    * the per-evaluation difference-array allocations.
+    */
+  def distSq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      DistSqExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two array<double> columns. */

@@ -1270,10 +1270,11 @@ object Similarity {
     * as the same left-to-right fold the oracle's list comprehension
     * produces — bit-identical across engines.
     */
-  private def dist2(sv: Column, cv: Array[Double]): Column = {
-    val d = zip_with(sv, lit(cv), (a, b) => a - b)
-    dot(d, d)
-  }
+  private def dist2(sv: Column, cv: Array[Double]): Column =
+    // the codegen'd Σ(a−b)² kernel (r17): same left-to-right fold the
+    // oracle's list comprehension produces, without the two zip_with
+    // difference-array materializations per evaluation
+    distSq(sv, lit(cv))
 
   /** Subspace-j quantization of vector column `v` under `book`: the
     * (d2, c_id) struct of the NEAREST codebook entry — min squared L2
@@ -1281,9 +1282,15 @@ object Similarity {
     * asc)), Jégou et al.'s assignment rule. `.c_id` is the code,
     * `.d2` the per-subspace reconstruction error, both from one sort.
     */
-  private def assignStruct(v: Column, book: Seq[(Int, Array[Double])],
-                           j: Int, sub: Int): Column = {
-    val sv = slice(v, j * sub + 1, sub)
+  /** Assignment over a PRE-SLICED sub-vector column: callers hoist
+    * `slice(v, j·sub+1, sub)` into their own projection so the slice
+    * materializes once per (row, subspace) — embedded here it would
+    * re-evaluate once per CODE (k× the allocations; expression trees
+    * do not memoize per row, and the fold below runs interpreted
+    * where no subexpression elimination applies).
+    */
+  private def assignStruct(sv: Column,
+                           book: Seq[(Int, Array[Double])]): Column = {
     // min by (d2 asc, c_id asc) as ONE O(k) fold instead of
     // materializing and SORTING a k-struct array per (row, subspace)
     // (guide §1.2 per-task work: the sort allocated and ordered 16
@@ -1320,13 +1327,18 @@ object Similarity {
                    iters: Int): Books = {
     val init = pqInitBooks(centroids, m)
     val sub = init.head.head._2.length
+    // sub-vector slices hoisted into their own projection: one slice
+    // per (row, subspace), shared by the assignment fold AND the
+    // emitted sv (k+1 evaluations otherwise)
     val base = spread(corpus.select(asDouble(col("embedding")).as("v")))
+      .select((0 until m).map(j =>
+        slice(col("v"), j * sub + 1, sub).as(s"sv_$j")): _*)
     (0 until iters).foldLeft(init) { (books, _) =>
       val perSub = array((0 until m).map { j =>
         struct(lit(j).as("m"),
-          assignStruct(col("v"), books(j), j, sub)
+          assignStruct(col(s"sv_$j"), books(j))
             .getField("c_id").as("c_id"),
-          slice(col("v"), j * sub + 1, sub).as("sv"))
+          col(s"sv_$j").as("sv"))
       }: _*)
       val sums = base.select(explode(perSub).as("s"))
         .select(col("s.m").as("m"), col("s.c_id").as("c_id"),
@@ -1368,7 +1380,10 @@ object Similarity {
     val sub = books.head.head._2.length
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id") +: col("v") +:
-        (0 until m).map(j => assignStruct(col("v"), books(j), j, sub)
+        (0 until m).map(j =>
+          slice(col("v"), j * sub + 1, sub).as(s"sv_$j")): _*)
+      .select(col("vec_id") +: col("v") +:
+        (0 until m).map(j => assignStruct(col(s"sv_$j"), books(j))
           .getField("c_id").as(s"code_$j")): _*)
   }
 
@@ -1420,8 +1435,11 @@ object Similarity {
     val m = books.length
     val sub = books.head.head._2.length
     val errCols = (0 until m).map(j =>
-      assignStruct(col("v"), books(j), j, sub).getField("d2").as(s"e_$j"))
+      assignStruct(col(s"sv_$j"), books(j)).getField("d2").as(s"e_$j"))
     spread(corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .select(col("vec_id") +: col("v") +:
+        (0 until m).map(j =>
+          slice(col("v"), j * sub + 1, sub).as(s"sv_$j")): _*)
       .select(col("vec_id") +: col("v") +: errCols: _*)
       .select(col("vec_id"),
         dot(col("v"), col("v")).as("n2"),
@@ -2316,7 +2334,10 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         asDouble(col("embedding")).as("v"))
       .select(col("vec_id") +: col("cell") +:
-        (0 until m).map(j => assignStruct(col("v"), books(j), j, sub)
+        (0 until m).map(j =>
+          slice(col("v"), j * sub + 1, sub).as(s"sv_$j")): _*)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(j => assignStruct(col(s"sv_$j"), books(j))
           .getField("c_id").as(s"code_$j")): _*)
   }
 
