@@ -241,7 +241,12 @@ object Dedup {
   def shingleRows(docs: DataFrame, n: Int = 3,
                   distinct: Boolean = true): DataFrame = {
     val parts = (0 until n).map(k => element_at(col("w"), col("i") + k + 1))
-    val rows = docs
+    // parallelism floor before the tokenize+explode chain (guide §2.5:
+    // the local corpus is one unsplittable file, so the whole shingle
+    // explosion otherwise runs in ONE task); keyed by doc_id so the
+    // per-doc aggregates/windows downstream inherit the partitioning.
+    // No-op when the scan already has parallelism (production shape).
+    val rows = graft.core.Parallelism.spreadByKey(docs, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("w"),
@@ -692,9 +697,15 @@ object Dedup {
     * fail-loud bound, not a truncation.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // hash by src BEFORE the checkpoint: the dedup inherits it (keys
+    // ⊇ src) and — because localCheckpoint pins the partitioning —
+    // every round's edges⨝labels join reuses it for free; only the
+    // labels side moves per round (guide §2.4: two operations keyed
+    // the same way share one exchange)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
       .localCheckpoint()
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("doc_id"), col("src").as("cluster"))
@@ -769,6 +780,12 @@ object Dedup {
       // large-star: from each node u, every neighbor v > u re-hangs
       // onto m(u) = min(Γ(u) ∪ {u}); edges with no larger endpoint
       // survive via the other direction of the symmetrized list
+      // (r17 note: forcing a shared src-hash exchange + lazy
+      // checkpoint under both star-phase consumers was tried and
+      // REVERTED — the neighbor-min aggregate is tiny and BROADCASTS
+      // back, so the un-partitioned side never paid an exchange here;
+      // the forced shuffle+cache of the full symmetric closure
+      // measured 4.5 s → 10.5 s on dedup_clusters_star)
       val sym = canon.select(col("lo").as("u"), col("hi").as("v"))
         .unionByName(canon.select(col("hi").as("u"), col("lo").as("v")))
       val mL = sym.groupBy(col("u"))
