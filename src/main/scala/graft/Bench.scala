@@ -308,23 +308,30 @@ object Bench {
         !quietVerified.getOrElse(n, false) => n }
     everContended |= suspect.nonEmpty
     val suspectJson = suspect.map(n => s""""$n"""").mkString("[", ",", "]")
-    // `queries` rides at the END of the line: the driver's BENCH_r*.json
-    // stores only the TAIL of this line, and from round 9 the leading
-    // `queries` object fell off the kept suffix — silently starving
-    // bestKnown of floors for every query newer than r08 (each one
-    // re-ran as "unbaselined" every round). Trailing placement keeps
-    // the per-query record inside any suffix that survives.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","contended":$everContended,"suspect":$suspectJson,"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","query_load":$loadJson,"query_load_end":$loadEndJson,"query_steal":$stealJson,"reruns":$rerunJson,"passes":"min_of_2","queries":$qs}"""
-    println(line)
+    // Two output lines since round 18 (r17 verdict: the driver keeps
+    // only the TAIL of stdout, and the inlined query_load/query_steal
+    // telemetry — 58 entries each since r16 — pushed the line's HEAD
+    // past the kept window, so the driver's JSON parse failed and
+    // PERF_r16/r17 per-query comparisons came back empty):
+    //  - the FULL line (all contention/steal telemetry) goes to stderr
+    //    and BENCH_LOCAL.jsonl, where bestKnown and humans read it;
+    //  - the LEAN driver-contract line {metric,value,unit,errors,sf,
+    //    queries} is the LAST stdout line, small enough (~2.3 KB) to
+    //    survive the tail window whole. `queries` still rides at the
+    //    END of both lines (round-9 lesson: trailing placement keeps
+    //    the per-query record inside any suffix that survives).
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"contended":$everContended,"suspect":$suspectJson,"loadavg_start":"$loadStart","loadavg_end":"${BenchEnv.loadavg()}","query_load":$loadJson,"query_load_end":$loadEndJson,"query_steal":$stealJson,"reruns":$rerunJson,"passes":"min_of_2","sf":"$sfDir","queries":$qs}"""
+    System.err.println(fullLine)
     // local floor history (BENCH_LOCAL.jsonl, appended per run): the
     // in-repo reference bestKnown reads alongside the driver files, so
     // the rerun guard keeps floors even if an artifact truncates again
     try {
       val w = new java.io.FileWriter("BENCH_LOCAL.jsonl", true)
-      try w.write(line + "\n") finally w.close()
+      try w.write(fullLine + "\n") finally w.close()
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not append BENCH_LOCAL.jsonl: $e")
     }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

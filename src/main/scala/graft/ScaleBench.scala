@@ -190,7 +190,11 @@ object ScaleBench {
     // r16 verdict's missing point) — the end-to-end curve should
     // track the fresh-build query's, and the append phase alone is
     // separately priced by graft.AppendSweep
-    "sim_topk_ivfpq_append")
+    "sim_topk_ivfpq_append",
+    // round 18: the graph-append lifecycle at both decades (the r17
+    // verdict's missing rows — "append cost ∝ delta" needs the same
+    // two-decade treatment every other lifecycle claim got)
+    "sim_topk_graph_append")
 
   /** Queries whose largest point sits at the 8 GiB heap edge and
     * swings run-to-run on GC luck for an UNCHANGED plan

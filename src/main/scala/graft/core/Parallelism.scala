@@ -24,9 +24,27 @@ import org.apache.spark.sql.{Column, DataFrame}
   * used to pay two).
   */
 object Parallelism {
+
+  /** True when `df`'s physical plan already contains a shuffle — such
+    * a plan's parallelism is the session shuffle-partition count, so
+    * no floor is needed. Checked on the UNEXECUTED plan on purpose
+    * (r18): probing `df.rdd.getNumPartitions` under AQE materializes
+    * every intermediate query stage eagerly — each spread gate on a
+    * post-join/post-repartition input was silently running its whole
+    * upstream subtree as a throwaway job (one redundant corpus
+    * scan+shuffle per shingleRows/PQ call; pipeline_intake_dump paid
+    * it four times per run, the r17 verdict's only real regression).
+    * With the shuffle short-circuit, `.rdd` is only consulted on
+    * shuffle-free plans, where AQE has no stages to materialize.
+    */
+  private[graft] def planHasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+
   def spreadByKey(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.min(p, 16)) df.repartition(p, key)
+    if (!planHasShuffle(df) &&
+        df.rdd.getNumPartitions < math.min(p, 16)) df.repartition(p, key)
     else df
   }
 }

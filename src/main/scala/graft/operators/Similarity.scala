@@ -243,6 +243,23 @@ object Similarity {
     * (b1d, b1i, b2d, b2i); b2i = -1 when |cells| = 1.
     */
   private def top2Cells(cent: Seq[(Int, Array[Double])]): Column = {
+    // fused native kernel (r18): the r17 fold below still ran as a
+    // CodegenFallback `aggregate` HOF — one |cells|-struct array plus
+    // one accumulator row allocated per fold step per corpus row at
+    // all nine cell-assignment sites. Same dots, same strict-> NaN-safe
+    // rule, bit-identical (Top2CellsSpec pins it against the fold).
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.Top2CellsExpr(
+      ColumnBridge.expression(col("v")),
+      cent.map(_._1), cent.flatMap(_._2.toSeq)))
+  }
+
+  /** The declarative fold [[top2Cells]] fuses — kept as the reference
+    * semantics the codegen expression must match bit for bit
+    * (Top2CellsSpec), never called from a query path.
+    */
+  private[graft] def top2CellsDeclarative(
+      cent: Seq[(Int, Array[Double])]): Column = {
     val dotted = array(cent.map { case (id, cv) =>
       struct(dot(col("v"), lit(cv)).as("d"), lit(id).as("c_id"))
     }: _*)
@@ -346,8 +363,20 @@ object Similarity {
     require(k >= 1 && rounds >= 0, "top-k size and a fixed round count")
     val cent = collectVectors(centroids)
     val cap = 2 * k
+    // the STANDING vector relation every id-keyed join in the build
+    // reads: hashed by vec_id ONCE behind a lazy checkpoint (r18, the
+    // duplicateClusters treatment — guide §2.4/§3.3 "bucketed" reuse).
+    // Without it, every NN-Descent round's two re-score joins and the
+    // seeding's two t2rel joins re-shuffled (and re-projected, and
+    // re-normed) the corpus from scratch — 2·rounds + 2 corpus-sized
+    // exchanges per build where one suffices; the checkpoint is what
+    // carries the partitioning across the per-round lineage cuts. The
+    // materialized relation is (id, v, nrm) — the same corpus-sized
+    // cache an NND build holds anyway; MEMORY_AND_DISK spills.
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .repartition(col("vec_id"))
+      .localCheckpoint(eager = false)
     // score every vector against the centroids ONCE, into a
     // 4-scalar-per-row relation pinned with a lazy checkpoint (the
     // small-relation discipline — at autoCells-scale cell counts the
@@ -439,16 +468,22 @@ object Similarity {
       // shuffle boundary at the join, the union's two branches
       // re-execute the whole scoring subtree, doubling the work the
       // halving saved; measured 7.3 s → 14 s on the 3-round build)
+      // candidate dedup shares its exchange with the first re-score
+      // join (r18, guide §2.4): hash by dst — dropDuplicates' keys
+      // contain it, and the dst-keyed vector join inherits it. The
+      // old distinct() paid a (src,dst) exchange NEITHER downstream
+      // join could reuse, so the wedge-sized relation shuffled twice.
       val cand = capped.as("e1")
         .join(capped.as("e2"), col("e1.mid") === col("e2.mid") &&
           col("e1.dst") =!= col("e2.dst"))
         .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
-        .distinct()
+        .repartition(col("dst"))
+        .dropDuplicates(Seq("src", "dst"))
       val scored = cand
-        .join(c.select(col("vec_id").as("src"),
-          col("v").as("sv"), col("nrm").as("sn")), "src")
         .join(c.select(col("vec_id").as("dst"),
           col("v").as("dv"), col("nrm").as("dn")), "dst")
+        .join(c.select(col("vec_id").as("src"),
+          col("v").as("sv"), col("nrm").as("sn")), "src")
         .select(col("src"), col("dst"),
           (dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
             .as("cos_sim"))
@@ -496,8 +531,13 @@ object Similarity {
     require(k >= 1 && rounds >= 0, "top-k size and a fixed round count")
     val cent = collectVectors(centroids)
     val cap = 2 * k
+    // same standing vec_id-hashed vector relation as [[knnGraph]]
+    // (r18): the carried re-score, the seeding joins, and every wedge
+    // round reuse one corpus exchange
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .repartition(col("vec_id"))
+      .localCheckpoint(eager = false)
     // prior lists re-scored against CURRENT vectors: one id-keyed
     // join pass over nk edge rows; endpoints that left the corpus
     // drop here (inner join)
@@ -583,22 +623,39 @@ object Similarity {
 
   /** Bucket count of a graph layout, derived from the corpus size —
     * guide §2.5/§6: partitioning must scale with the input, not sit at
-    * a constant tuned for one scale. The old fixed 64 was both too
-    * many directories at sf0.1 (2 000 nodes → 64 near-empty dirs per
-    * relation, and layout writes cost MORE than the NN-Descent build
-    * they persist — PhaseProbe r17: 10.2 s write vs 7.5 s build) and
-    * too few at 100 TB (10⁹ nodes → 16 M rows ≈ 5 GB per nodes
-    * bucket, past the 128 MB–1 GB file guidance). ~65 k nodes per
-    * bucket lands mid-range at every scale; the cap bounds
-    * directory-listing and small-file overhead, the floor keeps
-    * file-level pruning meaningful. `SPARK_GRAFT_GRAPH_BUCKETS`
-    * overrides for cluster tuning. Serving always takes the count
-    * from the layout's meta, so the rule can evolve without
-    * invalidating standing layouts.
+    * a constant tuned for one scale (the old fixed 64 made sf0.1
+    * layout writes cost MORE than the NN-Descent build they persist —
+    * PhaseProbe r17 — and left 5 GB nodes buckets at 10⁹ rows).
+    *
+    * BYTE-targeted since r18 (r17 verdict: the row-count rule's doc
+    * didn't match its math, and its "~75 MB at 10⁹ nodes" claim held
+    * only at the testdata's dim 64 — at dim 768 the same rule yielded
+    * ~1.5 GB nodes buckets): buckets = ceil(n·dim·8 B / 512 MB),
+    * clamped to [8, 4096] — mid-range of the guide §6 "output files
+    * 128 MB–1 GB" guidance. Modeled: n 10⁶ / dim 768 → 12 buckets
+    * (~490 MB); n 10⁹ / dim 64 → 1000 buckets (~512 MB); n 10⁹ /
+    * dim 768 the 4096-dir cap binds (~1.5 GB/bucket — the cap bounds
+    * directory-listing and per-probe file counts, and a deployment
+    * that prefers smaller files raises `SPARK_GRAFT_GRAPH_BUCKETS`).
+    * The floor keeps file-level pruning meaningful at test scale.
+    * Serving always takes the count from the layout's meta, so the
+    * rule can evolve without invalidating standing layouts.
     */
-  def graphBucketsFor(n: Long): Int =
-    sys.env.get("SPARK_GRAFT_GRAPH_BUCKETS").map(_.toInt).getOrElse(
-      math.max(8L, math.min(4096L, (n + 65535L) / 65536L * 8L)).toInt)
+  def graphBucketsFor(n: Long, dim: Int): Int = {
+    val env = sys.env.get("SPARK_GRAFT_GRAPH_BUCKETS").map { s =>
+      val v = scala.util.Try(s.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_GRAPH_BUCKETS must be a positive int, got '$s'"))
+      require(v > 0,
+        s"SPARK_GRAFT_GRAPH_BUCKETS must be a positive int, got '$s'")
+      v
+    }
+    env.getOrElse {
+      val bytes = n * dim.toLong * 8L
+      val target = 512L * 1024 * 1024
+      math.max(8L, math.min(4096L, (bytes + target - 1) / target)).toInt
+    }
+  }
 
   def graphWriteAtRest(corpus: DataFrame, centroids: DataFrame, k: Int,
                        rounds: Int, path: String,
@@ -626,7 +683,8 @@ object Similarity {
     // signature, growth frontier) — previously three separate scans —
     // run FIRST so the bucket count can derive from the corpus size
     val (builtN, sig, maxId) = fingerprintStats(corpus)
-    val buckets = if (buckets0 > 0) buckets0 else graphBucketsFor(builtN)
+    val buckets = if (buckets0 > 0) buckets0
+      else graphBucketsFor(builtN, cent.headOption.map(_._2.length).getOrElse(64))
     // epoch 0 = the build; [[graphAppendDelta]] stamps 1, 2, … on the
     // inserted nodes and their forward/reverse edges, so a walk pinned
     // to an epoch sees exactly the graph that existed when it resolved
@@ -775,10 +833,16 @@ object Similarity {
     * Engine-private (never oracle-compared), so Spark's xxhash64 is
     * fine here.
     */
-  private[graft] def corpusFingerprint(corpus: DataFrame): (Long, Long) = {
-    val (n, sig, _) = fingerprintStats(corpus)
-    (n, sig)
-  }
+  private[graft] def corpusFingerprint(corpus: DataFrame): (Long, Long) =
+    // deliberately NOT [[fingerprintStats]] (r18, closing the r17
+    // ADVICE medium): the fused writer pass keeps the probe-window
+    // predicate inside a CASE in the aggregate, so the whole embedding
+    // column is scanned — fine for writers (they scan the corpus
+    // anyway), wrong for the flat-curve serve path this feeds via
+    // [[indexFresh]]. The two jobs here stay O(sample): the count is a
+    // zero-column footer-stat scan, the signature a row-group-pruned
+    // window read with the predicate pushed down.
+    (corpus.count(), windowSig(corpus))
 
   /** (row count, window signature, max vec_id) in ONE aggregate pass —
     * the three meta statistics every index writer stamps used to cost
@@ -787,7 +851,11 @@ object Similarity {
     * expression is bit-identical to [[windowSig]]'s filter+BIT_XOR
     * (aggregates skip the NULLs the `when` emits outside the probe
     * window), so stamped fingerprints stay comparable across writer
-    * versions.
+    * versions. WRITER-ONLY: the CASE keeps the window predicate inside
+    * the aggregate (no pushdown — the full embedding column is read),
+    * which is free for writers that scan the corpus anyway; the serve
+    * path's freshness probe uses [[corpusFingerprint]]'s pushed-down
+    * O(sample) shape instead.
     */
   private[graft] def fingerprintStats(
       rows: DataFrame): (Long, Long, Long) = {
@@ -1245,8 +1313,14 @@ object Similarity {
     * aggregates, id-keyed joins).
     */
   private def spread(df: DataFrame): DataFrame = {
+    // shuffle-in-plan short-circuit BEFORE touching .rdd (r18): under
+    // AQE, .rdd materializes every intermediate query stage eagerly,
+    // so gating a post-repartition accessor output here ran one
+    // redundant scan+shuffle job per PQ write/train call — see
+    // [[graft.core.Parallelism.planHasShuffle]]
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.min(p, 16)) df.repartition(p)
+    if (!graft.core.Parallelism.planHasShuffle(df) &&
+        df.rdd.getNumPartitions < math.min(p, 16)) df.repartition(p)
     else df
   }
 
@@ -1291,14 +1365,28 @@ object Similarity {
     */
   private def assignStruct(sv: Column,
                            book: Seq[(Int, Array[Double])]): Column = {
-    // min by (d2 asc, c_id asc) as ONE O(k) fold instead of
-    // materializing and SORTING a k-struct array per (row, subspace)
-    // (guide §1.2 per-task work: the sort allocated and ordered 16
-    // structs per subspace per row — m·k struct churn per vector —
-    // where a strict-< fold keeps the first-seen minimum, which IS the
-    // smallest code id because [[Books]] entries are sorted by code
-    // id; bit-identical to the sorted head, measured ~2x off the PQ
-    // encode's single-task time)
+    // fused native kernel (r18, the r17 verdict's backlog #1): the
+    // strict-< fold below still ran as a CodegenFallback `aggregate`
+    // HOF around the codegen'd graft_dist2 — a k-struct array plus one
+    // accumulator row per fold step per (row, subspace). One loop now
+    // computes every d2 and keeps the NaN-safe strict minimum
+    // (first-seen = smallest code id; [[Books]] entries are sorted by
+    // id). Seeds from entry 0 instead of (+Infinity, -1), which
+    // restores the original array_sort-head semantics for degenerate
+    // all-NaN inputs (r17 ADVICE) and is indistinguishable on any
+    // finite d2 — PqArgMinSpec pins bit-parity against the fold.
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqArgMinExpr(
+      ColumnBridge.expression(sv),
+      book.map(_._1), book.flatMap(_._2.toSeq)))
+  }
+
+  /** The declarative fold [[assignStruct]] fuses — kept as the
+    * reference semantics the codegen expression must match bit for
+    * bit (PqArgMinSpec), never called from a query path.
+    */
+  private[graft] def assignStructDeclarative(sv: Column,
+      book: Seq[(Int, Array[Double])]): Column = {
     val dotted = array(book.map { case (id, cv) =>
       struct(dist2(sv, cv).as("d2"), lit(id).as("c_id"))
     }: _*)

@@ -661,4 +661,41 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("parallelism floors are FREE no-ops on already-spread inputs " +
+      "(no inserted exchange, no gate-time job)") {
+    import org.apache.spark.sql.functions.col
+    // the r17 verdict's pipeline_intake_dump regression in miniature:
+    // the spread gates probed df.rdd.getNumPartitions, and under AQE
+    // that MATERIALIZES every intermediate query stage — each gate on
+    // a post-shuffle input silently ran its whole upstream subtree as
+    // a throwaway job. Pin both halves of the r18 fix: (1) an input
+    // whose plan already shuffles comes back the SAME object (no
+    // exchange added — the accessors pre-spread every declared path),
+    // and (2) deciding that launches ZERO jobs.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    val docsLike = graft.core.Tables.read(spark, sf, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val joined = docsLike.join(
+      docsLike.select(col("doc_id")), "doc_id")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val gated = graft.core.Parallelism.spreadByKey(joined, col("doc_id"))
+      assert(gated eq joined, "floor inserted an exchange on a spread input")
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      assert(jobs.get() === 0L,
+        s"spread gate launched ${jobs.get()} job(s) — the AQE .rdd " +
+          "materialization regression is back")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the floor still FIRES where it must: a raw single-split scan
+    val raw = graft.core.Tables.read(spark, sf, "documents")
+    val spreadRaw = graft.core.Parallelism.spreadByKey(raw, col("doc_id"))
+    assert(!(spreadRaw eq raw),
+      "floor no longer fires on an unsplit single-file scan")
+  }
 }
