@@ -75,6 +75,53 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.size === 12 && got.values.forall(_ === 1L), got.toString)
   }
 
+  test("duplicateClusters: standing edges partitioning survives the " +
+      "checkpoint so per-round joins move ONLY the labels side " +
+      "(100 TB shape, broadcast disabled)") {
+    // the r17 verdict asked for proof of the 'edges hashed once'
+    // claim in the regime where labels CANNOT broadcast (at 100 TB
+    // the label table is corpus-sized). Two pins, broadcast forced
+    // off so the joins take the shuffle path they take at scale:
+    // (1) the exact round-join shape over the operator's standing
+    //     edge relation plans with the edges side exchange-free —
+    //     the checkpoint pins HashPartitioning(src) and the join
+    //     inherits it; only the labels side plans an Exchange;
+    // (2) the operator end-to-end still labels correctly on that
+    //     path (the SMJ/SHJ regime is executed, not just planned).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      // the operator's own standing-edges construction
+      // (Dedup.duplicateClusters): symmetrize, hash by src, dedup,
+      // checkpoint
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src"))
+        .dropDuplicates(Seq("src", "dst"))
+        .localCheckpoint()
+      val labels = edges.select(col("src")).distinct()
+        .select(col("src").as("doc_id"), col("src").as("cluster"))
+        .localCheckpoint()
+      val roundJoin = edges.join(
+          labels.select(col("doc_id").as("src"), col("cluster").as("nc")),
+          "src")
+        .groupBy(col("dst")).agg(min(col("nc")).as("nmin"))
+      val p = roundJoin.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+      // exactly ONE src-keyed shuffle below the join: the labels
+      // side. A second one means the standing edges partitioning was
+      // lost across the checkpoint. (The aggregate's own dst-keyed
+      // exchange is expected and not counted.)
+      assert("Exchange hashpartitioning\\(src".r.findAllIn(p).size === 1,
+        s"edges side re-shuffled:\n${p.take(3000)}")
+      // end-to-end on the same no-broadcast path
+      val got = Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 40 && got.values.forall(_ === 1L), got.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("duplicateClustersStar agrees with min-label propagation on mixed topologies") {
     // chain + cycle + star + isolated edge in one pair set
     val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L)) ++ // chain

@@ -687,7 +687,10 @@ class PlanShapeSpec extends SparkSpec {
     try {
       val gated = graft.core.Parallelism.spreadByKey(joined, col("doc_id"))
       assert(gated eq joined, "floor inserted an exchange on a spread input")
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      // listener delivery is async; stage materialization inside the
+      // gate would have SUBMITTED synchronously, so a short drain is
+      // enough for its JobStart to surface
+      Thread.sleep(1000)
       assert(jobs.get() === 0L,
         s"spread gate launched ${jobs.get()} job(s) — the AQE .rdd " +
           "materialization regression is back")
